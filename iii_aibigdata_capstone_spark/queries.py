@@ -1,0 +1,77 @@
+"""Assemble the full query registry from the operator modules.
+
+``__spark_entry__.py`` (the driver contract) is a thin adapter over this
+module: ``queries()``/``oracle_sql()`` are derived from :data:`ALL_SPECS`.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .catalog import table
+from .registry import QuerySpec
+
+
+def _collect_specs() -> list[QuerySpec]:
+    from .operators import relational
+
+    modules = [relational]
+    for name in ("timeseries", "dedup", "similarity", "textual", "geometry", "pose", "multimodal"):
+        try:
+            module = __import__(f"{__package__}.operators.{name}", fromlist=["SPECS"])
+        except ImportError:
+            continue
+        modules.append(module)
+    try:
+        from .ml import quarter
+
+        modules.append(quarter)
+    except ImportError:
+        pass
+    specs: list[QuerySpec] = []
+    seen: set[str] = set()
+    for module in modules:
+        for spec in module.SPECS:
+            if spec.name in seen:
+                raise ValueError(f"duplicate query name {spec.name!r}")
+            seen.add(spec.name)
+            specs.append(spec)
+    return specs
+
+
+ALL_SPECS: list[QuerySpec] = _collect_specs()
+
+
+def registry() -> dict[str, QuerySpec]:
+    return {spec.name: spec for spec in ALL_SPECS}
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship end-to-end query: scan -> filter -> 5-way join ->
+    aggregate -> window rank (SURVEY.md §7's 'relational spine').
+
+    Revenue per nation with a per-region rank, top 3 nations per region.
+    region/nation broadcast; one shuffle for the big join spine, one for
+    the (tiny) windowed ranking.
+    """
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_nation = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(revenue, 2).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+    w = Window.partitionBy("r_name").orderBy(F.desc("revenue"), F.asc("n_name"))
+    return (
+        per_nation.withColumn("rank_in_region", F.row_number().over(w))
+        .where(F.col("rank_in_region") <= 3)
+        .select("r_name", "n_name", "revenue", "n_lines", "rank_in_region")
+    )

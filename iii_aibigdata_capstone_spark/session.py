@@ -1,0 +1,75 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference hand-tunes nothing (Spark 2.4.3 defaults everywhere,
+README.md:14-18); this engine leans on AQE + broadcast joins + Arrow and
+keeps every knob in one place so local[N] testing and a 1000-executor
+cluster share the same code path, differing only in these configs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied even when the caller (e.g. the verify
+# driver) owns the SparkSession. Everything here is safe to set per-query.
+RUNTIME_CONFS: dict[str, str] = {
+    # Deterministic timestamp semantics: testdata timestamps are naive
+    # (parquet isAdjustedToUTC=false); interpret epoch math in UTC so
+    # results match the DuckDB oracle byte-for-byte.
+    "spark.sql.session.timeZone": "UTC",
+    # Let AQE re-plan at runtime: coalesce tiny shuffle partitions at small
+    # SF, split skewed ones at large SF — the single most important knob
+    # for surviving a 100x scale-up without re-tuning.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas interchange (pandas_udf / applyInPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Image-lane rows are fat (binary payloads); bound Arrow batch size so
+    # a batch of decoded frames fits executor memory (SURVEY.md §7 risk).
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
+    # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+    # reader rejects; read as epoch-nanos LONG and convert in the catalog
+    # (floor to micros — identical to DuckDB's ns->us truncation).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an externally owned session."""
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - conf locked by the owner
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "iii-aibigdata-capstone-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``shuffle_partitions`` defaults to the local core count; on a real
+    cluster set it near 2-3x total cores (or rely on AQE coalescing from a
+    higher initial value).
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    return apply_runtime_confs(builder.getOrCreate())
