@@ -1,0 +1,289 @@
+"""Deduplication operators (SURVEY.md §2.12 X1/X2) — the LLM-data-pipeline
+lane: exact dedup, n-gram Jaccard near-dup, MinHash+LSH, SimHash.
+
+Scale design:
+- Exact dedup never uses ``dropDuplicates`` on the raw row (arbitrary
+  survivor) — it ranks within the key partition and keeps a deterministic
+  survivor, which is also what you want for reproducible corpus builds.
+- Near-dup avoids the all-pairs cross join: candidate pairs come from an
+  inverted shingle index (join on shingle), so cost is driven by shingle
+  collision counts, not n^2. MinHash/LSH is the 100 TB path: constant-size
+  signatures, banded buckets, pairs only within buckets.
+"""
+
+from __future__ import annotations
+
+from textwrap import dedent
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import table
+from ..registry import QuerySpec, make_registrar
+
+SPECS: list[QuerySpec] = []
+query = make_registrar(SPECS)
+
+# Distinct word-3-gram shingles per document, as (doc_id, lang, shingle) rows.
+_SHINGLE_SQL_CTE = """
+        toks AS (
+            SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS t FROM documents
+        ),
+        shingles AS (
+            SELECT DISTINCT doc_id, lang,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
+                                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+            FROM toks WHERE LEN(t) >= 3
+        )
+"""
+
+
+def shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (exploded rows)."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + k) for k in range(n)]
+        ),
+    )
+    return (
+        docs.where(F.size(t) >= n)
+        .select("doc_id", "lang", F.explode(F.array_distinct(grams)).alias("s"))
+    )
+
+
+@query(
+    "x1_exact_dedup",
+    oracle=dedent(
+        """
+        SELECT event_id, user_id, event_type FROM (
+            SELECT event_id, user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+        """
+    ),
+    tags=("X1",),
+)
+def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a deterministic survivor: first event per
+    (user_id, event_type) by (ts, event_id). One shuffle on the dedup key;
+    at scale this is the reproducible form of ``dropDuplicates``.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@query(
+    "x1_content_hash_dedup",
+    oracle=dedent(
+        """
+        SELECT MD5(text) AS content_hash,
+               MIN(doc_id) AS keeper_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY MD5(text)
+        """
+    ),
+    tags=("X1",),
+)
+def x1_content_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash exact dedup — the standard first pass of an LLM corpus
+    pipeline: hash the document body, keep the smallest doc_id per hash.
+    Grouping on the 128-bit hash instead of the body keeps shuffle rows
+    tiny regardless of document size.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query(
+    "x2_ngram_jaccard",
+    oracle=dedent(
+        f"""
+        WITH {_SHINGLE_SQL_CTE},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM shingles a JOIN shingles b
+              ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+        """
+    ),
+    tags=("X2",),
+)
+def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup detection via an inverted shingle
+    index: explode distinct 3-gram shingles, equi-join on shingle (banded
+    by lang), count shared shingles, Jaccard = |A∩B| / (|A|+|B|-|A∩B|).
+
+    No all-pairs cross join — candidate pairs only materialize for
+    documents that share at least one shingle, which is the property that
+    keeps this viable on a large corpus (common-shingle hotspots would be
+    handled by dropping top-frequency shingles; not needed at this SF).
+    """
+    sh = shingles(spark, sf_dir, n=3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query("x2_minhash_lsh", oracle=None, tags=("X2", "lsh"))
+def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH approximate near-dup join — the scale path for X2:
+    shingles -> sparse term-frequency vectors -> MinHash signatures ->
+    banded bucket join (``approxSimilarityJoin``). Constant-size state per
+    doc; pairs only materialize inside LSH buckets. Seeded for
+    reproducibility; rows-only check (the sketch is not SQL-expressible).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = shingles(spark, sf_dir, n=3)
+    docs = sh.groupBy("doc_id").agg(F.collect_list("s").alias("sh"))
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(docs).where(F.expr("size(sh) > 0"))
+    lsh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(F.col("jaccard_dist"), 4).alias("jaccard_dist"),
+        )
+    )
+
+
+@query("x2_simhash", oracle=None, tags=("X2", "simhash"))
+def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprints: per token, a 64-bit hash votes +1/-1
+    on each bit position weighted by term frequency; the sign vector is the
+    fingerprint. Computed fully relationally (explode -> xxhash64 ->
+    bit-position explode -> signed sum -> bit reassembly); near-dup pairs
+    are fingerprints at Hamming distance <= 6. Rows-only: xxhash64 has no
+    DuckDB twin.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tok_counts = toks.groupBy("doc_id", "lang", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    hashed = tok_counts.select(
+        "doc_id", "lang", "tf", F.xxhash64(F.col("tok")).alias("h")
+    )
+    bits = hashed.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        "tf",
+        "h",
+    ).select(
+        "doc_id",
+        "lang",
+        "bit",
+        F.when(F.getbit(F.col("h"), F.col("bit")) == 1, F.col("tf"))
+        .otherwise(-F.col("tf"))
+        .alias("vote"),
+    )
+    fingerprints = (
+        bits.groupBy("doc_id", "lang", "bit")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(
+                F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("simhash")
+        )
+    )
+    a, b = fingerprints.alias("a"), fingerprints.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(hamming <= 6)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+    )
+
+
+@query(
+    "x2_embedding_neardup",
+    oracle=dedent(
+        """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(LIST_DOT_PRODUCT(a.v, b.v)
+                     / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE LIST_DOT_PRODUCT(a.v, b.v)
+              / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))) >= 0.45
+        """
+    ),
+    tags=("X2", "X3"),
+)
+def x2_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine >= 0.45), exact brute force
+    as the correctness baseline; the LSH variant (x3_ann_lsh) is the scale
+    path. Norms are precomputed per vector so the pair loop only does the
+    dot product.
+    """
+    from ..functions.vectors import with_norm, dot
+
+    e = with_norm(table(spark, sf_dir, "embeddings"))
+    a, b = e.alias("a"), e.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cos >= 0.45)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )

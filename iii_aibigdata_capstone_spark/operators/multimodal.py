@@ -1,0 +1,144 @@
+"""Multimodal (binary) columns (SURVEY.md §2.12 X6, reference §2.8 K1-K11).
+
+The reference streams raw JPEG bytes through Kafka with a custom decoder
+(pi/dl_k_to_ss.py:429, 359-362) and runs numpy/cv2 kernels per record. The
+Spark-native shape: payloads are ``BinaryType`` columns with typed metadata
+alongside; kernels are Arrow-batched pandas functions over ``mapInPandas``.
+
+The image/audio codec libraries are not in this container, so the actual
+decode (cv2.imdecode — K1) is STUBBED: ``decode_image_stub`` derives a
+deterministic fake pixel payload from the content hash. Everything Spark
+owns — the binary column, the schema contract, Arrow batching, partition
+sizing for fat rows — is real and tested; swapping the stub for cv2 is a
+one-function change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from textwrap import dedent
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import table
+from ..registry import QuerySpec, make_registrar
+
+SPECS: list[QuerySpec] = []
+query = make_registrar(SPECS)
+
+FAKE_W, FAKE_H = 8, 8
+
+
+def decode_image_stub(payload: bytes) -> tuple[int, int, list[int]]:
+    """Stand-in for cv2.imdecode (K1, pi/dl_k_to_ss.py:359-362).
+
+    Real implementation would be::
+
+        img = cv2.imdecode(np.frombuffer(payload, np.uint8), cv2.IMREAD_COLOR)
+
+    Here: a deterministic 8x8 gray 'image' whose pixels are the first 64
+    bytes of sha256(payload) — stable across runs/engines, so downstream
+    kernels (resize/crop/mean) are testable without codecs.
+    """
+    h = hashlib.sha256(payload).digest() * 2  # 64 bytes
+    return FAKE_W, FAKE_H, list(h[:FAKE_W * FAKE_H])
+
+
+def binary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with the text payload materialized as a binary column +
+    typed metadata — the multimodal table shape (payload never parsed by
+    Catalyst, metadata fully prunable/filterable)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.col("lang").alias("lang"),
+            F.col("source").alias("source"),
+            F.col("n_chars").alias("n_chars"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "x6_binary_meta",
+    oracle=dedent(
+        """
+        SELECT doc_id,
+               OCTET_LENGTH(ENCODE(text)) AS payload_bytes,
+               SHA256(text) AS payload_sha256,
+               lang
+        FROM documents
+        """
+    ),
+    tags=("X6",),
+)
+def x6_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata extraction — size and content digest computed
+    JVM-side on the ``BinaryType`` payload (no decode, no Python). This is
+    the integrity/manifest pass of a multimodal corpus."""
+    b = binary_documents(spark, sf_dir)
+    return b.select(
+        "doc_id",
+        F.octet_length(F.col("payload")).cast("long").alias("payload_bytes"),
+        F.sha2(F.col("payload"), 256).alias("payload_sha256"),
+        F.col("meta.lang").alias("lang"),
+    )
+
+
+@query("x6_decode_features", oracle=None, tags=("X6", "udf"))
+def x6_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract over binary payloads via ``mapInPandas``
+    (Arrow-batched; batch size capped by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` so fat rows fit in
+    memory — SURVEY.md §7's inverted-tuning risk). Uses the deterministic
+    decode stub; rows-only check."""
+    b = binary_documents(spark, sf_dir).select("doc_id", "payload")
+
+    def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [decode_image_stub(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "mean_pixel": [round(sum(d[2]) / len(d[2]), 4) for d in dims],
+                    "max_pixel": [max(d[2]) for d in dims],
+                }
+            )
+
+    schema = "doc_id long, width int, height int, mean_pixel double, max_pixel int"
+    return b.mapInPandas(decode_batch, schema=schema)
+
+
+@query("x6_frame_sample", oracle=None, tags=("X6", "udf"))
+def x6_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing for video-shaped payloads: each payload is
+    treated as a container of fixed-size 'frames'; emit every 4th frame's
+    digest (one row per sampled frame — table-generating, like K8 patch
+    cropping). Deterministic stub; rows-only check."""
+    b = binary_documents(spark, sf_dir).select("doc_id", "payload")
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frame_size, stride = 32, 4
+        for pdf in batches:
+            out_doc, out_idx, out_digest = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = max(1, len(raw) // frame_size)
+                for idx in range(0, n_frames, stride):
+                    frame = raw[idx * frame_size:(idx + 1) * frame_size]
+                    out_doc.append(doc_id)
+                    out_idx.append(idx)
+                    out_digest.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "frame_idx": out_idx, "frame_md5": out_digest}
+            )
+
+    return b.repartition(max(spark.sparkContext.defaultParallelism, 8)).mapInPandas(
+        sample_frames, schema="doc_id long, frame_idx int, frame_md5 string"
+    )

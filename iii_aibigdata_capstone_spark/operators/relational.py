@@ -376,7 +376,7 @@ def a8_detector_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=dedent(
         """
         SELECT o_custkey, COUNT(*) AS n_orders,
-               ROUND(SUM(o_totalprice) / COUNT(*), 2) AS avg_price
+               ROUND(SUM(o_totalprice), 2) AS total_price
         FROM orders
         GROUP BY o_custkey
         HAVING COUNT(*) >= 8 AND SUM(o_totalprice) / COUNT(*) >= 120000
@@ -387,6 +387,11 @@ def a8_detector_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a10_group_prune_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-quality prune — the pose-person filter ``part_count >= 4 AND
     score/count >= 0.4`` (pi/dl_k_to_ss.py:238-242) as groupBy + HAVING.
+
+    Output is the rounded SUM, not the average: dividing a 2-decimal sum
+    by the count manufactures exact half-cent boundaries where Spark
+    (HALF_UP on the shortest decimal repr) and DuckDB (raw-double
+    rounding) legitimately disagree; the sum itself rounds identically.
     """
     o = table(spark, sf_dir, "orders")
     g = o.groupBy("o_custkey").agg(
@@ -398,7 +403,7 @@ def a10_group_prune_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             "n_orders",
-            F.round(F.col("s") / F.col("n_orders"), 2).alias("avg_price"),
+            F.round(F.col("s"), 2).alias("total_price"),
         )
     )
 

@@ -1,0 +1,182 @@
+"""Text analysis over the documents table (SURVEY.md §2.12 X4): token
+statistics, quality scoring, language-ID heuristic, fingerprinting,
+regex-based token counting.
+
+Everything here is pure Catalyst expression work (split / higher-order
+functions / regexp) — the whole module runs inside whole-stage codegen with
+zero Python, which is the point: text analytics at corpus scale must not
+row-trip through UDFs.
+"""
+
+from __future__ import annotations
+
+from textwrap import dedent
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import table
+from ..registry import QuerySpec, make_registrar
+
+SPECS: list[QuerySpec] = []
+query = make_registrar(SPECS)
+
+STOPWORDS = ("the", "a", "value", "data")
+
+
+@query(
+    "x4_text_stats",
+    oracle=dedent(
+        f"""
+        WITH t AS (
+            SELECT lang, n_chars, STRING_SPLIT(text, ' ') AS toks FROM documents
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               ROUND(AVG(n_chars), 2) AS avg_chars,
+               ROUND(AVG(LEN(toks)), 2) AS avg_tokens,
+               CAST(SUM(LEN(LIST_FILTER(toks, x -> x IN {STOPWORDS!r})) ) AS BIGINT) AS stop_tokens,
+               ROUND(SUM(LEN(LIST_FILTER(toks, x -> x IN {STOPWORDS!r})) ) * 1.0
+                     / SUM(LEN(toks)), 6) AS stop_ratio
+        FROM t GROUP BY lang
+        """
+    ),
+    tags=("X4",),
+)
+def x4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics per language: doc counts, average length in
+    chars and tokens, stopword counts/ratio. Token ops via ``filter`` /
+    ``size`` higher-order functions, aggregated in one pass.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    d = docs.select("lang", "n_chars", F.size(toks).alias("n_toks"), stop.alias("n_stop"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(F.avg("n_toks"), 2).alias("avg_tokens"),
+        F.sum("n_stop").alias("stop_tokens"),
+        F.round(F.sum("n_stop") / F.sum("n_toks"), 6).alias("stop_ratio"),
+    )
+
+
+@query(
+    "x4_quality_score",
+    oracle=dedent(
+        """
+        WITH t AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS toks, n_chars FROM documents
+        )
+        SELECT doc_id,
+               LEN(toks) AS n_tokens,
+               ROUND(LEN(LIST_DISTINCT(toks)) * 1.0 / LEN(toks), 6) AS uniq_ratio,
+               ROUND((n_chars - LEN(toks) + 1) * 1.0 / LEN(toks), 6) AS avg_token_len,
+               CASE WHEN LEN(toks) BETWEEN 20 AND 200
+                         AND LEN(LIST_DISTINCT(toks)) * 1.0 / LEN(toks) >= 0.3
+                    THEN 'good' ELSE 'bad' END AS quality
+        FROM t
+        """
+    ),
+    tags=("X4",),
+)
+def x4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality scoring — length band + lexical
+    diversity (unique-token ratio), the standard cheap pre-filter of an
+    LLM data pipeline. All expression-level; one scan, no shuffle.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    avg_token_len = (F.col("n_chars") - n_tokens + 1) / n_tokens
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        F.round(avg_token_len, 6).alias("avg_token_len"),
+        F.when(n_tokens.between(20, 200) & (uniq_ratio >= 0.3), "good")
+        .otherwise("bad")
+        .alias("quality"),
+    )
+
+
+@query(
+    "x4_lang_id_confusion",
+    oracle=dedent(
+        """
+        WITH scored AS (
+            SELECT lang,
+                   CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                             x -> x IN ('the', 'a'))) * 1.0
+                             / LEN(STRING_SPLIT(text, ' ')) >= 0.05
+                        THEN 'en' ELSE 'other' END AS predicted
+            FROM documents
+        )
+        SELECT lang, predicted, COUNT(*) AS n
+        FROM scored GROUP BY lang, predicted
+        """
+    ),
+    tags=("X4",),
+)
+def x4_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-heuristic language ID (stopword-density detector) evaluated
+    as a confusion matrix against the labeled ``lang`` column."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    density = F.size(F.filter(toks, lambda x: x.isin("the", "a"))) / F.size(toks)
+    predicted = F.when(density >= 0.05, "en").otherwise("other")
+    return (
+        docs.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "x4_fingerprint",
+    oracle=dedent(
+        """
+        SELECT doc_id,
+               MD5(text) AS fingerprint,
+               SUBSTR(MD5(text), 1, 8) AS bucket,
+               STRLEN(text) AS n_bytes
+        FROM documents
+        """
+    ),
+    tags=("X4", "X1"),
+)
+def x4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full 128-bit content hash plus a 32-bit
+    prefix bucket (the shard key you'd partition a 100 TB dedup by)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fingerprint"),
+        F.substring(F.md5(F.col("text")), 1, 8).alias("bucket"),
+        F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+    )
+
+
+@query(
+    "x4_token_count_regex",
+    oracle=dedent(
+        """
+        SELECT doc_id,
+               LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+')) AS n_word_tokens,
+               LEN(LIST_DISTINCT(REGEXP_EXTRACT_ALL(text, '[a-z]+'))) AS n_unique_tokens
+        FROM documents
+        """
+    ),
+    tags=("X4",),
+)
+def x4_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-based token counting (BPE-ish pre-tokenizer shape: maximal
+    alphabetic runs), total and distinct per document."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_word_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+    )
