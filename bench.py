@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <scale factor>}
+
+Each query is executed to completion with the ``noop`` sink (full plan
+runs, nothing collected to the driver — measures the engine, not py4j
+serialization). One warmup of the flagship primes the JVM/codegen.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from iii_aibigdata_capstone_spark.queries import flagship, registry
+from iii_aibigdata_capstone_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "a1_group_median",
+    "w1_rank_and_lag",
+    "j3_iou_theta_join",
+    "st5_session_window",
+    "x5_range_join",
+    "x5_asof_join",
+    "x1_content_hash_dedup",
+    "x2_ngram_jaccard",
+    "x2_minhash_lsh",
+    "x3_cosine_topk",
+    "x4_text_stats",
+    "w2_nms_greedy",
+    "t4_person_assembly",
+]
+
+
+def run_to_completion(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="iii-capstone-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    run_to_completion(flagship(spark, SF_DIR))  # warmup
+
+    specs = registry()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        run_to_completion(specs[name].builder(spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    run_to_completion(flagship(spark, SF_DIR))
+    timings["flagship"] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -17,7 +17,7 @@ def _collect_specs() -> list[QuerySpec]:
     from .operators import relational
 
     modules = [relational]
-    for name in ("timeseries", "dedup", "similarity", "textual", "geometry", "pose", "multimodal"):
+    for name in ("timeseries", "dedup", "similarity", "textual", "grouped", "multimodal"):
         try:
             module = __import__(f"{__package__}.operators.{name}", fromlist=["SPECS"])
         except ImportError:

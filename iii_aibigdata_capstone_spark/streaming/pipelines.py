@@ -1,0 +1,196 @@
+"""Structured Streaming rebuild of the reference pipelines (SURVEY.md §2.10,
+§3.1-3.2) plus the ST5 extension (watermarked event-time windows).
+
+Reference shape (qp/ml_k_to_ss.py): Kafka 'ml_input' -> DStream -> split ','
+-> Row(int casts) -> per-batch model reload + refit + transform -> zip ->
+foreachPartition KafkaProducer 'ml_output'. Rebuild: ``readStream`` ->
+``from_csv`` -> ONE fitted PipelineModel applied to the stream ->
+``writeStream`` Kafka sink (producer pooling is Spark's job, S7) or
+``foreachBatch`` webhook sink (S8).
+
+All transformations here take/return DataFrames so the same code runs on a
+Kafka stream, a file stream (tests), or a static frame (batch replay).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+# quarter_stats CSV schema, positional (FIXTURES.md §1; ml_k_to_ss.py:9-14).
+QUARTER_CSV_COLUMNS = [
+    "enemyStyle",
+    "teamNumber",
+    "enemyNumber",
+    "fastBreak",
+    "restrictedNumber",
+    "perimeterNumber",
+    "threeNumber",
+    "freethrowNumber",
+    "assist",
+    "steal",
+    "block",
+    "foul",
+    "turnover",
+    "enemyPeriodScore",
+    "winPeriod",
+]
+QUARTER_SCHEMA = StructType(
+    [StructField(c, IntegerType()) for c in QUARTER_CSV_COLUMNS]
+)
+QUARTER_DDL = ", ".join(f"{c} INT" for c in QUARTER_CSV_COLUMNS)
+
+
+# ---------------------------------------------------------------------------
+# Sources (S1, S2) — builders return unstarted streaming DataFrames
+# ---------------------------------------------------------------------------
+
+
+def kafka_text_source(
+    spark: SparkSession, servers: str, topic: str, max_offsets_per_trigger: int = 10000
+) -> DataFrame:
+    """S1 (qp/ml_k_to_ss.py:63): Kafka text source. Direct source — one
+    Spark partition per Kafka partition (replaces the 3 receiver threads);
+    ``maxOffsetsPerTrigger`` is the rate control the reference lacked.
+    Requires the spark-sql-kafka package on the classpath."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("subscribe", topic)
+        .option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+        .load()
+        .select(F.col("value").cast("string").alias("line"))
+    )
+
+
+def kafka_binary_source(spark: SparkSession, servers: str, topic: str) -> DataFrame:
+    """S2 (pi/dl_k_to_ss.py:429): Kafka binary source. The custom
+    ``valueDecoder=imdecoder`` disappears — ``value`` stays BinaryType and
+    decoding happens in an Arrow-batched kernel downstream
+    (operators/multimodal.py), not in the source."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("subscribe", topic)
+        .load()
+        .select(F.col("key").cast("string").alias("key"), F.col("value").alias("payload"))
+    )
+
+
+def text_file_source(spark: SparkSession, path: str) -> DataFrame:
+    """S5: line-oriented file stream (test/replay stand-in for Kafka)."""
+    return spark.readStream.text(path).select(F.col("value").alias("line"))
+
+
+# ---------------------------------------------------------------------------
+# Transformations (P2/P3, ST3, J1)
+# ---------------------------------------------------------------------------
+
+
+def parse_quarter_lines(lines: DataFrame) -> DataFrame:
+    """P2+P3 (ml_k_to_ss.py:65-66): CSV line -> 15 typed columns via
+    ``from_csv`` with a declared schema — the split(',')+int() loop as one
+    codegen'd expression. Malformed lines yield nulls (P9) instead of
+    crashing the batch."""
+    parsed = F.from_csv(F.col("line"), QUARTER_DDL)
+    return lines.select(parsed.alias("r")).select("r.*")
+
+
+def score_quarter_stream(stream: DataFrame, model) -> DataFrame:
+    """ST3 (ml_k_to_ss.py:67, DStream.transform): apply the fitted
+    PipelineModel directly to the streaming DataFrame — MLlib transforms
+    are stateless projections, so no foreachBatch hop is needed, and the
+    reference's per-batch model reload (:22-28) is gone by construction."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(stream)
+    prob = F.element_at(
+        vector_to_array(F.col("probability")), F.col("prediction").cast("int") + 1
+    )
+    return scored.select(
+        F.col("prediction").cast("int").alias("prediction"),
+        F.round(prob, 4).alias("win_probability"),
+        F.concat_ws(
+            ",", F.col("prediction").cast("string"), F.round(prob, 4).cast("string")
+        ).alias("payload"),
+    )
+
+
+def stream_static_lookup(stream: DataFrame, dim: DataFrame, keys: list[str]) -> DataFrame:
+    """J1 as a stream-static join (dl_k_to_ss.py:370-395): the static side
+    is broadcast once per query, not shipped per task in a closure."""
+    return stream.join(F.broadcast(dim), on=keys, how="left")
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows with watermarks (ST5 extension)
+# ---------------------------------------------------------------------------
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window counts; late rows beyond the watermark
+    are dropped instead of corrupting closed windows."""
+    # Watermarks require TIMESTAMP (not NTZ); session tz is pinned to UTC
+    # so the cast is value-preserving.
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "12 hours", watermark: str = "1 day") -> DataFrame:
+    """Watermarked session windows per user (stateful aggregation — state
+    store sized by active sessions, pruned by the watermark)."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sinks (S7, S8)
+# ---------------------------------------------------------------------------
+
+
+def kafka_sink(df: DataFrame, servers: str, topic: str, checkpoint: str):
+    """S7 (ml_k_to_ss.py:37-54): Kafka sink. The reference hand-rolls one
+    producer per partition per batch; Spark's sink pools producers and the
+    checkpoint upgrades delivery from fire-and-forget to at-least-once."""
+    return (
+        df.selectExpr("CAST(payload AS STRING) AS value")
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def webhook_sink(df: DataFrame, post: Callable[[str], None]):
+    """S8 (qp/ml_IFTTT.py:12-33): webhook push per record via
+    ``foreachBatch`` — the separate consumer process collapses into the
+    query. ``post`` abstracts the HTTP call (IFTTT/LINE in the reference;
+    injected so tests capture instead of POSTing)."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        for row in batch.select("payload").collect():
+            post(row.payload)
+
+    return df.writeStream.foreachBatch(handle)

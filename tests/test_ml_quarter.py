@@ -1,0 +1,91 @@
+"""M1-M3/M8 pipeline tests: fit-once semantics, stable categories across
+batches (the reference's per-batch-refit bug, fixed by construction),
+persistence roundtrip, evaluator."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from iii_aibigdata_capstone_spark.ml.quarter import (
+    fit_quarter_model,
+    quarter_stats_frame,
+    score,
+)
+
+from .conftest import TEST_SF_DIR
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    return fit_quarter_model(spark, TEST_SF_DIR)
+
+
+def test_score_schema_and_rows(spark, model):
+    scored = score(model, quarter_stats_frame(spark, TEST_SF_DIR))
+    assert scored.columns == [
+        "game_id",
+        "winPeriod",
+        "prediction",
+        "win_probability",
+        "message",
+    ]
+    rows = scored.limit(5).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.prediction in (0, 1)
+        assert 0.0 <= r.win_probability <= 1.0
+        assert ("win" in r.message) or ("lose" in r.message)
+
+
+def test_model_beats_majority_class(spark, model):
+    """The label has learnable signal; RF must beat the majority baseline."""
+    scored = score(model, quarter_stats_frame(spark, TEST_SF_DIR))
+    agg = scored.agg(
+        F.avg((F.col("prediction") == F.col("winPeriod")).cast("int")).alias("acc"),
+        F.greatest(F.avg("winPeriod"), 1 - F.avg("winPeriod")).alias("majority"),
+    ).collect()[0]
+    assert agg.acc > agg.majority
+
+
+def test_stable_categories_across_batches(spark, model):
+    """Fit-once fixes ml_k_to_ss.py:22-23: scoring two disjoint slices
+    (micro-batches) must use identical one-hot encodings — same feature
+    vector size, same predictions as scoring the union."""
+    df = quarter_stats_frame(spark, TEST_SF_DIR)
+    b1 = df.where(F.col("game_id") % 2 == 0)
+    b2 = df.where(F.col("game_id") % 2 == 1)
+    union_preds = {
+        r.game_id: r.prediction for r in score(model, df).collect()
+    }
+    for batch in (b1, b2):
+        for r in score(model, batch).collect():
+            assert union_preds[r.game_id] == r.prediction
+
+
+def test_persistence_roundtrip(spark, model):
+    """S11: PipelineModel save/load produces identical predictions."""
+    from pyspark.ml import PipelineModel
+
+    df = quarter_stats_frame(spark, TEST_SF_DIR).limit(50)
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/quarter_model"
+        model.write().overwrite().save(path)
+        reloaded = PipelineModel.load(path)
+        orig = [(r.game_id, r.prediction) for r in score(model, df).collect()]
+        redo = [(r.game_id, r.prediction) for r in score(reloaded, df).collect()]
+        assert sorted(orig) == sorted(redo)
+
+
+def test_binary_evaluator(spark, model):
+    """M8 (qp/ml_model.py:31-33, intended but commented out): AUC via
+    BinaryClassificationEvaluator on the scored frame."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    scored = model.transform(quarter_stats_frame(spark, TEST_SF_DIR))
+    auc = BinaryClassificationEvaluator(
+        labelCol="winPeriod", rawPredictionCol="rawPrediction"
+    ).evaluate(scored)
+    assert 0.5 < auc <= 1.0

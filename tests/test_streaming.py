@@ -1,0 +1,144 @@
+"""Streaming-shell tests (SURVEY.md §5 layer 4): micro-batch replay of the
+quarter-scoring pipeline through a real streaming query (file source ->
+from_csv -> PipelineModel -> memory/foreachBatch sink), plus watermarked
+tumbling/session windows checked against their batch equivalents.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from iii_aibigdata_capstone_spark.catalog import table
+from iii_aibigdata_capstone_spark.ml.quarter import fit_quarter_model, quarter_stats_frame
+from iii_aibigdata_capstone_spark.streaming import pipelines as P
+
+from .conftest import TEST_SF_DIR
+
+
+def _run_available_now(writer, name=None):
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    return q
+
+
+@pytest.fixture(scope="module")
+def quarter_lines_dir(spark):
+    """The reference's stream sample: quarter rows serialized as CSV lines
+    (ml_source.py:13-14), two files -> two micro-batches."""
+    df = quarter_stats_frame(spark, TEST_SF_DIR).limit(40)
+    cols = [c for c in P.QUARTER_CSV_COLUMNS]
+    lines = df.select(
+        F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias("value"),
+        (F.col("game_id") % 2).alias("part"),
+    )
+    d = tempfile.mkdtemp(prefix="qlines_")
+    for part in (0, 1):
+        lines.where(F.col("part") == part).select("value").coalesce(1).write.mode(
+            "append"
+        ).text(d)
+    return d
+
+
+def test_stream_scoring_matches_batch(spark, quarter_lines_dir):
+    """End-to-end ml pipeline replay: file stream -> from_csv -> model ->
+    memory sink; the multiset of (prediction, win_probability) must equal
+    batch scoring of the same rows."""
+    model = fit_quarter_model(spark, TEST_SF_DIR)
+    stream = P.text_file_source(spark, quarter_lines_dir)
+    scored = P.score_quarter_stream(P.parse_quarter_lines(stream), model)
+    _run_available_now(
+        scored.writeStream.format("memory").queryName("scored_stream").outputMode("append")
+    )
+    got = sorted(
+        (r.prediction, r.win_probability)
+        for r in spark.sql("SELECT * FROM scored_stream").collect()
+    )
+
+    batch_lines = spark.read.text(quarter_lines_dir).select(
+        F.col("value").alias("line")
+    )
+    batch_scored = P.score_quarter_stream(P.parse_quarter_lines(batch_lines), model)
+    want = sorted((r.prediction, r.win_probability) for r in batch_scored.collect())
+    assert got == want and len(got) == 40
+
+
+def test_webhook_sink_delivers_messages(spark, quarter_lines_dir):
+    """S8: foreachBatch webhook sink calls post() once per record with the
+    '{prediction},{probability}' payload (ml_k_to_ss.py:51-52 format)."""
+    model = fit_quarter_model(spark, TEST_SF_DIR)
+    stream = P.text_file_source(spark, quarter_lines_dir)
+    scored = P.score_quarter_stream(P.parse_quarter_lines(stream), model)
+    delivered: list[str] = []
+    _run_available_now(P.webhook_sink(scored, delivered.append))
+    assert len(delivered) == 40
+    for msg in delivered:
+        pred, prob = msg.split(",")
+        # reference payload carries the raw float prediction ("1.0,0.83")
+        assert pred in ("0.0", "1.0")
+        assert 0.0 <= float(prob) <= 1.0
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark):
+    d = tempfile.mkdtemp(prefix="events_")
+    table(spark, TEST_SF_DIR, "events").write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_tumbling_window_stream_matches_batch(spark, events_stream_dir):
+    ev_schema = table(spark, TEST_SF_DIR, "events").schema
+    stream = spark.readStream.schema(ev_schema).parquet(events_stream_dir)
+    _run_available_now(
+        P.tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName("tumbling_stream")
+        .outputMode("complete")
+    )
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM tumbling_stream").collect())
+    )
+    want = sorted(
+        map(tuple, P.tumbling_counts(table(spark, TEST_SF_DIR, "events")).collect())
+    )
+    assert got == want and len(got) > 0
+
+
+def test_session_window_stream_matches_batch(spark, events_stream_dir):
+    ev_schema = table(spark, TEST_SF_DIR, "events").schema
+    stream = spark.readStream.schema(ev_schema).parquet(events_stream_dir)
+    _run_available_now(
+        P.session_counts(stream)
+        .writeStream.format("memory")
+        .queryName("session_stream")
+        .outputMode("complete")
+    )
+    got = sorted(map(tuple, spark.sql("SELECT * FROM session_stream").collect()))
+    want = sorted(
+        map(tuple, P.session_counts(table(spark, TEST_SF_DIR, "events")).collect())
+    )
+    assert got == want and len(got) > 0
+
+
+def test_malformed_lines_yield_nulls_not_crash(spark):
+    """P9: a malformed CSV line produces a null-padded row (the reference
+    would throw inside the map closure and kill the batch)."""
+    bad = spark.createDataFrame(
+        [("1,2,3",), ("not,numbers,at,all,x,y,z,q,w,e,r,t,y,u,i",)], ["line"]
+    )
+    rows = P.parse_quarter_lines(bad).collect()
+    assert len(rows) == 2
+    assert rows[0].enemyStyle == 1 and rows[0].freethrowNumber is None
+    assert rows[1].enemyStyle is None
+
+
+def test_kafka_source_requires_package(spark):
+    """Kafka builders construct a plan only if the kafka connector jar is
+    present; without it they must fail with the documented error, not
+    silently misbehave."""
+    try:
+        P.kafka_text_source(spark, "localhost:9092", "ml_input")
+    except Exception as ex:
+        assert "kafka" in str(ex).lower()
