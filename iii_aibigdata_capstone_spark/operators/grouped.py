@@ -4,26 +4,83 @@ one-to-one matching (W3), person-assembly connected components (T4).
 These are the reference's three genuinely non-relational algorithms —
 order-dependent greedy loops whose semantics change if 'relationalized'
 (SURVEY.md §7 risk register). They become custom *physical* operators:
-``applyInPandas`` over the group key (image id), exact greedy logic inside,
-everything upstream/downstream stays Catalyst.
+one shuffle on the group key (image id), groups made contiguous by an
+in-partition sort, then ``mapInPandas`` blocks running the exact greedy
+logic over thousands of groups per Arrow batch (see _grouped_blocks).
+Everything upstream/downstream stays Catalyst.
 
 Scale shape: work is embarrassingly parallel across groups; a group is
-dozens of rows (boxes/peaks per image), so the pandas kernel is O(small^2)
-per group and the shuffle on the group key is the only data movement.
-Skewed group sizes are handled by AQE; Arrow batches the group transfer.
+dozens of rows (boxes/peaks per image), so the kernel is O(small^2) per
+group and the shuffle on the group key is the only data movement. Skewed
+group sizes are handled by AQE; Arrow batches amortize the JVM<->Python
+crossing over many groups (~100x fewer crossings than per-group
+applyInPandas at TPC-H group cardinalities).
 """
 
 from __future__ import annotations
 
+from collections.abc import Callable, Iterator
+
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 from ..catalog import table
 from ..registry import QuerySpec, make_registrar
 
 SPECS: list[QuerySpec] = []
 query = make_registrar(SPECS)
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map execution strategy
+# ---------------------------------------------------------------------------
+#
+# ``applyInPandas`` invokes the Python kernel ONCE PER GROUP. With TPC-H-shaped
+# keys (~1 group per order, 1-7 rows each) that is ~150k Python calls + Arrow
+# slices at sf0.1 and ~150M at 100 TB — per-group overhead dominates by 100×.
+#
+# Instead: shuffle once on the group key, sort within partitions so each
+# group is contiguous, then ``mapInPandas`` — ONE Python call per Arrow batch
+# (thousands of groups), with a carry-over buffer so a group straddling two
+# Arrow batches is reassembled before its kernel runs. Exact same greedy
+# semantics, ~100× less crossing overhead, and the only data movement is the
+# one hash shuffle on the key (identical to what applyInPandas needs anyway).
+
+
+def _grouped_blocks(
+    df: DataFrame,
+    key: str,
+    sort_cols: list[Column],
+    block_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str,
+) -> DataFrame:
+    """Run ``block_fn`` over batches of whole groups: repartition by ``key``,
+    sort within partitions (``sort_cols`` must lead with ``key`` ascending so
+    groups are contiguous), stream Arrow batches through Python carrying the
+    trailing (possibly incomplete) group over to the next batch."""
+    part = df.repartition(F.col(key)).sortWithinPartitions(*sort_cols)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            keys = pdf[key].to_numpy()
+            cut = int(np.searchsorted(keys, keys[-1], side="left"))
+            if cut == 0:  # whole batch is one group: keep accumulating
+                carry = pdf
+                continue
+            carry = pdf.iloc[cut:]
+            yield block_fn(pdf.iloc[:cut])
+        if carry is not None and len(carry):
+            yield block_fn(carry)
+
+    return part.mapInPandas(gen, schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -106,6 +163,98 @@ def connected_components(group: pd.DataFrame) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Block kernels: same greedy semantics, applied to a batch of whole groups
+# (rows contiguous + pre-sorted per group) with numpy row access — no
+# per-group pandas DataFrame construction.
+# ---------------------------------------------------------------------------
+
+
+def nms_block(pdf: pd.DataFrame, iou_threshold: float = 0.3) -> pd.DataFrame:
+    """Greedy NMS over a block sorted by (image_id asc, prob desc, box_id
+    asc). Identical output to :func:`nms_greedy` run per group."""
+    img = pdf["image_id"].to_numpy()
+    lo = pdf["lo"].to_numpy()
+    hi = pdf["hi"].to_numpy()
+    starts = np.flatnonzero(np.r_[True, img[1:] != img[:-1]])
+    ends = np.r_[starts[1:], len(img)]
+    keep = np.zeros(len(img), dtype=bool)
+    for s, e in zip(starts, ends):
+        alive = np.ones(e - s, dtype=bool)
+        for i in range(e - s):
+            if not alive[i]:
+                continue
+            keep[s + i] = True
+            for j in range(i + 1, e - s):
+                if alive[j]:
+                    inter = min(hi[s + i], hi[s + j]) - max(lo[s + i], lo[s + j])
+                    if inter > 0:
+                        union = (hi[s + i] - lo[s + i]) + (hi[s + j] - lo[s + j]) - inter
+                        if inter / union > iou_threshold:
+                            alive[j] = False
+    return pdf[keep]
+
+
+def match_block(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Greedy one-to-one matching over a block sorted by (image_id asc,
+    score desc, a asc, b asc). Identical output to :func:`greedy_match`."""
+    img = pdf["image_id"].to_numpy()
+    a = pdf["a"].to_numpy()
+    b = pdf["b"].to_numpy()
+    starts = np.flatnonzero(np.r_[True, img[1:] != img[:-1]])
+    ends = np.r_[starts[1:], len(img)]
+    keep = np.zeros(len(img), dtype=bool)
+    for s, e in zip(starts, ends):
+        limit = min(len(set(a[s:e])), len(set(b[s:e])))
+        used_a: set = set()
+        used_b: set = set()
+        taken = 0
+        for i in range(s, e):
+            if taken >= limit:
+                break
+            if a[i] in used_a or b[i] in used_b:
+                continue
+            used_a.add(a[i])
+            used_b.add(b[i])
+            keep[i] = True
+            taken += 1
+    return pdf[keep]
+
+
+def components_block(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Union-find per contiguous image_id run over an edge block sorted by
+    image_id asc. Output: (image_id, node, component=min member)."""
+    img = pdf["image_id"].to_numpy()
+    ea = pdf["a"].to_numpy()
+    eb = pdf["b"].to_numpy()
+    starts = np.flatnonzero(np.r_[True, img[1:] != img[:-1]])
+    ends = np.r_[starts[1:], len(img)]
+    out_img: list = []
+    out_node: list = []
+    out_comp: list = []
+    for s, e in zip(starts, ends):
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i in range(s, e):
+            for node in (ea[i], eb[i]):
+                if node not in parent:
+                    parent[node] = node
+            ra, rb = find(ea[i]), find(eb[i])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = sorted(parent)
+        out_img.extend([img[s]] * len(nodes))
+        out_node.extend(nodes)
+        out_comp.extend(find(n) for n in nodes)
+    return pd.DataFrame({"image_id": out_img, "node": out_node, "component": out_comp})
+
+
+# ---------------------------------------------------------------------------
 # Derived detection/graph tables over the driver's parquet (query surface)
 # ---------------------------------------------------------------------------
 
@@ -124,20 +273,24 @@ def detection_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("w2_nms_greedy", oracle=None, tags=("W2", "applyInPandas"))
+@query("w2_nms_greedy", oracle=None, tags=("W2", "grouped-map"))
 def w2_nms_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy non-maximum suppression per image via ``applyInPandas`` —
+    """Greedy non-maximum suppression per image via grouped map-in-pandas —
     the exact sequential semantics of detect.py:37-60 (window-rank
     approximations would change results; SURVEY.md §4). Rows-only check;
     kernel unit-tested against hand cases in tests/test_grouped.py."""
     boxes = detection_boxes(spark, sf_dir)
     schema = "image_id long, box_id int, lo double, hi double, prob double"
-    return boxes.groupBy("image_id").applyInPandas(
-        lambda g: nms_greedy(g, iou_threshold=0.3), schema=schema
+    return _grouped_blocks(
+        boxes,
+        key="image_id",
+        sort_cols=[F.asc("image_id"), F.desc("prob"), F.asc("box_id")],
+        block_fn=nms_block,
+        schema=schema,
     )
 
 
-@query("w3_greedy_match", oracle=None, tags=("W3", "applyInPandas"))
+@query("w3_greedy_match", oracle=None, tags=("W3", "grouped-map"))
 def w3_greedy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy one-to-one candidate matching per image (dl_k_to_ss.py:
     175-182). Candidates = box pairs scored by IoU (the J4 join shape);
@@ -164,8 +317,12 @@ def w3_greedy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("score") > 0)
     )
     schema = "image_id long, a int, b int, score double"
-    return pairs.groupBy("image_id").applyInPandas(
-        lambda g: greedy_match(g), schema=schema
+    return _grouped_blocks(
+        pairs,
+        key="image_id",
+        sort_cols=[F.asc("image_id"), F.desc("score"), F.asc("a"), F.asc("b")],
+        block_fn=match_block,
+        schema=schema,
     )
 
 
@@ -197,7 +354,7 @@ def w3_greedy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT image_id, src AS node, MIN(dst) AS component
         FROM reach GROUP BY image_id, src
     """,
-    tags=("T4", "applyInPandas"),
+    tags=("T4", "grouped-map"),
 )
 def t4_person_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Person assembly = connected components over the limb-connection
@@ -230,10 +387,10 @@ def t4_person_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     schema = "image_id long, node int, component int"
-
-    def assemble(key, g: pd.DataFrame) -> pd.DataFrame:
-        out = connected_components(g)
-        out.insert(0, "image_id", key[0])
-        return out
-
-    return edges.groupBy("image_id").applyInPandas(assemble, schema=schema)
+    return _grouped_blocks(
+        edges,
+        key="image_id",
+        sort_cols=[F.asc("image_id"), F.asc("a"), F.asc("b")],
+        block_fn=components_block,
+        schema=schema,
+    )
