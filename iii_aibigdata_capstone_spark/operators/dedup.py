@@ -39,17 +39,20 @@ _SHINGLE_SQL_CTE = """
 
 
 def shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document (exploded rows)."""
+    """Distinct word n-gram shingles per document (exploded rows).
+
+    The token array is materialized as its own projection first — inlining
+    ``split(text)`` into every ``element_at`` of the gram lambda makes
+    shingling O(tokens^2) per document (measured 2x slower at sf0.1)."""
     docs = table(spark, sf_dir, "documents")
-    t = F.split(F.col("text"), " ")
+    toks = docs.select("doc_id", "lang", F.split(F.col("text"), " ").alias("t"))
+    t = F.col("t")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(t) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, i + k) for k in range(n)]
-        ),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + F.lit(k)) for k in range(n)]),
     )
     return (
-        docs.where(F.size(t) >= n)
+        toks.where(F.size(t) >= n)
         .select("doc_id", "lang", F.explode(F.array_distinct(grams)).alias("s"))
     )
 
@@ -140,8 +143,20 @@ def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps this viable on a large corpus (common-shingle hotspots would be
     handled by dropping top-frequency shingles; not needed at this SF).
     """
-    sh = shingles(spark, sf_dir, n=3)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # Two plan-shape choices for scale:
+    # - join on a 64-bit hash of the shingle (8-byte fixed-width shuffle
+    #   keys instead of ~20-byte 3-grams; xxhash64 collisions ~n^2/2^64 are
+    #   negligible next to the 0.5 cutoff);
+    # - attach |doc| shingle counts as a window count BEFORE the self-join
+    #   instead of joining a separate sizes aggregate afterwards — both
+    #   self-join sides are then byte-identical subplans, so ReuseExchange
+    #   computes the shingle table once, and the sizes joins disappear.
+    w = Window.partitionBy("doc_id")
+    sh = (
+        shingles(spark, sf_dir, n=3)
+        .select("doc_id", "lang", F.xxhash64(F.col("s")).alias("s"))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+    )
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(
@@ -150,17 +165,17 @@ def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
-    return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .where(jac >= 0.5)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return inter.where(jac >= 0.5).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
 
