@@ -1,0 +1,215 @@
+"""Image/tensor kernel lane (SURVEY.md §2.8 K1-K11, §2.9 M5-M7, §2.7 E12):
+the reference's per-image numpy/cv2/Keras pipeline re-expressed as
+Arrow-batched kernels over ``BinaryType`` payload columns.
+
+Codec and model weights are unavailable in this container (SURVEY.md §7 risk
+register: `.MISSING_LARGE_BLOBS`), so the decode and the CNN forward passes
+are deterministic stubs — the `TrueBinaryClassifier` pattern the reference
+itself ships for pipeline testing (pi/digit_detector/classify.py:35-51).
+Everything Spark owns is real: the binary column contract, mapInPandas batch
+shape, the cascade ordering (cheap detector before expensive recognizer —
+§4's cost-aware cascade), and the relational compose stages downstream.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..registry import QuerySpec, make_registrar
+from .multimodal import binary_documents
+
+SPECS: list[QuerySpec] = []
+query = make_registrar(SPECS)
+
+
+# ---------------------------------------------------------------------------
+# Pixel-level kernels on a 1-D uint8 "image" (deterministic, numpy)
+# ---------------------------------------------------------------------------
+
+
+def decode_pixels(payload: bytes, n: int = 64) -> np.ndarray:
+    """K1 decode stub: n deterministic uint8 'pixels' from the payload
+    digest (cv2.imdecode stand-in; see multimodal.decode_image_stub)."""
+    h = hashlib.sha256(payload).digest()
+    reps = (n + len(h) - 1) // len(h)
+    return np.frombuffer(h * reps, dtype=np.uint8)[:n].copy()
+
+
+def pad_to_stride(px: np.ndarray, stride: int = 8, value: int = 128) -> np.ndarray:
+    """K3 pad right/down to a stride multiple with a constant
+    (pi/openpose/util.py:57-77)."""
+    rem = (-len(px)) % stride
+    return np.concatenate([px, np.full(rem, value, dtype=px.dtype)]) if rem else px
+
+
+def resize_half(px: np.ndarray) -> np.ndarray:
+    """K2 resize stub: 2:1 area downsample = mean of adjacent pairs
+    (cv2.resize INTER_AREA, pi/dl_k_to_ss.py:92-96)."""
+    return ((px[0::2].astype(np.int32) + px[1::2]) // 2).astype(np.uint8)
+
+
+def blur3(px: np.ndarray) -> np.ndarray:
+    """K5 blur stub: window-3 moving average, edges clamped
+    (gaussian_filter sigma=3, pi/dl_k_to_ss.py:112)."""
+    padded = np.pad(px.astype(np.int32), 1, mode="edge")
+    return ((padded[:-2] + padded[1:-1] + padded[2:]) // 3).astype(np.uint8)
+
+
+def find_peaks(px: np.ndarray, threshold: int = 160) -> np.ndarray:
+    """K6 local-maxima peaks: strictly greater than both neighbors and above
+    threshold (shift-compare, pi/dl_k_to_ss.py:110-131). Returns indices."""
+    if len(px) < 3:
+        return np.empty(0, dtype=np.int64)
+    mid = px[1:-1]
+    mask = (mid > px[:-2]) & (mid > px[2:]) & (mid > threshold)
+    return np.flatnonzero(mask) + 1
+
+
+@query("k_kernel_chain", oracle=None, tags=("K1", "K2", "K3", "K4", "K5", "K6", "K8", "K11", "A9", "udf"))
+def k_kernel_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The K-kernel chain over binary payloads, one mapInPandas pass:
+    decode (K1) -> pad-to-stride (K3) -> 2:1 resize (K2) -> gray/blur
+    (K4/K5) -> peak detect (K6) -> center patch crop (K8) -> mean-subtract
+    (K11/A9). One Python crossing for the whole per-image cascade — chaining
+    each kernel as its own UDF would serialize the image through Arrow 7
+    times."""
+    b = binary_documents(spark, sf_dir).select("doc_id", "payload")
+
+    def chain(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "padded_len": [], "resized_len": [],
+                    "n_peaks": [], "patch_mean": [], "patch_centered_min": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_pixels(bytes(payload), n=64)
+                padded = pad_to_stride(px, stride=8)
+                small = resize_half(padded)
+                smooth = blur3(small)
+                peaks = find_peaks(smooth)
+                lo, hi = len(smooth) // 4, 3 * len(smooth) // 4  # K8 center crop
+                patch = smooth[lo:hi].astype(np.float64)
+                mean = patch.mean() if len(patch) else 0.0
+                centered = patch - mean  # K11 mean-subtract
+                rows["doc_id"].append(doc_id)
+                rows["padded_len"].append(len(padded))
+                rows["resized_len"].append(len(small))
+                rows["n_peaks"].append(int(len(peaks)))
+                rows["patch_mean"].append(round(float(mean), 4))
+                rows["patch_centered_min"].append(
+                    round(float(centered.min()) if len(centered) else 0.0, 4)
+                )
+            yield pd.DataFrame(rows)
+
+    schema = ("doc_id long, padded_len int, resized_len int, n_peaks int, "
+              "patch_mean double, patch_centered_min double")
+    return b.mapInPandas(chain, schema=schema)
+
+
+@query("e12_paf_integral", oracle=None, tags=("E12", "E11", "K10", "udf"))
+def e12_paf_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12 PAF line integral (pi/dl_k_to_ss.py:158-167): sample the field at
+    10 evenly spaced points along a segment, dot with the segment's unit
+    vector, mean + distance prior. The field here is the embedding vector
+    (the real PAF tensor needs the image); endpoints derive from vec_id.
+    Vectorized numpy over Arrow batches — one batch, not one row, per
+    crossing."""
+    from ..catalog import table
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("field")
+    )
+
+    def integrate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fields = np.stack([np.asarray(v) for v in pdf["field"]])  # (n, d)
+            n, d = fields.shape
+            vec_ids = pdf["vec_id"].to_numpy()
+            start = (vec_ids % d).astype(np.int64)
+            end = ((vec_ids * 7 + 3) % d).astype(np.int64)
+            ts = np.linspace(0.0, 1.0, 10)  # E11
+            idx = np.rint(start[:, None] + ts[None, :] * (end - start)[:, None]).astype(np.int64)
+            samples = np.take_along_axis(fields, idx, axis=1)  # (n, 10)
+            dist = np.abs(end - start).astype(np.float64)
+            score = samples.mean(axis=1) + np.minimum(0.5 * 64 / np.maximum(dist, 1.0), 1.0) - 1.0
+            yield pd.DataFrame(
+                {"vec_id": vec_ids, "dist": dist, "score": np.round(score, 6)}
+            )
+
+    return e.mapInPandas(integrate, schema="vec_id long, dist double, score double")
+
+
+@query("m5_digit_cascade", oracle=None, tags=("M5", "M6", "K7", "P7", "W5", "udf"))
+def m5_digit_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5/M6 two-stage CNN cascade (detector then recognizer, pi/digit_
+    detector/classify.py:18-33 invoked from detect.py:105-116), weights
+    stubbed per the reference's own TrueBinaryClassifier (classify.py:35-51):
+
+    - K7 region proposal stub: candidate 'boxes' at payload positions whose
+      pixel exceeds a threshold;
+    - M5 detector: prob = always [0,1] (TrueBinaryClassifier) scaled by
+      pixel intensity; P7 threshold filter;
+    - M6 recognizer: digit = pixel % 10;
+    - W5 compose: digits ordered by x form the jersey number — done
+      RELATIONALLY (window by doc, positional weight), not in the UDF: the
+      kernel emits one row per detection, Catalyst owns the compose.
+    """
+    b = binary_documents(spark, sf_dir).select("doc_id", "payload")
+
+    def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "x": [], "prob": [], "digit": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_pixels(bytes(payload), n=32)
+                cand = np.flatnonzero(px > 200)[:4]  # K7 proposal stub
+                for x in cand:
+                    out["doc_id"].append(doc_id)
+                    out["x"].append(int(x))
+                    out["prob"].append(round(float(px[x]) / 255.0, 6))  # M5
+                    out["digit"].append(int(px[x]) % 10)  # M6
+            yield pd.DataFrame(out)
+
+    dets = b.mapInPandas(detect, schema="doc_id long, x int, prob double, digit int")
+    dets = dets.where(F.col("prob") > 0.8)  # P7 threshold
+    w = Window.partitionBy("doc_id").orderBy(F.desc("x"))
+    n = Window.partitionBy("doc_id")
+    # W5: digits left-to-right; digit at rank r (from the right) weighs 10^r.
+    return (
+        dets.withColumn("r", F.row_number().over(w) - 1)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("digit") * F.pow(F.lit(10.0), F.col("r"))).cast("long").alias("number"),
+            F.count(F.lit(1)).alias("n_digits"),
+        )
+    )
+
+
+@query("m7_pose_peaks", oracle=None, tags=("M7", "K5", "K6", "udf"))
+def m7_pose_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 pose-model inference stub (pi/model/cmu_model.py:176-209 invoked
+    at dl_k_to_ss.py:88): per image, a deterministic pseudo-heatmap per body
+    part -> blur -> peak detect -> one row per (part, peak). The real model
+    would broadcast frozen weights into this same kernel; the emitted peak
+    table is exactly what J4/W3/T4 consume downstream."""
+    b = binary_documents(spark, sf_dir).select("doc_id", "payload")
+    n_parts = 4
+
+    def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "part": [], "x": [], "score": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for part in range(n_parts):
+                    heat = decode_pixels(bytes(payload) + bytes([part]), n=32)
+                    peaks = find_peaks(blur3(heat), threshold=170)
+                    for x in peaks:
+                        out["doc_id"].append(doc_id)
+                        out["part"].append(part)
+                        out["x"].append(int(x))
+                        out["score"].append(round(float(heat[x]) / 255.0, 6))
+            yield pd.DataFrame(out)
+
+    return b.mapInPandas(infer, schema="doc_id long, part int, x int, score double")

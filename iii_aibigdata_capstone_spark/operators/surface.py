@@ -1,0 +1,277 @@
+"""Remaining §2 expression/projection/window/structural surface (SURVEY.md):
+P4-P6/P10 projection ops, E5/E11/E14-E16 scalar functions, W6 natural sort,
+T2/T3 flatten ops, J4 limb-candidate join shape, A6 multi-scale mean.
+
+All pure Catalyst expressions over the driver's parquet tables — no UDFs,
+fully oracle-checked. Each query notes the reference lines it re-expresses.
+"""
+
+from __future__ import annotations
+
+from textwrap import dedent
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import table
+from ..registry import QuerySpec, make_registrar
+
+SPECS: list[QuerySpec] = []
+query = make_registrar(SPECS)
+
+
+@query(
+    "p10_array_pick",
+    oracle=dedent(
+        """
+        SELECT l_orderkey, l_linenumber,
+               ROUND(([l_tax, l_discount, l_quantity / 100.0])[(l_linenumber % 3) + 1],
+                     6) AS picked
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL
+        """
+    ),
+    tags=("P10", "P4", "P5", "P6"),
+)
+def p10_array_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 confidence-pick (`probability[prediction]`, qp/ml_k_to_ss.py:45-49)
+    as `element_at` on an array column with a data-dependent 1-based index;
+    P4/P5 column drop + narrow select (qp/ml_model.py:15-17, ml_k_to_ss.py:
+    31-32); P9-style null guard. P6's empty-batch guard (ml_k_to_ss.py:17-18)
+    is subsumed by Structured Streaming's no-data handling — nothing to
+    express in batch."""
+    li = table(spark, sf_dir, "lineitem")
+    arr = F.array(F.col("l_tax"), F.col("l_discount"), F.col("l_quantity") / 100.0)
+    return (
+        li.where(F.col("l_quantity").isNotNull())
+        .withColumn("picked", F.round(F.element_at(arr, (F.col("l_linenumber") % 3 + 1).cast("int")), 6))
+        .drop("l_shipdate", "l_extendedprice")  # P4: drop before downstream
+        .select("l_orderkey", "l_linenumber", "picked")  # P5: narrow select
+    )
+
+
+@query(
+    "e_string_label_surface",
+    oracle=dedent(
+        """
+        SELECT p_partkey,
+               SUBSTRING(p_name, 1, LENGTH(p_name) - 1) AS trimmed,
+               LIST_POSITION([CAST(p_size AS DOUBLE), p_retailprice / 100.0,
+                              CAST(LENGTH(p_name) AS DOUBLE)],
+                             LIST_MAX([CAST(p_size AS DOUBLE), p_retailprice / 100.0,
+                                       CAST(LENGTH(p_name) AS DOUBLE)])) AS argmax_idx,
+               p_size AS x1, p_size + (p_partkey % 7) AS x2,
+               p_partkey % 50 AS y1, p_partkey % 50 + (p_partkey % 11) AS y2,
+               CASE WHEN p_size > 25 THEN 1 ELSE 0 END AS bin_label,
+               CASE WHEN p_size % 10 = 0 THEN 0 ELSE p_size % 10 END AS digit_label
+        FROM part
+        """
+    ),
+    tags=("E5", "E14", "E15", "E16"),
+)
+def e_string_label_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 string slice (qp/ml_source.py:7-8), E14 argmax over a value array
+    (detect.py:116), E15 SVHN-style annotation unpack left/top/width/height ->
+    corners (annotation.py:15-33), E16 binary-label collapse + 10->0 remap
+    (preprocess.py:56-65) — one scalar projection, no shuffle."""
+    p = table(spark, sf_dir, "part")
+    vals = F.array(
+        F.col("p_size").cast("double"),
+        F.col("p_retailprice") / 100.0,
+        F.length("p_name").cast("double"),
+    )
+    return p.select(
+        "p_partkey",
+        F.substring(F.col("p_name"), 1, F.length("p_name") - 1).alias("trimmed"),
+        F.array_position(vals, F.array_max(vals)).alias("argmax_idx"),
+        F.col("p_size").alias("x1"),
+        (F.col("p_size") + F.col("p_partkey") % 7).alias("x2"),
+        (F.col("p_partkey") % 50).alias("y1"),
+        (F.col("p_partkey") % 50 + F.col("p_partkey") % 11).alias("y2"),
+        F.when(F.col("p_size") > 25, 1).otherwise(0).alias("bin_label"),
+        F.when(F.col("p_size") % 10 == 0, 0).otherwise(F.col("p_size") % 10).alias("digit_label"),
+    )
+
+
+@query(
+    "e11_linspace_sample",
+    oracle=dedent(
+        """
+        SELECT s_suppkey, UNNEST(RANGE(0, 10)) AS i,
+               ROUND(s_acctbal + UNNEST(RANGE(0, 10))
+                     * ((s_acctbal + s_suppkey) - s_acctbal) / 9.0, 6) AS x
+        FROM supplier
+        """
+    ),
+    tags=("E11",),
+)
+def e11_linspace_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11 `linspace` (pi/dl_k_to_ss.py:155-156): 10 evenly spaced samples
+    between two endpoints per row, as sequence(0,9) + arithmetic — the exact
+    pattern the PAF line integral samples along a limb segment."""
+    s = table(spark, sf_dir, "supplier")
+    lo = F.col("s_acctbal")
+    hi = F.col("s_acctbal") + F.col("s_suppkey")
+    return (
+        s.select("s_suppkey", lo.alias("lo"), hi.alias("hi"))
+        .select("s_suppkey", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("i"), "lo", "hi")
+        .select(
+            "s_suppkey",
+            "i",
+            F.round(F.col("lo") + F.col("i") * (F.col("hi") - F.col("lo")) / 9.0, 6).alias("x"),
+        )
+    )
+
+
+@query(
+    "w6_natural_sort",
+    oracle=dedent(
+        r"""
+        WITH names AS (
+            SELECT DISTINCT 'img' || (event_id % 120) || '_' || event_type || '.jpg' AS fname
+            FROM events
+        )
+        SELECT fname,
+               ROW_NUMBER() OVER (
+                   ORDER BY ARRAY_TO_STRING(
+                       LIST_TRANSFORM(REGEXP_EXTRACT_ALL(fname, '\d+|\D+'),
+                                      c -> CASE WHEN REGEXP_MATCHES(c, '^\d+$')
+                                                THEN LPAD(c, 12, '0') ELSE c END),
+                       ''), fname) AS rank
+        FROM names
+        """
+    ),
+    tags=("W6", "S10"),
+)
+def w6_natural_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 natural (alphanumeric-chunk) filename sort (file_io.py:15-32):
+    split the name into digit / non-digit chunks, zero-pad the numeric
+    chunks, sort on the rebuilt key — 'img2' before 'img10'. The sort key is
+    computed per row; the only wide op is the final rank."""
+    ev = table(spark, sf_dir, "events")
+    fname = F.concat(
+        F.lit("img"), (F.col("event_id") % 120).cast("string"),
+        F.lit("_"), F.col("event_type"), F.lit(".jpg"),
+    )
+    names = ev.select(fname.alias("fname")).distinct()
+    chunks = F.regexp_extract_all(F.col("fname"), F.lit(r"\d+|\D+"), 0)
+    key = F.array_join(
+        F.transform(
+            chunks,
+            lambda c: F.when(c.rlike(r"^\d+$"), F.lpad(c, 12, "0")).otherwise(c),
+        ),
+        "",
+    )
+    w = Window.orderBy(key, F.col("fname"))
+    return names.select("fname", F.row_number().over(w).alias("rank"))
+
+
+@query(
+    "t3_pixel_reshape",
+    oracle=dedent(
+        """
+        SELECT vec_id, UNNEST(RANGE(1, LEN(embedding) + 1)) AS pos,
+               ROUND(UNNEST(embedding::DOUBLE[]), 6) AS val
+        FROM embeddings
+        WHERE vec_id % 10 = 0
+        """
+    ),
+    tags=("T2", "T3"),
+)
+def t3_pixel_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 image->pixel-rows reshape ((H,W,3) -> (H*W,3), dl_k_to_ss.py:326)
+    and T2 list-of-lists flatten (dl_k_to_ss.py:192): `posexplode` of the
+    array column — the relational form that feeds the histogram/mode chain
+    (A3-A5) and the KMeans color path (M4)."""
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.where(F.col("vec_id") % 10 == 0)
+        .select("vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"))
+        .select("vec_id", (F.col("pos") + 1).alias("pos"), F.round("val", 6).alias("val"))
+    )
+
+
+@query(
+    "j4_limb_candidates",
+    oracle=dedent(
+        """
+        WITH peaks AS (
+            SELECT l_orderkey AS image_id, l_linenumber AS peak_id,
+                   l_linenumber % 2 AS part,
+                   l_quantity AS x, l_discount * 100 AS y
+            FROM lineitem
+        )
+        SELECT a.image_id, a.peak_id AS a, b.peak_id AS b,
+               ROUND(1.0 / (1.0 + SQRT(POW(a.x - b.x, 2) + POW(a.y - b.y, 2))), 6) AS score
+        FROM peaks a JOIN peaks b
+          ON a.image_id = b.image_id AND a.part = 1 AND b.part = 0
+        WHERE SQRT(POW(a.x - b.x, 2) + POW(a.y - b.y, 2)) < 40
+          AND 1.0 / (1.0 + SQRT(POW(a.x - b.x, 2) + POW(a.y - b.y, 2))) > 0.03
+        """
+    ),
+    tags=("J4", "E8", "E13"),
+)
+def j4_limb_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 all-pairs limb-connection candidates (dl_k_to_ss.py:137-173):
+    per image, every part-A peak x every part-B peak, scored by proximity
+    (E8 Euclidean norm stands in for the PAF integral, which needs the image
+    tensor — see e12_paf_integral for the UDF form), filtered by two
+    criteria (E13). The equi prefix on image_id bounds the cross product —
+    the same banding that keeps J3 viable at scale."""
+    li = table(spark, sf_dir, "lineitem")
+    peaks = li.select(
+        F.col("l_orderkey").alias("image_id"),
+        F.col("l_linenumber").alias("peak_id"),
+        (F.col("l_linenumber") % 2).alias("part"),
+        F.col("l_quantity").alias("x"),
+        (F.col("l_discount") * 100).alias("y"),
+    )
+    a = peaks.where(F.col("part") == 1).alias("a")
+    b = peaks.where(F.col("part") == 0).alias("b")
+    dist = F.sqrt(
+        F.pow(F.col("a.x") - F.col("b.x"), 2) + F.pow(F.col("a.y") - F.col("b.y"), 2)
+    )
+    score = 1.0 / (1.0 + dist)
+    return (
+        a.join(b, F.col("a.image_id") == F.col("b.image_id"))
+        .where((dist < 40) & (score > 0.03))
+        .select(
+            F.col("a.image_id").alias("image_id"),
+            F.col("a.peak_id").alias("a"),
+            F.col("b.peak_id").alias("b"),
+            F.round(score, 6).alias("score"),
+        )
+    )
+
+
+@query(
+    "a6_multiscale_mean",
+    oracle=dedent(
+        """
+        WITH flat AS (
+            SELECT vec_id // 4 AS gid,
+                   UNNEST(RANGE(1, LEN(embedding) + 1)) AS pos,
+                   UNNEST(embedding::DOUBLE[]) AS val
+            FROM embeddings
+        )
+        SELECT gid, pos, ROUND(AVG(val), 6) AS mean_val
+        FROM flat GROUP BY gid, pos
+        """
+    ),
+    tags=("A6",),
+)
+def a6_multiscale_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 multi-scale tensor mean (dl_k_to_ss.py:74-105: running sum / n over
+    4 scales): treat each run of 4 consecutive embeddings as one image's 4
+    scale outputs and average element-wise — posexplode + groupBy(gid, pos).
+    Map-side partial aggregation makes this one shuffle of (gid, pos)
+    partials regardless of tensor count."""
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            (F.col("vec_id") / 4).cast("long").alias("gid"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+        )
+        .groupBy("gid", (F.col("pos") + 1).alias("pos"))
+        .agg(F.round(F.avg("val"), 6).alias("mean_val"))
+    )

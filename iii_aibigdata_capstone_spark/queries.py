@@ -17,16 +17,26 @@ def _collect_specs() -> list[QuerySpec]:
     from .operators import relational
 
     modules = [relational]
-    for name in ("timeseries", "dedup", "similarity", "textual", "grouped", "multimodal"):
+    for name in (
+        "timeseries",
+        "dedup",
+        "similarity",
+        "textual",
+        "grouped",
+        "multimodal",
+        "surface",
+        "io_formats",
+        "kernels",
+    ):
         try:
             module = __import__(f"{__package__}.operators.{name}", fromlist=["SPECS"])
         except ImportError:
             continue
         modules.append(module)
     try:
-        from .ml import quarter
+        from .ml import cluster, quarter
 
-        modules.append(quarter)
+        modules.extend([quarter, cluster])
     except ImportError:
         pass
     specs: list[QuerySpec] = []

@@ -1,0 +1,73 @@
+"""Unit tests for the pixel kernels (K2/K3/K5/K6) and the IO-format and
+kernel-lane queries' structural guarantees."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from iii_aibigdata_capstone_spark.operators.kernels import (
+    blur3,
+    decode_pixels,
+    find_peaks,
+    pad_to_stride,
+    resize_half,
+)
+
+from .conftest import TEST_SF_DIR
+
+
+def test_decode_pixels_deterministic():
+    a = decode_pixels(b"payload", n=64)
+    b = decode_pixels(b"payload", n=64)
+    assert len(a) == 64 and a.dtype == np.uint8
+    assert (a == b).all()
+    assert not (a == decode_pixels(b"other", n=64)).all()
+
+
+def test_pad_to_stride():
+    assert len(pad_to_stride(np.zeros(5, dtype=np.uint8), 8)) == 8
+    assert len(pad_to_stride(np.zeros(8, dtype=np.uint8), 8)) == 8
+    padded = pad_to_stride(np.array([1, 2, 3], dtype=np.uint8), 8, value=128)
+    assert list(padded) == [1, 2, 3] + [128] * 5
+
+
+def test_resize_half_area_mean():
+    px = np.array([10, 20, 30, 50], dtype=np.uint8)
+    assert list(resize_half(px)) == [15, 40]
+
+
+def test_blur3_moving_average():
+    px = np.array([0, 90, 0], dtype=np.uint8)
+    assert list(blur3(px)) == [30, 30, 30]
+
+
+def test_find_peaks_strict_local_maxima():
+    px = np.array([0, 200, 0, 180, 200, 200, 0], dtype=np.uint8)
+    # index 1: strict peak above threshold; plateau at 4-5 is NOT strict
+    assert list(find_peaks(px, threshold=160)) == [1]
+    assert list(find_peaks(np.array([1, 2], dtype=np.uint8))) == []
+
+
+@pytest.mark.parametrize("qname", ["m5_digit_cascade", "m7_pose_peaks", "k_kernel_chain"])
+def test_kernel_queries_deterministic(spark, qname):
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    spec = registry()[qname]
+    a = sorted(map(tuple, spec.builder(spark, TEST_SF_DIR).collect()))
+    b = sorted(map(tuple, spec.builder(spark, TEST_SF_DIR).collect()))
+    assert a == b
+    assert len(a) > 0
+
+
+def test_m5_cascade_composes_digits(spark):
+    """Every composed number has as many digits (<= leading zeros) as
+    detections and is non-negative."""
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    rows = registry()["m5_digit_cascade"].builder(spark, TEST_SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.number >= 0
+        assert 1 <= r.n_digits <= 4
+        assert r.number < 10 ** r.n_digits
