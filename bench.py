@@ -41,6 +41,10 @@ HEADLINE = [
     "x4_text_stats",
     "w2_nms_greedy",
     "t4_person_assembly",
+    "a6_multiscale_mean",
+    "j4_limb_candidates",
+    "m5_digit_cascade",
+    "k_kernel_chain",
 ]
 
 

@@ -119,3 +119,51 @@ def s9_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(schema).json(path).select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
     )
+
+
+@query(
+    "s6_binary_file_scan",
+    oracle=dedent(
+        """
+        SELECT doc_id,
+               OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+               SHA256(text) AS sha
+        FROM documents
+        WHERE doc_id % 10 = 0
+        """
+    ),
+    tags=("S6", "S10"),
+)
+def s6_binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 image-file scan (pi/dl_source1.py:7-8 cv2.imread of files on disk)
+    + S10 recursive listing (file_io.py:136-181): materialize every 10th
+    document as its own binary file under a nested directory tree (one
+    subdir per lang), scan with the ``binaryFile`` source +
+    ``recursiveFileLookup``, recover the id from the path. The digest ties
+    each scanned blob back to the original row — a lost/duplicated/mangled
+    file fails the oracle."""
+    import shutil
+
+    root = _scratch(sf_dir, "blobs")
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "lang", "text")
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    for row in docs.toLocalIterator():  # source *preparation*, not the operator
+        d = os.path.join(root, row.lang)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, f"{row.doc_id}.bin"), "wb") as f:
+            f.write(row.text.encode("utf-8"))
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", True)
+        .option("pathGlobFilter", "*.bin")
+        .load(root)
+    )
+    return blobs.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1).cast("long").alias("doc_id"),
+        F.octet_length(F.col("content")).cast("long").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("sha"),
+    )

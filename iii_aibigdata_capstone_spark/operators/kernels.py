@@ -61,6 +61,16 @@ def blur3(px: np.ndarray) -> np.ndarray:
     return ((padded[:-2] + padded[1:-1] + padded[2:]) // 3).astype(np.uint8)
 
 
+def denoise3(px: np.ndarray) -> np.ndarray:
+    """K9 denoise stub: window-3 median filter, edges clamped (stand-in for
+    cv2.fastNlMeansDenoisingColored, pi/dl_k_to_ss.py:320)."""
+    if len(px) < 3:
+        return px.copy()
+    padded = np.pad(px, 1, mode="edge")
+    stacked = np.stack([padded[:-2], padded[1:-1], padded[2:]])
+    return np.median(stacked, axis=0).astype(px.dtype)
+
+
 def find_peaks(px: np.ndarray, threshold: int = 160) -> np.ndarray:
     """K6 local-maxima peaks: strictly greater than both neighbors and above
     threshold (shift-compare, pi/dl_k_to_ss.py:110-131). Returns indices."""
@@ -71,14 +81,14 @@ def find_peaks(px: np.ndarray, threshold: int = 160) -> np.ndarray:
     return np.flatnonzero(mask) + 1
 
 
-@query("k_kernel_chain", oracle=None, tags=("K1", "K2", "K3", "K4", "K5", "K6", "K8", "K11", "A9", "udf"))
+@query("k_kernel_chain", oracle=None, tags=("K1", "K2", "K3", "K4", "K5", "K6", "K8", "K9", "K11", "A9", "udf"))
 def k_kernel_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The K-kernel chain over binary payloads, one mapInPandas pass:
     decode (K1) -> pad-to-stride (K3) -> 2:1 resize (K2) -> gray/blur
-    (K4/K5) -> peak detect (K6) -> center patch crop (K8) -> mean-subtract
-    (K11/A9). One Python crossing for the whole per-image cascade — chaining
-    each kernel as its own UDF would serialize the image through Arrow 7
-    times."""
+    (K4/K5) -> denoise (K9) -> peak detect (K6) -> center patch crop (K8)
+    -> mean-subtract (K11/A9). One Python crossing for the whole per-image
+    cascade — chaining each kernel as its own UDF would serialize the image
+    through Arrow 8 times."""
     b = binary_documents(spark, sf_dir).select("doc_id", "payload")
 
     def chain(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -89,7 +99,7 @@ def k_kernel_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 px = decode_pixels(bytes(payload), n=64)
                 padded = pad_to_stride(px, stride=8)
                 small = resize_half(padded)
-                smooth = blur3(small)
+                smooth = denoise3(blur3(small))
                 peaks = find_peaks(smooth)
                 lo, hi = len(smooth) // 4, 3 * len(smooth) // 4  # K8 center crop
                 patch = smooth[lo:hi].astype(np.float64)

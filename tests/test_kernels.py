@@ -9,6 +9,7 @@ import pytest
 from iii_aibigdata_capstone_spark.operators.kernels import (
     blur3,
     decode_pixels,
+    denoise3,
     find_peaks,
     pad_to_stride,
     resize_half,
@@ -40,6 +41,13 @@ def test_resize_half_area_mean():
 def test_blur3_moving_average():
     px = np.array([0, 90, 0], dtype=np.uint8)
     assert list(blur3(px)) == [30, 30, 30]
+
+
+def test_denoise3_median_kills_impulse():
+    px = np.array([10, 10, 250, 10, 10], dtype=np.uint8)
+    assert list(denoise3(px)) == [10, 10, 10, 10, 10]
+    short = np.array([7, 9], dtype=np.uint8)
+    assert list(denoise3(short)) == [7, 9]
 
 
 def test_find_peaks_strict_local_maxima():
