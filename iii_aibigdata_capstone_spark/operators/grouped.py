@@ -254,6 +254,57 @@ def components_block(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"image_id": out_img, "node": out_node, "component": out_comp})
 
 
+def assembly_block(pdf: pd.DataFrame, iou_threshold: float = 0.3) -> pd.DataFrame:
+    """Person assembly from BOXES (not pre-joined edges): per contiguous
+    image_id run, pair boxes with IoU >= threshold and union-find the
+    resulting graph — the edge generation happens here, in O(group^2) numpy
+    per tiny group, instead of a relational self-join that would shuffle
+    the box table a second time. Output matches :func:`components_block`
+    fed with the IoU edge list."""
+    img = pdf["image_id"].to_numpy()
+    box = pdf["box_id"].to_numpy()
+    lo = pdf["lo"].to_numpy()
+    hi = pdf["hi"].to_numpy()
+    starts = np.flatnonzero(np.r_[True, img[1:] != img[:-1]])
+    ends = np.r_[starts[1:], len(img)]
+    out_img: list = []
+    out_node: list = []
+    out_comp: list = []
+    for s, e in zip(starts, ends):
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i in range(s, e):
+            for j in range(i + 1, e):
+                if box[i] == box[j]:
+                    # join predicate is box_id < box_id: two detections
+                    # sharing an id (duplicate source rows) never pair
+                    continue
+                inter = min(hi[i], hi[j]) - max(lo[i], lo[j])
+                if inter <= 0:
+                    continue
+                union = (hi[i] - lo[i]) + (hi[j] - lo[j]) - inter
+                if inter / union < iou_threshold:
+                    continue
+                a, b = box[i], box[j]
+                for node in (a, b):
+                    if node not in parent:
+                        parent[node] = node
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        nodes = sorted(parent)
+        out_img.extend([img[s]] * len(nodes))
+        out_node.extend(nodes)
+        out_comp.extend(find(n) for n in nodes)
+    return pd.DataFrame({"image_id": out_img, "node": out_node, "component": out_comp})
+
+
 # ---------------------------------------------------------------------------
 # Derived detection/graph tables over the driver's parquet (query surface)
 # ---------------------------------------------------------------------------
@@ -365,32 +416,18 @@ def t4_person_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     viable because groups are tiny; the Spark kernel is the form that
     scales. Only nodes with at least one edge appear (isolated boxes are
     not 'persons', mirroring the reference which only creates subsets from
-    connections)."""
-    b = detection_boxes(spark, sf_dir)
-    a, c = b.alias("x"), b.alias("y")
-    inter = F.greatest(
-        F.lit(0.0),
-        F.least(F.col("x.hi"), F.col("y.hi")) - F.greatest(F.col("x.lo"), F.col("y.lo")),
-    )
-    union = (F.col("x.hi") - F.col("x.lo")) + (F.col("y.hi") - F.col("y.lo")) - inter
-    edges = (
-        a.join(
-            c,
-            (F.col("x.image_id") == F.col("y.image_id"))
-            & (F.col("x.box_id") < F.col("y.box_id")),
-        )
-        .where(inter / union >= 0.3)
-        .select(
-            F.col("x.image_id").alias("image_id"),
-            F.col("x.box_id").alias("a"),
-            F.col("y.box_id").alias("b"),
-        )
-    )
+    connections).
+
+    Plan shape: boxes shuffle ONCE on image_id and the IoU pairing runs
+    inside the grouped kernel (O(group^2) on tiny groups) — a relational
+    self-join would shuffle the box table twice and materialize the edge
+    rows through a second exchange before the kernel."""
+    boxes = detection_boxes(spark, sf_dir)
     schema = "image_id long, node int, component int"
     return _grouped_blocks(
-        edges,
+        boxes,
         key="image_id",
-        sort_cols=[F.asc("image_id"), F.asc("a"), F.asc("b")],
-        block_fn=components_block,
+        sort_cols=[F.asc("image_id"), F.asc("box_id")],
+        block_fn=assembly_block,
         schema=schema,
     )
