@@ -45,6 +45,7 @@ HEADLINE = [
     "j4_limb_candidates",
     "m5_digit_cascade",
     "k_kernel_chain",
+    "dl_pipeline_replay",
 ]
 
 

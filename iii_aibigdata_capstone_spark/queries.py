@@ -27,6 +27,7 @@ def _collect_specs() -> list[QuerySpec]:
         "surface",
         "io_formats",
         "kernels",
+        "replay",
     ):
         try:
             module = __import__(f"{__package__}.operators.{name}", fromlist=["SPECS"])

@@ -68,6 +68,25 @@ def test_kernel_queries_deterministic(spark, qname):
     assert len(a) > 0
 
 
+def test_dl_pipeline_replay_shape(spark):
+    """§3.2 replay: every image with a strong person gets exactly one
+    output row; found players carry stats + a UTF-8 message, misses carry
+    the sentinel."""
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    df = registry()["dl_pipeline_replay"].builder(spark, TEST_SF_DIR)
+    rows = df.collect()
+    assert rows
+    assert len({r.doc_id for r in rows}) == len(rows)  # one row per image
+    for r in rows:
+        assert r.team in ("紅隊", "藍隊")
+        assert 0 <= r.number < 100
+        if r.score is None:
+            assert r.message == "player not found"
+        else:
+            assert r.message.startswith(r.team) and "號球員即將上場" in r.message
+
+
 def test_m5_cascade_composes_digits(spark):
     """Every composed number has as many digits (<= leading zeros) as
     detections and is non-negative."""
