@@ -1,0 +1,142 @@
+"""Stateful streaming operator tests: state must persist ACROSS micro-batches
+(two files -> two batches via maxFilesPerTrigger) and across query restarts
+(same checkpoint)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+
+from iii_aibigdata_capstone_spark.catalog import table
+from iii_aibigdata_capstone_spark.streaming.stateful import (
+    first_seen_dedup,
+    running_totals,
+)
+
+from .conftest import TEST_SF_DIR
+
+EVENT_DDL = "event_id long, user_id long, event_type string, value double"
+
+
+def _events_subset(spark, n=60):
+    return (
+        table(spark, TEST_SF_DIR, "events")
+        .select("event_id", "user_id", "event_type", F.round("value", 2).alias("value"))
+        .orderBy("event_id")
+        .limit(n)
+    )
+
+
+def _write_batches(spark, df, d):
+    """Two json files -> two deterministic micro-batches (odd/even split,
+    duplicated keys across both)."""
+    for part in (0, 1):
+        df.where(F.col("event_id") % 2 == part).coalesce(1).write.mode("append").json(d)
+
+
+def _stream(spark, d):
+    return (
+        spark.readStream.schema(EVENT_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+    )
+
+
+def test_first_seen_dedup_across_batches(spark):
+    src = tempfile.mkdtemp(prefix="stateful_src_")
+    chk = tempfile.mkdtemp(prefix="stateful_chk_")
+    df = _events_subset(spark)
+    _write_batches(spark, df, src)
+
+    q = (
+        first_seen_dedup(_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("first_seen")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("SELECT user_id, event_type FROM first_seen").collect()
+    keys = [(r.user_id, r.event_type) for r in got]
+    assert len(keys) == len(set(keys)), "a key was emitted more than once"
+    expected = {
+        (r.user_id, r.event_type)
+        for r in df.select("user_id", "event_type").distinct().collect()
+    }
+    assert set(keys) == expected, "every distinct key must be emitted exactly once"
+
+
+def test_state_survives_query_restart(spark):
+    src = tempfile.mkdtemp(prefix="stateful_src2_")
+    chk = tempfile.mkdtemp(prefix="stateful_chk2_")
+    df = _events_subset(spark)
+
+    def run(name):
+        rows = []
+
+        def capture(batch, batch_id):
+            rows.extend(batch.select("user_id", "event_type").collect())
+
+        q = (
+            first_seen_dedup(_stream(spark, src))
+            .writeStream.foreachBatch(capture)  # memory sink can't recover a checkpoint
+            .outputMode("append")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return rows
+
+    # batch 1: evens only
+    df.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").json(src)
+    first = run("restart_a")
+    # batch 2 (new query, same checkpoint): odds, whose keys overlap evens'
+    df.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").json(src)
+    second = run("restart_b")
+
+    first_keys = {(r.user_id, r.event_type) for r in first}
+    second_keys = {(r.user_id, r.event_type) for r in second}
+    assert not (first_keys & second_keys), (
+        "keys emitted before the restart must not re-emit after it"
+    )
+    expected = {
+        (r.user_id, r.event_type)
+        for r in df.select("user_id", "event_type").distinct().collect()
+    }
+    assert first_keys | second_keys == expected
+
+
+def test_running_totals_accumulate(spark):
+    src = tempfile.mkdtemp(prefix="stateful_src3_")
+    chk = tempfile.mkdtemp(prefix="stateful_chk3_")
+    df = _events_subset(spark)
+    _write_batches(spark, df, src)
+
+    q = (
+        running_totals(_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("running")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # last emission per user must equal the batch aggregate
+    got = spark.sql(
+        "SELECT user_id, MAX(n_events) AS n, MAX(total_value) AS tv FROM running GROUP BY user_id"
+    ).collect()
+    expected = {
+        r.user_id: (r.n, round(r.tv, 2))
+        for r in df.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .collect()
+    }
+    assert {r.user_id: (r.n, round(r.tv, 2)) for r in got} == expected
