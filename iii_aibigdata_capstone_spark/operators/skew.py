@@ -1,0 +1,99 @@
+"""Skew-mitigation operators (BASELINE.json north star: '100 TB scale').
+
+AQE's skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`, on in
+session.py) handles most runtime skew transparently. These operators are the
+EXPLICIT forms for the cases AQE cannot fix:
+
+- a hot grouping key whose single reducer OOMs -> two-phase salted
+  aggregation (partial per (key, salt), final per key);
+- a hot join key in a large-large join -> salt the fact side, replicate the
+  dim side per salt, join on (key, salt).
+
+Both are oracle-checked equal to their unsalted equivalents — salting is a
+physical rewrite, never a semantic one.
+"""
+
+from __future__ import annotations
+
+from textwrap import dedent
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import table
+from ..registry import QuerySpec, make_registrar
+
+SPECS: list[QuerySpec] = []
+query = make_registrar(SPECS)
+
+N_SALTS = 16
+
+
+@query(
+    "x7_salted_agg",
+    oracle=dedent(
+        """
+        SELECT user_id, COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY user_id
+        """
+    ),
+    tags=("X5", "skew"),
+)
+def x7_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation: partial agg on (user_id, salt) spreads
+    a hot user over N_SALTS reducers, final agg on user_id combines the
+    partials. Identical result to the direct groupBy (the oracle); the salt
+    only reshapes the shuffle. Count/sum re-aggregate losslessly — for
+    non-decomposable aggs (median, exact distinct) use this shape with
+    sketch partials instead."""
+    ev = table(spark, sf_dir, "events")
+    salt = F.pmod(F.crc32(F.col("event_id").cast("string")), F.lit(N_SALTS))
+    partial = (
+        ev.withColumn("salt", salt)
+        .groupBy("user_id", "salt")
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv"))
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pn").alias("n_events"), F.round(F.sum("pv"), 2).alias("total_value")
+    )
+
+
+@query(
+    "x7_salted_join",
+    oracle=dedent(
+        """
+        WITH user_orders AS (
+            SELECT o_custkey AS user_id, COUNT(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT e.user_id, COUNT(*) AS n_events, MIN(u.n_orders) AS n_orders
+        FROM events e JOIN user_orders u ON e.user_id = u.user_id
+        GROUP BY e.user_id
+        """
+    ),
+    tags=("X5", "skew"),
+)
+def x7_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted large-large equi join: the fact side gets a random-but-
+    deterministic salt in [0, N_SALTS); the other side is replicated once
+    per salt value (explode of a sequence — N_SALTS x dim rows, NOT a
+    broadcast: this shape is for dims too big to broadcast whose join key
+    is hot). Join on (key, salt) splits each hot key across N_SALTS
+    reducers. Result is oracle-identical to the plain join."""
+    ev = table(spark, sf_dir, "events")
+    user_orders = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    fact = ev.withColumn(
+        "salt", F.pmod(F.crc32(F.col("event_id").cast("string")), F.lit(N_SALTS))
+    )
+    dim = user_orders.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1)))
+    )
+    joined = fact.join(dim, ["user_id", "salt"])
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.min("n_orders").alias("n_orders")
+    )

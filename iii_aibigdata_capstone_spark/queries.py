@@ -28,6 +28,7 @@ def _collect_specs() -> list[QuerySpec]:
         "io_formats",
         "kernels",
         "replay",
+        "skew",
     ):
         try:
             module = __import__(f"{__package__}.operators.{name}", fromlist=["SPECS"])
