@@ -171,27 +171,39 @@ def connected_components(group: pd.DataFrame) -> pd.DataFrame:
 
 def nms_block(pdf: pd.DataFrame, iou_threshold: float = 0.3) -> pd.DataFrame:
     """Greedy NMS over a block sorted by (image_id asc, prob desc, box_id
-    asc). Identical output to :func:`nms_greedy` run per group."""
+    asc). Identical output to :func:`nms_greedy` run per group.
+
+    Vectorized rank iteration: greedy suppression only ever flows from a
+    lower-rank (higher-prob) box to higher ranks in the same group, so
+    processing local rank r = 0,1,2,... with full-array numpy ops — suppress
+    every alive box whose IoU with its group's (still-alive) rank-r box
+    exceeds the threshold — reproduces the sequential greedy exactly, in
+    max_group_size passes over the block instead of a Python loop per row."""
+    n = len(pdf)
+    if n == 0:
+        return pdf
     img = pdf["image_id"].to_numpy()
     lo = pdf["lo"].to_numpy()
     hi = pdf["hi"].to_numpy()
-    starts = np.flatnonzero(np.r_[True, img[1:] != img[:-1]])
-    ends = np.r_[starts[1:], len(img)]
-    keep = np.zeros(len(img), dtype=bool)
-    for s, e in zip(starts, ends):
-        alive = np.ones(e - s, dtype=bool)
-        for i in range(e - s):
-            if not alive[i]:
-                continue
-            keep[s + i] = True
-            for j in range(i + 1, e - s):
-                if alive[j]:
-                    inter = min(hi[s + i], hi[s + j]) - max(lo[s + i], lo[s + j])
-                    if inter > 0:
-                        union = (hi[s + i] - lo[s + i]) + (hi[s + j] - lo[s + j]) - inter
-                        if inter / union > iou_threshold:
-                            alive[j] = False
-    return pdf[keep]
+    new_group = np.r_[True, img[1:] != img[:-1]]
+    starts = np.flatnonzero(new_group)
+    sizes = np.diff(np.r_[starts, n])
+    row_start = np.repeat(starts, sizes)  # each row -> its group's first index
+    local = np.arange(n) - row_start  # local rank within group (prob desc)
+    alive = np.ones(n, dtype=bool)
+    for r in range(int(sizes.max())):
+        ref = row_start + r  # rank-r row of each row's group
+        cand = (local > r) & (ref < n) & alive
+        cand &= alive[np.minimum(ref, n - 1)]
+        if not cand.any():
+            continue
+        c = np.flatnonzero(cand)
+        rc = ref[c]
+        inter = np.minimum(hi[c], hi[rc]) - np.maximum(lo[c], lo[rc])
+        union = (hi[c] - lo[c]) + (hi[rc] - lo[rc]) - inter
+        suppress = (inter > 0) & (inter / union > iou_threshold)
+        alive[c[suppress]] = False
+    return pdf[alive]
 
 
 def match_block(pdf: pd.DataFrame) -> pd.DataFrame:
