@@ -97,3 +97,45 @@ def x7_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"), F.min("n_orders").alias("n_orders")
     )
+
+
+@query(
+    "x8_copartition_pipeline",
+    oracle=dedent(
+        """
+        WITH li AS (
+            SELECT l_orderkey, COUNT(*) AS n_items,
+                   SUM(l_extendedprice * (1 - l_discount)) AS revenue
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT o.o_orderstatus, COUNT(*) AS n_orders,
+               SUM(li.n_items) AS n_items, ROUND(SUM(li.revenue), 2) AS revenue
+        FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderstatus
+        """
+    ),
+    tags=("X5", "copartition"),
+)
+def x8_copartition_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioning reuse — the bucketing story without a metastore: both
+    fact tables are explicitly hash-repartitioned on the join key ONCE;
+    the per-order aggregation and the orders join then both satisfy their
+    distribution requirement from that same exchange (EnsureRequirements
+    inserts no further shuffle — asserted in tests/test_plans.py). At
+    cluster scale the same co-location comes from bucketed tables on disk
+    (`bucketBy(orderkey)`, tested in tests/test_bucketing.py) so even the
+    initial exchanges disappear."""
+    li = table(spark, sf_dir, "lineitem").repartition(F.col("l_orderkey"))
+    o = table(spark, sf_dir, "orders").repartition(F.col("o_orderkey"))
+    # revenue stays unrounded until the final aggregate: rounding partials
+    # hits half-cent boundaries differently across engines (see verify skill)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+    joined = per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("n_items").alias("n_items"),
+        F.round(F.sum("revenue"), 2).alias("revenue"),
+    )

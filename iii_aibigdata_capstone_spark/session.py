@@ -69,6 +69,8 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # managed tables (e.g. bucketed-join tests) land in scratch, not cwd
+        .config("spark.sql.warehouse.dir", "/tmp/iii_capstone_warehouse")
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)

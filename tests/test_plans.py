@@ -49,6 +49,25 @@ def test_j1_dim_side_is_broadcast(spark):
     assert "SortMergeJoin" not in p
 
 
+def test_copartition_pipeline_reuses_exchanges(spark):
+    """x8: the explicit repartitions on the join key must be the ONLY data
+    exchanges before the final small group-by — the per-order aggregation
+    and the join both satisfy their requirement from them. Auto-broadcast
+    is disabled to see the at-scale plan (at test SF everything would
+    broadcast)."""
+    import re
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(registry()["x8_copartition_pipeline"].builder(spark, TEST_SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # exchanges: li repartition, orders repartition, final orderstatus agg
+    assert len(re.findall(r"Exchange hashpartitioning", p)) <= 3, p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p  # co-located, not broadcast
+
+
 @pytest.mark.parametrize("qname", ["w2_nms_greedy", "t4_person_assembly"])
 def test_grouped_kernels_shuffle_once(spark, qname):
     """Grouped kernels: exactly one hash exchange on the group key feeds the
