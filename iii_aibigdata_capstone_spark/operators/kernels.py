@@ -202,18 +202,28 @@ def m5_digit_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m7_pose_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7 pose-model inference stub (pi/model/cmu_model.py:176-209 invoked
     at dl_k_to_ss.py:88): per image, a deterministic pseudo-heatmap per body
-    part -> blur -> peak detect -> one row per (part, peak). The real model
-    would broadcast frozen weights into this same kernel; the emitted peak
-    table is exactly what J4/W3/T4 consume downstream."""
+    part -> blur -> peak detect -> one row per (part, peak).
+
+    Model weights ship via ``SparkContext.broadcast`` — ONCE per executor —
+    exactly how real frozen CMU weights would; the reference instead
+    captures the Keras model in the closure (dl_k_to_ss.py:435-437), which
+    reserializes the weights into every task. The stub 'weights' are a
+    deterministic per-part mixing vector standing in for the conv stacks;
+    the emitted peak table is exactly what J4/W3/T4 consume downstream."""
     b = binary_documents(spark, sf_dir).select("doc_id", "payload")
     n_parts = 4
+    weights = spark.sparkContext.broadcast(
+        np.arange(1, n_parts + 1, dtype=np.int32) * 2 + 1  # [3,5,7,9]
+    )
 
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = weights.value  # one deserialization per worker, not per task
         for pdf in batches:
             out = {"doc_id": [], "part": [], "x": [], "score": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                base = decode_pixels(bytes(payload), n=32).astype(np.int32)
                 for part in range(n_parts):
-                    heat = decode_pixels(bytes(payload) + bytes([part]), n=32)
+                    heat = ((base * int(w[part])) % 251).astype(np.uint8)
                     peaks = find_peaks(blur3(heat), threshold=170)
                     for x in peaks:
                         out["doc_id"].append(doc_id)

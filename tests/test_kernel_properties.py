@@ -1,0 +1,117 @@
+"""Property tests: the vectorized/batched block kernels must agree with the
+straightforward per-group reference kernels on arbitrary inputs — random
+group sizes, tied probabilities/scores, degenerate boxes, duplicate ids."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from iii_aibigdata_capstone_spark.operators.grouped import (
+    assembly_block,
+    connected_components,
+    greedy_match,
+    match_block,
+    nms_block,
+    nms_greedy,
+)
+
+# boxes: small coordinate/prob domains force collisions, ties and overlaps
+box_row = st.tuples(
+    st.integers(0, 5),  # image_id
+    st.integers(0, 9),  # box_id
+    st.integers(0, 20),  # lo
+    st.integers(1, 10),  # width
+    st.sampled_from([0.1, 0.25, 0.5, 0.5, 0.9]),  # prob with forced ties
+)
+
+
+def _boxes_frame(rows):
+    df = pd.DataFrame(
+        [(i, b, float(lo), float(lo + w), p) for i, b, lo, w, p in rows],
+        columns=["image_id", "box_id", "lo", "hi", "prob"],
+    )
+    # the contract: distinct box_id within a group, block pre-sorted
+    df = df.drop_duplicates(["image_id", "box_id"])
+    return df.sort_values(
+        ["image_id", "prob", "box_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(box_row, min_size=1, max_size=40))
+def test_nms_block_equals_per_group_greedy(rows):
+    block = _boxes_frame(rows)
+    got = nms_block(block)
+    expected = pd.concat(
+        [nms_greedy(g) for _, g in block.groupby("image_id", sort=True)],
+        ignore_index=True,
+    )
+    got_set = set(map(tuple, got[["image_id", "box_id"]].to_numpy()))
+    exp_set = set(map(tuple, expected[["image_id", "box_id"]].to_numpy()))
+    assert got_set == exp_set
+
+
+pair_row = st.tuples(
+    st.integers(0, 3),  # image_id
+    st.integers(0, 5),  # a
+    st.integers(10, 15),  # b (disjoint endpoint spaces)
+    st.sampled_from([0.2, 0.5, 0.5, 0.8]),  # score with ties
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(pair_row, min_size=1, max_size=30))
+def test_match_block_equals_per_group_greedy(rows):
+    df = pd.DataFrame(rows, columns=["image_id", "a", "b", "score"]).drop_duplicates(
+        ["image_id", "a", "b"]
+    )
+    block = df.sort_values(
+        ["image_id", "score", "a", "b"], ascending=[True, False, True, True]
+    ).reset_index(drop=True)
+    got = match_block(block)
+    expected = pd.concat(
+        [greedy_match(g) for _, g in block.groupby("image_id", sort=True)],
+        ignore_index=True,
+    )
+    got_set = set(map(tuple, got[["image_id", "a", "b"]].to_numpy()))
+    exp_set = set(map(tuple, expected[["image_id", "a", "b"]].to_numpy()))
+    assert got_set == exp_set
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(box_row, min_size=1, max_size=30))
+def test_assembly_block_matches_components_of_explicit_edges(rows):
+    block = _boxes_frame(rows).sort_values(["image_id", "box_id"]).reset_index(drop=True)
+    got = assembly_block(block)
+    # reference: explicit IoU edge list -> per-group union-find
+    frames = []
+    for img, g in block.groupby("image_id", sort=True):
+        arr = g.to_records(index=False)
+        edges = []
+        for i in range(len(arr)):
+            for j in range(i + 1, len(arr)):
+                if arr[i]["box_id"] == arr[j]["box_id"]:
+                    continue
+                inter = min(arr[i]["hi"], arr[j]["hi"]) - max(arr[i]["lo"], arr[j]["lo"])
+                if inter <= 0:
+                    continue
+                union = (
+                    (arr[i]["hi"] - arr[i]["lo"]) + (arr[j]["hi"] - arr[j]["lo"]) - inter
+                )
+                if inter / union >= 0.3:
+                    a, b = sorted((arr[i]["box_id"], arr[j]["box_id"]))
+                    edges.append((img, a, b))
+        if edges:
+            out = connected_components(
+                pd.DataFrame(edges, columns=["image_id", "a", "b"])
+            )
+            out.insert(0, "image_id", img)
+            frames.append(out)
+    exp_set = set()
+    for f in frames:
+        exp_set |= set(map(tuple, f[["image_id", "node", "component"]].to_numpy()))
+    got_set = set(map(tuple, got[["image_id", "node", "component"]].to_numpy()))
+    assert got_set == exp_set

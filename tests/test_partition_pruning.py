@@ -1,0 +1,58 @@
+"""Partition pruning: a date-partitioned copy of events must be read with
+PartitionFilters at the scan — at 100 TB the partition layout, not the row
+filter, is what turns a full-corpus scan into a single-day read."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from iii_aibigdata_capstone_spark.catalog import table
+
+from .conftest import TEST_SF_DIR
+
+
+@pytest.fixture(scope="module")
+def partitioned_events(spark):
+    d = tempfile.mkdtemp(prefix="events_part_")
+    shutil.rmtree(d, ignore_errors=True)
+    ev = table(spark, TEST_SF_DIR, "events").withColumn(
+        "day", F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd")
+    )
+    ev.write.partitionBy("day").mode("overwrite").parquet(d)
+    return d
+
+
+def test_day_filter_becomes_partition_filter(spark, partitioned_events):
+    df = (
+        spark.read.parquet(partitioned_events)
+        .where(F.col("day") == "2024-03-01")
+        .select("event_id", "user_id")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    # the day predicate must live in PartitionFilters, not the data filter
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "day" in pf_line, plan
+
+
+def test_partitioned_read_matches_unpartitioned(spark, partitioned_events):
+    part = (
+        spark.read.parquet(partitioned_events)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plain = (
+        table(spark, TEST_SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, part.collect())) == sorted(map(tuple, plain.collect()))
