@@ -62,27 +62,30 @@ def main() -> None:
 
     specs = registry()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         t0 = time.time()
-        run_to_completion(specs[name].builder(spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+        try:
+            run_to_completion(specs[name].builder(spark, SF_DIR))
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as ex:  # one broken query must not hide the rest
+            errors[name] = f"{type(ex).__name__}: {ex}"[:200]
 
     t0 = time.time()
     run_to_completion(flagship(spark, SF_DIR))
     timings["flagship"] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -142,3 +142,52 @@ def test_kafka_source_requires_package(spark):
         P.kafka_text_source(spark, "localhost:9092", "ml_input")
     except Exception as ex:
         assert "kafka" in str(ex).lower()
+
+
+def test_binary_stream_decode_matches_batch(spark):
+    """S2/X6 image lane as a stream: binary payload rows through a parquet
+    file stream -> Arrow-batched decode kernel -> memory sink must equal
+    the batch run of the same kernel on the same rows (two files -> two
+    micro-batches)."""
+    import tempfile
+
+    from iii_aibigdata_capstone_spark.operators.multimodal import binary_documents
+
+    d = tempfile.mkdtemp(prefix="bin_stream_")
+    b = binary_documents(spark, TEST_SF_DIR).select("doc_id", "payload").limit(60)
+    for part in (0, 1):
+        b.where(F.col("doc_id") % 2 == part).coalesce(1).write.mode("append").parquet(d)
+
+    from iii_aibigdata_capstone_spark.operators import multimodal as M
+
+    def decode(df):
+        # same kernel the batch query uses, applied to an arbitrary frame
+        import pandas as pd
+
+        def decode_batch(batches):
+            for pdf in batches:
+                dims = [M.decode_image_stub(bytes(p)) for p in pdf["payload"]]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "width": [x[0] for x in dims],
+                        "mean_pixel": [round(sum(x[2]) / len(x[2]), 4) for x in dims],
+                    }
+                )
+
+        return df.mapInPandas(decode_batch, "doc_id long, width int, mean_pixel double")
+
+    stream = (
+        spark.readStream.schema("doc_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    _run_available_now(
+        decode(stream)
+        .writeStream.format("memory")
+        .queryName("bin_decoded")
+        .outputMode("append")
+    )
+    got = sorted(map(tuple, spark.sql("SELECT * FROM bin_decoded").collect()))
+    want = sorted(map(tuple, decode(spark.read.parquet(d)).collect()))
+    assert got == want and len(got) == 60
