@@ -15,12 +15,14 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+from textwrap import dedent
 
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..catalog import table
 from ..registry import QuerySpec, make_registrar
 from .multimodal import binary_documents
 
@@ -128,8 +130,6 @@ def e12_paf_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the real PAF tensor needs the image); endpoints derive from vec_id.
     Vectorized numpy over Arrow batches — one batch, not one row, per
     crossing."""
-    from ..catalog import table
-
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("field")
     )
@@ -195,6 +195,53 @@ def m5_digit_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("digit") * F.pow(F.lit(10.0), F.col("r"))).cast("long").alias("number"),
             F.count(F.lit(1)).alias("n_digits"),
         )
+    )
+
+
+@query(
+    "x4_sentence_spans",
+    oracle=dedent(
+        """
+        WITH s AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, '.')) AS sentence,
+                   UNNEST(RANGE(1, LEN(STRING_SPLIT(text, '.')) + 1)) AS sentence_no
+            FROM documents WHERE doc_id % 25 = 0
+        )
+        SELECT doc_id, sentence_no,
+               LENGTH(TRIM(sentence)) AS n_chars,
+               LEN(STRING_SPLIT(TRIM(sentence), ' ')) AS n_tokens
+        FROM s WHERE LENGTH(TRIM(sentence)) > 0
+        """
+    ),
+    tags=("X4", "udtf"),
+)
+def x4_sentence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one input document row -> N sentence
+    rows with per-sentence stats, lateral-joined to the source. The UDTF is
+    the right tool when the fan-out logic is genuinely procedural; here the
+    logic is simple enough to ALSO be SQL-expressible, which buys the UDTF
+    path a full DuckDB oracle — the harness proves the Python table
+    function agrees with the relational form."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_no int, n_chars int, n_tokens int")
+    class SentenceSpans:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, raw in enumerate(text.split(".")):
+                s = raw.strip()
+                if s:
+                    yield i + 1, len(s), len(s.split(" "))
+
+    spark.udtf.register("sentence_spans", SentenceSpans)
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_no, s.n_chars, s.n_tokens
+        FROM _udtf_docs d, LATERAL sentence_spans(d.text) s
+        """
     )
 
 

@@ -245,6 +245,84 @@ def j4_limb_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x5_pivot_status_year",
+    oracle=dedent(
+        """
+        SELECT EXTRACT(YEAR FROM o_orderdate) AS order_year,
+               COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+               COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+               COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        FROM orders
+        GROUP BY EXTRACT(YEAR FROM o_orderdate)
+        """
+    ),
+    tags=("X5",),
+)
+def x5_pivot_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per year x status, via the native ``pivot()``
+    (which plans as a single aggregate with conditional counts — exactly
+    the CASE-WHEN form the oracle spells out; explicit value list so no
+    extra distinct pass over the data)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_year", F.year("o_orderdate").cast("long"))
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "order_year",
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+@query(
+    "w8_window_frames",
+    oracle=dedent(
+        """
+        SELECT user_id, event_id,
+               ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+                   AS rolling3,
+               ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                   AS running,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                   AS n_last_hour
+        FROM events
+        WHERE user_id % 20 = 0
+        """
+    ),
+    tags=("W1", "X5"),
+)
+def w8_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit window frames: ROWS BETWEEN rolling and running sums and a
+    RANGE BETWEEN (value-based, last-hour) count — the frame kinds beyond
+    w1's default RANGE frame. Event-time ordering with a deterministic
+    event_id tiebreak for the ROWS frames (ROWS is order-sensitive; RANGE
+    is not)."""
+    ev = table(spark, sf_dir, "events").where(F.col("user_id") % 20 == 0)
+    by_time = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    by_epoch = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(by_time.rowsBetween(-2, 0)), 4).alias("rolling3"),
+        F.round(
+            F.sum("value").over(by_time.rowsBetween(Window.unboundedPreceding, 0)), 4
+        ).alias("running"),
+        F.count(F.lit(1)).over(by_epoch).alias("n_last_hour"),
+    )
+
+
+@query(
     "a6_multiscale_mean",
     oracle=dedent(
         """
