@@ -1,0 +1,121 @@
+"""Pure-Python custom DataSource (Spark 4 ``pyspark.sql.datasource``):
+a deterministic synthetic event generator, batch AND micro-batch streaming.
+
+The reference's closest analogue is the hand-rolled Kafka receiver with a
+custom ``valueDecoder`` (pi/dl_k_to_ss.py:429) plus the manual source
+injector scripts (qp/ml_source.py, pi/dl_source1.py) — processes outside
+the engine pushing records in. A custom DataSource inverts that: the
+generator IS a planned source with partitions (batch) and offsets
+(streaming), so Catalyst sees schema + partitioning and the stream gets
+exactly-once offset tracking for free.
+
+Determinism contract: row ``i`` is a pure function of ``i`` (splitmix-style
+mixing), so any (partition count, batch size) slicing yields the same total
+multiset — asserted in tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+SCHEMA = "event_id bigint, user_id bigint, event_type string, value double"
+EVENT_TYPES = ("click", "view", "purchase", "refund")
+
+
+def _mix(i: int) -> int:
+    """Deterministic 64-bit mix (splitmix64 finalizer) — row i's entropy."""
+    z = (i + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
+
+
+def _row(i: int) -> tuple[int, int, str, float]:
+    h = _mix(i)
+    return (
+        i,
+        h % 1000,
+        EVENT_TYPES[(h >> 10) % len(EVENT_TYPES)],
+        round(((h >> 16) % 100_000) / 100.0, 2),
+    )
+
+
+class _Range(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class _BatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("rows", 1000))
+        self.n_parts = int(options.get("partitions", 4))
+
+    def partitions(self):
+        step = max(1, -(-self.n_rows // self.n_parts))
+        return [
+            _Range(lo, min(lo + step, self.n_rows))
+            for lo in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition: _Range) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield _row(i)
+
+
+class _StreamReader(DataSourceStreamReader):
+    """Offset = next row id to emit. ``latestOffset`` reports everything
+    available (``rows``), because availableNow snapshots it once; pacing
+    comes from ``partitions`` slicing the offset range into
+    ``rowsPerBatch`` tasks — many small deterministic partitions per
+    micro-batch rather than many micro-batches."""
+
+    def __init__(self, options: dict):
+        self.total = int(options.get("rows", 1000))
+        self.per_batch = int(options.get("rowsPerBatch", 100))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def latestOffset(self) -> dict:
+        return {"next": self.total}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["next"], end["next"]
+        return [
+            _Range(s, min(s + self.per_batch, hi))
+            for s in range(lo, hi, self.per_batch)
+        ] or [_Range(lo, hi)]
+
+    def read(self, partition: _Range) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield _row(i)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class SyntheticEventsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> _BatchReader:
+        return _BatchReader(self.options)
+
+    def streamReader(self, schema) -> _StreamReader:
+        return _StreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(SyntheticEventsDataSource)
