@@ -46,6 +46,7 @@ HEADLINE = [
     "m5_digit_cascade",
     "k_kernel_chain",
     "dl_pipeline_replay",
+    "x9_corpus_curation",
 ]
 
 

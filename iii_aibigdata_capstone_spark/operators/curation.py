@@ -1,0 +1,185 @@
+"""End-to-end corpus curation (the canonical LLM training-data pipeline,
+BASELINE.json north star): quality filter -> exact dedup -> near-dup drop ->
+per-language yield report. One composed DataFrame DAG, fully oracle-checked.
+
+Stage semantics (each SQL-expressible so the whole pipeline keeps a DuckDB
+oracle):
+1. quality: keep docs with 20-200 tokens and unique-token ratio >= 0.3
+   (x4_quality_score's rule);
+2. exact: among survivors, keep the min doc_id per md5(text);
+3. near-dup: drop any survivor that shares >= 0.5 word-3-gram Jaccard with
+   a SMALLER surviving doc_id (min-id representative wins; rule is
+   pairwise, not transitive, so it is deterministic and join-expressible);
+4. report per language: kept docs/tokens + drops per stage.
+
+Scale shape: stages 1-2 are scan + one hash shuffle; stage 3 is the
+inverted-shingle-index join from x2 (never all-pairs), restricted to stage-2
+survivors; the report is a single aggregation over tagged rows.
+"""
+
+from __future__ import annotations
+
+from textwrap import dedent
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import table
+from ..registry import QuerySpec, make_registrar
+
+SPECS: list[QuerySpec] = []
+query = make_registrar(SPECS)
+
+
+@query(
+    "x9_corpus_curation",
+    oracle=dedent(
+        """
+        WITH scored AS (
+            SELECT doc_id, lang, text,
+                   LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+                   LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) * 1.0
+                       / LEN(STRING_SPLIT(text, ' ')) AS uniq_ratio
+            FROM documents
+        ),
+        good AS (
+            SELECT * FROM scored
+            WHERE n_tokens BETWEEN 20 AND 200 AND uniq_ratio >= 0.3
+        ),
+        keepers AS (
+            SELECT MIN(doc_id) AS doc_id FROM good GROUP BY MD5(text)
+        ),
+        exact_kept AS (
+            SELECT g.* FROM good g JOIN keepers k ON g.doc_id = k.doc_id
+        ),
+        toks AS (
+            SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS t FROM exact_kept
+        ),
+        shingles AS (
+            SELECT DISTINCT doc_id, lang,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
+                                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+            FROM toks WHERE LEN(t) >= 3
+        ),
+        sized AS (
+            SELECT doc_id, lang, s,
+                   COUNT(*) OVER (PARTITION BY doc_id) AS n
+            FROM shingles
+        ),
+        pair AS (
+            SELECT b.doc_id AS drop_id
+            FROM sized a JOIN sized b
+              ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id, a.n, b.n
+            HAVING COUNT(*) * 1.0 / (a.n + b.n - COUNT(*)) >= 0.5
+        ),
+        neardup_drop AS (SELECT DISTINCT drop_id FROM pair),
+        final_kept AS (
+            SELECT e.* FROM exact_kept e
+            LEFT JOIN neardup_drop d ON e.doc_id = d.drop_id
+            WHERE d.drop_id IS NULL
+        )
+        SELECT s.lang,
+               COUNT(CASE WHEN f.doc_id IS NOT NULL THEN 1 END) AS n_kept,
+               COALESCE(SUM(CASE WHEN f.doc_id IS NOT NULL THEN s.n_tokens END), 0) AS n_tokens_kept,
+               COUNT(CASE WHEN g.doc_id IS NULL THEN 1 END) AS n_dropped_quality,
+               COUNT(CASE WHEN g.doc_id IS NOT NULL AND e.doc_id IS NULL THEN 1 END) AS n_dropped_exact,
+               COUNT(CASE WHEN e.doc_id IS NOT NULL AND f.doc_id IS NULL THEN 1 END) AS n_dropped_neardup
+        FROM scored s
+        LEFT JOIN good g ON s.doc_id = g.doc_id
+        LEFT JOIN exact_kept e ON s.doc_id = e.doc_id
+        LEFT JOIN final_kept f ON s.doc_id = f.doc_id
+        GROUP BY s.lang
+        """
+    ),
+    tags=("X1", "X2", "X4", "flagship"),
+)
+def x9_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See module docstring. The Spark side tags each document with the
+    stage that dropped it, then aggregates once — no per-stage re-scans of
+    the corpus."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = F.split(F.col("text"), " ")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("uniq_ratio"),
+    )
+    good = scored.where(
+        F.col("n_tokens").between(20, 200) & (F.col("uniq_ratio") >= 0.3)
+    )
+
+    # stage 2: exact dedup, min doc_id survives per content hash
+    w_hash = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    exact_kept = (
+        good.withColumn("rn", F.row_number().over(w_hash))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+    # stage 3: near-dup drop via the inverted shingle index (x2's shape),
+    # restricted to exact survivors; join keys are 64-bit shingle hashes
+    t = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("t")) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("t"), i),
+            F.element_at(F.col("t"), i + F.lit(1)),
+            F.element_at(F.col("t"), i + F.lit(2)),
+        ),
+    )
+    sh = (
+        exact_kept.select("doc_id", "lang", t.alias("t"))
+        .where(F.size(F.col("t")) >= 3)
+        .select("doc_id", "lang", F.explode(F.array_distinct(grams)).alias("s"))
+        .select("doc_id", "lang", F.xxhash64("s").alias("s"))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("keep_id"),
+            F.col("b.doc_id").alias("drop_id"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+        .where(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")) >= 0.5)
+        .select("drop_id")
+        .distinct()
+    )
+    final_kept = exact_kept.join(
+        pairs, exact_kept.doc_id == pairs.drop_id, "left_anti"
+    )
+
+    # report: tag every source doc with how far it survived
+    g = good.select(F.col("doc_id").alias("g_id"))
+    e = exact_kept.select(F.col("doc_id").alias("e_id"))
+    f = final_kept.select(F.col("doc_id").alias("f_id"))
+    tagged = (
+        scored.join(g, scored.doc_id == g.g_id, "left")
+        .join(e, scored.doc_id == e.e_id, "left")
+        .join(f, scored.doc_id == f.f_id, "left")
+    )
+    return tagged.groupBy("lang").agg(
+        F.count(F.when(F.col("f_id").isNotNull(), 1)).alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("f_id").isNotNull(), F.col("n_tokens"))), F.lit(0)
+        ).alias("n_tokens_kept"),
+        F.count(F.when(F.col("g_id").isNull(), 1)).alias("n_dropped_quality"),
+        F.count(
+            F.when(F.col("g_id").isNotNull() & F.col("e_id").isNull(), 1)
+        ).alias("n_dropped_exact"),
+        F.count(
+            F.when(F.col("e_id").isNotNull() & F.col("f_id").isNull(), 1)
+        ).alias("n_dropped_neardup"),
+    )

@@ -29,6 +29,7 @@ def _collect_specs() -> list[QuerySpec]:
         "kernels",
         "replay",
         "skew",
+        "curation",
     ):
         try:
             module = __import__(f"{__package__}.operators.{name}", fromlist=["SPECS"])
