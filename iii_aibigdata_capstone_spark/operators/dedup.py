@@ -225,45 +225,74 @@ def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = tok_counts.select(
         "doc_id", "lang", "tf", F.xxhash64(F.col("tok")).alias("h")
     )
-    bits = hashed.select(
-        "doc_id",
-        "lang",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
-        "tf",
-        "h",
-    ).select(
-        "doc_id",
-        "lang",
-        "bit",
-        F.when(F.getbit(F.col("h"), F.col("bit")) == 1, F.col("tf"))
-        .otherwise(-F.col("tf"))
-        .alias("vote"),
-    )
+    # One aggregation with 64 conditional sums (all whole-stage-codegen'd)
+    # instead of exploding 64 bit-rows per token hash — same fingerprint,
+    # 1/64th the aggregated rows and one shuffle instead of two.
+    bit_votes = [
+        F.sum(
+            F.when(F.getbit(F.col("h"), F.lit(bit)) == 1, F.col("tf")).otherwise(
+                -F.col("tf")
+            )
+        ).alias(f"v{bit}")
+        for bit in range(64)
+    ]
     fingerprints = (
-        bits.groupBy("doc_id", "lang", "bit")
-        .agg(F.sum("vote").alias("v"))
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.sum(
-                F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
-                    F.lit(0).cast("long")
-                )
-            ).alias("simhash")
+        hashed.groupBy("doc_id", "lang")
+        .agg(*bit_votes)
+        .select(
+            "doc_id",
+            "lang",
+            sum(
+                [
+                    F.when(
+                        F.col(f"v{bit}") > 0,
+                        F.lit(1 << bit if bit < 63 else -(1 << 63)).cast("long"),
+                    ).otherwise(F.lit(0).cast("long"))
+                    for bit in range(64)
+                ],
+                F.lit(0).cast("long"),
+            ).alias("simhash"),
         )
     )
-    a, b = fingerprints.alias("a"), fingerprints.alias("b")
+    # Banded candidate generation (pigeonhole, EXACT): a pair at hamming
+    # <= 6 differs in at most 6 of 8 disjoint 8-bit bands, so it agrees
+    # exactly on >= 2 bands — an equi join on (lang, band_idx, band_value)
+    # finds every qualifying pair without the all-pairs O(n^2) per lang.
+    banded = fingerprints.select(
+        "doc_id",
+        "lang",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("val"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "lang", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(
             b,
-            (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .where(hamming <= 6)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             hamming.cast("int").alias("hamming"),
         )
+        .where(F.col("hamming") <= 6)
+        .distinct()  # a pair can match on several bands
     )
 
 
