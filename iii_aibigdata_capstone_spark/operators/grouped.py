@@ -266,6 +266,60 @@ def components_block(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"image_id": out_img, "node": out_node, "component": out_comp})
 
 
+def match_from_boxes_block(pdf: pd.DataFrame) -> pd.DataFrame:
+    """W3 fused: generate IoU-scored candidate pairs per image IN the kernel
+    (the J4 join shape, O(group^2) on tiny groups) and greedy-match them —
+    one shuffle of the box table instead of a two-sided self-join plus a
+    kernel shuffle. Pair semantics match the relational form: a < b by
+    box_id, same-id rows never pair, score = round(IoU, 6) > 0; greedy
+    semantics match :func:`greedy_match` (separate endpoint pools, stop at
+    min distinct endpoints)."""
+    img = pdf["image_id"].to_numpy()
+    box = pdf["box_id"].to_numpy()
+    lo = pdf["lo"].to_numpy()
+    hi = pdf["hi"].to_numpy()
+    starts = np.flatnonzero(np.r_[True, img[1:] != img[:-1]])
+    ends = np.r_[starts[1:], len(img)]
+    out_img: list = []
+    out_a: list = []
+    out_b: list = []
+    out_score: list = []
+    for s, e in zip(starts, ends):
+        pairs: list[tuple[float, int, int]] = []
+        for i in range(s, e):
+            for j in range(i + 1, e):
+                if box[i] == box[j]:
+                    continue
+                inter = min(hi[i], hi[j]) - max(lo[i], lo[j])
+                if inter <= 0:
+                    continue
+                union = (hi[i] - lo[i]) + (hi[j] - lo[j]) - inter
+                score = round(inter / union, 6)
+                if score > 0:
+                    a, b = (box[i], box[j]) if box[i] < box[j] else (box[j], box[i])
+                    pairs.append((score, int(a), int(b)))
+        if not pairs:
+            continue
+        pairs.sort(key=lambda p: (-p[0], p[1], p[2]))
+        limit = min(len({p[1] for p in pairs}), len({p[2] for p in pairs}))
+        used_a: set = set()
+        used_b: set = set()
+        for score, a, b in pairs:
+            if len(used_a) >= limit:
+                break
+            if a in used_a or b in used_b:
+                continue
+            used_a.add(a)
+            used_b.add(b)
+            out_img.append(img[s])
+            out_a.append(a)
+            out_b.append(b)
+            out_score.append(score)
+    return pd.DataFrame(
+        {"image_id": out_img, "a": out_a, "b": out_b, "score": out_score}
+    )
+
+
 def assembly_block(pdf: pd.DataFrame, iou_threshold: float = 0.3) -> pd.DataFrame:
     """Person assembly from BOXES (not pre-joined edges): per contiguous
     image_id run, pair boxes with IoU >= threshold and union-find the
@@ -353,39 +407,21 @@ def w2_nms_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("w3_greedy_match", oracle=None, tags=("W3", "grouped-map"))
+@query("w3_greedy_match", oracle=None, tags=("W3", "J4", "grouped-map"))
 def w3_greedy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy one-to-one candidate matching per image (dl_k_to_ss.py:
-    175-182). Candidates = box pairs scored by IoU (the J4 join shape);
-    the greedy accept loop runs in the grouped kernel."""
-    b = detection_boxes(spark, sf_dir)
-    a, c = b.alias("x"), b.alias("y")
-    inter = F.greatest(
-        F.lit(0.0),
-        F.least(F.col("x.hi"), F.col("y.hi")) - F.greatest(F.col("x.lo"), F.col("y.lo")),
-    )
-    union = (F.col("x.hi") - F.col("x.lo")) + (F.col("y.hi") - F.col("y.lo")) - inter
-    pairs = (
-        a.join(
-            c,
-            (F.col("x.image_id") == F.col("y.image_id"))
-            & (F.col("x.box_id") < F.col("y.box_id")),
-        )
-        .select(
-            F.col("x.image_id").alias("image_id"),
-            F.col("x.box_id").alias("a"),
-            F.col("y.box_id").alias("b"),
-            F.round(inter / union, 6).alias("score"),
-        )
-        .where(F.col("score") > 0)
-    )
-    schema = "image_id long, a int, b int, score double"
+    175-182). Candidate generation (the J4 join shape, IoU-scored box
+    pairs) is fused into the grouped kernel — one shuffle of the box table;
+    the relational self-join form it replaces is output-identical (asserted
+    when this fusion landed) and survives as j4_limb_candidates for the
+    oracle-checked join shape."""
+    boxes = detection_boxes(spark, sf_dir).select("image_id", "box_id", "lo", "hi")
     return _grouped_blocks(
-        pairs,
+        boxes,
         key="image_id",
-        sort_cols=[F.asc("image_id"), F.desc("score"), F.asc("a"), F.asc("b")],
-        block_fn=match_block,
-        schema=schema,
+        sort_cols=[F.asc("image_id"), F.asc("box_id")],
+        block_fn=match_from_boxes_block,
+        schema="image_id long, a int, b int, score double",
     )
 
 
