@@ -98,3 +98,31 @@ def test_m5_cascade_composes_digits(spark):
         assert r.number >= 0
         assert 1 <= r.n_digits <= 4
         assert r.number < 10 ** r.n_digits
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    """x3_ann_lsh: bucketed ANN must recover >= 80% of the exact L2 top-3
+    neighbors at test SF (the docstring's contract; measured 93%)."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from iii_aibigdata_capstone_spark.catalog import table
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    rows = table(spark, TEST_SF_DIR, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    ann = registry()["x3_ann_lsh"].builder(spark, TEST_SF_DIR).collect()
+    got = defaultdict(set)
+    for r in ann:
+        got[r.query_id].add(r.neighbor_id)
+    hits = total = 0
+    for q in range(10):
+        qi = np.where(ids == q)[0][0]
+        d = np.linalg.norm(M - M[qi], axis=1)
+        d[qi] = np.inf
+        exact = set(ids[np.lexsort((ids, d))[:3]].tolist())
+        hits += len(exact & got.get(q, set()))
+        total += 3
+    assert hits / total >= 0.8, f"recall@3 = {hits}/{total}"
