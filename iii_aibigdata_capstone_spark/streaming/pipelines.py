@@ -165,6 +165,42 @@ def session_counts(events: DataFrame, gap: str = "12 hours", watermark: str = "1
     )
 
 
+def click_purchase_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream inner join (ST5 extension; no reference analogue):
+    purchases join clicks by the same user within the preceding 6 hours.
+    Both sides carry watermarks so the state store can evict click rows
+    older than the join window — without the time-range condition + both
+    watermarks, stream-stream join state grows without bound."""
+    c = (
+        clicks.withColumn("click_ts", F.col("ts").cast("timestamp"))
+        .withWatermark("click_ts", "1 day")
+        .select("user_id", F.col("event_id").alias("click_id"), "click_ts")
+    )
+    p = (
+        purchases.withColumn("purchase_ts", F.col("ts").cast("timestamp"))
+        .withWatermark("purchase_ts", "1 day")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            "purchase_ts",
+            F.col("value").alias("amount"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 6 HOURS")),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.round("amount", 2).alias("amount"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_time"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_time"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sinks (S7, S8)
 # ---------------------------------------------------------------------------

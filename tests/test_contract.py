@@ -36,3 +36,13 @@ def test_all_queries_have_unique_sorted_columns():
     from iii_aibigdata_capstone_spark.queries import ALL_SPECS
 
     assert len({s.name for s in ALL_SPECS}) == len(ALL_SPECS)
+
+
+def test_temp_view_queries_are_idempotent(spark):
+    """Queries that register temp views (grouping sets, UDTF) must be
+    re-runnable in one session — createOrReplaceTempView, never create."""
+    qs = E.queries()
+    for name in ("x5_grouping_sets", "x4_sentence_spans"):
+        a = sorted(map(tuple, qs[name](spark, "/root/testdata/sf0.001").collect()))
+        b = sorted(map(tuple, qs[name](spark, "/root/testdata/sf0.001").collect()))
+        assert a == b and len(a) > 0

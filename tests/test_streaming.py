@@ -191,3 +191,36 @@ def test_binary_stream_decode_matches_batch(spark):
     got = sorted(map(tuple, spark.sql("SELECT * FROM bin_decoded").collect()))
     want = sorted(map(tuple, decode(spark.read.parquet(d)).collect()))
     assert got == want and len(got) == 60
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """ST5 extension: watermarked stream-stream time-range join — two event
+    file streams (clicks, purchases) joined per user within 6 hours must
+    equal the batch join of the same frames."""
+    import tempfile
+
+    ev = table(spark, TEST_SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    clicks_b = ev.where(F.col("event_type") == "click")
+    purch_b = ev.where(F.col("event_type") == "purchase")
+
+    dirs = {}
+    for name, df in (("clicks", clicks_b), ("purch", purch_b)):
+        d = tempfile.mkdtemp(prefix=f"ss_{name}_")
+        for part in (0, 1):  # two files -> two micro-batches per side
+            df.where(F.col("event_id") % 2 == part).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+        dirs[name] = d
+
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    c_s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dirs["clicks"])
+    p_s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dirs["purch"])
+    joined = P.click_purchase_join(c_s, p_s)
+    _run_available_now(
+        joined.writeStream.format("memory").queryName("ss_join").outputMode("append")
+    )
+    got = sorted(map(tuple, spark.sql("SELECT * FROM ss_join").collect()))
+    want = sorted(map(tuple, P.click_purchase_join(clicks_b, purch_b).collect()))
+    assert got == want and len(got) > 0
