@@ -323,6 +323,40 @@ def w8_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "e17_json_extract",
+    oracle=dedent(
+        """
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_total,
+               MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+        FROM events
+        WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+        GROUP BY event_type
+        """
+    ),
+    tags=("E1", "S9", "X4"),
+)
+def e17_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from a string column (`from_json` with a
+    declared schema — schema-on-read with the schema stated, §1 contract;
+    `get_json_object` would re-parse per path). Filter + aggregate on the
+    extracted field, all JVM-side."""
+    ev = table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k bigint").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .where(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_total"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+@query(
     "a6_multiscale_mean",
     oracle=dedent(
         """
