@@ -323,6 +323,49 @@ def w8_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x5_intersect_all_months",
+    oracle=dedent(
+        """
+        SELECT EXTRACT(MONTH FROM o_orderdate) AS m FROM orders WHERE o_custkey % 2 = 0
+        INTERSECT ALL
+        SELECT EXTRACT(MONTH FROM o_orderdate) AS m FROM orders WHERE o_custkey % 2 = 1
+        """
+    ),
+    tags=("X5",),
+)
+def x5_intersect_all_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics INTERSECT ALL (`intersectAll` — each month kept
+    min(count_left, count_right) times), the multiset counterpart of
+    x5_intersect_years' set form."""
+    o = table(spark, sf_dir, "orders")
+    m = F.month("o_orderdate").cast("long").alias("m")
+    left = o.where(F.col("o_custkey") % 2 == 0).select(m)
+    right = o.where(F.col("o_custkey") % 2 == 1).select(m)
+    return left.intersectAll(right)
+
+
+@query(
+    "x5_except_all_months",
+    oracle=dedent(
+        """
+        SELECT EXTRACT(MONTH FROM o_orderdate) AS m FROM orders WHERE o_custkey % 2 = 0
+        EXCEPT ALL
+        SELECT EXTRACT(MONTH FROM o_orderdate) AS m FROM orders WHERE o_custkey % 2 = 1
+        """
+    ),
+    tags=("X5",),
+)
+def x5_except_all_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics EXCEPT ALL (`exceptAll` — each month survives
+    max(count_left - count_right, 0) times)."""
+    o = table(spark, sf_dir, "orders")
+    m = F.month("o_orderdate").cast("long").alias("m")
+    left = o.where(F.col("o_custkey") % 2 == 0).select(m)
+    right = o.where(F.col("o_custkey") % 2 == 1).select(m)
+    return left.exceptAll(right)
+
+
+@query(
     "e17_json_extract",
     oracle=dedent(
         """
