@@ -322,6 +322,24 @@ def w8_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("s10_stratified_sample", oracle=None, tags=("S10",))
+def s10_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10's sampling half (file_io.py:15-32 random.sample of listed files):
+    seeded per-stratum Bernoulli sampling (`sampleBy`) over documents by
+    language — the corpus-subsampling primitive (e.g. language rebalancing
+    before training). Seeded so reruns are identical; rows-only (Spark's
+    sampler and any SQL oracle draw different sequences by construction).
+    Tests assert determinism and per-stratum fraction tolerance."""
+    docs = table(spark, sf_dir, "documents")
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    fractions = {lang: (0.5 if i % 2 == 0 else 0.2) for i, lang in enumerate(sorted(langs))}
+    sample = docs.sampleBy("lang", fractions=fractions, seed=42)
+    return sample.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").alias("chars_sampled"),
+    )
+
+
 @query(
     "x5_intersect_all_months",
     oracle=dedent(

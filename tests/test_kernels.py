@@ -4,6 +4,7 @@ kernel-lane queries' structural guarantees."""
 from __future__ import annotations
 
 import numpy as np
+import pyspark.sql.functions as F
 import pytest
 
 from iii_aibigdata_capstone_spark.operators.kernels import (
@@ -126,3 +127,27 @@ def test_ann_lsh_recall_vs_exact(spark):
         hits += len(exact & got.get(q, set()))
         total += 3
     assert hits / total >= 0.8, f"recall@3 = {hits}/{total}"
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    from iii_aibigdata_capstone_spark.catalog import table
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    spec = registry()["s10_stratified_sample"]
+    a = sorted(map(tuple, spec.builder(spark, TEST_SF_DIR).collect()))
+    b = sorted(map(tuple, spec.builder(spark, TEST_SF_DIR).collect()))
+    assert a == b and a  # seeded -> identical reruns
+    totals = {
+        r.lang: r.n
+        for r in table(spark, TEST_SF_DIR, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    fracs = {
+        lang: (0.5 if i % 2 == 0 else 0.2)
+        for i, lang in enumerate(sorted(totals))
+    }
+    for lang, n_sampled, _ in a:
+        expect = totals[lang] * fracs[lang]
+        assert abs(n_sampled - expect) <= max(10, 0.5 * expect), (lang, n_sampled, expect)
