@@ -27,9 +27,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every pandas interchange (pandas_udf / applyInPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Image-lane rows are fat (binary payloads); bound Arrow batch size so
-    # a batch of decoded frames fits executor memory (SURVEY.md §7 risk).
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
+    # Arrow batch size bounds Python-kernel memory (SURVEY.md §7 risk).
+    # 10k rows/batch suits this corpus (payloads are hundreds of bytes, so
+    # batches stay single-digit MB while grouped kernels see ~10x fewer
+    # JVM<->Python crossings than the 1024 default-ish cap). Deployments
+    # with real image/video payloads should lower it to keep
+    # rows_per_batch x payload_size inside executor memory.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
     # reader rejects; read as epoch-nanos LONG and convert in the catalog
     # (floor to micros — identical to DuckDB's ns->us truncation).
