@@ -159,6 +159,58 @@ def x4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x4_rolling_fingerprint",
+    oracle=dedent(
+        """
+        WITH ascii_docs AS (
+            SELECT doc_id, REGEXP_REPLACE(text, '[^ -~]', '', 'g') AS t
+            FROM documents WHERE doc_id % 10 = 0
+        ),
+        hashes AS (
+            SELECT doc_id,
+                   UNNEST(RANGE(1, LEN(t) - 8 + 2)) AS pos,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t) - 8 + 2),
+                       i -> LIST_REDUCE(
+                                LIST_TRANSFORM(RANGE(0, 8), j -> ORD(SUBSTR(t, (i + j)::INT, 1))::BIGINT),
+                                (acc, c) -> (acc * 257 + c) % 1000000007)))
+                       AS h
+            FROM ascii_docs WHERE LEN(t) >= 8
+        )
+        SELECT doc_id, pos // 16 AS win, MIN(h) AS fp
+        FROM hashes GROUP BY doc_id, pos // 16
+        """
+    ),
+    tags=("X4", "X2"),
+)
+def x4_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprints: polynomial hash (base
+    257 mod 1e9+7, Horner fold) of every 8-char gram, minimum per 16-gram
+    window — the near-dup shard key MOSS-style winnowing produces. Pure
+    Catalyst (nested higher-order functions, no UDF); non-ASCII stripped
+    first so Spark `ascii` and DuckDB `ord` agree."""
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    k, base, mod, win = 8, 257, 1_000_000_007, 16
+    t = F.regexp_replace(F.col("text"), "[^ -~]", "")
+    prepped = docs.select("doc_id", t.alias("t")).where(F.length("t") >= k)
+    # data-dependent substring starts read best in SQL higher-order form
+    prepped.createOrReplaceTempView("_winnow_docs")
+    return spark.sql(
+        f"""
+        WITH hashes AS (
+            SELECT doc_id,
+                   posexplode(transform(sequence(1, length(t) - {k} + 1),
+                       i -> aggregate(sequence(0, {k - 1}), CAST(0 AS BIGINT),
+                                      (acc, j) -> (acc * {base} + ascii(substring(t, i + j, 1))) % {mod})))
+                       AS (pos0, h)
+            FROM _winnow_docs
+        )
+        SELECT doc_id, CAST(floor((pos0 + 1) / {win}) AS BIGINT) AS win, MIN(h) AS fp
+        FROM hashes GROUP BY doc_id, floor((pos0 + 1) / {win})
+        """
+    )
+
+
+@query(
     "x4_token_count_regex",
     oracle=dedent(
         """
