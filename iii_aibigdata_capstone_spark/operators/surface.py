@@ -322,6 +322,107 @@ def w8_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x5_group_quantiles",
+    oracle=dedent(
+        """
+        SELECT event_type,
+               ROUND(QUANTILE_CONT(value, 0.5), 6) AS p50,
+               ROUND(QUANTILE_CONT(value, 0.9), 6) AS p90,
+               ROUND(QUANTILE_CONT(value, 0.99), 6) AS p99
+        FROM events GROUP BY event_type
+        """
+    ),
+    tags=("A1", "X5"),
+)
+def x5_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (`percentile`, the
+    latency-report shape: p50/p90/p99). `percentile_approx` is the
+    sketch to swap in when a full sort per group is too expensive —
+    exercised rows-only in x5_approx_count_distinct's family."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+@query(
+    "x5_correlated_subquery",
+    oracle=dedent(
+        """
+        SELECT o.o_orderkey, o.o_custkey, ROUND(o.o_totalprice, 2) AS total
+        FROM orders o
+        WHERE o.o_totalprice > 2 * (
+            SELECT AVG(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    ),
+    tags=("X5", "J1"),
+)
+def x5_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders above 2x their customer's
+    average) written as SQL and left to Catalyst's subquery decorrelation
+    — it plans as an aggregate + self-join, the rewrite you'd otherwise
+    hand-write."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_corr_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, ROUND(o.o_totalprice, 2) AS total
+        FROM _corr_orders o
+        WHERE o.o_totalprice > 2 * (
+            SELECT AVG(o2.o_totalprice) FROM _corr_orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@query(
+    "x5_nullsafe_join",
+    oracle=dedent(
+        """
+        WITH l AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                        ELSE o_orderkey % 5 END AS grp
+            FROM orders
+        ),
+        r AS (
+            SELECT DISTINCT CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                                 ELSE o_orderkey % 5 END AS grp
+            FROM orders
+        )
+        SELECT l.grp, COUNT(*) AS n
+        FROM l JOIN r ON l.grp IS NOT DISTINCT FROM r.grp
+        GROUP BY l.grp
+        """
+    ),
+    tags=("X5", "P9"),
+)
+def x5_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping — the semantics difference that
+    silently loses rows when a dedup/join key is nullable."""
+    o = table(spark, sf_dir, "orders")
+    grp_l = F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(
+        F.col("o_orderkey") % 5
+    )
+    grp_r = F.when(F.col("o_orderkey") % 3 == 0, None).otherwise(
+        F.col("o_orderkey") % 5
+    )
+    left = o.select(grp_l.alias("grp"))
+    right = o.select(grp_r.alias("grp_r")).distinct()
+    return (
+        left.join(right, F.col("grp").eqNullSafe(F.col("grp_r")))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 @query("s10_stratified_sample", oracle=None, tags=("S10",))
 def s10_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10's sampling half (file_io.py:15-32 random.sample of listed files):
