@@ -423,6 +423,44 @@ def x5_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x5_map_type_ops",
+    oracle=dedent(
+        """
+        WITH per_type AS (
+            SELECT user_id, event_type, COUNT(*) AS n
+            FROM events GROUP BY user_id, event_type
+        )
+        SELECT user_id, event_type, n
+        FROM per_type
+        WHERE user_id % 50 = 0 AND n >= 2
+        """
+    ),
+    tags=("X5",),
+)
+def x5_map_type_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round-trip: per-user event-type counts packed into a map
+    column (`map_from_entries` after a groupBy-collect), pruned JVM-side
+    with `map_filter`, then exploded back to rows. The relational oracle
+    never sees the map — proving pack -> filter -> unpack loses nothing.
+    Maps are absent from the reference (SURVEY §1) but are the natural
+    schema for ragged per-entity feature bags at scale."""
+    ev = table(spark, sf_dir, "events").where(F.col("user_id") % 50 == 0)
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    packed = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("event_type"), F.col("n")))
+        ).alias("counts")
+    )
+    pruned = packed.select(
+        "user_id",
+        F.map_filter(F.col("counts"), lambda k, v: v >= 2).alias("counts"),
+    )
+    return pruned.select(
+        "user_id", F.explode(F.col("counts")).alias("event_type", "n")
+    )
+
+
 @query("s10_stratified_sample", oracle=None, tags=("S10",))
 def s10_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10's sampling half (file_io.py:15-32 random.sample of listed files):
