@@ -140,3 +140,47 @@ def test_running_totals_accumulate(spark):
         .collect()
     }
     assert {r.user_id: (r.n, round(r.tv, 2)) for r in got} == expected
+
+
+def test_drop_duplicates_within_watermark(spark):
+    """The built-in streaming dedup (dropDuplicatesWithinWatermark) beside
+    the custom first-seen operator: duplicates across micro-batches within
+    the watermark horizon collapse to one row, matching batch distinct."""
+    src = tempfile.mkdtemp(prefix="stateful_src4_")
+    chk = tempfile.mkdtemp(prefix="stateful_chk4_")
+    from iii_aibigdata_capstone_spark.catalog import table
+    import pyspark.sql.functions as F2
+
+    df = (
+        table(spark, TEST_SF_DIR, "events")
+        .select("event_id", "user_id", "event_type",
+                F2.col("ts").cast("timestamp").alias("ts"))
+        .orderBy("event_id")
+        .limit(80)
+    )
+    for part in (0, 1):  # duplicate keys across the two files
+        df.where(F2.col("event_id") % 2 == part).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = (
+        stream.withWatermark("ts", "10 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("wm_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [(r.user_id, r.event_type) for r in spark.sql("SELECT * FROM wm_dedup").collect()]
+    want = {(r.user_id, r.event_type) for r in df.select("user_id", "event_type").distinct().collect()}
+    assert len(got) == len(set(got)) == len(want)
+    assert set(got) == want
