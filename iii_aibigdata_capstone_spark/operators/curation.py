@@ -32,6 +32,70 @@ query = make_registrar(SPECS)
 
 
 @query(
+    "x9_quality_audit",
+    oracle=dedent(
+        """
+        SELECT 'orders' AS tbl,
+               (SELECT COUNT(*) FROM orders) AS n_rows,
+               (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS n_null_keys,
+               (SELECT COUNT(*) FROM (
+                    SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+                )) AS n_dup_ids,
+               (SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+        UNION ALL
+        SELECT 'lineitem' AS tbl,
+               (SELECT COUNT(*) FROM lineitem) AS n_rows,
+               (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) AS n_null_keys,
+               (SELECT COUNT(*) FROM (
+                    SELECT l_orderkey, l_linenumber FROM lineitem
+                    GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+                )) AS n_dup_ids,
+               (SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+        """
+    ),
+    tags=("X1", "X5"),
+)
+def x9_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit — the constraint checks an ingest gate runs
+    before a corpus ships: row counts, null foreign keys, duplicate
+    primary keys, referential orphans (left-anti join). One row per table;
+    every metric is a count so the audit aggregates map-side."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem")
+
+    def audit_table(name, df, pk_cols, fk_col, dim, dim_key):
+        dups = (
+            df.groupBy(*pk_cols)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > 1)
+            .count()
+        )
+        orphans = df.join(
+            dim, df[fk_col] == dim[dim_key], "left_anti"
+        ).count()
+        return (
+            name,
+            df.count(),
+            df.where(F.col(fk_col).isNull()).count(),
+            dups,
+            orphans,
+        )
+
+    rows = [
+        audit_table("orders", orders, ["o_orderkey"], "o_custkey", customer, "c_custkey"),
+        audit_table("lineitem", li, ["l_orderkey", "l_linenumber"], "l_orderkey", orders, "o_orderkey"),
+    ]
+    return spark.createDataFrame(
+        rows, "tbl string, n_rows long, n_null_keys long, n_dup_ids long, n_orphans long"
+    )
+
+
+@query(
     "x9_corpus_curation",
     oracle=dedent(
         """
