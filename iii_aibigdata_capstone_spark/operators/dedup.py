@@ -354,3 +354,82 @@ def x2_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return e.mapInPandas(score, schema="vec_a long, vec_b long, cosine double")
+
+
+@query(
+    "x2_dedup_clusters",
+    oracle=dedent(
+        f"""
+        WITH RECURSIVE {_SHINGLE_SQL_CTE.strip()},
+        sized AS (
+            SELECT doc_id, lang, s, COUNT(*) OVER (PARTITION BY doc_id) AS n
+            FROM shingles
+        ),
+        pair AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sized a JOIN sized b
+              ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id, a.n, b.n
+            HAVING COUNT(*) * 1.0 / (a.n + b.n - COUNT(*)) >= 0.5
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pair
+            UNION ALL SELECT doc_b, doc_a FROM pair
+        ),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach AS (
+            SELECT node AS src, node AS dst FROM nodes
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+        )
+        SELECT src AS doc_id, MIN(dst) AS cluster
+        FROM reach GROUP BY src
+        """
+    ),
+    tags=("X2", "T4"),
+)
+def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster construction: connected components over the ENTIRE
+    near-dup pair graph (x2_ngram_jaccard's pairs), cluster id = min member
+    doc_id — the step that turns pairwise near-dup hits into canonical-
+    document groups.
+
+    Unlike the per-image union-find (T4, groups of dozens), this graph
+    spans the whole corpus, so it runs as ITERATIVE distributed label
+    propagation: every node repeatedly adopts the min label among itself
+    and its neighbors until a fixpoint — O(diameter) joins, each a plain
+    shuffle-on-key, the same shape GraphX/GraphFrames use. The driver only
+    checks convergence counts; labels never leave the cluster. The oracle
+    is a recursive-CTE transitive closure (viable at oracle SF)."""
+    pairs = x2_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("doc_a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(15):  # >= graph diameter at any realistic near-dup scale
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .groupBy(F.col("doc_a").alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)  # cut the growing lineage each round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
