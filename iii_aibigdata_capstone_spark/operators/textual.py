@@ -13,7 +13,7 @@ from __future__ import annotations
 from textwrap import dedent
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import table
 from ..registry import QuerySpec, make_registrar
@@ -231,4 +231,58 @@ def x4_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).cast("long").alias("n_word_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+    )
+
+
+@query(
+    "x4_tfidf_top_terms",
+    oracle=dedent(
+        """
+        WITH toks AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+            FROM documents WHERE doc_id % 20 = 0
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM toks
+            WHERE LENGTH(term) >= 3 GROUP BY doc_id, term
+        ),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   ROUND(tf.tf * (LN((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tfidf FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, term) AS rn
+            FROM scored
+        ) WHERE rn <= 3
+        """
+    ),
+    tags=("X4",),
+)
+def x4_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF, exact and relational (SURVEY §2.12 X4's HashingTF+IDF row,
+    minus the hashing trick so it keeps a value oracle): smoothed idf
+    ln((N+1)/(df+1))+1 (the MLlib/sklearn formula), top-3 terms per
+    document by score. At vocabulary scales where the exact df table is
+    too wide, swap the term key for HashingTF's bucket — same plan shape,
+    fixed-width keys."""
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).where(F.length("term") >= 3)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.select("doc_id").distinct().count()
+    tfidf = F.round(
+        F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+    )
+    scored = tf.join(df, "term").select("doc_id", "term", tfidf.alias("tfidf"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
     )
