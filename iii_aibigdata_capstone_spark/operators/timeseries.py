@@ -117,6 +117,64 @@ def x5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x5_asof_forward",
+    oracle=dedent(
+        """
+        WITH cp AS (
+            SELECT event_id, user_id, ts, event_type,
+                   FIRST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click_id,
+                   FIRST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click_ts
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+        )
+        SELECT event_id AS purchase_id, user_id,
+               CASE WHEN next_click_ts <= ts + INTERVAL 1 HOUR
+                    THEN next_click_id END AS next_click_id
+        FROM cp WHERE event_type = 'purchase'
+        """
+    ),
+    tags=("X5", "asof-join"),
+)
+def x5_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of FORWARD join with tolerance: for every purchase, the next
+    strictly later click by the same user, but only if it arrives within
+    1 hour (the tolerance null-out is what distinguishes as-of from plain
+    lead). Same single-sort window formulation as the backward form."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_id = F.first(
+        F.when(F.col("event_type") == "click", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    next_ts = F.first(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("next_click_id", next_id)
+        .withColumn("next_click_ts", next_ts)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.when(
+                F.col("next_click_ts")
+                <= F.col("ts") + F.expr("INTERVAL 1 HOUR"),
+                F.col("next_click_id"),
+            ).alias("next_click_id"),
+        )
+    )
+
+
+@query(
     "st5_tumbling_window",
     oracle=dedent(
         """
