@@ -1114,3 +1114,18 @@ def x5_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query("x5_approx_quantiles", oracle=None, tags=("X5", "sketch"))
+def x5_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate quantiles — the sketch form of
+    x5_group_quantiles (mergeable partials, no per-group sort; accuracy
+    set by the relative-error knob). Rows-only: the sketch's picks differ
+    from exact interpolation by design. Tests bound the error against the
+    exact form."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile_approx("value", F.lit(0.5), F.lit(1000)), 6).alias("p50_approx"),
+        F.round(F.percentile_approx("value", F.lit(0.99), F.lit(1000)), 6).alias("p99_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -151,3 +151,25 @@ def test_stratified_sample_deterministic_and_proportional(spark):
     for lang, n_sampled, _ in a:
         expect = totals[lang] * fracs[lang]
         assert abs(n_sampled - expect) <= max(10, 0.5 * expect), (lang, n_sampled, expect)
+
+
+def test_approx_quantiles_close_to_exact(spark):
+    """GK sketch guarantees RANK error, not value error (a heavy tail can
+    put adjacent ranks far apart in value space) — so assert the rank of
+    each approximate quantile lands near its target."""
+    import pyspark.sql.functions as F2
+
+    from iii_aibigdata_capstone_spark.catalog import table
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    approx = {
+        r.event_type: (r.p50_approx, r.p99_approx)
+        for r in registry()["x5_approx_quantiles"].builder(spark, TEST_SF_DIR).collect()
+    }
+    ev = table(spark, TEST_SF_DIR, "events")
+    for et, (p50a, p99a) in approx.items():
+        grp = ev.where(F2.col("event_type") == et)
+        n = grp.count()
+        for target, val in ((0.5, p50a), (0.99, p99a)):
+            rank = grp.where(F2.col("value") <= val).count() / n
+            assert abs(rank - target) <= 0.05, (et, target, val, rank)
