@@ -247,3 +247,53 @@ def x9_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("e_id").isNotNull() & F.col("f_id").isNull(), 1)
         ).alias("n_dropped_neardup"),
     )
+
+
+@query(
+    "x9_outlier_mad",
+    oracle=dedent(
+        """
+        WITH med AS (
+            SELECT event_type, MEDIAN(value) AS med
+            FROM events GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+            FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, MEDIAN(adev) AS mad FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type,
+               COUNT(*) AS n,
+               ROUND(MIN(d.med), 6) AS med,
+               ROUND(MIN(m.mad), 6) AS mad,
+               COUNT(CASE WHEN ABS(d.value - d.med) > 3 * 1.4826 * m.mad
+                          THEN 1 END) AS n_outliers
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY d.event_type
+        """
+    ),
+    tags=("X4", "A1"),
+)
+def x9_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per group: median + MAD (median absolute
+    deviation), flag |v - med| > 3 sigma_MAD with the 1.4826 normal
+    consistency constant — the value-distribution QA gate that mean/stddev
+    z-scores fail on heavy-tailed data. Two median passes (each one
+    shuffle), then a broadcast of the tiny per-group stats."""
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("med"), 6).alias("med"),
+        F.round(F.min("mad"), 6).alias("mad"),
+        F.count(
+            F.when(F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad"), 1)
+        ).alias("n_outliers"),
+    )

@@ -587,3 +587,53 @@ def a6_multiscale_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("gid", (F.col("pos") + 1).alias("pos"))
         .agg(F.round(F.avg("val"), 6).alias("mean_val"))
     )
+
+
+@query(
+    "x5_scd2_apply",
+    oracle=dedent(
+        """
+        WITH changes AS (
+            SELECT c_custkey, ROUND(c_acctbal + 100, 2) AS new_bal
+            FROM customer WHERE c_custkey % 10 = 0
+        )
+        SELECT c.c_custkey, ROUND(c.c_acctbal, 2) AS acctbal,
+               0 AS valid_from,
+               CASE WHEN ch.c_custkey IS NOT NULL THEN 1 END AS valid_to
+        FROM customer c LEFT JOIN changes ch USING (c_custkey)
+        UNION ALL
+        SELECT c_custkey, new_bal AS acctbal, 1 AS valid_from,
+               CAST(NULL AS INTEGER) AS valid_to
+        FROM changes
+        """
+    ),
+    tags=("X5", "J1"),
+)
+def x5_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 apply — the MERGE-shaped update a
+    warehouse dimension needs, expressed engine-agnostically as
+    left-join + union (close the current row of every changed key, append
+    the new version with an open validity interval). With a transactional
+    table format this is one MERGE INTO; the plan shape — broadcast the
+    (small) changes batch against the (large) dimension — is identical."""
+    cust = table(spark, sf_dir, "customer")
+    changes = (
+        cust.where(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", F.round(F.col("c_acctbal") + 100, 2).alias("new_bal"))
+    )
+    closed_or_open = (
+        cust.join(F.broadcast(changes), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.lit(0).alias("valid_from"),
+            F.when(F.col("new_bal").isNotNull(), 1).cast("int").alias("valid_to"),
+        )
+    )
+    new_versions = changes.select(
+        "c_custkey",
+        F.col("new_bal").alias("acctbal"),
+        F.lit(1).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+    )
+    return closed_or_open.unionByName(new_versions)
