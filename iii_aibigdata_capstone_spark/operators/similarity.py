@@ -208,3 +208,79 @@ def x3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", F.col("l2_dist_r").alias("l2_dist"))
     )
+
+
+@query(
+    "x3_ivf_multiprobe",
+    oracle=dedent(
+        f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        centroids AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {N_CENTROIDS}),
+        ranked AS (
+            SELECT e.vec_id, e.v, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY LIST_DISTANCE(e.v, c.cv), c.cid) AS rn
+            FROM e CROSS JOIN centroids c
+        ),
+        assigned AS (SELECT vec_id, v, cid FROM ranked WHERE rn = 1),
+        probes AS (SELECT vec_id, v, cid FROM ranked
+                   WHERE rn <= 2 AND vec_id < {N_QUERIES}),
+        scored AS (
+            SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROUND(LIST_DOT_PRODUCT(p.v, b.v)
+                         / (SQRT(LIST_DOT_PRODUCT(p.v, p.v))
+                            * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) AS cosine
+            FROM probes p JOIN assigned b
+              ON p.cid = b.cid AND b.vec_id <> p.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine FROM (
+            SELECT DISTINCT query_id, neighbor_id, cosine FROM scored
+        ) t QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) <= 3
+        """
+    ),
+    tags=("X3", "ivf"),
+)
+def x3_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=2: each query searches its TWO nearest coarse cells
+    (candidates stay single-cell-assigned) — the standard recall lever when
+    a neighbor falls just across a cell boundary. Probe fan-out multiplies
+    only the query side, so cost grows with nprobe x queries, never with
+    the corpus."""
+    e = with_norm(table(spark, sf_dir, "embeddings")).select("vec_id", "v", "norm")
+    centroids = e.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    dist = l2_dist_sq(F.col("v"), F.col("cv"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
+    ranked = (
+        e.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "v", "norm", "cid", dist.alias("d"))
+        .withColumn("rn", F.row_number().over(w_assign))
+    )
+    assigned = ranked.where(F.col("rn") == 1).select("vec_id", "v", "norm", "cid")
+    probes = ranked.where(
+        (F.col("rn") <= 2) & (F.col("vec_id") < N_QUERIES)
+    ).select("vec_id", "v", "norm", "cid")
+    p, b = probes.alias("p"), assigned.alias("b")
+    cos = dot(F.col("p.v"), F.col("b.v")) / (F.col("p.norm") * F.col("b.norm"))
+    scored = (
+        p.join(
+            b,
+            (F.col("p.cid") == F.col("b.cid"))
+            & (F.col("b.vec_id") != F.col("p.vec_id")),
+        )
+        .select(
+            F.col("p.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "cosine")
+    )
