@@ -167,3 +167,35 @@ def s6_binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(F.col("content")).cast("long").alias("n_bytes"),
         F.sha2(F.col("content"), 256).alias("sha"),
     )
+
+
+@query(
+    "s_orc_roundtrip",
+    oracle=dedent(
+        """
+        SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents
+        """
+    ),
+    tags=("S9", "orc"),
+)
+def s_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip: write the documents metadata columns as ORC
+    (columnar, predicate-pushdown-capable — the other first-class columnar
+    format besides parquet), read back with the declared schema. Any type
+    coercion or row loss in the ORC write->scan path fails the oracle.
+    """
+    path = _scratch(sf_dir, "documents_orc")
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    docs.write.mode("overwrite").orc(path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    return spark.read.schema(schema).orc(path)

@@ -1129,3 +1129,48 @@ def x5_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile_approx("value", F.lit(0.99), F.lit(1000)), 6).alias("p99_approx"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "x5_histogram_bins",
+    oracle=dedent(
+        """
+        WITH b AS (
+            SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+            FROM lineitem
+        )
+        SELECT LEAST(CAST(FLOOR((l_extendedprice - mn) * 20 / (mx - mn)) AS INT), 19) AS bin,
+               COUNT(*) AS n,
+               ROUND(SUM(l_extendedprice), 2) AS total
+        FROM lineitem, b
+        GROUP BY 1
+        """
+    ),
+    tags=("X5", "histogram"),
+)
+def x5_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (width_bucket): 20 equal bins over the global
+    [min, max] of l_extendedprice, count + mass per bin — the profiling
+    primitive behind equi-width stats collection and data-quality range
+    checks.
+
+    Two passes, both single-shuffle: a tiny global min/max aggregate
+    broadcast to every task, then one map-side bin computation + groupBy on
+    the bin id. The bin expression is identical (same IEEE ops, same
+    operand order) in Spark and the oracle so edge values land in the same
+    bin on both engines.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
+    )
+    x = F.col("l_extendedprice")
+    bin_id = F.least(
+        F.floor((x - F.col("mn")) * 20 / (F.col("mx") - F.col("mn"))).cast("int"),
+        F.lit(19),
+    )
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .groupBy(bin_id.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(x), 2).alias("total"))
+    )

@@ -284,3 +284,114 @@ def x3_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+@query("x3_pq_topk", oracle=None, tags=("X3", "pq"))
+def x3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact re-ranking (the IVF-PQ search
+    pipeline): split the 64-dim embedding into 8 subvectors, k-means each
+    subspace to a 16-entry codebook (seeded Lloyd on a driver-side training
+    sample — the standard train-small/encode-everything split), encode
+    every vector as 8 one-byte codes, then per query: asymmetric distance
+    (one (8 x 16) exact table per query, 8 lookups per candidate) prunes
+    each batch to a 100-candidate shortlist, and only the shortlist gets an
+    exact float distance — the classic ADC-prune + re-rank cascade (plain
+    ADC ranks are too lossy for top-3 on unstructured vectors: measured
+    13% vs 83%+ recall with re-ranking at test SF).
+
+    Scale shape: the quantized scan costs 16 bytes + 8 lookups per
+    candidate; exact floats are touched only for shortlist survivors
+    (~100 per query per batch), so the full-precision work is bounded
+    regardless of corpus size. One broadcast (codebooks + query matrix),
+    one map-side pass, one tiny top-k shuffle. Rows-only check; recall vs
+    the exact baseline is pinned in tests/test_kernels.py.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    M, K, TOPK, SHORTLIST = 8, 16, 3, 100  # subspaces, centroids, k, ADC prune
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # Train codebooks on a bounded deterministic sample (smallest vec_ids);
+    # at corpus scale this is a .limit() sample, never a full collect.
+    train = np.array(
+        [r.v for r in e.orderBy("vec_id").limit(4096).collect()], dtype=np.float64
+    )
+    d_sub = train.shape[1] // M
+    rng = np.random.RandomState(42)
+    codebooks = np.empty((M, K, d_sub))
+    for m in range(M):
+        sub = train[:, m * d_sub : (m + 1) * d_sub]
+        cents = sub[rng.choice(len(sub), size=K, replace=False)]
+        for _ in range(10):  # Lloyd iterations; ties -> lowest centroid id
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(K):
+                pts = sub[assign == k]
+                if len(pts):
+                    cents[k] = pts.mean(axis=0)
+        codebooks[m] = cents
+
+    q_rows = e.where(F.col("vec_id") < N_QUERIES).collect()
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.v for r in q_rows], dtype=np.float64)
+    # (n_queries, M, K) exact subvector->centroid distance tables
+    dtab = np.stack(
+        [
+            ((q_mat[:, m * d_sub : (m + 1) * d_sub][:, None, :] - codebooks[m][None, :, :]) ** 2).sum(axis=2)
+            for m in range(M)
+        ],
+        axis=1,
+    )
+    bc = spark.sparkContext.broadcast((codebooks, q_ids, q_mat, dtab))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cbs, qids, qmat, tabs = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vec = np.stack(pdf["v"].to_numpy())
+            ids = pdf["vec_id"].to_numpy()
+            # encode: per subspace, nearest codebook entry
+            codes = np.empty((len(vec), M), dtype=np.int64)
+            for m in range(M):
+                sub = vec[:, m * d_sub : (m + 1) * d_sub]
+                d2 = ((sub[:, None, :] - cbs[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d2.argmin(axis=1)
+            # ADC: approx_d2[q, i] = sum_m tabs[q, m, codes[i, m]]
+            # tabs[:, (M,), (n, M)] broadcasts to (n_queries, n, M)
+            approx = tabs[:, np.arange(M), codes].sum(axis=2)
+            out = []
+            for qi, qid in enumerate(qids):
+                mask = ids != qid
+                cand_ids = ids[mask]
+                cand_d = approx[qi][mask]
+                if not len(cand_ids):
+                    continue
+                # ADC shortlist, then exact distance on survivors only
+                short = np.lexsort((cand_ids, cand_d))[:SHORTLIST]
+                exact = ((vec[mask][short] - qmat[qi]) ** 2).sum(axis=1)
+                keep = np.lexsort((cand_ids[short], exact))[:TOPK]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": cand_ids[short][keep],
+                            "l2_sq": np.round(exact[keep], 6),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    cand = e.mapInPandas(score, schema="query_id long, neighbor_id long, l2_sq double")
+    w = Window.partitionBy("query_id").orderBy(F.asc("l2_sq"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOPK)
+        .select("query_id", "neighbor_id", "l2_sq")
+    )

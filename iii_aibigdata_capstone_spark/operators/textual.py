@@ -286,3 +286,59 @@ def x4_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("doc_id", "term", "tfidf")
     )
+
+
+@query(
+    "x4_bigram_topk",
+    oracle=dedent(
+        """
+        WITH toks AS (
+            SELECT lang, STRING_SPLIT(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+            SELECT lang,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
+                                         i -> t[i] || ' ' || t[i+1])) AS gram
+            FROM toks WHERE LEN(t) >= 2
+        ),
+        counted AS (
+            SELECT lang, gram, COUNT(*) AS n FROM grams GROUP BY 1, 2
+        )
+        SELECT lang, gram, n FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                         ORDER BY n DESC, gram) AS rn
+            FROM counted
+        ) WHERE rn <= 5
+        """
+    ),
+    tags=("X4", "ngram"),
+)
+def x4_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram language-model statistics: top-5 bigrams per language
+    by frequency (deterministic gram tiebreak) — the building block of
+    n-gram LM pretraining filters and contamination checks.
+
+    Plan: explode bigrams map-side, one partial-aggregated count shuffle on
+    (lang, gram), then a per-lang top-k window. Spark rewrites the rank
+    filter to WindowGroupLimit, so only each partition's top rows reach the
+    final sort — no full per-lang sort materializes.
+    """
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("t")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    counted = (
+        docs.select("lang", F.split(F.col("text"), " ").alias("t"))
+        .where(F.size(t) >= 2)
+        .select("lang", F.explode(grams).alias("gram"))
+        .groupBy("lang", "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("gram"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("lang", "gram", "n")
+    )

@@ -281,3 +281,243 @@ def st5_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "ts_gap_fill",
+    oracle=dedent(
+        """
+        WITH daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   ROUND(AVG(value), 6) AS day_avg
+            FROM events GROUP BY 1, 2
+        ),
+        span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+        spine AS (
+            SELECT user_id, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+            FROM span
+        )
+        SELECT s.user_id, s.day,
+               d.day_avg IS NOT NULL AS observed,
+               LAST_VALUE(d.day_avg IGNORE NULLS)
+                   OVER (PARTITION BY s.user_id ORDER BY s.day
+                         ROWS UNBOUNDED PRECEDING) AS value_filled
+        FROM spine s
+        LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+        """
+    ),
+    tags=("X5", "gap-fill"),
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill + LOCF imputation (the resample/`time_bucket
+    gapfill` operator of hypertable engines): build a dense daily spine per
+    user with ``sequence``+``explode``, left-join the observed daily
+    aggregate, carry the last observation forward with
+    ``last(ignorenulls)``.
+
+    Scale shape: the spine is generated, not shuffled (explode runs
+    map-side on the per-user span row); the only shuffles are the daily
+    aggregate and the spine-to-daily join, both on user_id — co-partitioned
+    and reusable. No driver-side date loop.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.round(F.avg("value"), 6).alias("day_avg"))
+    span = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.col("day_avg").isNotNull().alias("observed"),
+            F.last("day_avg", ignorenulls=True).over(w).alias("value_filled"),
+        )
+    )
+
+
+@query(
+    "ts_rollup_hierarchy",
+    oracle=dedent(
+        """
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts)::TIMESTAMP AS bucket,
+                   COUNT(*) AS n, SUM(value) AS sv
+            FROM events GROUP BY 1
+        )
+        SELECT 'hour' AS grain, bucket, n, ROUND(sv, 2) AS total
+        FROM hourly
+        UNION ALL
+        SELECT 'day', date_trunc('day', bucket)::TIMESTAMP, SUM(n), ROUND(SUM(sv), 2)
+        FROM hourly GROUP BY 2
+        UNION ALL
+        SELECT 'week', date_trunc('week', bucket)::TIMESTAMP, SUM(n), ROUND(SUM(sv), 2)
+        FROM hourly GROUP BY 2
+        """
+    ),
+    tags=("X5", "rollup"),
+)
+def ts_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time-bucket rollup (continuous-aggregate /
+    hypertable-rollup pattern): aggregate raw events ONCE at the finest
+    grain (hour), then derive day and week grains by re-aggregating the
+    hourly partials — at 100 TB the raw table is read a single time and the
+    coarser rollups run over ~1/10^4 as many rows.
+
+    The hourly partial is cached for the two re-aggregations; rounding
+    happens only at the final projection of each grain (partial sums are
+    never rounded — Spark vs oracle half-cent divergence, SURVEY §7).
+    """
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .localCheckpoint(eager=False)  # one scan of the raw table feeds all grains
+    )
+
+    def grain(name: str, df: DataFrame) -> DataFrame:
+        agg = df.groupBy(F.date_trunc(name, "bucket").alias("bucket")).agg(
+            F.sum("n").alias("n"), F.sum("sv").alias("sv")
+        )
+        return agg.select(
+            F.lit(name).alias("grain"), "bucket", "n", F.round("sv", 2).alias("total")
+        )
+
+    hour = hourly.select(
+        F.lit("hour").alias("grain"), "bucket", "n", F.round("sv", 2).alias("total")
+    )
+    return hour.unionByName(grain("day", hourly)).unionByName(grain("week", hourly))
+
+
+@query(
+    "x5_funnel_stages",
+    oracle=dedent(
+        """
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS view_ts FROM events
+            WHERE event_type = 'view' GROUP BY 1
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS click_ts
+            FROM events e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.view_ts
+            GROUP BY 1
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS purchase_ts
+            FROM events e JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+            GROUP BY 1
+        )
+        SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+               1 + (c.user_id IS NOT NULL)::INT + (p.user_id IS NOT NULL)::INT AS stages_reached
+        FROM v
+        LEFT JOIN c ON c.user_id = v.user_id
+        LEFT JOIN p ON p.user_id = v.user_id
+        """
+    ),
+    tags=("X5", "funnel"),
+)
+def x5_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): first view,
+    first click strictly after that view, first purchase strictly after
+    that click, per user — the sequential-event-match operator of product
+    analytics engines.
+
+    Every stage is an aggregate + join on user_id: one partitioning serves
+    the whole funnel (no per-stage wide shuffle on different keys), and
+    stage N's input is already the survivors of stage N-1, so cardinality
+    only shrinks down the funnel.
+    """
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "view_ts",
+            "click_ts",
+            "purchase_ts",
+            (
+                F.lit(1)
+                + F.col("click_ts").isNotNull().cast("int")
+                + F.col("purchase_ts").isNotNull().cast("int")
+            ).alias("stages_reached"),
+        )
+    )
+
+
+@query(
+    "x5_cdc_merge",
+    oracle=dedent(
+        """
+        WITH ranked AS (
+            SELECT user_id, value, ts, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+            FROM events
+            WHERE event_type IN ('signup', 'purchase', 'error')
+        )
+        SELECT user_id, ROUND(value, 2) AS current_value, n_ops,
+               ts AS last_op_ts
+        FROM ranked
+        WHERE rn = 1 AND event_type <> 'error'
+        """
+    ),
+    tags=("X5", "cdc"),
+)
+def x5_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog merge (MERGE INTO / upsert-apply): treat events as a
+    keyed change stream — signup/purchase upsert the user's value, error
+    deletes the key — and materialize the final table state: latest
+    operation per key wins; keys whose latest op is a delete vanish.
+
+    Single shuffle on the merge key with a rank-1 window — the standard
+    scalable compaction (no per-change driver loop, no iterative apply);
+    the same plan incrementalizes under Structured Streaming with
+    ``applyInPandasWithState`` (streaming/stateful.py).
+    """
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("signup", "purchase", "error")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    wc = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_ops", F.count(F.lit(1)).over(wc))
+        .where((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.round("value", 2).alias("current_value"),
+            "n_ops",
+            F.col("ts").alias("last_op_ts"),
+        )
+    )

@@ -173,3 +173,79 @@ def test_approx_quantiles_close_to_exact(spark):
         for target, val in ((0.5, p50a), (0.99, p99a)):
             rank = grp.where(F2.col("value") <= val).count() / n
             assert abs(rank - target) <= 0.05, (et, target, val, rank)
+
+
+def test_pq_topk_recall_vs_exact(spark):
+    """x3_pq_topk: 16x-compressed PQ codes + ADC must still recover a
+    majority of the exact L2 top-3 neighbors (PQ is lossy by design; the
+    codebooks here are 8 subspaces x 16 centroids over 64 dims)."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from iii_aibigdata_capstone_spark.catalog import table
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    rows = table(spark, TEST_SF_DIR, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    pq = registry()["x3_pq_topk"].builder(spark, TEST_SF_DIR).collect()
+    got = defaultdict(set)
+    for r in pq:
+        got[r.query_id].add(r.neighbor_id)
+    assert all(len(v) == 3 for v in got.values()) and len(got) == 10
+    hits = total = 0
+    for q in range(10):
+        qi = np.where(ids == q)[0][0]
+        d = np.linalg.norm(M - M[qi], axis=1)
+        d[qi] = np.inf
+        exact = set(ids[np.lexsort((ids, d))[:3]].tolist())
+        hits += len(exact & got.get(q, set()))
+        total += 3
+    assert hits / total >= 0.8, f"PQ recall@3 = {hits}/{total}"
+
+
+def test_gap_fill_dense_spine(spark):
+    """ts_gap_fill: every user's day sequence is dense (no holes), filled
+    values carry the last observation, and observed days keep their own
+    aggregate."""
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    rows = registry()["ts_gap_fill"].builder(spark, TEST_SF_DIR).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r.day)
+        days = [r.day for r in rs]
+        assert (days[-1] - days[0]).days == len(days) - 1, f"user {user}: holes in spine"
+        last = None
+        for r in rs:
+            if r.observed:
+                last = r.value_filled
+            else:
+                assert r.value_filled == last, f"user {user}: LOCF broke at {r.day}"
+
+
+def test_cdc_merge_deletes_win(spark):
+    """x5_cdc_merge: a user whose latest change op is a delete (error) must
+    not appear in the merged state; all others appear exactly once."""
+    import pyspark.sql.functions as F
+
+    from iii_aibigdata_capstone_spark.catalog import table
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    merged = registry()["x5_cdc_merge"].builder(spark, TEST_SF_DIR).collect()
+    seen = [r.user_id for r in merged]
+    assert len(seen) == len(set(seen)), "a merge key appeared twice"
+    ev = (
+        table(spark, TEST_SF_DIR, "events")
+        .where(F.col("event_type").isin("signup", "purchase", "error"))
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    last_op = {}
+    for r in ev:
+        last_op[r.user_id] = r.event_type
+    expect_live = {u for u, op in last_op.items() if op != "error"}
+    assert set(seen) == expect_live
