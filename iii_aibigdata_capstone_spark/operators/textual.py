@@ -342,3 +342,148 @@ def x4_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("lang", "gram", "n")
     )
+
+
+@query(
+    "x4_repetition_filter",
+    oracle=dedent(
+        """
+        WITH toks AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+        ),
+        words AS (
+            SELECT doc_id, LEN(t) AS n_words,
+                   LEN(LIST_DISTINCT(t)) AS n_distinct
+            FROM toks
+        ),
+        grams AS (
+            SELECT doc_id,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
+                                         i -> t[i] || ' ' || t[i+1])) AS gram
+            FROM toks WHERE LEN(t) >= 2
+        ),
+        gram_counts AS (
+            SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2
+        ),
+        gram_stats AS (
+            SELECT doc_id, MAX(c) AS top_gram, SUM(c) AS n_grams
+            FROM gram_counts GROUP BY 1
+        )
+        SELECT w.doc_id,
+               ROUND(1.0 - n_distinct * 1.0 / n_words, 6) AS dup_word_frac,
+               ROUND(top_gram * 1.0 / n_grams, 6) AS top_bigram_ratio,
+               (1.0 - n_distinct * 1.0 / n_words > 0.7
+                OR top_gram * 1.0 / n_grams > 0.18) AS flagged
+        FROM words w JOIN gram_stats g ON g.doc_id = w.doc_id
+        WHERE n_words >= 2
+        """
+    ),
+    tags=("X4", "quality"),
+)
+def x4_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher/MassiveText repetition
+    rules): per document, the duplicate-word fraction and the share of all
+    bigrams taken by the single most frequent bigram; docs past either
+    threshold are flagged as degenerate (boilerplate/spam loops).
+
+    Both signals come from one tokenization: distinct counting happens on
+    the token array map-side (no explode for the word stats), and the
+    bigram distribution is a single explode + count + max-per-doc — all
+    shuffles keyed on doc_id, so the two signal branches co-partition and
+    join without movement.
+    """
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("t")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t")).where(
+        F.size(t) >= 2
+    )
+    words = toks.select(
+        "doc_id",
+        F.size(t).alias("n_words"),
+        F.size(F.array_distinct(t)).alias("n_distinct"),
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    gram_stats = (
+        toks.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_gram"), F.sum("c").alias("n_grams"))
+    )
+    dup_frac = 1.0 - F.col("n_distinct") / F.col("n_words")
+    top_ratio = F.col("top_gram") / F.col("n_grams")
+    return (
+        words.join(gram_stats, "doc_id")
+        .select(
+            "doc_id",
+            F.round(dup_frac, 6).alias("dup_word_frac"),
+            F.round(top_ratio, 6).alias("top_bigram_ratio"),
+            ((dup_frac > 0.7) | (top_ratio > 0.18)).alias("flagged"),
+        )
+    )
+
+
+@query(
+    "x4_decontaminate",
+    oracle=dedent(
+        """
+        WITH toks AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t) - 3),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+            FROM toks WHERE LEN(t) >= 5
+        ),
+        bench AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 = 0),
+        corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+        SELECT c.doc_id,
+               COUNT(DISTINCT c.g) AS n_shared_grams,
+               COUNT(DISTINCT b.doc_id) AS n_bench_docs
+        FROM corpus c JOIN bench b ON b.g = c.g
+        GROUP BY 1
+        """
+    ),
+    tags=("X4", "X2", "decontamination"),
+)
+def x4_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the pretraining-hygiene op): find corpus
+    documents sharing any 5-gram with a held-out benchmark set (here: every
+    97th document), reporting how many distinct 5-grams leak and how many
+    benchmark documents each one touches.
+
+    Scale shape: the benchmark side is tiny by construction, so its
+    (hashed) gram index broadcasts and contaminated docs surface in one
+    map-side semi-join-shaped pass over the corpus grams — no shuffle of
+    the corpus n-gram table. The distinct-gram aggregate is the only
+    exchange, keyed on doc_id.
+    """
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("t")
+    grams_expr = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 4),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + F.lit(k)) for k in range(5)]
+        ),
+    )
+    grams = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+        .where(F.size(t) >= 5)
+        .select("doc_id", F.explode(F.array_distinct(grams_expr)).alias("g"))
+    )
+    bench = grams.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_doc"), "g"
+    )
+    corpus = grams.where(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct(F.col("g")).alias("n_shared_grams"),
+            F.count_distinct(F.col("bench_doc")).alias("n_bench_docs"),
+        )
+    )
