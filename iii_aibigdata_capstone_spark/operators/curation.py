@@ -164,13 +164,17 @@ def x9_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     toks = F.split(F.col("text"), " ")
+    # scored feeds the quality chain AND the final tagging join; exact_kept
+    # feeds both shingle-join sides, the anti join, and the tagging join.
+    # Materialize each once — re-deriving the tokenization/dedup for every
+    # consumer measured 2.5s -> 2.0s at sf0.1 (and 6s cold).
     scored = docs.select(
         "doc_id",
         "lang",
         "text",
         F.size(toks).cast("long").alias("n_tokens"),
         (F.size(F.array_distinct(toks)) / F.size(toks)).alias("uniq_ratio"),
-    )
+    ).localCheckpoint(eager=False)
     good = scored.where(
         F.col("n_tokens").between(20, 200) & (F.col("uniq_ratio") >= 0.3)
     )
@@ -181,6 +185,7 @@ def x9_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         good.withColumn("rn", F.row_number().over(w_hash))
         .where(F.col("rn") == 1)
         .drop("rn")
+        .localCheckpoint(eager=False)
     )
 
     # stage 3: near-dup drop via the inverted shingle index (x2's shape),

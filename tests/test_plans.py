@@ -62,3 +62,31 @@ def test_grouped_kernels_shuffle_once(spark, qname):
     a = audit(registry()[qname].builder(spark, TEST_SF_DIR))
     assert a.hash_exchanges <= 2, a.text  # initial + AQE-final rendering
     assert a.python_map_operators >= 1
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark):
+    """x4_decontaminate: the tiny benchmark gram index must broadcast —
+    a sort-merge join here would shuffle the full corpus n-gram table."""
+    a = audit(registry()["x4_decontaminate"].builder(spark, TEST_SF_DIR))
+    assert a.broadcast_joins > 0
+    assert a.sort_merge_joins == 0, a.text
+
+
+def test_histogram_bounds_broadcast(spark):
+    """x5_histogram_bins: the 1-row min/max aggregate joins as a broadcast
+    nested loop; the fact scan must not shuffle before binning (the only
+    hash exchange is the final groupBy on the 20 bin ids)."""
+    a = audit(registry()["x5_histogram_bins"].builder(spark, TEST_SF_DIR))
+    assert "BroadcastNestedLoopJoin" in a.text or a.broadcast_joins > 0
+    assert a.hash_exchanges <= 2, a.text
+
+
+def test_rollup_hierarchy_single_raw_scan(spark):
+    """ts_rollup_hierarchy: day/week grains re-aggregate the materialized
+    hourly partial — the raw events table appears in the plan exactly once
+    (the checkpoint cuts the other two branches' lineage)."""
+    df = registry()["ts_rollup_hierarchy"].builder(spark, TEST_SF_DIR)
+    from iii_aibigdata_capstone_spark.plans.audit import plan_text
+
+    text = plan_text(df)
+    assert text.count("events.parquet") <= 1, text
