@@ -1,0 +1,97 @@
+"""Iterative graph analytics as distributed DataFrame loops.
+
+Two iterative operators live in the engine: min-label propagation
+(operators/dedup.py:x2_dedup_clusters — connected components over the
+near-dup graph) and the PageRank here. Both follow the same scale recipe:
+each iteration is one join + one aggregation on the edge key (the shape
+GraphX/GraphFrames lower to), with ``localCheckpoint`` cutting the growing
+lineage so plan size stays constant over iterations. The reference has no
+graph surface at all; this is part of the §2.12 extension set (iterative
+algorithms the driver checks rows-only — SURVEY.md §5 layer 2 pins values
+against a local power-iteration reference in tests/test_kernels.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import table
+from ..registry import QuerySpec, make_registrar
+
+SPECS: list[QuerySpec] = []
+query = make_registrar(SPECS)
+
+N_ITER = 10
+DAMPING = 0.85
+
+
+def purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed customer->supplier edges weighted by distinct orders that
+    connect them (lineitem joined through orders). Node ids are disjoint:
+    customers keep their key, suppliers are offset into their own range."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+@query("x10_pagerank", oracle=None, tags=("X5", "graph", "iterative"))
+def x10_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (10 iterations, damping 0.85) over the customer->supplier
+    purchase graph — the canonical iterative-algorithm shape: per
+    iteration, contributions = ranks / out-degree shipped along edges (one
+    equi join), new ranks = damped sum per destination (one aggregation).
+
+    Scale notes: the edge table partitions by src for the join and the
+    contribution shuffle keys on dst — the two exchanges per iteration that
+    define distributed PageRank; dangling mass (nodes with no out-edges,
+    i.e. every supplier here) redistributes uniformly via one scalar
+    aggregate per iteration, not a per-node join. ``localCheckpoint`` per
+    iteration keeps the plan from growing linearly with iteration count.
+    Rows-only check; values pinned vs a numpy power iteration in tests.
+    """
+    edges = purchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(N_ITER):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(out_deg, "src")
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        # dangling nodes (no out-edges) leak their rank; redistribute it
+        # uniformly — one scalar, not a join
+        dangling = (
+            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        base = (1.0 - DAMPING) / n + DAMPING * dangling / n
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(DAMPING) * F.coalesce(F.col("in_sum"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.round("rank", 9).alias("rank"))

@@ -30,6 +30,7 @@ def _collect_specs() -> list[QuerySpec]:
         "replay",
         "skew",
         "curation",
+        "graph",
     ):
         try:
             module = __import__(f"{__package__}.operators.{name}", fromlist=["SPECS"])

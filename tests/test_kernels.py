@@ -249,3 +249,37 @@ def test_cdc_merge_deletes_win(spark):
         last_op[r.user_id] = r.event_type
     expect_live = {u for u, op in last_op.items() if op != "error"}
     assert set(seen) == expect_live
+
+
+def test_pagerank_matches_power_iteration(spark):
+    """x10_pagerank: the distributed loop must agree with a local numpy
+    power iteration (same damping, iterations, dangling redistribution) to
+    float precision."""
+    import numpy as np
+
+    from iii_aibigdata_capstone_spark.operators.graph import (
+        DAMPING,
+        N_ITER,
+        purchase_edges,
+    )
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    edges = purchase_edges(spark, TEST_SF_DIR).collect()
+    nodes = sorted({r.src for r in edges} | {r.dst for r in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = np.zeros(n)
+    for r in edges:
+        out_deg[idx[r.src]] += 1
+    rank = np.full(n, 1.0 / n)
+    for _ in range(N_ITER):
+        contrib = np.zeros(n)
+        for r in edges:
+            contrib[idx[r.dst]] += rank[idx[r.src]] / out_deg[idx[r.src]]
+        dangling = rank[out_deg == 0].sum()
+        rank = (1.0 - DAMPING) / n + DAMPING * (dangling / n + contrib)
+    got = {r.node: r.rank for r in registry()["x10_pagerank"].builder(spark, TEST_SF_DIR).collect()}
+    assert set(got) == set(nodes)
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # rank mass conserved
+    worst = max(abs(got[v] - rank[idx[v]]) for v in nodes)
+    assert worst < 1e-8, f"max |spark - numpy| = {worst}"
