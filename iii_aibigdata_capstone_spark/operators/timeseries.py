@@ -521,3 +521,46 @@ def x5_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("last_op_ts"),
         )
     )
+
+
+@query(
+    "ts_incremental_rollup",
+    oracle=dedent(
+        """
+        SELECT date_trunc('hour', ts)::TIMESTAMP AS bucket,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+        FROM events
+        GROUP BY 1
+        """
+    ),
+    tags=("X5", "rollup", "incremental"),
+)
+def ts_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: an hourly rollup is kept
+    as MERGEABLE partials (count, sum — never avg) built from data before
+    day 25; a late-arriving delta batch (day >= 25) aggregates separately
+    and merges by re-summing partials per bucket. The oracle recomputes
+    from scratch — merged partials must equal full recompute, which is the
+    correctness contract of every incremental-aggregation pipeline.
+
+    Scale shape: the delta pass reads ONLY the new partition's rows (the
+    date filter pushes down to the parquet scan), and the merge touches
+    just the buckets present in either side — at 100 TB this is the
+    difference between an hourly job over 100 TB and one over the last
+    hour's slice.
+    """
+    ev = table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-25").cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")
+        )
+
+    base = partials(ev.where(F.col("ts") < cutoff))  # the stored MV state
+    delta = partials(ev.where(F.col("ts") >= cutoff))  # the late batch
+    return (
+        base.unionByName(delta)
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("n"), F.round(F.sum("sv"), 2).alias("total"))
+    )
