@@ -95,27 +95,40 @@ def k_kernel_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def chain(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {"doc_id": [], "padded_len": [], "resized_len": [],
-                    "n_peaks": [], "patch_mean": [], "patch_centered_min": []}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                px = decode_pixels(bytes(payload), n=64)
-                padded = pad_to_stride(px, stride=8)
-                small = resize_half(padded)
-                smooth = denoise3(blur3(small))
-                peaks = find_peaks(smooth)
-                lo, hi = len(smooth) // 4, 3 * len(smooth) // 4  # K8 center crop
-                patch = smooth[lo:hi].astype(np.float64)
-                mean = patch.mean() if len(patch) else 0.0
-                centered = patch - mean  # K11 mean-subtract
-                rows["doc_id"].append(doc_id)
-                rows["padded_len"].append(len(padded))
-                rows["resized_len"].append(len(small))
-                rows["n_peaks"].append(int(len(peaks)))
-                rows["patch_mean"].append(round(float(mean), 4))
-                rows["patch_centered_min"].append(
-                    round(float(centered.min()) if len(centered) else 0.0, 4)
-                )
-            yield pd.DataFrame(rows)
+            if not len(pdf):
+                continue
+            # Vectorized across the batch (images are fixed-size post-decode;
+            # semantics identical to the per-image kernel composition
+            # pad_to_stride -> resize_half -> blur3 -> denoise3 -> find_peaks
+            # -> center crop -> mean-subtract).
+            px = np.stack(
+                [decode_pixels(bytes(p), n=64) for p in pdf["payload"]]
+            ).astype(np.int32)  # (n, 64); 64 is already a stride-8 multiple (K3)
+            small = (px[:, 0::2] + px[:, 1::2]) // 2  # K2 2:1 area resize
+            pad = np.pad(small, ((0, 0), (1, 1)), mode="edge")
+            blur = (pad[:, :-2] + pad[:, 1:-1] + pad[:, 2:]) // 3  # K5
+            pad = np.pad(blur, ((0, 0), (1, 1)), mode="edge")
+            smooth = np.median(
+                np.stack([pad[:, :-2], pad[:, 1:-1], pad[:, 2:]]), axis=0
+            ).astype(np.int64)  # K9 window-3 median
+            mid = smooth[:, 1:-1]
+            n_peaks = (
+                (mid > smooth[:, :-2]) & (mid > smooth[:, 2:]) & (mid > 160)
+            ).sum(axis=1)  # K6
+            w = small.shape[1]
+            patch = smooth[:, w // 4 : 3 * w // 4].astype(np.float64)  # K8
+            mean = patch.mean(axis=1)
+            centered_min = (patch - mean[:, None]).min(axis=1)  # K11/A9
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "padded_len": np.full(len(pdf), px.shape[1], dtype=np.int32),
+                    "resized_len": np.full(len(pdf), w, dtype=np.int32),
+                    "n_peaks": n_peaks.astype(np.int32),
+                    "patch_mean": np.round(mean, 4),
+                    "patch_centered_min": np.round(centered_min, 4),
+                }
+            )
 
     schema = ("doc_id long, padded_len int, resized_len int, n_peaks int, "
               "patch_mean double, patch_centered_min double")
@@ -172,16 +185,23 @@ def m5_digit_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"doc_id": [], "x": [], "prob": [], "digit": []}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                px = decode_pixels(bytes(payload), n=32)
-                cand = np.flatnonzero(px > 200)[:4]  # K7 proposal stub
-                for x in cand:
-                    out["doc_id"].append(doc_id)
-                    out["x"].append(int(x))
-                    out["prob"].append(round(float(px[x]) / 255.0, 6))  # M5
-                    out["digit"].append(int(px[x]) % 10)  # M6
-            yield pd.DataFrame(out)
+            if not len(pdf):
+                continue
+            # Vectorized batch form of: per image, first 4 pixels > 200
+            # (K7 proposal stub), prob/digit from the pixel value (M5/M6).
+            px = np.stack([decode_pixels(bytes(p), n=32) for p in pdf["payload"]])
+            mask = px > 200
+            mask &= mask.cumsum(axis=1) <= 4  # first 4 proposals per image
+            r, x = np.nonzero(mask)
+            v = px[r, x].astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[r],
+                    "x": x.astype(np.int32),
+                    "prob": np.round(v / 255.0, 6),  # M5
+                    "digit": (v % 10).astype(np.int32),  # M6
+                }
+            )
 
     dets = b.mapInPandas(detect, schema="doc_id long, x int, prob double, digit int")
     dets = dets.where(F.col("prob") > 0.8)  # P7 threshold
@@ -266,17 +286,31 @@ def m7_pose_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         w = weights.value  # one deserialization per worker, not per task
         for pdf in batches:
-            out = {"doc_id": [], "part": [], "x": [], "score": []}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                base = decode_pixels(bytes(payload), n=32).astype(np.int32)
-                for part in range(n_parts):
-                    heat = ((base * int(w[part])) % 251).astype(np.uint8)
-                    peaks = find_peaks(blur3(heat), threshold=170)
-                    for x in peaks:
-                        out["doc_id"].append(doc_id)
-                        out["part"].append(part)
-                        out["x"].append(int(x))
-                        out["score"].append(round(float(heat[x]) / 255.0, 6))
-            yield pd.DataFrame(out)
+            if not len(pdf):
+                continue
+            # Vectorized across the whole Arrow batch: images are fixed-size
+            # after decode, so the 'model' runs as (batch, parts, pixels)
+            # array math instead of a per-image Python loop (per-row
+            # iteration here dominated the bench kernel lane).
+            base = np.stack(
+                [decode_pixels(bytes(p), n=32) for p in pdf["payload"]]
+            ).astype(np.int32)  # (n, 32)
+            doc_ids = pdf["doc_id"].to_numpy()
+            heat = (base[:, None, :] * w[None, :, None]) % 251  # (n, parts, 32)
+            # blur3: window-3 moving average with clamped edges, along pixels
+            padded = np.pad(heat, ((0, 0), (0, 0), (1, 1)), mode="edge")
+            sm = (padded[:, :, :-2] + padded[:, :, 1:-1] + padded[:, :, 2:]) // 3
+            mid = sm[:, :, 1:-1]
+            mask = (mid > sm[:, :, :-2]) & (mid > sm[:, :, 2:]) & (mid > 170)
+            r, p, c = np.nonzero(mask)
+            x = c + 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids[r],
+                    "part": p.astype(np.int32),
+                    "x": x.astype(np.int32),
+                    "score": np.round(heat[r, p, x] / 255.0, 6),
+                }
+            )
 
     return b.mapInPandas(infer, schema="doc_id long, part int, x int, score double")
