@@ -115,3 +115,77 @@ def test_assembly_block_matches_components_of_explicit_edges(rows):
         exp_set |= set(map(tuple, f[["image_id", "node", "component"]].to_numpy()))
     got_set = set(map(tuple, got[["image_id", "node", "component"]].to_numpy()))
     assert got_set == exp_set
+
+
+def test_vectorized_m7_matches_scalar_composition(spark):
+    """m7_pose_peaks runs the heat/blur/peak math vectorized across the
+    Arrow batch; it must equal the scalar helper composition
+    (decode_pixels -> *w % 251 -> blur3 -> find_peaks) applied per image."""
+    import pyspark.sql.functions as F
+
+    from iii_aibigdata_capstone_spark.catalog import table
+    from iii_aibigdata_capstone_spark.operators.kernels import (
+        blur3,
+        decode_pixels,
+        find_peaks,
+    )
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    from .conftest import TEST_SF_DIR
+
+    docs = table(spark, TEST_SF_DIR, "documents").select("doc_id", "text").collect()
+    expected = set()
+    for r in docs:
+        base = decode_pixels(r.text.encode("utf-8"), n=32).astype(np.int32)
+        for part, w in enumerate([3, 5, 7, 9]):
+            heat = ((base * w) % 251).astype(np.uint8)
+            for x in find_peaks(blur3(heat), threshold=170):
+                expected.add((r.doc_id, part, int(x), round(float(heat[x]) / 255.0, 6)))
+    got = {
+        (r.doc_id, r.part, r.x, r.score)
+        for r in registry()["m7_pose_peaks"].builder(spark, TEST_SF_DIR).collect()
+    }
+    assert got == expected
+
+
+def test_vectorized_chain_matches_scalar_composition(spark):
+    """k_kernel_chain's batched math must equal the scalar kernel helpers
+    composed per image (pad -> resize -> blur -> denoise -> peaks -> crop
+    -> mean-subtract)."""
+    from iii_aibigdata_capstone_spark.catalog import table
+    from iii_aibigdata_capstone_spark.operators.kernels import (
+        blur3,
+        decode_pixels,
+        denoise3,
+        find_peaks,
+        pad_to_stride,
+        resize_half,
+    )
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    from .conftest import TEST_SF_DIR
+
+    docs = table(spark, TEST_SF_DIR, "documents").select("doc_id", "text").collect()
+    expected = {}
+    for r in docs:
+        px = decode_pixels(r.text.encode("utf-8"), n=64)
+        padded = pad_to_stride(px, stride=8)
+        small = resize_half(padded)
+        smooth = denoise3(blur3(small))
+        peaks = find_peaks(smooth)
+        lo, hi = len(smooth) // 4, 3 * len(smooth) // 4
+        patch = smooth[lo:hi].astype(np.float64)
+        mean = patch.mean()
+        expected[r.doc_id] = (
+            len(padded),
+            len(small),
+            int(len(peaks)),
+            round(float(mean), 4),
+            round(float((patch - mean).min()), 4),
+        )
+    rows = registry()["k_kernel_chain"].builder(spark, TEST_SF_DIR).collect()
+    got = {
+        r.doc_id: (r.padded_len, r.resized_len, r.n_peaks, r.patch_mean, r.patch_centered_min)
+        for r in rows
+    }
+    assert got == expected
