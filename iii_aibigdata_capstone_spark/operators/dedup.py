@@ -439,3 +439,65 @@ def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
+
+
+@query(
+    "x2_editdistance_pairs",
+    oracle=dedent(
+        """
+        WITH vocab AS (
+            SELECT DISTINCT lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+            FROM documents
+        ),
+        v AS (SELECT lang, tok FROM vocab WHERE LEN(tok) >= 4)
+        SELECT a.lang, a.tok AS tok_a, b.tok AS tok_b,
+               LEVENSHTEIN(a.tok, b.tok) AS dist
+        FROM v a JOIN v b
+          ON a.lang = b.lang AND a.tok < b.tok
+         AND ABS(LEN(a.tok) - LEN(b.tok)) <= 1
+        WHERE LEVENSHTEIN(a.tok, b.tok) <= 1
+        """
+    ),
+    tags=("X2", "fuzzy"),
+)
+def x2_editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy vocabulary dedup: token pairs within edit distance 1 per
+    language (typo clustering — the string-similarity join of entity
+    resolution). Banding makes it scale: every token emits two length-band
+    keys (len, len+1), the self-join is EQUI on (lang, band) — any pair
+    with |len diff| <= 1 shares exactly one band key — and only
+    band-colliding pairs pay the levenshtein. No all-pairs cross join, and
+    the quadratic term is bounded per (lang, length) band.
+    """
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .where(F.length("tok") >= 4)
+        .distinct()
+    )
+    banded = vocab.select(
+        "lang",
+        "tok",
+        F.explode(
+            F.array(F.length("tok"), F.length("tok") + 1)
+        ).alias("band"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    dist = F.levenshtein(F.col("a.tok"), F.col("b.tok"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .where(F.abs(F.length(F.col("a.tok")) - F.length(F.col("b.tok"))) <= 1)
+        .select(
+            F.col("a.lang").alias("lang"),
+            F.col("a.tok").alias("tok_a"),
+            F.col("b.tok").alias("tok_b"),
+            dist.cast("long").alias("dist"),
+        )
+        .where(F.col("dist") <= 1)
+        .distinct()
+    )

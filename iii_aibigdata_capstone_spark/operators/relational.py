@@ -1174,3 +1174,101 @@ def x5_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(bin_id.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(x), 2).alias("total"))
     )
+
+
+@query(
+    "w9_distribution_ranks",
+    oracle=dedent(
+        """
+        SELECT o_orderkey, o_orderpriority,
+               NTILE(4) OVER w AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+        """
+    ),
+    tags=("X5", "W1", "window"),
+)
+def w9_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — quartile assignment (ntile),
+    percentile rank and cumulative distribution per order priority: the
+    analytics behind per-segment price banding. The ORDER BY includes the
+    unique key so tie rows land in deterministic buckets on every engine.
+    One shuffle on the partition key; all three functions share one window
+    sort.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "x5_snapshot_diff",
+    oracle=dedent(
+        """
+        WITH state AS (
+            SELECT user_id, ts, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts < TIMESTAMP '2024-01-15'
+        ),
+        old AS (SELECT user_id, ROUND(value, 2) AS value FROM state WHERE rn = 1),
+        state2 AS (
+            SELECT user_id, ts, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ),
+        new AS (SELECT user_id, ROUND(value, 2) AS value FROM state2 WHERE rn = 1)
+        SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+               CASE WHEN o.user_id IS NULL THEN 'added'
+                    WHEN n.user_id IS NULL THEN 'removed'
+                    WHEN o.value <> n.value THEN 'changed'
+                    ELSE 'unchanged' END AS change_type,
+               o.value AS old_value, n.value AS new_value
+        FROM old o FULL OUTER JOIN new n ON n.user_id = o.user_id
+        """
+    ),
+    tags=("X5", "snapshot-diff"),
+)
+def x5_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (table-format time travel / audit diff): materialize
+    per-user state at two points in time (latest value before the cutoff vs
+    latest overall) and classify every key as added / removed / changed /
+    unchanged via one full outer join.
+
+    Both snapshots shuffle on the same key, so the diff join satisfies its
+    distribution from the snapshots' exchanges; at table-format scale the
+    'snapshots' are manifest reads and the same diff plan applies.
+    """
+    ev = table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def snapshot(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", F.round("value", 2).alias("value"))
+        )
+
+    old = snapshot(ev.where(F.col("ts") < cutoff)).alias("o")
+    new = snapshot(ev).alias("n")
+    return old.join(new, F.col("n.user_id") == F.col("o.user_id"), "full_outer").select(
+        F.coalesce(F.col("o.user_id"), F.col("n.user_id")).alias("user_id"),
+        F.when(F.col("o.user_id").isNull(), "added")
+        .when(F.col("n.user_id").isNull(), "removed")
+        .when(F.col("o.value") != F.col("n.value"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        F.col("o.value").alias("old_value"),
+        F.col("n.value").alias("new_value"),
+    )
