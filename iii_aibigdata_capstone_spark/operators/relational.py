@@ -1272,3 +1272,38 @@ def x5_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o.value").alias("old_value"),
         F.col("n.value").alias("new_value"),
     )
+
+
+@query(
+    "x5_regression_stats",
+    oracle=dedent(
+        """
+        SELECT event_type,
+               ROUND(CORR(value, EXTRACT(DAY FROM ts)), 6) AS corr_day,
+               ROUND(REGR_SLOPE(value, EXTRACT(DAY FROM ts)), 6) AS slope,
+               ROUND(REGR_INTERCEPT(value, EXTRACT(DAY FROM ts)), 6) AS intercept,
+               ROUND(REGR_R2(value, EXTRACT(DAY FROM ts)), 6) AS r2,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY event_type
+        """
+    ),
+    tags=("X5", "statistics"),
+)
+def x5_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend statistics — correlation, regression slope /
+    intercept / R² of event value against day-of-month: the drift-detection
+    aggregate of metric-monitoring pipelines. All five are single-pass
+    MERGEABLE aggregates (sum/sum-of-products moments), so they partial-
+    aggregate map-side and combine like any sum — no per-group sort, no
+    second pass, sketch-free.
+    """
+    ev = table(spark, sf_dir, "events")
+    day = F.dayofmonth("ts").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.corr("value", day), 6).alias("corr_day"),
+        F.round(F.regr_slope("value", day), 6).alias("slope"),
+        F.round(F.regr_intercept("value", day), 6).alias("intercept"),
+        F.round(F.regr_r2("value", day), 6).alias("r2"),
+        F.count(F.lit(1)).alias("n"),
+    )
