@@ -302,3 +302,56 @@ def x9_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad"), 1)
         ).alias("n_outliers"),
     )
+
+
+@query(
+    "x9_training_mix",
+    oracle=dedent(
+        """
+        WITH per_source AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   SUM(LEN(STRING_SPLIT(text, ' '))) AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        weighted AS (
+            SELECT *, POW(n_tokens, 0.5) AS w FROM per_source
+        )
+        SELECT source, n_docs, n_tokens,
+               ROUND(w / SUM(w) OVER (), 6) AS mix_prob,
+               ROUND(LEAST(w / SUM(w) OVER () * 20000 / n_tokens, 1.0), 6) AS sample_rate,
+               CAST(ROUND(LEAST(w / SUM(w) OVER () * 20000 / n_tokens, 1.0) * n_tokens, 0) AS BIGINT) AS expected_tokens
+        FROM weighted
+        """
+    ),
+    tags=("X4", "X1", "mixing"),
+)
+def x9_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction — temperature-based source sampling (the
+    multilingual-LM mixing rule, alpha = 0.5): source weight ∝
+    tokens^alpha, normalized into mixing probabilities, converted to
+    per-source sampling rates against a fixed token budget (capped at 1 —
+    no upsampling), with the expected token yield per source.
+
+    One aggregation over the corpus; the tiny per-source table then
+    normalizes with a scalar window — the output feeds ``sampleBy`` (the
+    seeded stratified sampler, s10) to materialize the mix. Map-side
+    token counting; nothing but the per-source totals ever shuffles.
+    """
+    docs = table(spark, sf_dir, "documents")
+    budget = 20000.0
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+    w = F.pow(F.col("n_tokens").cast("double"), 0.5)
+    total_w = Window.partitionBy()
+    mix = w / F.sum(w).over(total_w)
+    rate = F.least(mix * budget / F.col("n_tokens"), F.lit(1.0))
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(mix, 6).alias("mix_prob"),
+        F.round(rate, 6).alias("sample_rate"),
+        F.round(rate * F.col("n_tokens"), 0).cast("long").alias("expected_tokens"),
+    )
