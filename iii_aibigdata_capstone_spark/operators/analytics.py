@@ -1,0 +1,513 @@
+"""Warehouse-style analytical queries + corpus/training-data operators.
+
+Two groups, both extensions beyond the reference surface (SURVEY.md §2.12,
+BASELINE.json north star):
+
+1. TPC-H-shaped analytical queries (q4/q6/q14/q18/q19 analogues on the
+   driver's star schema) — they pin the relational core's plan quality:
+   predicate pushdown to the parquet scan, semi-join planning for EXISTS,
+   conditional aggregation, group-HAVING prefilter before a join, and a
+   disjunction-of-conjunctions predicate that Catalyst must CNF-convert to
+   push the brand/size prefilter into the part scan.
+
+2. Clickstream/corpus pipeline operators: gap sessionization, cohort
+   retention, deterministic weighted sampling (A-ES), content-hash dataset
+   splits, Zipf lexical fit, and mergeable HLL sketch rollups — the
+   everyday operators of a 100 TB training-data pipeline.
+
+Determinism rule: anything "random" derives from md5(text) so Spark and
+the DuckDB oracle agree bit-for-bit (content-addressed, reshard-stable);
+`F.rand` never appears in an oracle-checked query.
+"""
+
+from __future__ import annotations
+
+from textwrap import dedent
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import table
+from ..registry import QuerySpec, make_registrar
+
+SPECS: list[QuerySpec] = []
+query = make_registrar(SPECS)
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=dedent(
+        """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    ),
+    tags=("A2", "P7", "tpch"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analogue: pure filter + global aggregate. The entire
+    predicate set is pushdown-able (`PushedFilters` on the scan shows
+    shipdate/discount/quantity); the agg is map-side partial + one 1-row
+    exchange — the cheapest possible shape at any scale."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q4_order_priority",
+    oracle=dedent(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+        """
+    ),
+    tags=("X5", "J1", "tpch"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analogue: EXISTS → left-semi join with a non-equi residual
+    (l_shipdate > o_orderdate). The date filter prunes orders before the
+    join, so the semi join's build side is the quarter, not the table."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    quarter = o.where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    late = quarter.join(
+        li,
+        (quarter.o_orderkey == li.l_orderkey) & (li.l_shipdate > quarter.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@query(
+    "q14_promo_share",
+    oracle=dedent(
+        """
+        SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0 END)
+                     / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        """
+    ),
+    tags=("A2", "J1", "tpch"),
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analogue: conditional aggregation over a fact⋈dim join.
+    The month filter cuts lineitem before the join; part is joined on its
+    key (AQE broadcasts it at test scale; at 100 TB it shuffles on
+    p_partkey — no code change either way)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    month = li.where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-03-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    joined = month.join(p, month.l_partkey == p.p_partkey)
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0)))
+    return joined.agg(
+        F.round(100.0 * promo / F.sum(_rev()), 4).alias("promo_share"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "q18_big_orders",
+    oracle=dedent(
+        """
+        WITH big AS (
+            SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(l_quantity) > 300
+        )
+        SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice, b.sum_qty
+        FROM big b
+        JOIN orders o ON b.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        """
+    ),
+    tags=("A2", "J1", "A10", "tpch"),
+)
+def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analogue (large-volume orders): group-HAVING on the fact
+    table FIRST, then join the (tiny) surviving key set to orders and
+    customer. Aggregating before joining is the scale-critical ordering —
+    the join input shrinks from |lineitem| to |big orders|."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
+@query(
+    "q19_bracket_disjunction",
+    oracle=dedent(
+        """
+        SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 1 AND 15)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 5 AND 20
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#5' AND p_size BETWEEN 10 AND 40
+               AND l_quantity BETWEEN 20 AND 50)
+        """
+    ),
+    tags=("P7", "J1", "tpch"),
+)
+def q19_bracket_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analogue: disjunction of conjunctive brackets across both
+    join sides. Catalyst CNF-converts the OR so the part-only disjuncts
+    (brand ∈ {1,3,5}, size ≤ 40) and the lineitem-only disjunct
+    (l_quantity ≤ 50) push below the join — the join sees prefiltered
+    inputs, not the raw tables."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    joined = li.join(p, li.l_partkey == p.p_partkey)
+    bracket = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 15)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(5, 20)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#5")
+        & F.col("p_size").between(10, 40)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return joined.where(bracket).agg(
+        F.round(F.sum(_rev()), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "x9_sessionize",
+    oracle=dedent(
+        """
+        WITH marked AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                          OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM marked
+        ),
+        per_sess AS (
+            SELECT user_id, session_id, COUNT(*) AS n,
+                   CAST(EPOCH_US(MAX(ts) - MIN(ts)) AS BIGINT) AS dur_us
+            FROM sess GROUP BY user_id, session_id
+        )
+        SELECT user_id,
+               COUNT(*) AS n_sessions,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               ROUND(AVG(n), 6) AS avg_session_events,
+               MAX(dur_us) AS max_session_us
+        FROM per_sess GROUP BY user_id
+        """
+    ),
+    tags=("X5", "sessionize"),
+)
+def x9_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a new session starts after a >30-min gap
+    (lag + running sum of session starts — the standard gaps-and-islands
+    formulation). One hash shuffle on user_id serves both windows and the
+    two group-bys (same partitioning, reused); ties broken by event_id so
+    the session assignment is deterministic."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    lag_us = F.lag(us).over(w)
+    marked = ev.withColumn(
+        "is_new",
+        F.when(lag_us.isNull() | (us - lag_us > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+        F.round(F.avg("n"), 6).alias("avg_session_events"),
+        F.max("dur_us").alias("max_session_us"),
+    )
+
+
+@query(
+    "x9_cohort_retention",
+    oracle=dedent(
+        """
+        WITH first_seen AS (
+            SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_ts
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS act_ts FROM events
+        )
+        SELECT CAST(f.cohort_ts AS DATE) AS cohort_week,
+               CAST(DATE_DIFF('day', f.cohort_ts, a.act_ts) // 7 AS INTEGER)
+                   AS week_offset,
+               COUNT(*) AS n_users
+        FROM first_seen f JOIN activity a USING (user_id)
+        GROUP BY 1, 2
+        """
+    ),
+    tags=("X5", "cohort"),
+)
+def x9_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-activity week, counted in
+    every subsequent week they return (distinct user-week activity ⋈ the
+    per-user cohort). The cohort table is |users| rows — broadcast to the
+    activity side, so the only large shuffle is the distinct."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_ts")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_ts")
+    ).distinct()
+    joined = activity.join(F.broadcast(first_seen), "user_id")
+    return joined.groupBy(
+        F.to_date("cohort_ts").alias("cohort_week"),
+        F.floor(
+            F.datediff(F.to_date("act_ts"), F.to_date("cohort_ts")) / 7
+        ).cast("int").alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+def _md5_bucket(col: str, mod: int) -> F.Column:
+    """First 8 hex digits of md5 as a uniform integer in [0, mod) —
+    content-addressed pseudo-randomness both engines compute identically
+    (the split survives resharding/repartitioning, unlike rand(seed))."""
+    return (
+        F.conv(F.substring(F.md5(F.col(col)), 1, 8), 16, 10).cast("long") % mod
+    )
+
+
+@query(
+    "x9_weighted_sample",
+    oracle=dedent(
+        """
+        WITH scored AS (
+            SELECT doc_id, source,
+                   LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+                   (CAST('0x' || SUBSTR(MD5(text), 1, 8) AS BIGINT) % 999983 + 1)
+                       / 999984.0 AS u
+            FROM documents
+        ),
+        keyed AS (
+            SELECT doc_id, source, n_tokens,
+                   POW(u, 1.0 / n_tokens) AS k
+            FROM scored
+        )
+        SELECT source, doc_id, n_tokens, ROUND(k, 6) AS sample_key, rk AS sample_rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                           ORDER BY k DESC, doc_id) AS rk
+              FROM keyed)
+        WHERE rk <= 5
+        """
+    ),
+    tags=("X1", "X4", "sampling"),
+)
+def x9_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, k=5 per source, weight =
+    token count — the A-ES / exponential-sort scheme (key = u^(1/w), keep
+    top-k). Distributed shape: one scan computes keys map-side, one
+    shuffle on source ranks them; u is content-hash-derived so the sample
+    is deterministic and oracle-checkable (a real pipeline swaps in a
+    seeded hash). Mergeable: per-partition top-k pre-prune would bound
+    the shuffle at 100 TB (Spark's window top-k does this via rank
+    pushdown in 3.5+)."""
+    docs = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    u = (_md5_bucket("text", 999983) + 1) / 999984.0
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.pow(u, 1.0 / n_tokens.cast("double")).alias("k"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("k"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select(
+            "source",
+            "doc_id",
+            "n_tokens",
+            F.round("k", 6).alias("sample_key"),
+            F.col("rk").alias("sample_rank"),
+        )
+    )
+
+
+@query(
+    "x9_hash_split",
+    oracle=dedent(
+        """
+        WITH h AS (
+            SELECT source,
+                   LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+                   CAST('0x' || SUBSTR(MD5(text), 1, 8) AS BIGINT) % 100 AS b
+            FROM documents
+        )
+        SELECT source,
+               CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        FROM h GROUP BY 1, 2
+        """
+    ),
+    tags=("X1", "X4", "split"),
+)
+def x9_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed train/val/test split (80/10/10 by md5 bucket):
+    assignment depends only on the text, so it is stable under resharding,
+    re-ingestion, and dedup reruns — the property rand(seed) lacks (seeded
+    rand is partition-layout-dependent). Pure map + one tiny aggregation."""
+    docs = table(spark, sf_dir, "documents")
+    b = _md5_bucket("text", 100)
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split")
+    )
+    return (
+        docs.select(
+            "source",
+            split,
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+    )
+
+
+@query(
+    "x4_zipf_fit",
+    oracle=dedent(
+        """
+        WITH tf AS (
+            SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+        ),
+        counts AS (SELECT term, COUNT(*) AS freq FROM tf GROUP BY term),
+        ranked AS (
+            SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rank
+            FROM counts
+        )
+        SELECT COUNT(*) AS n_terms,
+               CAST(SUM(freq) AS BIGINT) AS n_tokens,
+               ROUND(REGR_SLOPE(LN(freq), LN(rank)), 6) AS zipf_slope,
+               ROUND(REGR_INTERCEPT(LN(freq), LN(rank)), 6) AS zipf_intercept,
+               ROUND(REGR_R2(LN(freq), LN(rank)), 6) AS zipf_r2
+        FROM ranked
+        """
+    ),
+    tags=("X4", "statistics"),
+)
+def x4_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus lexical health check: fit log(freq) ~ log(rank) (Zipf's law;
+    natural corpora slope ≈ -1, synthetic/templated corpora deviate).
+    Token counting is the only big stage (explode + hash agg, map-side
+    partial); the regression runs over the vocabulary, which is tiny
+    relative to the corpus, with mergeable regr_* aggregates."""
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = counts.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("term")))
+    )
+    ln_f, ln_r = F.log(F.col("freq").cast("double")), F.log(F.col("rank").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("freq").alias("n_tokens"),
+        F.round(F.regr_slope(ln_f, ln_r), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(ln_f, ln_r), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(ln_f, ln_r), 6).alias("zipf_r2"),
+    )
+
+
+@query("x5_hll_rollup", oracle=None, tags=("X5", "sketch"))
+def x5_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    Spark's hll_sketch_agg): per-event-type user sketches, then a sketch
+    UNION — not a re-scan — for the overall row. This is the 100 TB
+    rollup pattern: partials are ~KB each, re-aggregatable to any grouping
+    without touching the fact table again. Non-SQL-expressible for the
+    DuckDB oracle (different sketch family); accuracy vs exact distinct is
+    pinned in tests/test_analytics.py."""
+    ev = table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    ).localCheckpoint(eager=False)  # consumed twice: per-type rows + union row
+    per = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    total = per_type.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    )
+    return per.unionByName(total)

@@ -31,6 +31,7 @@ def _collect_specs() -> list[QuerySpec]:
         "skew",
         "curation",
         "graph",
+        "analytics",
     ):
         try:
             module = __import__(f"{__package__}.operators.{name}", fromlist=["SPECS"])

@@ -1,0 +1,66 @@
+"""Checks for the analytics operators that the DuckDB oracle can't cover:
+HLL sketch accuracy, and determinism of the content-hash sampling ops."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from iii_aibigdata_capstone_spark.catalog import table
+from iii_aibigdata_capstone_spark.queries import registry
+
+from .conftest import TEST_SF_DIR
+
+
+def test_hll_rollup_within_error_bound(spark):
+    """HLL estimates (default lgConfigK=12 → ~1.6% rse) must land within
+    5% of exact distinct counts, per group and for the sketch-union row."""
+    out = {
+        r["event_type"]: r["approx_users"]
+        for r in registry()["x5_hll_rollup"].builder(spark, TEST_SF_DIR).collect()
+    }
+    ev = table(spark, TEST_SF_DIR, "events")
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    exact["ALL"] = ev.select("user_id").distinct().count()
+    assert set(out) == set(exact)
+    for k, est in out.items():
+        assert abs(est - exact[k]) <= max(1, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_hll_union_row_merges_sketches_not_rescans(spark):
+    """The ALL row must estimate the union of users, not the sum of
+    per-type counts (users appear under several event types)."""
+    rows = registry()["x5_hll_rollup"].builder(spark, TEST_SF_DIR).collect()
+    per_type_sum = sum(r["approx_users"] for r in rows if r["event_type"] != "ALL")
+    all_row = next(r["approx_users"] for r in rows if r["event_type"] == "ALL")
+    assert all_row < per_type_sum  # heavy overlap in the testdata
+
+
+def test_weighted_sample_deterministic(spark):
+    spec = registry()["x9_weighted_sample"]
+    a = sorted(map(tuple, spec.builder(spark, TEST_SF_DIR).collect()))
+    b = sorted(map(tuple, spec.builder(spark, TEST_SF_DIR).collect()))
+    assert a == b
+    per_source = {}
+    for src, _doc, _nt, _key, rank in a:
+        per_source.setdefault(src, []).append(rank)
+    for src, ranks in per_source.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), src
+        assert len(ranks) <= 5
+
+
+def test_hash_split_is_partition_layout_independent(spark):
+    """The md5 split must not change when the input is repartitioned —
+    the property that justifies content-addressed splits over rand(seed)."""
+    docs = table(spark, TEST_SF_DIR, "documents")
+    b = (
+        F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("long") % 100
+    )
+    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    one = docs.coalesce(1).select("doc_id", split.alias("s"))
+    many = docs.repartition(16).select("doc_id", split.alias("s"))
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
