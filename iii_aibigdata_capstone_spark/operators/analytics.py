@@ -27,7 +27,7 @@ from textwrap import dedent
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..catalog import table
+from ..catalog import table, tables
 from ..registry import QuerySpec, make_registrar
 
 SPECS: list[QuerySpec] = []
@@ -487,6 +487,474 @@ def x4_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(ln_f, ln_r), 6).alias("zipf_slope"),
         F.round(F.regr_intercept(ln_f, ln_r), 6).alias("zipf_intercept"),
         F.round(F.regr_r2(ln_f, ln_r), 6).alias("zipf_r2"),
+    )
+
+
+@query(
+    "q7_nation_trade",
+    oracle=dedent(
+        """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_lines
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+           OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+        GROUP BY 1, 2, 3
+        """
+    ),
+    tags=("X5", "J1", "tpch"),
+)
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analogue (bilateral trade): a 5-way join where the two
+    nation dims broadcast (25 rows at every SF — catalog.ALWAYS_BROADCAST)
+    and the pair disjunction lands on the post-broadcast-join rows, so the
+    nation filter prunes supplier/customer BEFORE the fact joins. The big
+    shuffles are lineitem⋈orders and orders⋈customer on their keys."""
+    s, li, o, c, n = tables(spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")))
+    pair = F.col("supp_nation").isin("NATION_3", "NATION_7") & F.col(
+        "cust_nation"
+    ).isin("NATION_3", "NATION_7") & (F.col("supp_nation") != F.col("cust_nation"))
+    return (
+        s.join(n1, s.s_nationkey == F.col("s_nk"))
+        .where(F.col("supp_nation").isin("NATION_3", "NATION_7"))
+        .join(li, F.col("s_suppkey") == li.l_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(
+            c.join(n2, c.c_nationkey == F.col("c_nk")).where(
+                F.col("cust_nation").isin("NATION_3", "NATION_7")
+            ),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(F.sum(_rev()), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle=dedent(
+        """
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+               ROUND(SUM(CASE WHEN n1.n_name = 'NATION_4'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+                     / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        JOIN region r   ON n2.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY 1
+        """
+    ),
+    tags=("X5", "J1", "tpch"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analogue (national market share): the numerator condition
+    rides the aggregation (conditional SUM), NOT a second scan — one pass
+    computes a nation's share of a region's revenue per year. region and
+    both nation roles broadcast; the region filter prunes customers before
+    the orders join."""
+    li, s, o, c, n, r = tables(
+        spark, sf_dir, "lineitem", "supplier", "orders", "customer", "nation", "region"
+    )
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")))
+    asia = F.broadcast(
+        r.where(F.col("r_name") == "ASIA").select(F.col("r_regionkey").alias("rk"))
+    )
+    cust_asia = c.join(n2, c.c_nationkey == F.col("c_nk")).join(
+        asia, F.col("c_rk") == F.col("rk")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust_asia, o.o_custkey == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_4", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle=dedent(
+        """
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               ROUND(c.c_acctbal, 2) AS c_acctbal
+        FROM customer c
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+        GROUP BY 1, 2, 3, c.c_acctbal
+        ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, c.c_custkey
+        LIMIT 20
+        """
+    ),
+    tags=("X5", "J1", "W1", "tpch"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analogue (top returned-revenue customers): quarter filter
+    on orders and returnflag filter on lineitem both push to the scans;
+    the global top-20 runs as per-partition top-20 + single-partition
+    merge (TakeOrderedAndProject), never a full sort of the aggregate.
+    Ties broken by c_custkey so LIMIT is deterministic."""
+    c, o, li, n = tables(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    quarter = o.where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-04-01")))
+    )
+    returned = li.where(F.col("l_returnflag") == "R")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(quarter, F.col("c_custkey") == F.col("o_custkey"))
+        .join(returned, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.sum(_rev()).alias("_rev"))
+        .orderBy(F.desc("_rev"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round("_rev", 2).alias("revenue"),
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+        )
+    )
+
+
+@query(
+    "q13_custdist",
+    oracle=dedent(
+        """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT OUTER JOIN orders o
+              ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+        """
+    ),
+    tags=("X5", "J1", "tpch"),
+)
+def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analogue (customer order-count distribution): LEFT OUTER
+    join with a predicate INSIDE the join condition (not a post-filter —
+    that would drop the zero-order customers the query exists to count),
+    then a two-level aggregation. The second group-by input is |customers|
+    rows, so only the first shuffle is large."""
+    c, o = tables(spark, sf_dir, "customer", "orders")
+    joined = c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"), "left"
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q17_small_quantity",
+    oracle=dedent(
+        """
+        SELECT ROUND(SUM(l.l_extendedprice), 2) AS total_price,
+               COUNT(*) AS n_lines
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN (SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg
+              FROM lineitem GROUP BY l_partkey) t
+          ON t.l_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < t.half_avg
+        """
+    ),
+    tags=("X5", "A2", "tpch"),
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analogue (small-quantity orders): the correlated
+    AVG-per-part subquery becomes an explicit pre-aggregation joined back
+    on l_partkey — at scale both sides shuffle on partkey once; the
+    brand filter broadcasts through the part dim."""
+    li, p = tables(spark, sf_dir, "lineitem", "part")
+    half_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg")
+    )
+    brand = p.where(F.col("p_brand") == "Brand#1")
+    return (
+        li.join(brand, li.l_partkey == brand.p_partkey)
+        .join(half_avg, li.l_partkey == F.col("pk"))
+        .where(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q21_sole_late_supplier",
+    oracle=dedent(
+        """
+        WITH lines AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                        THEN 1 ELSE 0 END AS is_late
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+        ),
+        per_order AS (
+            SELECT l_orderkey,
+                   COUNT(DISTINCT l_suppkey) AS n_supp,
+                   COUNT(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END)
+                       AS n_late_supp
+            FROM lines GROUP BY l_orderkey
+        ),
+        blamed AS (
+            SELECT DISTINCT l.l_orderkey, l.l_suppkey
+            FROM lines l
+            JOIN per_order p ON l.l_orderkey = p.l_orderkey
+            WHERE p.n_supp > 1 AND p.n_late_supp = 1 AND l.is_late = 1
+        )
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM blamed b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 20
+        """
+    ),
+    tags=("X5", "J1", "tpch"),
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analogue (suppliers who kept multi-supplier orders
+    waiting), adapted to this schema: late = shipped >60 days after the
+    order date (no commit/receipt dates here). The EXISTS/NOT-EXISTS pair
+    of the original collapses into one grouped pass over the order's
+    lines — per order, count distinct suppliers and distinct LATE
+    suppliers; blame the sole late supplier on multi-supplier orders.
+    One shuffle on l_orderkey feeds both the group-by and the join back."""
+    li, o, s = tables(spark, sf_dir, "lineitem", "orders", "supplier")
+    lines = (
+        li.join(o.where(F.col("o_orderstatus") == "F"), li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_late"),
+        )
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    blamed = (
+        lines.where(F.col("is_late") == 1)
+        .join(
+            per_order.where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
+            "l_orderkey",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        blamed.join(s, blamed.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@query(
+    "q22_idle_balances",
+    oracle=dedent(
+        """
+        WITH avg_bal AS (
+            SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c.c_mktsegment, COUNT(*) AS numcust,
+               ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+        FROM customer c, avg_bal
+        WHERE c.c_acctbal > avg_bal.ab
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c.c_mktsegment
+        """
+    ),
+    tags=("X5", "J1", "tpch"),
+)
+def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analogue (well-funded customers gone idle), adapted: no
+    phone prefixes in this schema, so the cohort is above-average-balance
+    customers with no order since 2000. The scalar AVG broadcasts as a
+    1-row cross join (no collect — the plan stays fully declarative) and
+    the NOT EXISTS is a left-anti join against the date-pruned orders."""
+    c, o = tables(spark, sf_dir, "customer", "orders")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    recent = o.where(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-01-01"))
+    ).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+_DENYLIST = ("the", "a", "table", "value")
+
+
+@query(
+    "x4_denylist_scrub",
+    oracle=dedent(
+        f"""
+        WITH scrubbed AS (
+            SELECT source,
+                   LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+                   LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                   t -> t IN {_DENYLIST!r})) AS n_masked,
+                   LENGTH(ARRAY_TO_STRING(
+                       LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                                      t -> CASE WHEN t IN {_DENYLIST!r}
+                                                THEN '<mask>' ELSE t END),
+                       ' ')) AS scrub_chars
+            FROM documents
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_masked) AS BIGINT) AS n_masked,
+               ROUND(SUM(n_masked) / CAST(SUM(n_tokens) AS DOUBLE), 6) AS mask_rate,
+               CAST(SUM(scrub_chars) AS BIGINT) AS scrub_chars
+        FROM scrubbed GROUP BY source
+        """
+    ),
+    tags=("X4", "curation"),
+)
+def x4_denylist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denylist scrubbing: mask blocklisted tokens in place and account
+    for what was removed — the blocklist-filtering stage of a training
+    corpus pipeline. The denylist is a literal IN-set here (broadcast
+    hash set inside codegen); a production list of millions of terms
+    becomes a broadcast join on token instead. All array ops
+    (transform/filter) run JVM-side — no Python in the row path; the
+    scrub_chars checksum pins the actual rewritten text, not just counts."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    masked = F.transform(
+        toks,
+        lambda t: F.when(t.isin(*_DENYLIST), F.lit("<mask>")).otherwise(t),
+    )
+    per_doc = docs.select(
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: t.isin(*_DENYLIST))).cast("long").alias(
+            "n_masked"
+        ),
+        F.length(F.array_join(masked, " ")).cast("long").alias("scrub_chars"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_masked").alias("n_masked"),
+        F.round(F.sum("n_masked") / F.sum("n_tokens").cast("double"), 6).alias(
+            "mask_rate"
+        ),
+        F.sum("scrub_chars").alias("scrub_chars"),
+    )
+
+
+@query(
+    "x9_doc_packing",
+    oracle=dedent(
+        """
+        WITH toks AS (
+            SELECT source, doc_id,
+                   LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        binned AS (
+            SELECT source, doc_id, n_tokens,
+                   CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING)
+                         - n_tokens) // 256 AS INTEGER) AS bin
+            FROM toks
+        )
+        SELECT source, bin,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+               ROUND(SUM(n_tokens) / 256.0, 6) AS fill_ratio
+        FROM binned GROUP BY source, bin
+        """
+    ),
+    tags=("X4", "X1", "packing"),
+)
+def x9_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: documents stream into
+    256-token context bins in deterministic (source, doc_id) order — bin
+    id = tokens-before-me // budget, the contiguous-fill formulation that
+    a window cumsum expresses exactly (no sequential loop, unlike
+    first-fit-decreasing). One shuffle on source serves the window AND
+    the per-bin rollup (same partitioning, exchange reused). fill_ratio
+    >1 flags bins whose last doc overflows the budget — the consumer
+    truncates or spills those at tokenization time."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    binned = toks.withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 256).cast("int"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.round(F.sum("n_tokens") / 256.0, 6).alias("fill_ratio"),
     )
 
 
