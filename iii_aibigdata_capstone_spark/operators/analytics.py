@@ -762,7 +762,11 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the original collapses into one grouped pass over the order's
     lines — per order, count distinct suppliers and distinct LATE
     suppliers; blame the sole late supplier on multi-supplier orders.
-    One shuffle on l_orderkey feeds both the group-by and the join back."""
+    The grouped-subquery-plus-join-back formulation would shuffle the
+    joined lines TWICE on l_orderkey (once to aggregate, once to join
+    back); windowed collect_set over the same partition key computes both
+    per-order counts in ONE shuffle, and the later distinct runs on the
+    already-tiny blamed set."""
     li, o, s = tables(spark, sf_dir, "lineitem", "orders", "supplier")
     lines = (
         li.join(o.where(F.col("o_orderstatus") == "F"), li.l_orderkey == o.o_orderkey)
@@ -777,17 +781,21 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_late"),
         )
     )
-    per_order = lines.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    per_order = Window.partitionBy("l_orderkey")
+    counted = lines.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.size(F.collect_set("l_suppkey").over(per_order)).alias("n_supp"),
+        F.size(
+            F.collect_set(
+                F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+            ).over(per_order)
+        ).alias("n_late_supp"),
     )
     blamed = (
-        lines.where(F.col("is_late") == 1)
-        .join(
-            per_order.where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
-            "l_orderkey",
+        counted.where(
+            (F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
         )
         .select("l_orderkey", "l_suppkey")
         .distinct()

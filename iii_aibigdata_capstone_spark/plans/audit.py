@@ -31,7 +31,13 @@ class PlanAudit:
 
     @property
     def hash_exchanges(self) -> int:
-        return len(re.findall(r"Exchange hashpartitioning", self.text))
+        # Spark 4 formatted explain lists each exchange's partitioning on an
+        # "Arguments:" detail line; simple-mode explain inlines it. Count
+        # whichever form this text uses (they never both appear).
+        return max(
+            len(re.findall(r"Exchange hashpartitioning", self.text)),
+            len(re.findall(r"Arguments: hashpartitioning", self.text)),
+        )
 
     @property
     def has_pushed_filters(self) -> bool:

@@ -90,3 +90,63 @@ def test_rollup_hierarchy_single_raw_scan(spark):
 
     text = plan_text(df)
     assert text.count("events.parquet") <= 1, text
+
+
+def _no_broadcast(spark):
+    """Context helper: audits below assert the AT-SCALE plan, where facts
+    exceed any broadcast threshold."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    return ctx()
+
+
+def test_q7_nation_dims_broadcast_even_at_scale(spark):
+    """q7: nation is 25 rows at every SF — the explicit broadcast hints
+    must survive a disabled auto-threshold; the facts sort-merge join."""
+    with _no_broadcast(spark):
+        a = audit(registry()["q7_nation_trade"].builder(spark, TEST_SF_DIR))
+    assert a.broadcast_joins > 0
+    assert a.sort_merge_joins > 0
+
+
+def test_q10_topk_never_full_sorts(spark):
+    """q10: the global top-20 must plan as TakeOrderedAndProject
+    (per-partition top-k + merge), not a total sort of the aggregate."""
+    with _no_broadcast(spark):
+        a = audit(registry()["q10_returned_items"].builder(spark, TEST_SF_DIR))
+    assert "TakeOrderedAndProject" in a.text, a.text
+
+
+def test_q21_window_reuses_join_partitioning(spark):
+    """q21: the per-order supplier counts ride the join's l_orderkey
+    partitioning as a window — plan budget: 2 join-input exchanges,
+    1 distinct, 2 supplier-join exchanges. A 6th means the window
+    formulation regressed to groupBy + join-back (an extra full shuffle
+    of the joined lines)."""
+    with _no_broadcast(spark):
+        a = audit(registry()["q21_sole_late_supplier"].builder(spark, TEST_SF_DIR))
+    assert a.hash_exchanges <= 5, a.text
+    assert "TakeOrderedAndProject" in a.text
+
+
+def test_doc_packing_single_shuffle(spark):
+    """x9_doc_packing: hashpartitioning(source) from the window satisfies
+    the (source, bin) group-by's clustered distribution — exactly one
+    exchange end-to-end."""
+    a = audit(registry()["x9_doc_packing"].builder(spark, TEST_SF_DIR))
+    assert a.hash_exchanges == 1, a.text
+
+
+def test_q6_all_predicates_push_to_scan(spark):
+    a = audit(registry()["q6_forecast_revenue"].builder(spark, TEST_SF_DIR))
+    assert a.has_pushed_filters
+    assert a.read_widths and max(a.read_widths) <= 4, a.read_widths
