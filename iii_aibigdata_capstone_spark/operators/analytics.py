@@ -966,6 +966,169 @@ def x9_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x4_unigram_logprob",
+    oracle=dedent(
+        """
+        WITH tok AS (
+            SELECT doc_id, source, UNNEST(STRING_SPLIT(text, ' ')) AS term
+            FROM documents
+        ),
+        model AS (
+            SELECT term,
+                   COUNT(*) / CAST((SELECT COUNT(*) FROM tok) AS DOUBLE) AS p
+            FROM tok GROUP BY term
+        ),
+        doc_nll AS (
+            SELECT t.doc_id, t.source, AVG(-LN(m.p)) AS nll
+            FROM tok t JOIN model m USING (term)
+            GROUP BY t.doc_id, t.source
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               ROUND(AVG(nll), 6) AS avg_nll,
+               ROUND(MIN(nll), 6) AS min_nll,
+               ROUND(MAX(nll), 6) AS max_nll
+        FROM doc_nll GROUP BY source
+        """
+    ),
+    tags=("X4", "quality", "curation"),
+)
+def x4_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring, the unigram case: score every
+    document by its mean token surprisal −ln p(token) under the corpus's
+    own unigram distribution (the cheap stand-in for the perplexity
+    filters used to rank web-crawl text). Distributed shape: the token
+    table is materialized once (localCheckpoint) because the model and the
+    scoring pass both consume it; the model is |vocab| rows — broadcast to
+    the token stream, so scoring adds no shuffle beyond the per-doc
+    aggregation. Probabilities are exact corpus frequencies (no smoothing
+    needed: every scored token is in the model by construction)."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).localCheckpoint(eager=False)
+    total = tok.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    model = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .select("term", (F.col("freq") / F.col("total")).alias("p"))
+    )
+    doc_nll = (
+        tok.join(F.broadcast(model), "term")
+        .groupBy("doc_id", "source")
+        .agg(F.avg(-F.log("p")).alias("nll"))
+    )
+    return doc_nll.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+        F.round(F.min("nll"), 6).alias("min_nll"),
+        F.round(F.max("nll"), 6).alias("max_nll"),
+    )
+
+
+@query(
+    "x5_variant_json",
+    oracle=dedent(
+        """
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_decade,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 4) AS value_total
+        FROM events
+        GROUP BY 1, 2
+        """
+    ),
+    tags=("X5", "E17", "variant"),
+)
+def x5_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics on the VARIANT type (Spark 4): parse the
+    JSON props column once into a binary variant and extract typed paths
+    with variant_get — unlike from_json there is no up-front schema, and
+    unlike get_json_object repeated paths don't re-parse the string. At
+    scale the parse is the whole cost; it runs map-side in one pass."""
+    ev = table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return (
+        ev.select("event_type", F.floor(k / 10).cast("bigint").alias("k_decade"), "value")
+        .groupBy("event_type", "k_decade")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("value_total"),
+        )
+    )
+
+
+def _interleave_bits_spark(x: F.Column, y: F.Column, bits: int = 16) -> F.Column:
+    """Z-value: interleave the low ``bits`` of x (even positions) and y
+    (odd positions) — a pure closed-form expression, no UDF."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def _interleave_bits_sql(x: str, y: str, bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@query(
+    "x8_zorder_layout",
+    oracle=dedent(
+        f"""
+        WITH keyed AS (
+            SELECT ({_interleave_bits_sql('(user_id & 65535)',
+                                          '(event_id & 65535)')}) AS zval,
+                   user_id, event_id
+            FROM events
+        )
+        SELECT CAST(zval >> 24 AS INTEGER) AS zprefix,
+               COUNT(*) AS n_rows,
+               MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+               MIN(event_id) AS min_event, MAX(event_id) AS max_event
+        FROM keyed GROUP BY 1
+        """
+    ),
+    tags=("X5", "layout", "zorder"),
+)
+def x8_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key (the multi-dimensional layout technique
+    behind OPTIMIZE ZORDER): interleave the bits of two filter dimensions
+    into one sort key, so range-sorting by it co-locates rows that are
+    close in BOTH dimensions — per-file min/max stats then prune scans
+    for predicates on either column. The query computes the z-value as a
+    closed-form bit expression (32 shift-and-or terms, fully codegen'd,
+    no UDF) and reports per-prefix occupancy + per-dimension bounds —
+    exactly the file-skipping statistics a writer would get from
+    ``df.repartitionByRange(F.col('zval')).sortWithinPartitions('zval')``.
+    The proof it works is min/max tightness per bucket in BOTH columns."""
+    ev = table(spark, sf_dir, "events")
+    x = F.col("user_id").bitwiseAND(F.lit(65535)).cast("long")
+    y = F.col("event_id").bitwiseAND(F.lit(65535)).cast("long")
+    keyed = ev.select(
+        _interleave_bits_spark(x, y).alias("zval"), "user_id", "event_id"
+    )
+    return keyed.groupBy(
+        F.shiftright("zval", 24).cast("int").alias("zprefix")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+        F.min("event_id").alias("min_event"),
+        F.max("event_id").alias("max_event"),
+    )
+
+
 @query("x5_hll_rollup", oracle=None, tags=("X5", "sketch"))
 def x5_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Apache DataSketches HLL via
