@@ -47,6 +47,10 @@ HEADLINE = [
     "k_kernel_chain",
     "dl_pipeline_replay",
     "x9_corpus_curation",
+    "q18_big_orders",
+    "q21_sole_late_supplier",
+    "x4_unigram_logprob",
+    "x9_doc_packing",
 ]
 
 

@@ -1000,10 +1000,13 @@ def x4_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     own unigram distribution (the cheap stand-in for the perplexity
     filters used to rank web-crawl text). Distributed shape: the token
     table is materialized once (localCheckpoint) because the model and the
-    scoring pass both consume it; the model is |vocab| rows — broadcast to
-    the token stream, so scoring adds no shuffle beyond the per-doc
-    aggregation. Probabilities are exact corpus frequencies (no smoothing
-    needed: every scored token is in the model by construction)."""
+    scoring pass both consume it; the model join is deliberately UNhinted —
+    a web-scale vocabulary is unbounded (billions of raw tokens), so
+    Catalyst broadcasts it while it fits and falls back to a shuffle join
+    on term beyond that (a production variant would frequency-cut the
+    vocab to make the broadcast unconditional). Probabilities are exact
+    corpus frequencies (no smoothing needed: every scored token is in the
+    model by construction)."""
     docs = table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("term")
@@ -1016,7 +1019,7 @@ def x4_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", (F.col("freq") / F.col("total")).alias("p"))
     )
     doc_nll = (
-        tok.join(F.broadcast(model), "term")
+        tok.join(model, "term")
         .groupBy("doc_id", "source")
         .agg(F.avg(-F.log("p")).alias("nll"))
     )
