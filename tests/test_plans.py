@@ -150,3 +150,40 @@ def test_q6_all_predicates_push_to_scan(spark):
     a = audit(registry()["q6_forecast_revenue"].builder(spark, TEST_SF_DIR))
     assert a.has_pushed_filters
     assert a.read_widths and max(a.read_widths) <= 4, a.read_widths
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """At 100 TB the single biggest scan-reducer for a selectively-filtered
+    dim ⋈ fact join is the runtime bloom filter: Spark builds a bloom of
+    the filtered dim keys and injects might_contain(fact.key) ABOVE the
+    fact scan, dropping non-joining rows before the shuffle. Guard that
+    the engine's session still gets the injection when the sizes qualify
+    (thresholds forced here because test SF is tiny)."""
+    from iii_aibigdata_capstone_spark.catalog import table
+    from iii_aibigdata_capstone_spark.plans.audit import plan_text
+
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        o = table(spark, TEST_SF_DIR, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = table(spark, TEST_SF_DIR, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        text = plan_text(j)
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert "might_contain" in text, text
+    assert "bloom_filter_agg" in text
