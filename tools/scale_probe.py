@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Empirical scaling check: run a sample of headline queries at sf0.001,
+sf0.01, and sf0.1 and fit wall-clock ~ SF^alpha per query.
+
+alpha ≈ 0 means fixed overhead still dominates at sf0.1 (fine); alpha ≈ 1
+is linear scaling (the target for scan/agg/join pipelines); alpha >> 1
+flags a super-linear shape (an unbanded cross product, a driver-side
+bottleneck) that would NOT survive a 100x scale-up. Output: one JSON line
+per query with the three timings and the fitted alpha over the top decade
+(sf0.01 -> sf0.1, where fixed costs matter least).
+
+Usage: python tools/scale_probe.py [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from iii_aibigdata_capstone_spark.queries import registry
+from iii_aibigdata_capstone_spark.session import get_spark
+
+SFS = [0.001, 0.01, 0.1]
+DEFAULT = [
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "q18_big_orders",
+    "q21_sole_late_supplier",
+    "x9_sessionize",
+    "x2_minhash_lsh",
+    "x3_cosine_topk",
+    "x4_unigram_logprob",
+    "x9_corpus_curation",
+    "j3_iou_theta_join",
+    "w2_nms_greedy",
+    "dl_pipeline_replay",
+]
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT
+    spark = get_spark(app_name="iii-capstone-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = registry()
+
+    def run(builder, sf_dir: str) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return best
+
+    # warm the JVM + Python worker pool so sf0.001 isn't all startup cost
+    run(specs["q1_pricing_summary"].builder, "/root/testdata/sf0.01")
+    spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id"
+    ).mapInPandas(lambda it: it, "doc_id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    for name in names:
+        times = {}
+        for sf in SFS:
+            times[sf] = round(run(specs[name].builder, f"/root/testdata/sf{sf}"), 3)
+        alpha = math.log(max(times[0.1], 1e-3) / max(times[0.01], 1e-3)) / math.log(10)
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "sec": {str(sf): times[sf] for sf in SFS},
+                    "alpha_top_decade": round(alpha, 3),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
