@@ -1132,6 +1132,91 @@ def x8_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x4_source_divergence",
+    oracle=dedent(
+        """
+        WITH tok AS (
+            SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS term
+            FROM documents WHERE source IN ('src0','src1','src2','src3','src4')
+        ),
+        dist AS (
+            SELECT source, term,
+                   COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY source)
+                                   AS DOUBLE) AS p
+            FROM tok GROUP BY source, term
+        ),
+        both_terms AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   SUM(a.p * LN(2 * a.p / (a.p + b.p))) AS kl_a_both,
+                   SUM(b.p * LN(2 * b.p / (a.p + b.p))) AS kl_b_both,
+                   SUM(a.p) AS mass_a, SUM(b.p) AS mass_b
+            FROM dist a JOIN dist b
+              ON a.term = b.term AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT src_a, src_b,
+               ROUND(0.5 * (kl_a_both + LN(2) * (1 - mass_a))
+                   + 0.5 * (kl_b_both + LN(2) * (1 - mass_b)), 6) AS jsd
+        FROM both_terms
+        """
+    ),
+    tags=("X4", "statistics", "drift"),
+)
+def x4_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions — the drift detector for training-mix curation (a source
+    whose JSD against its peers jumps between snapshots changed its
+    content). Relational trick: JSD needs the UNION of supports, but
+    terms exclusive to one side contribute exactly p*ln2 — so an INNER
+    self-join on term covers the overlap and the exclusive mass falls out
+    of 1 - sum(overlap p), no full-outer join, no null handling. The
+    per-source distribution is one shuffle on (source, term); the pair
+    join shuffles on term only (pairs are formed per-term, never a
+    cross product of documents)."""
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    )
+    tok = docs.select("source", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    w = Window.partitionBy("source")
+    dist = (
+        tok.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "source",
+            "term",
+            (F.col("cnt") / F.sum("cnt").over(w).cast("double")).alias("p"),
+        )
+    )
+    a = dist.select(
+        F.col("source").alias("src_a"), F.col("term").alias("term_a"), F.col("p").alias("pa")
+    )
+    b = dist.select(
+        F.col("source").alias("src_b"), F.col("term").alias("term_b"), F.col("p").alias("pb")
+    )
+    pairs = a.join(b, (a.term_a == b.term_b) & (a.src_a < b.src_b))
+    both = pairs.groupBy("src_a", "src_b").agg(
+        F.sum(F.col("pa") * F.log(2 * F.col("pa") / (F.col("pa") + F.col("pb")))).alias(
+            "kl_a_both"
+        ),
+        F.sum(F.col("pb") * F.log(2 * F.col("pb") / (F.col("pa") + F.col("pb")))).alias(
+            "kl_b_both"
+        ),
+        F.sum("pa").alias("mass_a"),
+        F.sum("pb").alias("mass_b"),
+    )
+    ln2 = float(__import__("math").log(2.0))
+    return both.select(
+        "src_a",
+        "src_b",
+        F.round(
+            0.5 * (F.col("kl_a_both") + ln2 * (1 - F.col("mass_a")))
+            + 0.5 * (F.col("kl_b_both") + ln2 * (1 - F.col("mass_b"))),
+            6,
+        ).alias("jsd"),
+    )
+
+
 @query("x5_hll_rollup", oracle=None, tags=("X5", "sketch"))
 def x5_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Apache DataSketches HLL via

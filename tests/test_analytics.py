@@ -64,3 +64,15 @@ def test_hash_split_is_partition_layout_independent(spark):
     one = docs.coalesce(1).select("doc_id", split.alias("s"))
     many = docs.repartition(16).select("doc_id", split.alias("s"))
     assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+
+
+def test_source_divergence_bounds(spark):
+    """JSD (natural log) is bounded by [0, ln 2]; every pair must land
+    inside, and the matrix must cover all C(5,2) source pairs exactly
+    once with src_a < src_b."""
+    import math
+
+    rows = registry()["x4_source_divergence"].builder(spark, TEST_SF_DIR).collect()
+    assert len(rows) == 10
+    assert all(r["src_a"] < r["src_b"] for r in rows)
+    assert all(0.0 <= r["jsd"] <= math.log(2.0) + 1e-9 for r in rows)
