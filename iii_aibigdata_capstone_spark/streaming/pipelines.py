@@ -165,12 +165,21 @@ def session_counts(events: DataFrame, gap: str = "12 hours", watermark: str = "1
     )
 
 
-def click_purchase_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
-    """Stream-stream inner join (ST5 extension; no reference analogue):
+def click_purchase_join(
+    clicks: DataFrame, purchases: DataFrame, how: str = "inner"
+) -> DataFrame:
+    """Stream-stream join (ST5 extension; no reference analogue):
     purchases join clicks by the same user within the preceding 6 hours.
     Both sides carry watermarks so the state store can evict click rows
     older than the join window — without the time-range condition + both
-    watermarks, stream-stream join state grows without bound."""
+    watermarks, stream-stream join state grows without bound.
+
+    ``how='left_outer'`` adds conversion-funnel semantics: a click with NO
+    purchase in its window emits once, with null purchase columns, only
+    after the watermark passes the end of its window (the engine must be
+    sure no matching purchase can still arrive). Rows whose window is
+    still open when the stream ends stay in state and never emit — tests
+    must account for that tail."""
     c = (
         clicks.withColumn("click_ts", F.col("ts").cast("timestamp"))
         .withWatermark("click_ts", "1 day")
@@ -191,6 +200,7 @@ def click_purchase_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
         (F.col("user_id") == F.col("p_user_id"))
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 6 HOURS")),
+        how,
     ).select(
         "user_id",
         "click_id",

@@ -224,3 +224,62 @@ def test_stream_stream_join_matches_batch(spark):
     got = sorted(map(tuple, spark.sql("SELECT * FROM ss_join").collect()))
     want = sorted(map(tuple, P.click_purchase_join(clicks_b, purch_b).collect()))
     assert got == want and len(got) > 0
+
+
+def test_click_purchase_left_outer_emits_unmatched(spark):
+    """Left-outer stream-stream join: every inner match must appear, every
+    emitted null-purchase row must truly have no batch match, and at least
+    one unmatched click must have been released by the watermark."""
+    import tempfile
+
+    ev = table(spark, TEST_SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    clicks_b = ev.where(F.col("event_type") == "click")
+    purch_b = ev.where(F.col("event_type") == "purchase")
+
+    dirs = {}
+    for name, df in (("clicks", clicks_b), ("purch", purch_b)):
+        d = tempfile.mkdtemp(prefix=f"sso_{name}_")
+        for part in (0, 1):
+            df.where(F.col("event_id") % 2 == part).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+        dirs[name] = d
+
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    c_s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dirs["clicks"])
+    p_s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dirs["purch"])
+    joined = P.click_purchase_join(c_s, p_s, how="left_outer")
+    _run_available_now(
+        joined.writeStream.format("memory").queryName("ss_outer").outputMode("append")
+    )
+    got = spark.sql("SELECT * FROM ss_outer").collect()
+
+    inner_want = set(
+        map(tuple, P.click_purchase_join(clicks_b, purch_b).collect())
+    )
+    got_matched = {tuple(r) for r in got if r.purchase_id is not None}
+    got_unmatched = {r.click_id for r in got if r.purchase_id is None}
+    # every inner match arrived
+    assert got_matched == inner_want
+    # unmatched emissions exist (watermark released clicks with no purchase)
+    assert got_unmatched, "no null-purchase rows emitted"
+    # and none of them has a real match in the batch equivalent
+    batch_matched_clicks = {t[1] for t in inner_want}  # click_id position
+    assert not (got_unmatched & batch_matched_clicks)
+
+
+def test_observe_metrics_ride_the_main_query(spark):
+    """iii_aibigdata_capstone_spark.observe: quality metrics must arrive
+    from the query's own single pass and agree with a direct recount."""
+    from iii_aibigdata_capstone_spark.observe import observed
+
+    ev = table(spark, TEST_SF_DIR, "events")
+    inst, obs = observed(ev.select("user_id", "value"), "value")
+    inst.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    assert m["n_rows"] == ev.count()
+    assert m["value_nulls"] == ev.where(F.col("value").isNull()).count()
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    assert m["value_min"] == lo and m["value_max"] == hi
