@@ -1217,6 +1217,36 @@ def x4_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x5_hll_sliding", oracle=None, tags=("X5", "sketch", "window"))
+def x5_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct users from tumbling sketch partials: build
+    ONE hourly HLL sketch per hour, then every 3-hour window ending at
+    hour H is the sketch-union of hours [H-2, H] — the fact table is
+    scanned once no matter how many window lengths ride on the partials
+    (a second window size is another explode fan-out, not another 100 TB
+    scan; exact distinct cannot merge this way). Fan-out is explode over
+    3 rows per hourly sketch (~KB each), then a union-agg per window."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    contributes = hourly.select(
+        F.explode(
+            F.sequence(
+                F.col("h"),
+                F.col("h") + F.expr("INTERVAL 2 HOURS"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("win_end"),
+        "sk",
+    )
+    return (
+        contributes.groupBy("win_end")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
+        .select("win_end", "approx_users")
+    )
+
+
 @query("x5_hll_rollup", oracle=None, tags=("X5", "sketch"))
 def x5_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Apache DataSketches HLL via

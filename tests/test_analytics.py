@@ -76,3 +76,38 @@ def test_source_divergence_bounds(spark):
     assert len(rows) == 10
     assert all(r["src_a"] < r["src_b"] for r in rows)
     assert all(0.0 <= r["jsd"] <= math.log(2.0) + 1e-9 for r in rows)
+
+
+def test_hll_sliding_matches_exact_within_error(spark):
+    """Each 3-hour sliding estimate must land within 5% of the exact
+    distinct-user count over the same [win_end - 2h, win_end] span."""
+    got = {
+        r["win_end"]: r["approx_users"]
+        for r in registry()["x5_hll_sliding"].builder(spark, TEST_SF_DIR).collect()
+    }
+    ev = table(spark, TEST_SF_DIR, "events").select(
+        F.date_trunc("hour", "ts").alias("h"), "user_id"
+    )
+    exact = {
+        r["win_end"]: r["exact"]
+        for r in ev.select(
+            F.explode(
+                F.sequence(
+                    F.col("h"),
+                    F.col("h") + F.expr("INTERVAL 2 HOURS"),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("win_end"),
+            "user_id",
+        )
+        .groupBy("win_end")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for win_end, est in got.items():
+        assert abs(est - exact[win_end]) <= max(1, 0.05 * exact[win_end]), (
+            win_end,
+            est,
+            exact[win_end],
+        )
