@@ -49,6 +49,8 @@ HEADLINE = [
     "x9_corpus_curation",
     "q18_big_orders",
     "q21_sole_late_supplier",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
     "x4_unigram_logprob",
     "x9_doc_packing",
 ]

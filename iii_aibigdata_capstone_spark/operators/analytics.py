@@ -1268,3 +1268,372 @@ def x5_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("approx_users"),
     )
     return per.unionByName(total)
+
+
+# ---------------------------------------------------------------------------
+# Remaining TPC-H analogues (q2/q9/q11/q12/q15/q16/q20) — completes the
+# 22-query set. This schema has no partsupp table and no
+# shipmode/commitdate/receiptdate columns, so the partsupp-derived facts
+# are re-derived from lineitem: "supply cost" = min unit price a supplier
+# ever charged for a part (min of per-row division — bit-deterministic
+# across engines, unlike an avg whose summation order differs), and
+# "availability" = shipped quantity. Late-ness = shipped > N days after
+# the order date, as in q21.
+# ---------------------------------------------------------------------------
+
+
+def _supply(li: DataFrame) -> DataFrame:
+    """Per-(part, supplier) unit cost derived from lineitem — the stand-in
+    for partsupp.ps_supplycost. One shuffle on the compound key; output is
+    |part x supplier-pairs| rows, tiny next to the fact table."""
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle=dedent(
+        """
+        WITH supply AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem GROUP BY 1, 2
+        ),
+        eligible AS (
+            SELECT p.p_partkey, s.s_name, s.s_acctbal, n.n_name, sp.unit_cost,
+                   MIN(sp.unit_cost) OVER (PARTITION BY p.p_partkey) AS best_cost
+            FROM supply sp
+            JOIN part p     ON p.p_partkey = sp.l_partkey
+            JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+            JOIN nation n   ON n.n_nationkey = s.s_nationkey
+            JOIN region r   ON r.r_regionkey = n.n_regionkey
+            WHERE p.p_size = 15 AND p.p_type = 'STANDARD' AND r.r_name = 'ASIA'
+        )
+        SELECT s_name, n_name, p_partkey,
+               ROUND(s_acctbal, 2) AS s_acctbal,
+               ROUND(unit_cost, 6) AS unit_cost
+        FROM eligible WHERE unit_cost = best_cost
+        ORDER BY s_acctbal DESC, s_name, p_partkey
+        LIMIT 100
+        """
+    ),
+    tags=("X5", "J1", "W4", "tpch"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analogue (minimum-cost supplier): for every STANDARD
+    size-15 part, the ASIA supplier(s) charging the lowest unit price.
+    The correlated MIN subquery of the original becomes a window MIN over
+    the already-aggregated supply table — the only big shuffle is the
+    (partkey, suppkey) aggregation of lineitem; part/supplier/nation/
+    region all broadcast, and the part filter prunes supply rows BEFORE
+    the window. unit_cost is a min of per-row divisions, so Spark and the
+    oracle agree bit-for-bit (an avg would not — summation order)."""
+    li, p, s, n, r = tables(spark, sf_dir, "lineitem", "part", "supplier", "nation", "region")
+    wanted = F.broadcast(
+        p.where((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")).select("p_partkey")
+    )
+    asia_supp = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.where(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    sp = (
+        _supply(li)
+        .join(wanted, F.col("ps_partkey") == F.col("p_partkey"))
+        .join(asia_supp, F.col("ps_suppkey") == F.col("s_suppkey"))
+    )
+    best = F.min("unit_cost").over(Window.partitionBy("p_partkey"))
+    return (
+        sp.withColumn("best_cost", best)
+        .where(F.col("unit_cost") == F.col("best_cost"))
+        .select(
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle=dedent(
+        """
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                         - 0.6 * p.p_retailprice * l.l_quantity), 2) AS profit
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        WHERE p.p_name LIKE '%red%'
+        GROUP BY 1, 2
+        """
+    ),
+    tags=("X5", "J1", "tpch"),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analogue (product-type profit by nation and year): no
+    partsupp here, so cost = 60% of the part's retail price per unit.
+    The name filter shrinks part to ~13% and that filtered dim broadcasts,
+    pruning lineitem before the one big shuffle (the orders join);
+    supplier and nation ride along as broadcasts."""
+    li, p, s, n, o = tables(spark, sf_dir, "lineitem", "part", "supplier", "nation", "orders")
+    red = F.broadcast(
+        p.where(F.col("p_name").contains("red")).select("p_partkey", "p_retailprice")
+    )
+    snat = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+            "s_suppkey", F.col("n_name").alias("nation")
+        )
+    )
+    profit = _rev() - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(red, li.l_partkey == red.p_partkey)
+        .join(snat, li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle=dedent(
+        """
+        WITH v AS (
+            SELECT l.l_partkey AS p_partkey, SUM(l.l_extendedprice) AS value
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n   ON n.n_nationkey = s.s_nationkey
+            WHERE n.n_name IN ('NATION_1', 'NATION_6')
+            GROUP BY 1
+        )
+        SELECT p_partkey, ROUND(value, 2) AS value
+        FROM v
+        WHERE value > (SELECT 0.001 * SUM(value) FROM v)
+        """
+    ),
+    tags=("X5", "A2", "tpch"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analogue (important stock): per-part traded value from
+    two nations' suppliers, keeping parts above 0.1% of the total. The
+    global-sum scalar subquery re-aggregates the MATERIALIZED per-part
+    table (localCheckpoint) — |parts| rows — and joins back as a 1-row
+    broadcast nested loop; the fact table is scanned exactly once."""
+    li, s, n = tables(spark, sf_dir, "lineitem", "supplier", "nation")
+    supp = F.broadcast(
+        s.join(F.broadcast(n.where(F.col("n_name").isin("NATION_1", "NATION_6"))),
+               s.s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    v = (
+        li.join(supp, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum("l_extendedprice").alias("value"))
+        .localCheckpoint(eager=False)  # consumed twice: rows + global sum
+    )
+    threshold = v.agg((0.001 * F.sum("value")).alias("cut"))
+    return (
+        v.join(F.broadcast(threshold))
+        .where(F.col("value") > F.col("cut"))
+        .select("p_partkey", F.round("value", 2).alias("value"))
+    )
+
+
+@query(
+    "q12_priority_lateness",
+    oracle=dedent(
+        """
+        SELECT l.l_returnflag,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+        GROUP BY 1
+        """
+    ),
+    tags=("X5", "J1", "tpch"),
+)
+def q12_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analogue (shipping-priority audit): this schema has no
+    shipmode, so lines group by returnflag lane; late = shipped >30 days
+    after ordering. The year filter pushes to the lineitem scan; the
+    cross-table lateness predicate evaluates post-join; both priority
+    counts ride one aggregation as conditional sums."""
+    o, li = tables(spark, sf_dir, "orders", "lineitem")
+    year = li.where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(year, o.o_orderkey == year.l_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=dedent(
+        """
+        WITH rev AS (
+            SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-04-01'
+            GROUP BY 1
+        )
+        SELECT s.s_suppkey, s.s_name, ROUND(r.total_rev, 2) AS total_rev
+        FROM rev r
+        JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+        """
+    ),
+    tags=("X5", "A2", "tpch"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 analogue (top supplier): quarter revenue per supplier,
+    keep the max. The view + scalar-MAX of the original becomes one
+    materialized aggregate consumed twice (rows + 1-row max joined back
+    as a broadcast); the equality compares values computed once within
+    this engine, so float determinism holds."""
+    li, s = tables(spark, sf_dir, "lineitem", "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01")))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_rev()).alias("total_rev"))
+        .localCheckpoint(eager=False)  # consumed twice: rows + max
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.round("total_rev", 2).alias("total_rev"))
+    )
+
+
+@query(
+    "q16_supplier_count",
+    oracle=dedent(
+        """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#3'
+          AND p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+          AND l.l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        """
+    ),
+    tags=("X5", "A2", "tpch"),
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analogue (supplier-relationship count): distinct
+    suppliers per (brand, type, size) bucket, excluding negative-balance
+    suppliers — the NOT IN becomes a broadcast LEFT ANTI join (valid
+    because s_suppkey is never null). The part predicate prunes the
+    broadcast dim before it reaches the fact scan, and the distinct
+    aggregate expands to the standard two-phase plan."""
+    li, p, s = tables(spark, sf_dir, "lineitem", "part", "supplier")
+    bucket = F.broadcast(
+        p.where(
+            (F.col("p_brand") != "Brand#3")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+        ).select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = F.broadcast(s.where(F.col("s_acctbal") < 0).select("s_suppkey"))
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(bucket, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_dominant_supplier",
+    oracle=dedent(
+        """
+        WITH shipped AS (
+            SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2
+        ),
+        dominant AS (
+            SELECT DISTINCT sh.l_suppkey
+            FROM (SELECT l_partkey, l_suppkey, qty,
+                         SUM(qty) OVER (PARTITION BY l_partkey) AS part_qty
+                  FROM shipped) sh
+            JOIN part p ON p.p_partkey = sh.l_partkey
+            WHERE p.p_name LIKE 'small%' AND sh.qty > 0.5 * sh.part_qty
+        )
+        SELECT s.s_name, n.n_name
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+        """
+    ),
+    tags=("X5", "W4", "tpch"),
+)
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analogue (dominant promo supplier): suppliers who shipped
+    more than half of some 'small*' part's 1997 volume. The correlated
+    per-part total becomes a window SUM over the (part, supplier)
+    aggregate. Unlike the oracle SQL (window before the part filter), the
+    plan applies the part semi-filter BEFORE both the aggregation and the
+    window — dropping whole partkey partitions never changes a
+    partitionBy(partkey) window, and at 100 TB it shrinks the shuffle by
+    the name-filter's selectivity (~13%). Quantities are integer-valued
+    doubles, so the window sum and the 0.5x comparison are exact in both
+    engines. The final IN collapses to broadcast semi joins."""
+    li, p, s, n = tables(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    small = F.broadcast(p.where(F.col("p_name").startswith("small")).select("p_partkey"))
+    shipped = (
+        li.where(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+        )
+        .join(small, li.l_partkey == small.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    part_qty = F.sum("qty").over(Window.partitionBy("l_partkey"))
+    dominant = (
+        shipped.withColumn("part_qty", part_qty)
+        .where(F.col("qty") > 0.5 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_name", "n_name")
+    )

@@ -146,6 +146,45 @@ def test_doc_packing_single_shuffle(spark):
     assert a.hash_exchanges == 1, a.text
 
 
+def test_q2_dims_broadcast_fact_aggregates_once(spark):
+    """q2: part/supplier/nation/region are hint-broadcast (survive a
+    disabled auto-threshold); the only sort-merge-join-free path leaves
+    the (partkey, suppkey) aggregation as the single big shuffle, and the
+    window min rides the much smaller supply table."""
+    with _no_broadcast(spark):
+        a = audit(registry()["q2_min_cost_supplier"].builder(spark, TEST_SF_DIR))
+    assert a.broadcast_joins >= 2, a.text
+    assert a.sort_merge_joins == 0, a.text
+    assert "TakeOrderedAndProject" in a.text, a.text
+
+
+@pytest.mark.parametrize("qname", ["q11_important_stock", "q15_top_supplier"])
+def test_scalar_subquery_queries_scan_fact_once(spark, qname):
+    """q11/q15: the global-aggregate scalar subquery must re-aggregate the
+    materialized partial, not rescan lineitem — the fact file appears in
+    the plan at most once (the checkpoint cuts the second branch)."""
+    from iii_aibigdata_capstone_spark.plans.audit import plan_text
+
+    text = plan_text(registry()[qname].builder(spark, TEST_SF_DIR))
+    assert text.count("lineitem.parquet") <= 1, text
+
+
+def test_q20_semi_filter_precedes_aggregation(spark):
+    """q20: the part-name semi-filter must hit lineitem BELOW the
+    (partkey, suppkey) aggregation and the window, so the big shuffle
+    only carries 'small*' parts. Formatted-explain ids are assigned
+    child-before-parent, so semi-join id < window id iff the filter sits
+    under the window subtree."""
+    import re
+
+    with _no_broadcast(spark):
+        a = audit(registry()["q20_dominant_supplier"].builder(spark, TEST_SF_DIR))
+    semi = re.search(r"BroadcastHashJoin LeftSemi \w+ \((\d+)\)", a.text)
+    win = re.search(r"\bWindow \((\d+)\)", a.text)
+    assert semi and win, a.text
+    assert int(semi.group(1)) < int(win.group(1)), a.text
+
+
 def test_q6_all_predicates_push_to_scan(spark):
     a = audit(registry()["q6_forecast_revenue"].builder(spark, TEST_SF_DIR))
     assert a.has_pushed_filters
