@@ -358,3 +358,48 @@ def x9_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate, 6).alias("sample_rate"),
         F.round(rate * F.col("n_tokens"), 0).cast("long").alias("expected_tokens"),
     )
+
+
+@query(
+    "x9_doc_chunking",
+    oracle=dedent(
+        """
+        SELECT d.doc_id, k AS chunk_id,
+               k * 150 AS chunk_start,
+               LENGTH(SUBSTR(d.text, CAST(k * 150 + 1 AS BIGINT), 200))
+                   AS chunk_len,
+               MD5(SUBSTR(d.text, CAST(k * 150 + 1 AS BIGINT), 200))
+                   AS chunk_md5
+        FROM documents d,
+             UNNEST(RANGE(0, CAST(FLOOR((LENGTH(d.text) - 1) / 150)
+                                  AS BIGINT) + 1)) AS t(k)
+        WHERE LENGTH(d.text) > 0
+        """
+    ),
+    tags=("X9", "T2", "chunking"),
+)
+def x9_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping chunking: 200-char windows every 150 chars
+    (50-char overlap), one output row per chunk with its offset, length
+    and content hash. The chunk count is a pure expression of the doc
+    length, so the fan-out is a lateral explode of a ``sequence`` — no
+    UDF, no shuffle at all (narrow transform; whole-stage codegen keeps
+    substring+md5 JVM-side). Embarrassingly parallel at 100 TB: chunks
+    inherit the scan's partitioning and flow straight into downstream
+    embedding/indexing stages; the overlap means every substring is
+    cut twice rather than buffered across rows."""
+    docs = table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    k = F.explode(
+        F.sequence(F.lit(0).cast("long"), F.floor((F.length("text") - 1) / 150))
+    ).alias("chunk_id")
+    chunk = F.substring(F.col("text"), (F.col("chunk_id") * 150 + 1).cast("int"), 200)
+    return (
+        docs.select("doc_id", "text", k)
+        .select(
+            "doc_id",
+            "chunk_id",
+            (F.col("chunk_id") * 150).alias("chunk_start"),
+            F.length(chunk).alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )

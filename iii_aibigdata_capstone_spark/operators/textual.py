@@ -487,3 +487,62 @@ def x4_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.col("bench_doc")).alias("n_bench_docs"),
         )
     )
+
+
+@query(
+    "x4_postings",
+    oracle=dedent(
+        """
+        WITH pairs AS (
+            SELECT DISTINCT t.term, d.doc_id
+            FROM documents d, UNNEST(STRING_SPLIT(d.text, ' ')) AS t(term)
+            WHERE t.term <> ''
+        ),
+        ranked AS (
+            SELECT term, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rk
+            FROM pairs
+        )
+        SELECT term, COUNT(*) AS df,
+               STRING_AGG(CASE WHEN rk <= 10
+                               THEN CAST(doc_id AS VARCHAR) END,
+                          ',' ORDER BY doc_id) AS postings
+        FROM ranked
+        GROUP BY term
+        """
+    ),
+    tags=("X4", "T2", "postings"),
+)
+def x4_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index with BOUNDED posting lists: per term, the document
+    frequency plus the first 10 doc ids. The naive collect_set-per-term
+    explodes on stopword-like terms (a 100 TB corpus puts ~every doc_id
+    in 'the'); instead the distinct (term, doc_id) table gets a
+    row_number window per term and only ranks <= 10 enter the list
+    aggregate, so per-group state is O(10) no matter how hot the term.
+    df rides the same pass as a plain count. Skewed hot terms cost one
+    window partition each of |docs| NARROW rows (term+id only) — the
+    text itself never shuffles."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    rk = F.row_number().over(Window.partitionBy("term").orderBy("doc_id"))
+    return (
+        pairs.withColumn("rk", rk)
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.when(F.col("rk") <= 10, F.col("doc_id")))
+                    ),
+                    lambda d: d.cast("string"),
+                ),
+            ).alias("postings"),
+        )
+    )

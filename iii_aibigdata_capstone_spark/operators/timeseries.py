@@ -564,3 +564,57 @@ def ts_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.sum("n").alias("n"), F.round(F.sum("sv"), 2).alias("total"))
     )
+
+
+@query(
+    "x5_interval_join_banded",
+    oracle=dedent(
+        """
+        SELECT e.event_id AS error_id,
+               COUNT(*) AS n_purchases,
+               ROUND(SUM(p.value), 2) AS purchase_value
+        FROM events e
+        JOIN events p
+          ON e.event_type = 'error' AND p.event_type = 'purchase'
+         AND p.ts >= e.ts - INTERVAL 5 MINUTE AND p.ts < e.ts
+        GROUP BY 1
+        """
+    ),
+    tags=("X5", "range-join", "banding"),
+)
+def x5_interval_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join with NO equi key (purchases across ALL users in the
+    5 minutes before each error): the naive plan is a nested-loop join
+    with a range predicate — O(|errors| x |purchases|), fatal at scale.
+    Banding restores an equi key: both sides bucket by floor(ts/300s);
+    since the lookback window equals the band width, each error's window
+    overlaps exactly two bands, so errors explode into 2 band keys, the
+    join is a plain hash join on the band, and the exact range predicate
+    filters inside each band. Each (error, purchase) pair meets exactly
+    once because a purchase owns exactly one band. A plan guard asserts
+    no CartesianProduct/BroadcastNestedLoopJoin survives."""
+    ev = table(spark, sf_dir, "events")
+    band = lambda c: F.floor(F.unix_timestamp(c) / 300)  # noqa: E731
+    err = (
+        ev.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("ets"),
+            F.explode(F.array(band(F.col("ts")), band(F.col("ts")) - 1)).alias("b"),
+        )
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        F.col("ts").alias("pts"), "value", band(F.col("ts")).alias("b")
+    )
+    return (
+        err.join(pur, "b")
+        .where(
+            (F.col("pts") >= F.col("ets") - F.expr("INTERVAL 5 MINUTES"))
+            & (F.col("pts") < F.col("ets"))
+        )
+        .groupBy("error_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("purchase_value"),
+        )
+    )

@@ -185,6 +185,18 @@ def test_q20_semi_filter_precedes_aggregation(spark):
     assert int(semi.group(1)) < int(win.group(1)), a.text
 
 
+def test_banded_interval_join_is_hash_not_nlj(spark):
+    """x5_interval_join_banded: the whole point of banding is that the
+    no-equi-key interval join plans as a hash/sort-merge join on the band
+    key — a CartesianProduct or BroadcastNestedLoopJoin means the band
+    key fell out of the join condition."""
+    with _no_broadcast(spark):
+        a = audit(registry()["x5_interval_join_banded"].builder(spark, TEST_SF_DIR))
+    assert "CartesianProduct" not in a.text, a.text
+    assert "BroadcastNestedLoopJoin" not in a.text, a.text
+    assert a.sort_merge_joins > 0 or "ShuffledHashJoin" in a.text, a.text
+
+
 def test_q6_all_predicates_push_to_scan(spark):
     a = audit(registry()["q6_forecast_revenue"].builder(spark, TEST_SF_DIR))
     assert a.has_pushed_filters
