@@ -95,3 +95,81 @@ def x10_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+@query(
+    "x10_triangle_count",
+    oracle="""
+        WITH su AS (
+            SELECT DISTINCT o.o_orderkey AS ok, l.l_suppkey AS s
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        e AS (
+            SELECT DISTINCT a.s AS u, b.s AS v
+            FROM su a JOIN su b ON a.ok = b.ok AND a.s < b.s
+        )
+        SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+               CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+    tags=("X5", "graph", "triangle"),
+)
+def x10_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the supplier co-occurrence graph (two suppliers
+    are adjacent iff they share an order — the market-basket projection,
+    whose fan-out is quadratic only in the per-order supplier count, a
+    small constant at every SF). The count itself uses the node-iterator++
+    orientation: every edge points from its lower-(degree, id) endpoint to
+    the higher one, wedges enumerate pairs of out-edges per apex, and a
+    hash join against the oriented edge set closes them. Orienting by
+    DEGREE (not id) bounds per-apex out-degree by O(sqrt(|E|)) even on
+    power-law graphs, so the wedge table — the only super-linear
+    intermediate — stays near-linear; the id-ordered oracle SQL counts the
+    same triangles (orientation changes the enumeration order, never the
+    set). Three hash shuffles total: edges, wedges, closure."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    su = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a, b = su.alias("a"), su.alias("b")
+    und = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)  # consumed by degree, orientation, count
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select("v"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    keyed = und.join(du, "u").join(dv, "v")
+    fwd = F.col("du") < F.col("dv")
+    tie = (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    oriented = keyed.select(
+        F.when(fwd | tie, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd | tie, F.struct("dv", "v")).otherwise(F.struct(
+            F.col("du").alias("dv"), F.col("u").alias("v"))).alias("dst"),
+    ).localCheckpoint(eager=False)  # consumed by wedges + closure
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    wedges = w1.join(
+        w2, (F.col("w1.src") == F.col("w2.src")) & (F.col("w1.dst") < F.col("w2.dst"))
+    ).select(
+        F.col("w1.dst.v").alias("src"), F.col("w2.dst.v").alias("close_v")
+    )
+    closed = wedges.join(
+        oriented.select("src", F.col("dst.v").alias("close_v")), ["src", "close_v"]
+    )
+    n_edges = und.count()
+    return closed.agg(
+        F.lit(n_edges).alias("n_edges"),
+        F.count(F.lit(1)).alias("n_triangles"),
+    )

@@ -515,34 +515,43 @@ def x4_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x4_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index with BOUNDED posting lists: per term, the document
-    frequency plus the first 10 doc ids. The naive collect_set-per-term
-    explodes on stopword-like terms (a 100 TB corpus puts ~every doc_id
-    in 'the'); instead the distinct (term, doc_id) table gets a
-    row_number window per term and only ranks <= 10 enter the list
-    aggregate, so per-group state is O(10) no matter how hot the term.
-    df rides the same pass as a plain count. Skewed hot terms cost one
-    window partition each of |docs| NARROW rows (term+id only) — the
-    text itself never shuffles."""
+    frequency plus the first 10 doc ids. Two skew hazards at 100 TB: a
+    collect_set per term buffers ~every doc_id for stopword-like terms,
+    and a single row_number window per term funnels a hot term's whole
+    posting set through ONE task's sort. So top-10 selection is SALTED:
+    rank per (term, doc_id % 64) keeps <= 10 candidates per salt (64
+    balanced window partitions per hot term), then a second window over
+    the <= 640 survivors per term picks the true top 10 — min-10 is
+    mergeable, so salting is lossless. df is a plain partial-aggregating
+    count per term sharing the one materialized pairs table; both results
+    meet in a vocabulary-sized join. The document text itself never
+    shuffles — only (term, doc_id) pairs."""
     docs = table(spark, sf_dir, "documents")
     pairs = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .where(F.col("term") != "")
         .distinct()
+        .localCheckpoint(eager=False)  # consumed twice: df + salted top-k
     )
-    rk = F.row_number().over(Window.partitionBy("term").orderBy("doc_id"))
-    return (
-        pairs.withColumn("rk", rk)
+    df_tbl = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    r1 = F.row_number().over(
+        Window.partitionBy("term", F.pmod("doc_id", F.lit(64))).orderBy("doc_id")
+    )
+    r2 = F.row_number().over(Window.partitionBy("term").orderBy("doc_id"))
+    top = (
+        pairs.withColumn("r1", r1)
+        .where(F.col("r1") <= 10)
+        .withColumn("r2", r2)
+        .where(F.col("r2") <= 10)
         .groupBy("term")
         .agg(
-            F.count(F.lit(1)).alias("df"),
             F.concat_ws(
                 ",",
                 F.transform(
-                    F.sort_array(
-                        F.collect_list(F.when(F.col("rk") <= 10, F.col("doc_id")))
-                    ),
+                    F.sort_array(F.collect_list("doc_id")),
                     lambda d: d.cast("string"),
                 ),
-            ).alias("postings"),
+            ).alias("postings")
         )
     )
+    return df_tbl.join(top, "term")

@@ -102,6 +102,50 @@ GALLERY = [
             ("raw table scanned at most once", lambda a: a.text.count("events.parquet") <= 1),
         ],
     ),
+    (
+        "x5_interval_join_banded (at-scale shape: auto-broadcast off)",
+        "x5_interval_join_banded",
+        "Interval join with NO equi key: banding by the window width turns "
+        "the O(n^2) nested-loop range join into a hash join on the band id "
+        "(errors explode into exactly 2 bands each; the exact range "
+        "predicate filters inside the band).",
+        [
+            ("no CartesianProduct", lambda a: "CartesianProduct" not in a.text),
+            (
+                "no BroadcastNestedLoopJoin",
+                lambda a: "BroadcastNestedLoopJoin" not in a.text,
+            ),
+        ],
+    ),
+    (
+        "q20_dominant_supplier (at-scale shape: auto-broadcast off)",
+        "q20_dominant_supplier",
+        "Correlated-subquery decorrelation: the per-part total is a window "
+        "SUM over the (part, supplier) aggregate, and the part-name "
+        "semi-filter sits BELOW both (broadcast semi join feeds the hash "
+        "aggregate), so the big shuffle only carries matching parts.",
+        [
+            (
+                "part semi-filter below the aggregation",
+                lambda a: "BroadcastHashJoin LeftSemi" in a.text,
+            ),
+        ],
+    ),
+    (
+        "x10_triangle_count (at-scale shape: auto-broadcast off)",
+        "x10_triangle_count",
+        "Degree-oriented triangle counting: edges and the oriented edge set "
+        "are checkpointed once, wedges self-join on the apex, and the "
+        "closure is a plain hash join — no nested-loop join anywhere even "
+        "though the logical query is a 3-way theta join.",
+        [
+            ("no CartesianProduct", lambda a: "CartesianProduct" not in a.text),
+            (
+                "no BroadcastNestedLoopJoin",
+                lambda a: "BroadcastNestedLoopJoin" not in a.text,
+            ),
+        ],
+    ),
 ]
 
 
