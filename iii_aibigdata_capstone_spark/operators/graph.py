@@ -105,8 +105,9 @@ def x10_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         ),
         e AS (
-            SELECT DISTINCT a.s AS u, b.s AS v
+            SELECT a.s AS u, b.s AS v
             FROM su a JOIN su b ON a.ok = b.ok AND a.s < b.s
+            GROUP BY 1, 2 HAVING COUNT(*) >= 5
         )
         SELECT (SELECT COUNT(*) FROM e) AS n_edges,
                CAST(COUNT(*) AS BIGINT) AS n_triangles
@@ -118,9 +119,11 @@ def x10_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x10_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count over the supplier co-occurrence graph (two suppliers
-    are adjacent iff they share an order — the market-basket projection,
-    whose fan-out is quadratic only in the per-order supplier count, a
-    small constant at every SF). The count itself uses the node-iterator++
+    are adjacent iff they share at least 5 orders — the market-basket
+    projection with a support threshold; per-order fan-out is quadratic
+    only in the per-order supplier count, a small constant at every SF,
+    and the threshold keeps the projected graph sparse where few
+    suppliers serve many orders). The count itself uses the node-iterator++
     orientation: every edge points from its lower-(degree, id) endpoint to
     the higher one, wedges enumerate pairs of out-edges per apex, and a
     hash join against the oriented edge set closes them. Orienting by
@@ -140,7 +143,10 @@ def x10_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = (
         a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") < F.col("b.s")))
         .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .distinct()
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 5)
+        .select("u", "v")
         .localCheckpoint(eager=False)  # consumed by degree, orientation, count
     )
     deg = (
