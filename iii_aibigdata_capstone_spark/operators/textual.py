@@ -555,3 +555,77 @@ def x4_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return df_tbl.join(top, "term")
+
+
+def _bpe_merge_step(syms: F.Column, left: str, right: str) -> F.Column:
+    """Greedy left-to-right merge of adjacent (left, right) symbol pairs in
+    one array — a pure Catalyst ``aggregate`` fold, no UDF: append each
+    symbol unless it closes the target pair, in which case replace the
+    accumulator's tail with the merged token. Non-overlapping by
+    construction (a merged tail no longer equals ``left`` literally)."""
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+N_BPE_MERGES = 10
+
+
+@query("x4_bpe_vocab", oracle=None, tags=("X4", "bpe", "iterative"))
+def x4_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary construction (the tokenizer-training
+    step of an LLM data pipeline): learn the first 10 merges over the
+    corpus. The scale trick is the classic one — BPE statistics depend
+    only on the WORD FREQUENCY table, so the 100 TB corpus collapses to
+    |vocab| rows (one shuffle) before any iteration starts; each round
+    then (1) explodes adjacent symbol pairs of the distinct words,
+    weighted by word count, (2) aggregates to the argmax pair — tie-broken
+    by (count desc, left, right) so the merge sequence is deterministic —
+    and (3) applies the merge with a higher-order ``aggregate`` fold
+    (_bpe_merge_step), a narrow JVM-side transform: no UDF, no Python
+    crossing, no shuffle. Driver traffic is ONE 3-field row per round.
+    The word table is checkpointed per round to keep the plan constant.
+    Iterative, hence rows-only for the oracle; the merge sequence is
+    pinned against a local reference BPE in tests/test_analytics.py."""
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.split("w", "").alias("syms"), "n")
+        .localCheckpoint(eager=False)
+    )
+    out_rows = []
+    for it in range(N_BPE_MERGES):
+        pair_cols = F.arrays_zip(
+            F.slice(F.col("syms"), 1, F.size("syms") - 1),
+            F.slice(F.col("syms"), 2, F.size("syms") - 1),
+        )
+        best = (
+            words.where(F.size("syms") >= 2)
+            .select(F.explode(pair_cols).alias("p"), "n")
+            .groupBy(F.col("p.0").alias("left"), F.col("p.1").alias("right"))
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, cnt = best[0]["left"], best[0]["right"], best[0]["cnt"]
+        out_rows.append((it, left, right, left + right, int(cnt)))
+        words = words.select(
+            _bpe_merge_step(F.col("syms"), left, right).alias("syms"), "n"
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        out_rows, "iteration int, left string, right string, merged string, cnt long"
+    )

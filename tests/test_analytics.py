@@ -111,3 +111,60 @@ def test_hll_sliding_matches_exact_within_error(spark):
             est,
             exact[win_end],
         )
+
+
+def test_bpe_vocab_matches_reference(spark):
+    """The distributed BPE merge sequence must equal a local reference BPE
+    run over the same word-frequency table (greedy left-to-right merges,
+    argmax pair by (count, -left, -right) — ties broken lexicographically
+    ascending)."""
+    from collections import Counter
+
+    rows = (
+        table(spark, TEST_SF_DIR, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    words = {r["w"]: r["count"] for r in rows}
+    vocab = {w: list(w) for w in words}
+
+    def merge_seq(n_merges):
+        out = []
+        for _ in range(n_merges):
+            pairs = Counter()
+            for w, syms in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] += words[w]
+            if not pairs:
+                break
+            (left, right), cnt = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            out.append((left, right, left + right, cnt))
+            for w, syms in vocab.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if (
+                        merged
+                        and merged[-1] == left
+                        and syms[i] == right
+                    ):
+                        merged[-1] = left + right
+                    else:
+                        merged.append(syms[i])
+                    i += 1
+                vocab[w] = merged
+        return out
+
+    want = merge_seq(10)
+    got = [
+        (r["left"], r["right"], r["merged"], r["cnt"])
+        for r in registry()["x4_bpe_vocab"]
+        .builder(spark, TEST_SF_DIR)
+        .orderBy("iteration")
+        .collect()
+    ]
+    assert got == want
