@@ -53,6 +53,12 @@ HEADLINE = [
     "q9_product_profit",
     "x4_unigram_logprob",
     "x9_doc_packing",
+    "x5_interval_join_banded",
+    "x10_triangle_count",
+    "x2_sorted_neighborhood",
+    "x4_bpe_vocab",
+    "x4_postings",
+    "x9_doc_chunking",
 ]
 
 

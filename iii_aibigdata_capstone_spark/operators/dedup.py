@@ -505,3 +505,97 @@ def x2_editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist") <= 1)
         .distinct()
     )
+
+
+@query(
+    "x2_sorted_neighborhood",
+    oracle=dedent(
+        """
+        WITH d AS (
+            SELECT doc_id, text, SPLIT_PART(text, ' ', 1) AS blk,
+                   LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS toks
+            FROM documents
+        ),
+        w AS (
+            SELECT doc_id, toks,
+                   LEAD(doc_id, 1) OVER win AS n1_id, LEAD(toks, 1) OVER win AS n1_t,
+                   LEAD(doc_id, 2) OVER win AS n2_id, LEAD(toks, 2) OVER win AS n2_t,
+                   LEAD(doc_id, 3) OVER win AS n3_id, LEAD(toks, 3) OVER win AS n3_t
+            FROM d
+            WINDOW win AS (PARTITION BY blk ORDER BY text, doc_id)
+        ),
+        pairs AS (
+            SELECT doc_id AS doc_a, n1_id AS doc_b, toks AS ta, n1_t AS tb
+            FROM w WHERE n1_id IS NOT NULL
+            UNION ALL SELECT doc_id, n2_id, toks, n2_t FROM w WHERE n2_id IS NOT NULL
+            UNION ALL SELECT doc_id, n3_id, toks, n3_t FROM w WHERE n3_id IS NOT NULL
+        )
+        SELECT doc_a, doc_b,
+               ROUND(LEN(LIST_INTERSECT(ta, tb)) * 1.0
+                     / LEN(LIST_DISTINCT(ta || tb)), 6) AS jaccard
+        FROM pairs
+        WHERE LEN(LIST_INTERSECT(ta, tb)) * 1.0 / LEN(LIST_DISTINCT(ta || tb)) >= 0.5
+        """
+    ),
+    tags=("X2", "dedup", "snm"),
+)
+def x2_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked sorted-neighborhood near-dup detection — the classic
+    entity-resolution alternative to inverted-index blocking: sort docs
+    within a block (first token), compare each doc only to its 3 sorted
+    successors (LEAD), keep token-Jaccard >= 0.5. Cost is one hash
+    shuffle on the block key + an in-partition sort + 3 narrow LEADs —
+    candidate count is exactly 3·n regardless of duplicate-cluster size,
+    where the shingle-index join degrades on hot shingles. Recall is
+    traded at block boundaries by construction (documents in different
+    blocks never meet), which is the documented SNM trade-off; block =
+    first token keeps blocks vocabulary-many, so window partitions stay
+    parallel at corpus scale. Pure Catalyst: LEAD over array columns,
+    array_intersect/array_union for the Jaccard."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "text",
+        F.element_at(F.split("text", " "), 1).alias("blk"),
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
+    win = Window.partitionBy("blk").orderBy("text", "doc_id")
+    w = d.select(
+        "doc_id",
+        "toks",
+        *[
+            c
+            for k in (1, 2, 3)
+            for c in (
+                F.lead("doc_id", k).over(win).alias(f"n{k}_id"),
+                F.lead("toks", k).over(win).alias(f"n{k}_t"),
+            )
+        ],
+    )
+    # explode a neighbor-struct array instead of a 3-way union: a union of
+    # per-lead selections re-runs the whole window subplan once PER BRANCH
+    # (3 identical blk exchanges); the explode needs exactly one
+    nbrs = F.array(
+        *[
+            F.struct(
+                F.col(f"n{k}_id").alias("id"), F.col(f"n{k}_t").alias("t")
+            )
+            for k in (1, 2, 3)
+        ]
+    )
+    pairs = (
+        w.select("doc_id", "toks", F.explode(nbrs).alias("nb"))
+        .where(F.col("nb.id").isNotNull())
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("nb.id").alias("doc_b"),
+            F.col("toks").alias("ta"),
+            F.col("nb.t").alias("tb"),
+        )
+    )
+    jacc = F.size(F.array_intersect("ta", "tb")) / F.size(F.array_union("ta", "tb"))
+    return (
+        pairs.withColumn("jaccard", jacc)
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )

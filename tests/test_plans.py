@@ -197,6 +197,35 @@ def test_banded_interval_join_is_hash_not_nlj(spark):
     assert a.sort_merge_joins > 0 or "ShuffledHashJoin" in a.text, a.text
 
 
+def test_snm_single_partitioned_window(spark):
+    """x2_sorted_neighborhood: the block-partitioned window must run ONCE
+    (one blk exchange feeds the explode fan-out — a union formulation
+    re-runs it per lead), and it must be hash-partitioned on blk, never a
+    single-partition global sort."""
+    a = audit(registry()["x2_sorted_neighborhood"].builder(spark, TEST_SF_DIR))
+    assert "hashpartitioning(blk" in a.text, a.text
+    assert a.text.count("hashpartitioning(blk") <= 1, a.text
+    assert a.hash_exchanges <= 2, a.text
+
+
+def test_postings_window_is_salted(spark):
+    """x4_postings: the first top-k rank must window over (term, salt) —
+    pmod in the partition key — so a hot term's posting set never sorts
+    in one task; the unsalted term window only sees <= 640 survivors."""
+    a = audit(registry()["x4_postings"].builder(spark, TEST_SF_DIR))
+    assert "pmod" in a.text, a.text
+    assert a.hash_exchanges <= 4, a.text
+
+
+def test_q16_anti_and_dim_joins_broadcast(spark):
+    """q16: the negative-balance supplier anti join and the part bucket
+    dim join must both stay broadcast at scale (explicit hints)."""
+    with _no_broadcast(spark):
+        a = audit(registry()["q16_supplier_count"].builder(spark, TEST_SF_DIR))
+    assert a.broadcast_joins >= 2, a.text
+    assert a.sort_merge_joins == 0, a.text
+
+
 def test_q6_all_predicates_push_to_scan(spark):
     a = audit(registry()["q6_forecast_revenue"].builder(spark, TEST_SF_DIR))
     assert a.has_pushed_filters
