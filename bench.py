@@ -59,6 +59,7 @@ HEADLINE = [
     "x4_bpe_vocab",
     "x4_postings",
     "x9_doc_chunking",
+    "x2_repeated_spans",
 ]
 
 

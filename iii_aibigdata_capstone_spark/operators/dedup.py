@@ -599,3 +599,99 @@ def x2_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+@query(
+    "x2_repeated_spans",
+    oracle=dedent(
+        """
+        WITH g AS (
+            SELECT doc_id,
+                   UNNEST(RANGE(1, LEN(text) - 20 + 2)) AS pos,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, LEN(text) - 20 + 2),
+                          i -> MD5(SUBSTR(text, i::INT, 20)))) AS h
+            FROM documents WHERE LEN(text) >= 20
+        ),
+        dup AS (
+            SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
+        ),
+        hits AS (SELECT doc_id, pos FROM g SEMI JOIN dup USING (h)),
+        flagged AS (
+            SELECT doc_id, pos,
+                   CASE WHEN MAX(pos + 19) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                            IS NULL
+                         OR pos > MAX(pos + 19) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        THEN 1 ELSE 0 END AS new_span
+            FROM hits
+        ),
+        sids AS (
+            SELECT doc_id, pos,
+                   SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+            FROM flagged
+        ),
+        spans AS (
+            SELECT doc_id, sid, MIN(pos) AS s, MAX(pos) + 19 AS e
+            FROM sids GROUP BY doc_id, sid
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars
+        FROM spans GROUP BY doc_id
+        """
+    ),
+    tags=("X2", "dedup", "substring"),
+)
+def x2_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring spans (the primitive behind
+    suffix-array training-data dedup, Lee et al. 2022, computed the
+    shuffle-friendly way): every 20-char gram is content-hashed, grams
+    seen in >1 distinct documents mark their positions as duplicated, and
+    per document the hit positions merge into maximal overlapping spans
+    via the standard interval-union windows (running max of span end →
+    new-span flag → running sum as span id). Output: per-doc span count
+    and duplicated-char total. Scale shape: the gram table shuffles once
+    on the 128-bit hash (never the text), the semi join back is a plain
+    hash join, and the two interval windows plus the span group-by all
+    ride ONE doc_id exchange. A true suffix array beats this on minimum
+    match length; at fixed gram size this is the same candidate set at a
+    fraction of the coordination."""
+    docs = table(spark, sf_dir, "documents").where(F.length("text") >= 20)
+    docs.select("doc_id", "text").createOrReplaceTempView("_span_docs")
+    grams = spark.sql(
+        """
+        SELECT doc_id, pos0 + 1 AS pos, h
+        FROM (
+            SELECT doc_id,
+                   posexplode(transform(sequence(1, length(text) - 19),
+                       i -> md5(substring(text, i, 20)))) AS (pos0, h)
+            FROM _span_docs
+        )
+        """
+    ).localCheckpoint(eager=False)  # consumed twice: dup hashes + hits
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("h")
+    )
+    hits = grams.join(dup, "h", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max = F.max(F.col("pos") + 19).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "new_span",
+        F.when(prev_max.isNull() | (F.col("pos") > prev_max), 1).otherwise(0),
+    )
+    sids = flagged.withColumn("sid", F.sum("new_span").over(w))
+    spans = sids.groupBy("doc_id", "sid").agg(
+        F.min("pos").alias("s"), (F.max("pos") + 19).alias("e")
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_chars"),
+    )
