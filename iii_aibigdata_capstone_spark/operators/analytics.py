@@ -1637,3 +1637,28 @@ def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .select("s_name", "n_name")
     )
+
+
+@query("x5_heavy_hitters", oracle=None, tags=("X5", "sketch", "topk"))
+def x5_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters (top-20 corpus terms) via the
+    approx_top_k sketch aggregate — the mergeable frequent-items path for
+    100 TB streams where an exact groupBy-then-sort would shuffle the
+    full term table every time: partials are fixed-size item sketches
+    merged on one reducer, and the token explode is the only wide input.
+    Estimates are exact whenever a partition tracks <= maxItemsTracked
+    distinct items (pinned against exact counts in tests). Rows-only for
+    the oracle (DuckDB has no matching sketch)."""
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("term")).where(
+        F.col("term") != ""
+    )
+    sk = words.agg(F.expr("approx_top_k(term, 20)").alias("tk"))
+    return (
+        sk.select(F.posexplode("tk").alias("rank0", "e"))
+        .select(
+            (F.col("rank0") + 1).alias("rank"),
+            F.col("e.item").alias("term"),
+            F.col("e.count").alias("est_count"),
+        )
+    )

@@ -168,3 +168,28 @@ def test_bpe_vocab_matches_reference(spark):
         .collect()
     ]
     assert got == want
+
+
+def test_heavy_hitters_exact_at_small_vocab(spark):
+    """approx_top_k is exact while distinct items fit the tracker, so at
+    test vocab size the estimated counts must equal exact term counts and
+    the top-20 item set must match (tie order between equal counts is
+    sketch-defined, so compare as mappings plus a count cutoff)."""
+    got = {
+        r["term"]: r["est_count"]
+        for r in registry()["x5_heavy_hitters"].builder(spark, TEST_SF_DIR).collect()
+    }
+    exact = {
+        r["term"]: r["n"]
+        for r in table(spark, TEST_SF_DIR, "documents")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(got) == 20
+    for term, est in got.items():
+        assert est == exact[term], (term, est, exact[term])
+    cutoff = sorted(exact.values(), reverse=True)[19]
+    assert all(c >= cutoff for c in got.values())
