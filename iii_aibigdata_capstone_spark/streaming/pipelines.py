@@ -149,6 +149,32 @@ def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def windowed_heavy_hitters(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window frequent items via the approx_top_k
+    sketch aggregate — the streaming form of x5_heavy_hitters: per-window
+    state is one fixed-size item sketch (mergeable across partitions and
+    micro-batches), never a per-item count table, so state size is
+    O(windows), not O(windows x items). k covers every event type here,
+    which keeps the emitted set deterministic (no tie at the k boundary);
+    at real item cardinality the sketch returns estimates with documented
+    error instead of blowing up state."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(F.expr("approx_top_k(event_type, 5)").alias("tk"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.explode("tk").alias("e"),
+        )
+        .select(
+            "window_start",
+            F.col("e.item").alias("event_type"),
+            F.col("e.count").alias("est_n"),
+        )
+    )
+
+
 def session_counts(events: DataFrame, gap: str = "12 hours", watermark: str = "1 day") -> DataFrame:
     """Watermarked session windows per user (stateful aggregation — state
     store sized by active sessions, pruned by the watermark)."""

@@ -122,6 +122,28 @@ def test_session_window_stream_matches_batch(spark, events_stream_dir):
     assert got == want and len(got) > 0
 
 
+def test_windowed_heavy_hitters_stream_matches_batch(spark, events_stream_dir):
+    """Sketch aggregates ride streaming windows: per-window approx_top_k
+    over the stream must equal the batch run (k >= distinct items makes
+    the sketch exact and the emitted set tie-free)."""
+    ev_schema = table(spark, TEST_SF_DIR, "events").schema
+    stream = spark.readStream.schema(ev_schema).parquet(events_stream_dir)
+    _run_available_now(
+        P.windowed_heavy_hitters(stream)
+        .writeStream.format("memory")
+        .queryName("hh_stream")
+        .outputMode("complete")
+    )
+    got = sorted(map(tuple, spark.sql("SELECT * FROM hh_stream").collect()))
+    want = sorted(
+        map(
+            tuple,
+            P.windowed_heavy_hitters(table(spark, TEST_SF_DIR, "events")).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
 def test_malformed_lines_yield_nulls_not_crash(spark):
     """P9: a malformed CSV line produces a null-padded row (the reference
     would throw inside the map closure and kill the batch)."""

@@ -39,6 +39,12 @@ DEFAULT = [
     "j3_iou_theta_join",
     "w2_nms_greedy",
     "dl_pipeline_replay",
+    "x5_interval_join_banded",
+    "x10_triangle_count",
+    "x2_sorted_neighborhood",
+    "x2_repeated_spans",
+    "x4_postings",
+    "x4_bpe_vocab",
 ]
 
 
