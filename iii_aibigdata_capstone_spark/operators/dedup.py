@@ -695,3 +695,49 @@ def x2_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.col("e") - F.col("s") + 1).alias("dup_chars"),
     )
+
+
+@query(
+    "x1_dedup_keep_best",
+    oracle=dedent(
+        """
+        SELECT key, doc_id AS keeper_doc_id, n_chars AS keeper_chars, n_members
+        FROM (
+            SELECT MD5(SUBSTR(text, 1, 100)) AS key, doc_id, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY MD5(SUBSTR(text, 1, 100))
+                                      ORDER BY n_chars DESC, doc_id) AS rk,
+                   COUNT(*) OVER (PARTITION BY MD5(SUBSTR(text, 1, 100)))
+                       AS n_members
+            FROM documents
+        ) WHERE rk = 1
+        """
+    ),
+    tags=("X1", "dedup"),
+)
+def x1_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-policy dedup: cluster documents by a prefix fingerprint
+    (md5 of the first 100 chars — catches truncation/extension dups that
+    whole-body hashing misses) and keep the LONGEST member, not the
+    first-seen one — the curation policy that prefers the most complete
+    copy. Survivor choice is a deterministic rank (chars desc, doc_id
+    asc), and the member count rides the same single key shuffle as a
+    window count — one exchange total, shuffling hash+id+len, never the
+    text."""
+    docs = table(spark, sf_dir, "documents")
+    key = F.md5(F.substring("text", 1, 100))
+    w = Window.partitionBy("key")
+    ranked = docs.select(
+        key.alias("key"), "doc_id", "n_chars"
+    ).select(
+        "key",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w.orderBy(F.desc("n_chars"), F.asc("doc_id"))).alias("rk"),
+        F.count(F.lit(1)).over(w).alias("n_members"),
+    )
+    return ranked.where(F.col("rk") == 1).select(
+        "key",
+        F.col("doc_id").alias("keeper_doc_id"),
+        F.col("n_chars").alias("keeper_chars"),
+        "n_members",
+    )

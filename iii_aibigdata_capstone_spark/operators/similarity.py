@@ -395,3 +395,80 @@ def x3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TOPK)
         .select("query_id", "neighbor_id", "l2_sq")
     )
+
+
+MMR_LAMBDA = 0.7
+MMR_CANDIDATES = 20
+MMR_K = 5
+MMR_OUT = "query_id long, rank int, neighbor_id long, mmr_score double"
+
+
+def _mmr_fn(pdf):
+    """Greedy maximal-marginal-relevance over ONE query's candidate set:
+    pick argmax of lambda*sim(q,d) - (1-lambda)*max_sim(d, selected),
+    ties broken by neighbor_id. O(k * n^2) on n<=20 rows per group."""
+    import numpy as np
+    import pandas as pd
+
+    V = np.stack(pdf["emb"].to_numpy()).astype("float64")
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    qsim = pdf["cosine"].to_numpy()
+    ids = pdf["neighbor_id"].to_numpy()
+    chosen: list[int] = []
+    avail = list(range(len(ids)))
+    out = []
+    while avail and len(chosen) < MMR_K:
+        best = None
+        for i in avail:
+            pen = max((S[i, j] for j in chosen), default=0.0)
+            score = MMR_LAMBDA * qsim[i] - (1 - MMR_LAMBDA) * pen
+            key = (-score, ids[i])
+            if best is None or key < best[0]:
+                best = (key, i, score)
+        _, i, score = best
+        chosen.append(i)
+        avail.remove(i)
+        out.append(
+            (int(pdf["query_id"].iloc[0]), len(chosen), int(ids[i]), round(float(score), 6))
+        )
+    return pd.DataFrame(out, columns=["query_id", "rank", "neighbor_id", "mmr_score"])
+
+
+@query("x3_mmr_rerank", oracle=None, tags=("X3", "mmr"))
+def x3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval: exact cosine top-20 candidates per probe
+    vector (the ANN stage), then greedy MMR re-ranking to the final 5 —
+    the standard RAG answer to near-duplicate passages crowding a result
+    list. The candidate stage is the broadcast-probe scan shape of
+    x3_cosine_topk; the greedy stage is inherently sequential PER QUERY
+    but embarrassingly parallel ACROSS queries, so it runs as
+    applyInPandas keyed by query_id on k=20-row groups — per-group cost
+    is O(k^2) dot products on already-shrunk candidates, never on the
+    corpus. Rows-only (iterative greedy is not SQL); the selection is
+    pinned against a local numpy reference in tests."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    probes = F.broadcast(
+        e.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+    )
+    cos = dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    scored = (
+        e.join(probes, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("emb"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    cand = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= MMR_CANDIDATES
+    )
+    return cand.groupBy("query_id").applyInPandas(_mmr_fn, MMR_OUT)

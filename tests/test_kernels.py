@@ -283,3 +283,77 @@ def test_pagerank_matches_power_iteration(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-6  # rank mass conserved
     worst = max(abs(got[v] - rank[idx[v]]) for v in nodes)
     assert worst < 1e-8, f"max |spark - numpy| = {worst}"
+
+
+def test_mmr_rerank_matches_reference(spark):
+    """x3_mmr_rerank: the greedy MMR selection must equal a local numpy
+    reference computed from the same top-20 cosine candidates (argmax of
+    0.7*q_sim - 0.3*max_sim_to_selected, ties by neighbor_id)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from iii_aibigdata_capstone_spark.catalog import table
+    from iii_aibigdata_capstone_spark.functions.vectors import dot
+    from iii_aibigdata_capstone_spark.operators.similarity import (
+        MMR_CANDIDATES,
+        MMR_K,
+        MMR_LAMBDA,
+        N_QUERIES,
+    )
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    from .conftest import TEST_SF_DIR
+
+    e = table(spark, TEST_SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    probes = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cos = dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    cand = (
+        e.join(probes, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("emb"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= MMR_CANDIDATES)
+        .collect()
+    )
+    by_q = {}
+    for r in cand:
+        by_q.setdefault(r["query_id"], []).append(r)
+
+    want = []
+    for qid, rows in by_q.items():
+        V = np.array([r["emb"] for r in rows], dtype="float64")
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = Vn @ Vn.T
+        ids = [r["neighbor_id"] for r in rows]
+        qsim = [r["cosine"] for r in rows]
+        chosen, avail = [], list(range(len(ids)))
+        while avail and len(chosen) < MMR_K:
+            best = None
+            for i in avail:
+                pen = max((S[i, j] for j in chosen), default=0.0)
+                score = MMR_LAMBDA * qsim[i] - (1 - MMR_LAMBDA) * pen
+                key = (-score, ids[i])
+                if best is None or key < best[0]:
+                    best = (key, i, score)
+            _, i, score = best
+            chosen.append(i)
+            avail.remove(i)
+            want.append((qid, len(chosen), ids[i], round(float(score), 6)))
+
+    got = [
+        (r["query_id"], r["rank"], r["neighbor_id"], r["mmr_score"])
+        for r in registry()["x3_mmr_rerank"].builder(spark, TEST_SF_DIR).collect()
+    ]
+    assert sorted(got) == sorted(want)
