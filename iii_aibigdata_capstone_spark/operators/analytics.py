@@ -1662,3 +1662,41 @@ def x5_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.count").alias("est_count"),
         )
     )
+
+
+@query(
+    "x5_unpivot_metrics",
+    oracle=dedent(
+        """
+        WITH a AS (
+            SELECT c_mktsegment,
+                   ROUND(SUM(c_acctbal), 2) AS total_bal,
+                   ROUND(AVG(c_acctbal), 4) AS avg_bal,
+                   COUNT(*)::DOUBLE AS n_cust
+            FROM customer GROUP BY 1
+        )
+        SELECT c_mktsegment, metric, value
+        FROM a UNPIVOT (value FOR metric IN (total_bal, avg_bal, n_cust))
+        """
+    ),
+    tags=("X5", "unpivot"),
+)
+def x5_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long UNPIVOT (DataFrame.melt): per-segment balance metrics
+    melt into (segment, metric, value) rows — the metrics-table layout a
+    monitoring sink wants. The melt is a narrow projection fan-out (3
+    rows per input row, no shuffle beyond the feeding aggregation);
+    column-to-row explosion happens AFTER the group-by, so the wide scan
+    aggregates once and the unpivot touches |segments| rows."""
+    c = table(spark, sf_dir, "customer")
+    a = c.groupBy("c_mktsegment").agg(
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        F.count(F.lit(1)).cast("double").alias("n_cust"),
+    )
+    return a.melt(
+        ids=["c_mktsegment"],
+        values=["total_bal", "avg_bal", "n_cust"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
