@@ -1700,3 +1700,41 @@ def x5_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@query(
+    "w10_ntile_deciles",
+    oracle=dedent(
+        """
+        SELECT c_mktsegment, decile, COUNT(*) AS n,
+               ROUND(MIN(c_acctbal), 2) AS lo,
+               ROUND(MAX(c_acctbal), 2) AS hi
+        FROM (
+            SELECT c_mktsegment, c_acctbal,
+                   NTILE(10) OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal, c_custkey) AS decile
+            FROM customer
+        )
+        GROUP BY 1, 2
+        """
+    ),
+    tags=("W1", "X5", "ntile"),
+)
+def w10_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-count decile banding per market segment (NTILE): the
+    balance-tier report a pricing team asks for. The tie-break on
+    c_custkey makes bucket assignment a total order, so Spark and the
+    oracle agree row-for-row (NTILE on a partial order is
+    engine-dependent for tied rows). One shuffle on the segment key; the
+    decile aggregation reuses the window's partitioning."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_mktsegment", "c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+    )

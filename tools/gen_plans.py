@@ -132,6 +132,22 @@ GALLERY = [
         ],
     ),
     (
+        "x2_repeated_spans (at-scale shape: auto-broadcast off)",
+        "x2_repeated_spans",
+        "Repeated-substring dedup: the gram table (doc_id, pos, md5) is "
+        "checkpointed once and feeds both the duplicated-hash aggregate "
+        "and the position semi join — the raw documents scan appears at "
+        "most once; the interval-union windows and the span group-by all "
+        "share the doc_id partitioning.",
+        [
+            (
+                "raw documents scanned at most once",
+                lambda a: a.text.count("documents.parquet") <= 1,
+            ),
+            ("no CartesianProduct", lambda a: "CartesianProduct" not in a.text),
+        ],
+    ),
+    (
         "x10_triangle_count (at-scale shape: auto-broadcast off)",
         "x10_triangle_count",
         "Degree-oriented triangle counting: edges and the oriented edge set "
