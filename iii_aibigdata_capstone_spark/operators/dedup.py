@@ -13,6 +13,7 @@ Scale design:
 
 from __future__ import annotations
 
+import os
 from textwrap import dedent
 
 import pyspark.sql.functions as F
@@ -323,47 +324,66 @@ def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x2_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine >= 0.45), exact brute force
-    as the correctness baseline; the LSH variant (x3_ann_lsh) is the scale
-    path at corpus sizes where no single side fits a broadcast.
+    as the correctness baseline; the LSH variant (x3_ann_lsh) is the
+    approximate path when even blocked-exact is too expensive.
 
-    Plan: broadcast the (normalized) embedding matrix once — the same
-    weights-broadcast pattern as model inference — and stream the
-    distributed rows through one numpy matmul per Arrow batch. A relational
-    pair join with a higher-order-function dot product evaluates the lambda
-    interpreted per element per pair (~12.5M pairs x 64 dims at sf0.1 =
-    33s); the BLAS matmul over the same pair space is ~1s.
+    Plan: blocked pairwise matmul — NO driver collect, NO unbounded
+    broadcast (the r01 version collected the whole table to the driver,
+    which is an OOM at 100 TB). Each vector hashes to one of B row-blocks;
+    each unordered block pair (i<=j) is one shuffle group, and a BLAS
+    matmul scores the (n/B x n/B) tile inside applyInPandas. Costs:
+    shuffle volume n*B rows (each row replicated to the B block pairs that
+    contain its block), peak executor memory 2*(n/B)*d + (n/B)^2 — tune B
+    ~ n*sqrt(d)/sqrt(mem) so tiles fit; work is the same O(n^2 d) FLOPs as
+    brute force but spread over B(B+1)/2 independent tasks. A relational
+    pair join with a higher-order-function dot product evaluates the
+    lambda interpreted per element per pair (~33s at sf0.1); the tiled
+    BLAS matmul over the same pair space is ~1s.
     """
     import numpy as np
     import pandas as pd
-    from collections.abc import Iterator
 
+    n_blocks = int(os.environ.get("SPARK_GRAFT_NEARDUP_BLOCKS", "8"))
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    rows = e.collect()  # the broadcast side: ~n*d doubles, same role as a dim table
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([r.v for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    blocked = e.withColumn("blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)))
+    # Replicate each row to every block pair containing its block: the join
+    # side is a B-row range, broadcast — the only "small dim" in the plan.
+    other = F.broadcast(
+        spark.range(n_blocks).select(F.col("id").cast("int").alias("other"))
+    )
+    rep = (
+        blocked.crossJoin(other)
+        .withColumn("p1", F.least(F.col("blk"), F.col("other")))
+        .withColumn("p2", F.greatest(F.col("blk"), F.col("other")))
+        .dropDuplicates(["vec_id", "p1", "p2"])  # j==blk lands on (b,b) once
+        .select("p1", "p2", "blk", "vec_id", "v")
+    )
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, m = bc.value
-        for pdf in batches:
-            v = np.stack(pdf["v"].to_numpy())
-            v /= np.linalg.norm(v, axis=1, keepdims=True)
-            sims = v @ m.T  # (batch, n)
-            row_ids = pdf["vec_id"].to_numpy()
-            # vec_a < vec_b keeps each unordered pair exactly once
-            hit_r, hit_c = np.nonzero((sims >= 0.45) & (row_ids[:, None] < all_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "vec_a": row_ids[hit_r],
-                    "vec_b": all_ids[hit_c],
-                    "cosine": np.round(sims[hit_r, hit_c], 6),
-                }
-            )
+    def score_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        p1, p2 = int(pdf["p1"].iloc[0]), int(pdf["p2"].iloc[0])
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        if p1 == p2:  # diagonal tile: upper triangle by vec_id
+            sims = mat @ mat.T
+            hit_r, hit_c = np.nonzero((sims >= 0.45) & (ids[:, None] < ids[None, :]))
+            a_ids, b_ids = ids[hit_r], ids[hit_c]
+        else:  # off-diagonal tile: cross the two disjoint blocks
+            left = pdf["blk"].to_numpy() == p1
+            la, lb = np.nonzero(left)[0], np.nonzero(~left)[0]
+            sims = mat[la] @ mat[lb].T
+            hit_r, hit_c = np.nonzero(sims >= 0.45)
+            ia, ib = ids[la][hit_r], ids[lb][hit_c]
+            a_ids, b_ids = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame(
+            {"vec_a": a_ids, "vec_b": b_ids, "cosine": np.round(sims[hit_r, hit_c], 6)}
+        )
 
-    return e.mapInPandas(score, schema="vec_a long, vec_b long, cosine double")
+    return rep.groupBy("p1", "p2").applyInPandas(
+        score_tile, schema="vec_a long, vec_b long, cosine double"
+    )
 
 
 @query(

@@ -350,16 +350,16 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         WITH hourly AS (
             SELECT date_trunc('hour', ts)::TIMESTAMP AS bucket,
-                   COUNT(*) AS n, SUM(value) AS sv
+                   COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sv
             FROM events GROUP BY 1
         )
-        SELECT 'hour' AS grain, bucket, n, ROUND(sv, 2) AS total
+        SELECT 'hour' AS grain, bucket, n, ROUND(sv, 2)::DOUBLE AS total
         FROM hourly
         UNION ALL
-        SELECT 'day', date_trunc('day', bucket)::TIMESTAMP, SUM(n), ROUND(SUM(sv), 2)
+        SELECT 'day', date_trunc('day', bucket)::TIMESTAMP, SUM(n), ROUND(SUM(sv), 2)::DOUBLE
         FROM hourly GROUP BY 2
         UNION ALL
-        SELECT 'week', date_trunc('week', bucket)::TIMESTAMP, SUM(n), ROUND(SUM(sv), 2)
+        SELECT 'week', date_trunc('week', bucket)::TIMESTAMP, SUM(n), ROUND(SUM(sv), 2)::DOUBLE
         FROM hourly GROUP BY 2
         """
     ),
@@ -372,14 +372,21 @@ def ts_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly partials — at 100 TB the raw table is read a single time and the
     coarser rollups run over ~1/10^4 as many rows.
 
-    The hourly partial is cached for the two re-aggregations; rounding
-    happens only at the final projection of each grain (partial sums are
-    never rounded — Spark vs oracle half-cent divergence, SURVEY §7).
+    The hourly partial is cached for the two re-aggregations. Partial sums
+    are carried as DECIMAL(18,6) — decimal addition is exact and
+    associative, so re-aggregating hourly partials into day/week grains
+    yields bit-identical totals regardless of partitioning or engine
+    (float partials re-summed in a different order was the r01 hash
+    mismatch). Rounding happens only at the final projection of each
+    grain, then casts to DOUBLE for a stable cross-engine representation.
     """
     ev = table(spark, sf_dir, "events")
     hourly = (
         ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+        )
         .localCheckpoint(eager=False)  # one scan of the raw table feeds all grains
     )
 
@@ -388,11 +395,17 @@ def ts_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").alias("n"), F.sum("sv").alias("sv")
         )
         return agg.select(
-            F.lit(name).alias("grain"), "bucket", "n", F.round("sv", 2).alias("total")
+            F.lit(name).alias("grain"),
+            "bucket",
+            "n",
+            F.round("sv", 2).cast("double").alias("total"),
         )
 
     hour = hourly.select(
-        F.lit("hour").alias("grain"), "bucket", "n", F.round("sv", 2).alias("total")
+        F.lit("hour").alias("grain"),
+        "bucket",
+        "n",
+        F.round("sv", 2).cast("double").alias("total"),
     )
     return hour.unionByName(grain("day", hourly)).unionByName(grain("week", hourly))
 

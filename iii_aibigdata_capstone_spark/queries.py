@@ -13,6 +13,35 @@ from .catalog import table
 from .registry import QuerySpec
 
 
+# Queries that already earned a fully-green driver CORRECTNESS row in round 1
+# (rows + schema + hash, or the intended rows-only record for sketch queries).
+# The driver verifies queries in registration order and may stop early on a
+# time budget, so anything in this set registers LAST — never-verified queries
+# get first claim on the driver's oracle budget. ``ts_rollup_hierarchy`` is
+# deliberately absent (hash FAIL in r01; must re-verify).
+_VERIFIED_R01: frozenset[str] = frozenset(
+    {
+        "p1_scan_project_filter", "p3_csv_schema_roundtrip", "p11_conditional_message",
+        "e_expression_surface", "q1_pricing_summary", "a1_group_median",
+        "a4_histogram_share", "a5_mode_per_user", "a8_detector_eval",
+        "a10_group_prune_having", "p8_angles_exists_filter", "w1_rank_and_lag",
+        "w4_relative_top_area", "w5_digit_compose", "j1_lookup_left_join",
+        "j2_zip_by_rownumber", "j3_iou_theta_join", "j5_nearest_centroid",
+        "q3_top_revenue_orders", "q5_region_revenue", "t1_union_by_name",
+        "t5_pos_neg_labeling", "x5_semi_join", "x5_anti_join",
+        "x5_intersect_years", "x5_except_years", "x5_rollup_region_nation",
+        "x5_cube_status_priority", "x5_grouping_sets", "x5_count_distinct",
+        "x5_approx_count_distinct", "x5_approx_quantiles", "x5_histogram_bins",
+        "w9_distribution_ranks", "x5_snapshot_diff", "x5_regression_stats",
+        "x5_range_join", "x5_asof_join", "x5_asof_forward",
+        "st5_tumbling_window", "st5_sliding_window", "st5_session_window",
+        "ts_gap_fill", "x5_funnel_stages", "x5_cdc_merge",
+        "ts_incremental_rollup", "x5_interval_join_banded", "x1_exact_dedup",
+        "x1_content_hash_dedup",
+    }
+)
+
+
 def _collect_specs() -> list[QuerySpec]:
     from .operators import relational
 
@@ -52,6 +81,10 @@ def _collect_specs() -> list[QuerySpec]:
                 raise ValueError(f"duplicate query name {spec.name!r}")
             seen.add(spec.name)
             specs.append(spec)
+    # Stable partition: driver-unverified queries first (they need a
+    # CORRECTNESS row this round), round-1-green queries last. Within each
+    # group the module order above is preserved.
+    specs.sort(key=lambda spec: spec.name in _VERIFIED_R01)
     return specs
 
 
