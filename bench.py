@@ -57,6 +57,8 @@ HEADLINE = [
     "x10_triangle_count",
     "x2_sorted_neighborhood",
     "x4_bpe_vocab",
+    "x4_bpe_tokenize_apply",
+    "x2_embedding_neardup",
     "x4_postings",
     "x9_doc_chunking",
     "x2_repeated_spans",

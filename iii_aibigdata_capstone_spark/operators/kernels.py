@@ -13,7 +13,6 @@ shape, the cascade ordering (cheap detector before expensive recognizer —
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 from textwrap import dedent
 
@@ -23,6 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import table
+from ..decoders import pixel_decoder
 from ..registry import QuerySpec, make_registrar
 from .multimodal import binary_documents
 
@@ -36,11 +36,12 @@ query = make_registrar(SPECS)
 
 
 def decode_pixels(payload: bytes, n: int = 64) -> np.ndarray:
-    """K1 decode stub: n deterministic uint8 'pixels' from the payload
-    digest (cv2.imdecode stand-in; see multimodal.decode_image_stub)."""
-    h = hashlib.sha256(payload).digest()
-    reps = (n + len(h) - 1) // len(h)
-    return np.frombuffer(h * reps, dtype=np.uint8)[:n].copy()
+    """K1 decode: n uint8 'pixels' from the payload, via the decoder seam
+    (``decoders.pixel_decoder`` — stub by default, swap in cv2/ONNX with
+    ``register_decoder``/``SPARK_GRAFT_DECODER``; the TrueBinaryClassifier
+    pattern, reference classify.py:35-51). Resolved per call so executor
+    closures pick up the active decoder without query-code edits."""
+    return pixel_decoder()(payload, n)
 
 
 def pad_to_stride(px: np.ndarray, stride: int = 8, value: int = 128) -> np.ndarray:
@@ -90,8 +91,13 @@ def k_kernel_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     (K4/K5) -> denoise (K9) -> peak detect (K6) -> center patch crop (K8)
     -> mean-subtract (K11/A9). One Python crossing for the whole per-image
     cascade — chaining each kernel as its own UDF would serialize the image
-    through Arrow 8 times."""
+    through Arrow 8 times. The K1 decode is resolved through the decoder
+    seam ON THE DRIVER at plan-build time and captured in the closure —
+    cloudpickle ships the resolved function with the task, so a
+    ``register_decoder``'d cv2/ONNX decode reaches every executor without
+    worker-side env or import tricks."""
     b = binary_documents(spark, sf_dir).select("doc_id", "payload")
+    decode = pixel_decoder()
 
     def chain(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -102,7 +108,7 @@ def k_kernel_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             # pad_to_stride -> resize_half -> blur3 -> denoise3 -> find_peaks
             # -> center crop -> mean-subtract).
             px = np.stack(
-                [decode_pixels(bytes(p), n=64) for p in pdf["payload"]]
+                [decode(bytes(p), 64) for p in pdf["payload"]]
             ).astype(np.int32)  # (n, 64); 64 is already a stride-8 multiple (K3)
             small = (px[:, 0::2] + px[:, 1::2]) // 2  # K2 2:1 area resize
             pad = np.pad(small, ((0, 0), (1, 1)), mode="edge")
@@ -182,6 +188,7 @@ def m5_digit_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
       kernel emits one row per detection, Catalyst owns the compose.
     """
     b = binary_documents(spark, sf_dir).select("doc_id", "payload")
+    decode = pixel_decoder()  # seam: resolved on the driver, shipped in the closure
 
     def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -189,7 +196,7 @@ def m5_digit_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             # Vectorized batch form of: per image, first 4 pixels > 200
             # (K7 proposal stub), prob/digit from the pixel value (M5/M6).
-            px = np.stack([decode_pixels(bytes(p), n=32) for p in pdf["payload"]])
+            px = np.stack([decode(bytes(p), 32) for p in pdf["payload"]])
             mask = px > 200
             mask &= mask.cumsum(axis=1) <= 4  # first 4 proposals per image
             r, x = np.nonzero(mask)
@@ -282,6 +289,7 @@ def m7_pose_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = spark.sparkContext.broadcast(
         np.arange(1, n_parts + 1, dtype=np.int32) * 2 + 1  # [3,5,7,9]
     )
+    decode = pixel_decoder()  # seam: resolved on the driver, shipped in the closure
 
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         w = weights.value  # one deserialization per worker, not per task
@@ -293,7 +301,7 @@ def m7_pose_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             # array math instead of a per-image Python loop (per-row
             # iteration here dominated the bench kernel lane).
             base = np.stack(
-                [decode_pixels(bytes(p), n=32) for p in pdf["payload"]]
+                [decode(bytes(p), 32) for p in pdf["payload"]]
             ).astype(np.int32)  # (n, 32)
             doc_ids = pdf["doc_id"].to_numpy()
             heat = (base[:, None, :] * w[None, :, None]) % 251  # (n, parts, 32)

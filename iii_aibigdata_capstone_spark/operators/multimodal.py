@@ -24,27 +24,19 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import table
+from ..decoders import image_decoder
 from ..registry import QuerySpec, make_registrar
 
 SPECS: list[QuerySpec] = []
 query = make_registrar(SPECS)
 
-FAKE_W, FAKE_H = 8, 8
-
 
 def decode_image_stub(payload: bytes) -> tuple[int, int, list[int]]:
-    """Stand-in for cv2.imdecode (K1, pi/dl_k_to_ss.py:359-362).
-
-    Real implementation would be::
-
-        img = cv2.imdecode(np.frombuffer(payload, np.uint8), cv2.IMREAD_COLOR)
-
-    Here: a deterministic 8x8 gray 'image' whose pixels are the first 64
-    bytes of sha256(payload) — stable across runs/engines, so downstream
-    kernels (resize/crop/mean) are testable without codecs.
-    """
-    h = hashlib.sha256(payload).digest() * 2  # 64 bytes
-    return FAKE_W, FAKE_H, list(h[:FAKE_W * FAKE_H])
+    """K1 decode (pi/dl_k_to_ss.py:359-362), via the decoder seam
+    (``decoders.image_decoder`` — sha256-stub by default; a real
+    deployment registers cv2.imdecode and nothing in the query lane
+    changes). Name kept from r01 for test/back-compat."""
+    return image_decoder()(payload)
 
 
 def binary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,10 +89,11 @@ def x6_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory — SURVEY.md §7's inverted-tuning risk). Uses the deterministic
     decode stub; rows-only check."""
     b = binary_documents(spark, sf_dir).select("doc_id", "payload")
+    decode = image_decoder()  # seam: resolved on the driver, shipped in the closure
 
     def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [decode_image_stub(bytes(p)) for p in pdf["payload"]]
+            dims = [decode(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

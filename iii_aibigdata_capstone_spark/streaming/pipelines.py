@@ -49,20 +49,37 @@ QUARTER_DDL = ", ".join(f"{c} INT" for c in QUARTER_CSV_COLUMNS)
 # ---------------------------------------------------------------------------
 
 
+# The wire contract shared by the Kafka sink and text source: the sink
+# frames `payload` as the message value; the source recovers it as `line`.
+# Factored out so the broker-less framing test exercises the SAME
+# expressions the real builders ship (tests/test_streaming.py).
+KAFKA_SINK_PROJECTION = "CAST(payload AS STRING) AS value"
+
+
+def kafka_value_to_line(messages: DataFrame) -> DataFrame:
+    """Source-side half of the wire contract (value bytes -> text line)."""
+    return messages.select(F.col("value").cast("string").alias("line"))
+
+
 def kafka_text_source(
-    spark: SparkSession, servers: str, topic: str, max_offsets_per_trigger: int = 10000
+    spark: SparkSession,
+    servers: str,
+    topic: str,
+    max_offsets_per_trigger: int = 10000,
+    starting_offsets: str = "latest",
 ) -> DataFrame:
     """S1 (qp/ml_k_to_ss.py:63): Kafka text source. Direct source — one
     Spark partition per Kafka partition (replaces the 3 receiver threads);
-    ``maxOffsetsPerTrigger`` is the rate control the reference lacked.
+    ``maxOffsetsPerTrigger`` is the rate control the reference lacked, and
+    ``starting_offsets='earliest'`` is the replay/backfill switch.
     Requires the spark-sql-kafka package on the classpath."""
-    return (
+    return kafka_value_to_line(
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", servers)
         .option("subscribe", topic)
         .option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+        .option("startingOffsets", starting_offsets)
         .load()
-        .select(F.col("value").cast("string").alias("line"))
     )
 
 
@@ -247,7 +264,7 @@ def kafka_sink(df: DataFrame, servers: str, topic: str, checkpoint: str):
     producer per partition per batch; Spark's sink pools producers and the
     checkpoint upgrades delivery from fire-and-forget to at-least-once."""
     return (
-        df.selectExpr("CAST(payload AS STRING) AS value")
+        df.selectExpr(KAFKA_SINK_PROJECTION)
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", servers)
         .option("topic", topic)
@@ -255,14 +272,38 @@ def kafka_sink(df: DataFrame, servers: str, topic: str, checkpoint: str):
     )
 
 
-def webhook_sink(df: DataFrame, post: Callable[[str], None]):
+def kafka_sink_batch(df: DataFrame, servers: str, topic: str):
+    """Batch variant of S7 (``df.write.format('kafka')``) — same wire
+    framing, used for backfills and the round-trip smoke test."""
+    return (
+        df.selectExpr(KAFKA_SINK_PROJECTION)
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("topic", topic)
+    )
+
+
+def webhook_sink(
+    df: DataFrame, post: Callable[[str], None], max_rows_per_batch: int = 10_000
+):
     """S8 (qp/ml_IFTTT.py:12-33): webhook push per record via
     ``foreachBatch`` — the separate consumer process collapses into the
     query. ``post`` abstracts the HTTP call (IFTTT/LINE in the reference;
-    injected so tests capture instead of POSTing)."""
+    injected so tests capture instead of POSTing).
+
+    The per-batch collect is bounded: a notification sink that suddenly
+    sees more than ``max_rows_per_batch`` payloads is a pipeline bug (or
+    needs a distributed sink like foreachPartition + a worker-side HTTP
+    pool), and failing loudly beats a silent driver OOM."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
-        for row in batch.select("payload").collect():
+        rows = batch.select("payload").limit(max_rows_per_batch + 1).collect()
+        if len(rows) > max_rows_per_batch:
+            raise ValueError(
+                f"webhook_sink batch {batch_id} exceeds {max_rows_per_batch} "
+                "payloads; use a distributed sink for bulk delivery"
+            )
+        for row in rows:
             post(row.payload)
 
     return df.writeStream.foreachBatch(handle)

@@ -170,6 +170,48 @@ def test_bpe_vocab_matches_reference(spark):
     assert got == want
 
 
+def test_bpe_tokenize_apply_matches_local_tokenizer(spark):
+    """The distributed JVM-side merge-fold tokenization must produce, per
+    document, the same token count as locally learning the merges
+    (independent reference BPE) and applying them word by word."""
+    merges = [
+        (r["left"], r["right"])
+        for r in registry()["x4_bpe_vocab"]
+        .builder(spark, TEST_SF_DIR)
+        .orderBy("iteration")
+        .collect()
+    ]
+
+    def tokenize(word: str) -> int:
+        syms = list(word)
+        for left, right in merges:
+            merged, out = left + right, []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            syms = out
+        return len(syms)
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, TEST_SF_DIR, "documents").limit(50).collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_chars"])
+        for r in registry()["x4_bpe_tokenize_apply"]
+        .builder(spark, TEST_SF_DIR)
+        .collect()
+        if r["doc_id"] in docs
+    }
+    for doc_id, text in docs.items():
+        words = [w for w in text.split(" ") if w]
+        want_tok = sum(tokenize(w) for w in words)
+        want_chr = sum(len(w) for w in words)
+        assert got[doc_id] == (want_tok, want_chr), doc_id
+
+
 def test_heavy_hitters_exact_at_small_vocab(spark):
     """approx_top_k is exact while distinct items fit the tracker, so at
     test vocab size the estimated counts must equal exact term counts and

@@ -7,6 +7,7 @@ import numpy as np
 import pyspark.sql.functions as F
 import pytest
 
+from iii_aibigdata_capstone_spark import catalog as table_mod
 from iii_aibigdata_capstone_spark.operators.kernels import (
     blur3,
     decode_pixels,
@@ -25,6 +26,72 @@ def test_decode_pixels_deterministic():
     assert len(a) == 64 and a.dtype == np.uint8
     assert (a == b).all()
     assert not (a == decode_pixels(b"other", n=64)).all()
+
+
+def test_decoder_seam_env_dispatch(monkeypatch):
+    """$SPARK_GRAFT_DECODER selects the decoder at call time; 'raw' is a
+    trivially-real decode — the payload's own bytes are the pixels."""
+    from iii_aibigdata_capstone_spark import decoders
+
+    payload = bytes(range(10))
+    monkeypatch.setenv(decoders.ENV_VAR, "raw")
+    px = decode_pixels(payload, n=25)
+    assert list(px[:10]) == list(range(10))  # actual payload bytes
+    assert list(px) == [i % 10 for i in range(25)]  # tiled to length
+    monkeypatch.setenv(decoders.ENV_VAR, "stub")
+    assert not (decode_pixels(payload, n=25) == px).all()
+    monkeypatch.setenv(decoders.ENV_VAR, "nope")
+    with pytest.raises(KeyError, match="unknown decoder"):
+        decode_pixels(payload, n=8)
+
+
+def test_decoder_seam_registration(monkeypatch):
+    """register_decoder installs a drop-in decode (the cv2/ONNX path)
+    without touching kernel or query code."""
+    from iii_aibigdata_capstone_spark import decoders
+
+    def flat7_pixels(payload, n):
+        return np.full(n, 7, dtype=np.uint8)
+
+    def flat7_image(payload):
+        return 2, 2, [7, 7, 7, 7]
+
+    decoders.register_decoder("flat7", flat7_pixels, flat7_image)
+    monkeypatch.setenv(decoders.ENV_VAR, "flat7")
+    assert list(decode_pixels(b"anything", n=3)) == [7, 7, 7]
+    from iii_aibigdata_capstone_spark.operators.multimodal import decode_image_stub
+
+    assert decode_image_stub(b"anything") == (2, 2, [7, 7, 7, 7])
+
+
+@pytest.mark.parametrize("decoder", ["stub", "raw"])
+def test_kernel_chain_runs_under_both_decoders(spark, monkeypatch, decoder):
+    """The kernel-chain query must run unchanged against the stub AND a
+    real (raw-byte) decode — the seam is resolved at plan-build time on
+    the driver and shipped in the mapInPandas closure, so no executor-side
+    env is involved."""
+    from iii_aibigdata_capstone_spark import decoders
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    monkeypatch.setenv(decoders.ENV_VAR, decoder)
+    rows = registry()["k_kernel_chain"].builder(spark, TEST_SF_DIR).collect()
+    assert rows and all(r.resized_len == 32 for r in rows)
+    if decoder == "raw":
+        # raw decode of a text payload: pixels are the utf-8 bytes, so the
+        # patch mean must equal the locally computed kernel chain
+        doc = (
+            table_mod.table(spark, TEST_SF_DIR, "documents")
+            .where(F.col("doc_id") == rows[0].doc_id)
+            .collect()[0]
+        )
+        px = decoders._raw_pixels(doc.text.encode("utf-8"), 64).astype(np.int32)
+        small = (px[0::2] + px[1::2]) // 2
+        pad = np.pad(small, 1, mode="edge")
+        blur = (pad[:-2] + pad[1:-1] + pad[2:]) // 3
+        pad = np.pad(blur, 1, mode="edge")
+        smooth = np.median(np.stack([pad[:-2], pad[1:-1], pad[2:]]), axis=0)
+        patch = smooth[len(small) // 4 : 3 * len(small) // 4]
+        assert rows[0].patch_mean == pytest.approx(round(float(patch.mean()), 4))
 
 
 def test_pad_to_stride():

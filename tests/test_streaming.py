@@ -6,6 +6,7 @@ tumbling/session windows checked against their batch equivalents.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pyspark.sql.functions as F
@@ -164,6 +165,74 @@ def test_kafka_source_requires_package(spark):
         P.kafka_text_source(spark, "localhost:9092", "ml_input")
     except Exception as ex:
         assert "kafka" in str(ex).lower()
+
+
+def _kafka_unavailable_reason(spark) -> str | None:
+    """A live broker AND the spark-sql-kafka connector are both required;
+    report which is missing so the round-trip test skips with the cause."""
+    import socket
+
+    servers = os.environ.get("KAFKA_BOOTSTRAP", "localhost:9092")
+    host, _, port = servers.rpartition(":")
+    try:
+        with socket.create_connection((host, int(port)), timeout=2):
+            pass
+    except OSError as ex:
+        return f"no Kafka broker at {servers}: {ex}"
+    try:
+        P.kafka_text_source(spark, servers, "__probe__")
+    except Exception as ex:
+        return f"spark-sql-kafka connector unavailable: {ex}"
+    return None
+
+
+def test_kafka_round_trip_when_broker_available(spark, tmp_path):
+    """S1+S7 end-to-end against a real broker: batch-produce through the
+    sink framing, stream-consume through the text source, payloads must
+    survive the wire byte-for-byte. Skips (never errors) without a broker
+    or connector jar — the framing itself is still covered broker-less by
+    test_kafka_wire_framing_round_trip below."""
+    import uuid
+
+    reason = _kafka_unavailable_reason(spark)
+    if reason:
+        pytest.skip(reason)
+    servers = os.environ.get("KAFKA_BOOTSTRAP", "localhost:9092")
+    topic = f"smoke_{uuid.uuid4().hex[:12]}"
+    payloads = ["1,0.9173", "0,0.2831", "1,0.5514"]
+    P.kafka_sink_batch(
+        spark.createDataFrame([(p,) for p in payloads], ["payload"]), servers, topic
+    ).save()
+    name = f"kafka_rt_{uuid.uuid4().hex[:8]}"
+    q = (
+        P.kafka_text_source(spark, servers, topic, starting_offsets="earliest")
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    got = sorted(r.line for r in spark.sql(f"SELECT line FROM {name}").collect())
+    assert got == sorted(payloads)
+
+
+def test_kafka_wire_framing_round_trip(spark):
+    """Broker-less half of the S1/S7 contract: the sink's value framing
+    (KAFKA_SINK_PROJECTION) composed with the source's value->line
+    projection (kafka_value_to_line) — the exact expressions the real
+    builders ship — must be the identity on payload strings, including
+    non-ASCII (the reference pushes UTF-8 Chinese team messages, E4)."""
+    payloads = ["1,0.9173", "紅隊,23,號球員即將上場", "", "a,b,c"]
+    df = spark.createDataFrame([(p,) for p in payloads], ["payload"])
+    wire = df.selectExpr(P.KAFKA_SINK_PROJECTION).select(
+        F.col("value").cast("binary").alias("value")  # kafka's value type
+    )
+    got = sorted(r.line for r in P.kafka_value_to_line(wire).collect())
+    assert got == sorted(payloads)
 
 
 def test_binary_stream_decode_matches_batch(spark):

@@ -9,7 +9,14 @@ bottleneck) that would NOT survive a 100x scale-up. Output: one JSON line
 per query with the three timings and the fitted alpha over the top decade
 (sf0.01 -> sf0.1, where fixed costs matter least).
 
-Usage: python tools/scale_probe.py [query ...]
+Usage: python tools/scale_probe.py [--gate] [--out FILE] [query ...]
+
+``--gate`` is the per-round regression gate: exit 1 if any probed query
+fits alpha > GATE_ALPHA (1.3) — i.e. a shape change made some operator
+super-linear. ``--out FILE`` additionally writes the probe records as a
+JSON array (committed per round alongside BENCH_r{N}.json). Queries whose
+sf0.1 time is under GATE_MIN_SEC are exempt from the gate: at sub-second
+wall-clock the fit measures scheduler noise, not the data path.
 """
 
 from __future__ import annotations
@@ -26,18 +33,26 @@ from iii_aibigdata_capstone_spark.queries import registry
 from iii_aibigdata_capstone_spark.session import get_spark
 
 SFS = [0.001, 0.01, 0.1]
+GATE_ALPHA = 1.3
+GATE_MIN_SEC = 1.0
+# The bench's most expensive queries (BENCH_r01 ranking) plus one probe per
+# scale-sensitive lane — these are where a shape regression would hide.
 DEFAULT = [
     "q1_pricing_summary",
     "q5_region_revenue",
     "q18_big_orders",
     "q21_sole_late_supplier",
+    "q2_min_cost_supplier",
     "x9_sessionize",
     "x2_minhash_lsh",
+    "x2_embedding_neardup",
     "x3_cosine_topk",
     "x4_unigram_logprob",
     "x9_corpus_curation",
     "j3_iou_theta_join",
+    "j4_limb_candidates",
     "w2_nms_greedy",
+    "t4_person_assembly",
     "dl_pipeline_replay",
     "x5_interval_join_banded",
     "x10_triangle_count",
@@ -49,7 +64,13 @@ DEFAULT = [
 
 
 def main() -> None:
-    names = sys.argv[1:] or DEFAULT
+    args = sys.argv[1:]
+    gate = "--gate" in args
+    out_path = None
+    if "--out" in args:
+        out_path = args[args.index("--out") + 1]
+        args = [a for i, a in enumerate(args) if a != "--out" and args[i - 1] != "--out"]
+    names = [a for a in args if not a.startswith("--")] or DEFAULT
     spark = get_spark(app_name="iii-capstone-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     specs = registry()
@@ -70,20 +91,37 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    records = []
     for name in names:
         times = {}
         for sf in SFS:
             times[sf] = round(run(specs[name].builder, f"/root/testdata/sf{sf}"), 3)
         alpha = math.log(max(times[0.1], 1e-3) / max(times[0.01], 1e-3)) / math.log(10)
-        print(
-            json.dumps(
-                {
-                    "query": name,
-                    "sec": {str(sf): times[sf] for sf in SFS},
-                    "alpha_top_decade": round(alpha, 3),
-                }
+        rec = {
+            "query": name,
+            "sec": {str(sf): times[sf] for sf in SFS},
+            "alpha_top_decade": round(alpha, 3),
+            "gated": times[0.1] >= GATE_MIN_SEC,
+        }
+        records.append(rec)
+        print(json.dumps(rec))
+
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(records, fh, indent=1)
+    if gate:
+        bad = [
+            r for r in records if r["gated"] and r["alpha_top_decade"] > GATE_ALPHA
+        ]
+        if bad:
+            print(
+                f"SCALE GATE FAIL: {len(bad)} queries super-linear "
+                f"(alpha > {GATE_ALPHA}): "
+                + ", ".join(f"{r['query']}={r['alpha_top_decade']}" for r in bad),
+                file=sys.stderr,
             )
-        )
+            sys.exit(1)
+        print(f"scale gate OK: all {len(records)} gated fits <= {GATE_ALPHA}")
 
 
 if __name__ == "__main__":
