@@ -353,11 +353,14 @@ def x2_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     other = F.broadcast(
         spark.range(n_blocks).select(F.col("id").cast("int").alias("other"))
     )
+    # No dedup needed: for a row in block b, each j in 0..B-1 yields a
+    # DISTINCT pair (min(b,j),max(b,j)) — j<b gives (j,b), j>b gives (b,j),
+    # j==b gives the diagonal (b,b) exactly once. So the only shuffle in
+    # the plan is the groupBy(p1,p2) tile exchange itself (n*B rows).
     rep = (
         blocked.crossJoin(other)
         .withColumn("p1", F.least(F.col("blk"), F.col("other")))
         .withColumn("p2", F.greatest(F.col("blk"), F.col("other")))
-        .dropDuplicates(["vec_id", "p1", "p2"])  # j==blk lands on (b,b) once
         .select("p1", "p2", "blk", "vec_id", "v")
     )
 
