@@ -624,6 +624,34 @@ def x2_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _span_grams(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, gram-hash) for every 20-char gram position.
+
+    The gram explode multiplies each input row ~|text| times, so stage
+    parallelism must come from BEFORE the explode: a compact-file corpus
+    (one 2 MB parquet at sf0.1) otherwise runs the whole O(chars x 20)
+    hashing on one core. Repartitioning the (tiny) pre-explode rows is a
+    negligible shuffle that buys full-cluster fan-out of the hashing.
+    Exposed as its own builder so tests/test_plans.py can audit the
+    pre-checkpoint plan (the lazy localCheckpoint in the query truncates
+    the visible lineage)."""
+    n_part = spark.sparkContext.defaultParallelism
+    docs.repartition(n_part, "doc_id").select("doc_id", "text").createOrReplaceTempView(
+        "_span_docs"
+    )
+    return spark.sql(
+        """
+        SELECT doc_id, pos0 + 1 AS pos, h
+        FROM (
+            SELECT doc_id,
+                   posexplode(transform(sequence(1, length(text) - 19),
+                       i -> xxhash64(substring(text, i, 20)))) AS (pos0, h)
+            FROM _span_docs
+        )
+        """
+    )
+
+
 @query(
     "x2_repeated_spans",
     oracle=dedent(
@@ -687,26 +715,9 @@ def x2_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     size this is the same candidate set at a fraction of the
     coordination."""
     docs = table(spark, sf_dir, "documents").where(F.length("text") >= 20)
-    # The gram explode multiplies each input row ~|text| times, so stage
-    # parallelism must come from BEFORE the explode: a compact-file corpus
-    # (one 2 MB parquet at sf0.1) otherwise runs the whole O(chars x 20)
-    # hashing on one core. Repartitioning the (tiny) pre-explode rows is a
-    # negligible shuffle that buys full-cluster fan-out of the hashing.
-    n_part = spark.sparkContext.defaultParallelism
-    docs.repartition(n_part, "doc_id").select("doc_id", "text").createOrReplaceTempView(
-        "_span_docs"
-    )
-    grams = spark.sql(
-        """
-        SELECT doc_id, pos0 + 1 AS pos, h
-        FROM (
-            SELECT doc_id,
-                   posexplode(transform(sequence(1, length(text) - 19),
-                       i -> xxhash64(substring(text, i, 20)))) AS (pos0, h)
-            FROM _span_docs
-        )
-        """
-    ).localCheckpoint(eager=False)  # consumed twice: dup hashes + hits
+    grams = _span_grams(spark, docs).localCheckpoint(
+        eager=False
+    )  # consumed twice: dup hashes + hits
     dup = (
         grams.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))

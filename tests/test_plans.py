@@ -267,3 +267,58 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
             spark.conf.set(k, v)
     assert "might_contain" in text, text
     assert "bloom_filter_agg" in text
+
+
+def test_blocked_neardup_single_tile_exchange(spark):
+    """x2_embedding_neardup (blocked matmul): the ONLY data shuffle is the
+    groupBy(p1,p2) tile exchange; the block-pair fan-out must ride a
+    broadcast nested-loop join of the B-row range (no exchange of the
+    embedding table for the crossJoin, no driver collect in the plan)."""
+    a = audit(registry()["x2_embedding_neardup"].builder(spark, TEST_SF_DIR))
+    assert a.hash_exchanges <= 1, a.text
+    assert "BroadcastNestedLoopJoin" in a.text  # the B-row block range
+    # exactly one grouped-kernel operator (formatted explain names each
+    # operator twice: once in the tree, once in the detail section)
+    assert "FlatMapGroupsInPandas" in a.text and "MapInPandas" not in a.text.replace(
+        "FlatMapGroupsInPandas", ""
+    )
+
+
+def test_repeated_spans_parallelizes_before_explode(spark):
+    """x2_repeated_spans: gram hashing must fan out BEFORE the explode (a
+    compact-file corpus otherwise runs the whole O(chars x gram) hashing on
+    one input partition) — audited on the gram builder directly because the
+    query's lazy localCheckpoint truncates the visible lineage. Guards the
+    pre-explode exchange and the 64-bit xxhash64 gram keys (not md5 hex)."""
+    import pyspark.sql.functions as F
+
+    from iii_aibigdata_capstone_spark.catalog import table
+    from iii_aibigdata_capstone_spark.operators.dedup import _span_grams
+    from iii_aibigdata_capstone_spark.plans.audit import plan_text
+
+    docs = table(spark, TEST_SF_DIR, "documents").where(F.length("text") >= 20)
+    text = plan_text(_span_grams(spark, docs))
+    assert "xxhash64" in text and "md5" not in text, text
+    # tree prints top-down (sink first): the exchange must be a CHILD of
+    # the Generate (appear after it), i.e. the shuffle happens pre-explode
+    gen_pos = text.find("Generate")
+    exch_pos = text.find("Exchange")
+    assert gen_pos != -1 and exch_pos != -1 and exch_pos > gen_pos, text
+    assert "hashpartitioning(doc_id" in text, text
+
+
+def test_tokenize_apply_folds_vocab_not_instances(spark):
+    """x4_bpe_tokenize_apply: the merge folds (higher-order aggregate over
+    the symbol array) must sit above the DISTINCT-word aggregate, not the
+    raw word-instance explode — folding every instance was ~8x the work."""
+    from iii_aibigdata_capstone_spark.plans.audit import plan_text
+
+    df = registry()["x4_bpe_tokenize_apply"].builder(spark, TEST_SF_DIR)
+    text = plan_text(df)
+    # the nested merge-fold is evaluated in the Results of the w-keyed
+    # (distinct-word) aggregate — i.e. once per distinct word; the
+    # word-instance side (hidden behind the lazy checkpoint) only ever
+    # joins on w and re-aggregates by doc_id
+    assert "size(aggregate(" in text, text
+    assert "Keys [1]: [w#" in text, text
+    assert "hashpartitioning(doc_id" in text, text
