@@ -44,8 +44,15 @@ def shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
 
     The token array is materialized as its own projection first — inlining
     ``split(text)`` into every ``element_at`` of the gram lambda makes
-    shingling O(tokens^2) per document (measured 2x slower at sf0.1)."""
-    docs = table(spark, sf_dir, "documents")
+    shingling O(tokens^2) per document (measured 2x slower at sf0.1).
+    Like _span_grams, parallelism must come from BEFORE the explode: the
+    compact-file corpus reads as one input partition, which would run all
+    gram construction on a single core — the tiny pre-explode repartition
+    buys full fan-out for every shingle consumer (Jaccard, clusters,
+    incremental ingest)."""
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = docs.select("doc_id", "lang", F.split(F.col("text"), " ").alias("t"))
     t = F.col("t")
     grams = F.transform(
@@ -110,6 +117,92 @@ def x1_content_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
     )
+
+
+@query(
+    "x1_incremental_ingest",
+    oracle=dedent(
+        f"""
+        WITH idx AS (SELECT * FROM documents WHERE doc_id % 5 <> 4),
+        batch AS (SELECT * FROM documents WHERE doc_id % 5 = 4),
+        fresh AS (
+            SELECT b.* FROM batch b
+            ANTI JOIN idx i ON MD5(b.text) = MD5(i.text)
+        ),
+        {_SHINGLE_SQL_CTE},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT b.doc_id AS bd, i.doc_id AS idd, COUNT(*) AS c
+            FROM shingles b JOIN shingles i
+              ON b.s = i.s AND b.lang = i.lang
+             AND b.doc_id % 5 = 4 AND i.doc_id % 5 <> 4
+            GROUP BY 1, 2
+        ),
+        neardup AS (
+            SELECT DISTINCT inter.bd FROM inter
+            JOIN sizes sb ON sb.doc_id = inter.bd
+            JOIN sizes si ON si.doc_id = inter.idd
+            WHERE c * 1.0 / (sb.n + si.n - c) >= 0.5
+        )
+        SELECT f.doc_id, f.lang, f.n_chars FROM fresh f
+        ANTI JOIN neardup nd ON f.doc_id = nd.bd
+        """
+    ),
+    tags=("X1", "X2", "incremental"),
+)
+def x1_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup — the shape production corpus pipelines
+    actually run: a NEW BATCH (here docs with doc_id % 5 == 4) is admitted
+    against an already-INDEXED corpus (the rest), not deduped in isolation.
+    Two stages, both batch-vs-index (never index-vs-index — the whole point
+    of incrementality is that the 100 TB index is only ever probed):
+
+    1. exact: anti join on the content hash — shuffles 16-byte hashes,
+       never text;
+    2. near-dup: inverted-shingle join restricted to batch-side x
+       index-side shingle hits, Jaccard >= 0.5 flags, anti join back.
+
+    One shingle table serves both sides (computed once, checkpointed, side
+    selected by predicate), so at scale the index's shingle explode is the
+    pre-built inverted index a real pipeline would persist; per-batch cost
+    is proportional to the BATCH, not the corpus. Output: admitted batch
+    docs."""
+    docs = table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 5 == 4
+    batch = docs.where(is_batch)
+    idx = docs.where(~is_batch)
+    fresh = batch.alias("b").join(
+        idx.select(F.md5("text").alias("h")).distinct(),
+        F.md5(F.col("b.text")) == F.col("h"),
+        "left_anti",
+    )
+    sh = shingles(spark, sf_dir).localCheckpoint(eager=False)  # both sides + sizes
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.where(is_batch)
+        .alias("sb")
+        .join(
+            sh.where(~is_batch).alias("si"),
+            (F.col("sb.s") == F.col("si.s")) & (F.col("sb.lang") == F.col("si.lang")),
+        )
+        .groupBy(
+            F.col("sb.doc_id").alias("bd"), F.col("si.doc_id").alias("idd")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    neardup = (
+        inter.join(sizes.withColumnRenamed("doc_id", "bd"), "bd")
+        .withColumnRenamed("n", "nb")
+        .join(
+            sizes.select(F.col("doc_id").alias("idd"), F.col("n").alias("ni")), "idd"
+        )
+        .where(F.col("c") / (F.col("nb") + F.col("ni") - F.col("c")) >= 0.5)
+        .select("bd")
+        .distinct()
+    )
+    return fresh.join(
+        neardup, fresh["doc_id"] == neardup["bd"], "left_anti"
+    ).select("doc_id", "lang", "n_chars")
 
 
 @query(

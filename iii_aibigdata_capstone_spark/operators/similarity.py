@@ -177,6 +177,54 @@ def x3_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x3_label_centroids",
+    oracle=dedent(
+        """
+        WITH flat AS (
+            SELECT label,
+                   UNNEST(RANGE(1, LEN(embedding) + 1)) AS dim,
+                   UNNEST(embedding::DOUBLE[]) AS v
+            FROM embeddings
+        )
+        SELECT label, dim,
+               ROUND(SUM(CAST(v AS DECIMAL(28,12)))::DOUBLE / COUNT(*), 6)
+                   AS centroid,
+               COUNT(*) AS n
+        FROM flat GROUP BY label, dim
+        """
+    ),
+    tags=("X3", "centroid"),
+)
+def x3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise centroid — the class-prototype / cluster-mean
+    primitive (query routing, drift monitoring, kNN-to-centroid shortlists)
+    computed RELATIONALLY: posexplode the vector to (label, dim, v) and
+    group by (label, dim). Scale shape: the explode multiplies rows by d,
+    but hash aggregation is map-side partial, so the shuffle carries only
+    per-partition partials (|labels| x d rows each) — the n x d element
+    table itself never crosses the wire. Element sums are carried as
+    DECIMAL(28,12) (exact/associative — float partial sums re-added in
+    engine-specific order was the ts_rollup_hierarchy hash lesson) and the
+    mean is derived once at projection."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    return (
+        e.groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            F.sum(F.col("v").cast("decimal(28,12)")).alias("sv"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "dim",
+            F.round(F.col("sv").cast("double") / F.col("n"), 6).alias("centroid"),
+            "n",
+        )
+    )
+
+
 @query("x3_ann_lsh", oracle=None, tags=("X3", "lsh"))
 def x3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors via random-hyperplane LSH
