@@ -59,6 +59,8 @@ HEADLINE = [
     "x4_bpe_vocab",
     "x4_bpe_tokenize_apply",
     "x2_embedding_neardup",
+    "x3_label_centroids",
+    "x1_incremental_ingest",
     "x4_postings",
     "x9_doc_chunking",
     "x2_repeated_spans",

@@ -60,6 +60,9 @@ DEFAULT = [
     "x2_repeated_spans",
     "x4_postings",
     "x4_bpe_vocab",
+    "x4_bpe_tokenize_apply",
+    "x1_incremental_ingest",
+    "x3_label_centroids",
 ]
 
 
