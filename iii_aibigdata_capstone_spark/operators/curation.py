@@ -62,36 +62,43 @@ query = make_registrar(SPECS)
 def x9_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality audit — the constraint checks an ingest gate runs
     before a corpus ships: row counts, null foreign keys, duplicate
-    primary keys, referential orphans (left-anti join). One row per table;
-    every metric is a count so the audit aggregates map-side."""
+    primary keys, referential orphans. ONE pass per table: left join the
+    (distinct) dim key, group by primary key, and derive all four metrics
+    from the per-pk partials in a final scalar aggregate — the r01 shape
+    ran 8 sequential driver-blocking count() jobs for the same numbers.
+    A null or unmatched fk leaves the joined dim key null, which is
+    exactly NOT EXISTS semantics; the left join preserves multiplicity
+    because the dim side is distinct. No driver collect anywhere — the
+    audit is a single unioned DataFrame."""
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")
     li = table(spark, sf_dir, "lineitem")
 
     def audit_table(name, df, pk_cols, fk_col, dim, dim_key):
-        dups = (
-            df.groupBy(*pk_cols)
-            .agg(F.count(F.lit(1)).alias("c"))
-            .where(F.col("c") > 1)
-            .count()
+        dk = dim.select(F.col(dim_key).alias("_dk")).distinct()
+        j = df.select(*pk_cols, F.col(fk_col).alias("_fk")).join(
+            dk, F.col("_fk") == F.col("_dk"), "left"
         )
-        orphans = df.join(
-            dim, df[fk_col] == dim[dim_key], "left_anti"
-        ).count()
-        return (
-            name,
-            df.count(),
-            df.where(F.col(fk_col).isNull()).count(),
-            dups,
-            orphans,
+        per_pk = j.groupBy(*pk_cols).agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.sum(F.col("_fk").isNull().cast("long")).alias("_nulls"),
+            F.sum(F.col("_dk").isNull().cast("long")).alias("_orph"),
+        )
+        return per_pk.agg(
+            F.sum("_c").alias("n_rows"),
+            F.sum("_nulls").alias("n_null_keys"),
+            F.sum((F.col("_c") > 1).cast("long")).alias("n_dup_ids"),
+            F.sum("_orph").alias("n_orphans"),
+        ).select(
+            F.lit(name).alias("tbl"), "n_rows", "n_null_keys", "n_dup_ids", "n_orphans"
         )
 
-    rows = [
-        audit_table("orders", orders, ["o_orderkey"], "o_custkey", customer, "c_custkey"),
-        audit_table("lineitem", li, ["l_orderkey", "l_linenumber"], "l_orderkey", orders, "o_orderkey"),
-    ]
-    return spark.createDataFrame(
-        rows, "tbl string, n_rows long, n_null_keys long, n_dup_ids long, n_orphans long"
+    return audit_table(
+        "orders", orders, ["o_orderkey"], "o_custkey", customer, "c_custkey"
+    ).unionByName(
+        audit_table(
+            "lineitem", li, ["l_orderkey", "l_linenumber"], "l_orderkey", orders, "o_orderkey"
+        )
     )
 
 

@@ -528,9 +528,16 @@ def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks convergence counts; labels never leave the cluster. The oracle
     is a recursive-CTE transitive closure (viable at oracle SF)."""
     pairs = x2_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).distinct()
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .distinct()
+        # materialize once: every propagation round joins the edge table,
+        # and without this the whole upstream shingle-join pipeline would
+        # re-execute per iteration (measured ~2x the query's total cost)
+        .localCheckpoint(eager=False)
+    )
     labels = (
         edges.select(F.col("doc_a").alias("node")).distinct()
         .withColumn("label", F.col("node"))
