@@ -6,6 +6,8 @@ module: ``queries()``/``oracle_sql()`` are derived from :data:`ALL_SPECS`.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -13,33 +15,44 @@ from .catalog import table
 from .registry import QuerySpec
 
 
-# Queries that already earned a fully-green driver CORRECTNESS row in round 1
-# (rows + schema + hash, or the intended rows-only record for sketch queries).
-# The driver verifies queries in registration order and may stop early on a
-# time budget, so anything in this set registers LAST — never-verified queries
-# get first claim on the driver's oracle budget. ``ts_rollup_hierarchy`` is
-# deliberately absent (hash FAIL in r01; must re-verify).
-_VERIFIED_R01: frozenset[str] = frozenset(
-    {
-        "p1_scan_project_filter", "p3_csv_schema_roundtrip", "p11_conditional_message",
-        "e_expression_surface", "q1_pricing_summary", "a1_group_median",
-        "a4_histogram_share", "a5_mode_per_user", "a8_detector_eval",
-        "a10_group_prune_having", "p8_angles_exists_filter", "w1_rank_and_lag",
-        "w4_relative_top_area", "w5_digit_compose", "j1_lookup_left_join",
-        "j2_zip_by_rownumber", "j3_iou_theta_join", "j5_nearest_centroid",
-        "q3_top_revenue_orders", "q5_region_revenue", "t1_union_by_name",
-        "t5_pos_neg_labeling", "x5_semi_join", "x5_anti_join",
-        "x5_intersect_years", "x5_except_years", "x5_rollup_region_nation",
-        "x5_cube_status_priority", "x5_grouping_sets", "x5_count_distinct",
-        "x5_approx_count_distinct", "x5_approx_quantiles", "x5_histogram_bins",
-        "w9_distribution_ranks", "x5_snapshot_diff", "x5_regression_stats",
-        "x5_range_join", "x5_asof_join", "x5_asof_forward",
-        "st5_tumbling_window", "st5_sliding_window", "st5_session_window",
-        "ts_gap_fill", "x5_funnel_stages", "x5_cdc_merge",
-        "ts_incremental_rollup", "x5_interval_join_banded", "x1_exact_dedup",
-        "x1_content_hash_dedup",
-    }
-)
+def _driver_verified_names() -> frozenset[str]:
+    """Names that already earned a fully-green driver CORRECTNESS row in
+    ANY past round (rows + schema + hash all true, or the intended
+    rows-only / no-oracle record for sketch queries).
+
+    The driver verifies queries in registration order and may stop early
+    on a time budget, so anything in this set registers LAST — queries
+    without a green row yet get first claim on the driver's oracle
+    budget. The set is read from the driver's own ``CORRECTNESS_r*.json``
+    artifacts at import time, so each new round's results reorder the
+    next round automatically (a query that FAILED a check is deliberately
+    not in the set — it must re-verify first)."""
+    import glob
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    verified: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                records = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, rec in records.items():
+            if not isinstance(rec, dict):
+                continue
+            green_hash = rec.get("hash_match") is True
+            rows_only = rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
+            if green_hash or rows_only:
+                verified.add(name)
+            elif rec.get("hash_match") is False or (
+                rec.get("err") not in (None, "no_oracle")
+            ):
+                verified.discard(name)  # a later failure forces re-verification
+    return frozenset(verified)
+
+
+_DRIVER_VERIFIED: frozenset[str] = _driver_verified_names()
 
 
 def _collect_specs() -> list[QuerySpec]:
@@ -82,9 +95,9 @@ def _collect_specs() -> list[QuerySpec]:
             seen.add(spec.name)
             specs.append(spec)
     # Stable partition: driver-unverified queries first (they need a
-    # CORRECTNESS row this round), round-1-green queries last. Within each
+    # CORRECTNESS row this round), already-green queries last. Within each
     # group the module order above is preserved.
-    specs.sort(key=lambda spec: spec.name in _VERIFIED_R01)
+    specs.sort(key=lambda spec: spec.name in _DRIVER_VERIFIED)
     return specs
 
 
