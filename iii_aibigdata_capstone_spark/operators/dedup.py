@@ -277,6 +277,130 @@ def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_MINHASH_SEEDS = 16
+N_MINHASH_BANDS = 4  # 4 bands x 4 rows: candidate iff all 4 row-mins match
+
+
+@query(
+    "x2_minhash_banded",
+    oracle=dedent(
+        f"""
+        WITH {_SHINGLE_SQL_CTE},
+        seeds AS (SELECT UNNEST(RANGE(0, {N_MINHASH_SEEDS})) AS seed),
+        mh AS (
+            SELECT doc_id, lang, seed,
+                   MIN(MD5(seed::VARCHAR || ':' || s)) AS mh
+            FROM shingles CROSS JOIN seeds GROUP BY 1, 2, 3
+        ),
+        bk AS (
+            SELECT doc_id, lang, seed % {N_MINHASH_BANDS} AS band,
+                   STRING_AGG(mh, '|' ORDER BY seed) AS bkey
+            FROM mh GROUP BY 1, 2, 3
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang
+            FROM bk a JOIN bk b
+              ON a.lang = b.lang AND a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+            FROM cand c
+            JOIN shingles x ON x.doc_id = c.doc_a AND x.lang = c.lang
+            JOIN shingles y ON y.doc_id = c.doc_b AND y.s = x.s AND y.lang = c.lang
+            GROUP BY 1, 2
+        )
+        SELECT i.doc_a, i.doc_b,
+               ROUND(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.5
+        """
+    ),
+    tags=("X2", "lsh", "minhash"),
+)
+def x2_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH with a FULL DuckDB oracle — the deterministic
+    complement to ``x2_minhash_lsh`` (MLlib's hash family is seeded JVM
+    state, so that one is rows-only; this one's min-hash is
+    ``MIN(md5(seed:shingle))`` per (doc, seed), identical in any engine).
+    Classic banding: {N_MINHASH_SEEDS} signatures in {N_MINHASH_BANDS}
+    bands of {N_MINHASH_SEEDS // N_MINHASH_BANDS}; docs are candidates iff
+    some band's row-mins all agree (band key = the band's concatenated
+    mins — an equality, so candidates surface from a plain hash join on
+    (lang, band, key), never a pairwise scan); candidates are then
+    verified with EXACT Jaccard over the shingle index, so banding only
+    affects recall, never the precision of emitted pairs. Scale shape:
+    per-doc state is {N_MINHASH_SEEDS} hashes regardless of document
+    length; the (doc, shingle, seed) explode feeds a map-side-combinable
+    MIN; band keys are tiny; exact verification touches only candidate
+    pairs. The band-key string order differs between engines (lexicographic
+    vs numeric seed order) — irrelevant, because the key is only ever an
+    intra-engine join equality and the underlying min values agree."""
+    sh = shingles(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # consumed thrice: minhash, sizes, exact verify
+    seeds = F.array([F.lit(i) for i in range(N_MINHASH_SEEDS)])
+    mh = (
+        sh.select("doc_id", "lang", "s", F.explode(seeds).alias("seed"))
+        .groupBy("doc_id", "lang", "seed")
+        .agg(
+            F.min(
+                F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("s")))
+            ).alias("mh")
+        )
+    )
+    bk = (
+        mh.withColumn("band", F.col("seed") % N_MINHASH_BANDS)
+        .groupBy("doc_id", "lang", "band")
+        .agg(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                    lambda x: x["mh"],
+                ),
+            ).alias("bkey")
+        )
+    )
+    cand = (
+        bk.alias("a")
+        .join(
+            bk.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "lang", "s"), ["doc_a", "lang"]
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "lang", "s"), ["doc_b", "lang", "s"]
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .where(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 @query("x2_minhash_lsh", oracle=None, tags=("X2", "lsh"))
 def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH approximate near-dup join — the scale path for X2:

@@ -235,3 +235,25 @@ def test_heavy_hitters_exact_at_small_vocab(spark):
         assert est == exact[term], (term, est, exact[term])
     cutoff = sorted(exact.values(), reverse=True)[19]
     assert all(c >= cutoff for c in got.values())
+
+
+def test_minhash_banded_subset_of_exact_jaccard(spark):
+    """x2_minhash_banded emits only verified pairs (precision 1.0 by
+    construction — exact-Jaccard check after banding), so its output must
+    be a subset of the exhaustive x2_ngram_jaccard pairs at the same
+    threshold, with identical jaccard values; banding costs recall only.
+    At test SF the near-dup pairs are heavy (prefix copies), so recall
+    must be non-trivial too."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in registry()["x2_ngram_jaccard"].builder(spark, TEST_SF_DIR).collect()
+    }
+    banded = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in registry()["x2_minhash_banded"].builder(spark, TEST_SF_DIR).collect()
+    }
+    assert set(banded) <= set(exact), set(banded) - set(exact)
+    for pair, j in banded.items():
+        assert j == exact[pair], (pair, j, exact[pair])
+    if exact:
+        assert len(banded) / len(exact) >= 0.5, (len(banded), len(exact))
