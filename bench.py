@@ -37,6 +37,8 @@ HEADLINE = [
     "x1_content_hash_dedup",
     "x2_ngram_jaccard",
     "x2_minhash_lsh",
+    "x2_minhash_banded",
+    "x2_simhash",
     "x3_cosine_topk",
     "x4_text_stats",
     "w2_nms_greedy",

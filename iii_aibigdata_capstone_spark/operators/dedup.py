@@ -434,35 +434,99 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x2_simhash", oracle=None, tags=("X2", "simhash"))
+N_SIMHASH_BITS = 60  # 15 md5 hex chars -> engine-neutral 60-bit term hash
+N_SIMHASH_BANDS = 10  # 10 disjoint 6-bit bands; hamming<=6 touches <=6 of them
+
+_SIMHASH_VOTE_SQL = ",\n                   ".join(
+    f"SUM(CASE WHEN ((h >> {b}) & 1) = 1 THEN tf ELSE -tf END) AS v{b}"
+    for b in range(N_SIMHASH_BITS)
+)
+_SIMHASH_FP_SQL = "\n                 + ".join(
+    f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for b in range(N_SIMHASH_BITS)
+)
+
+
+@query(
+    "x2_simhash",
+    oracle=dedent(
+        f"""
+        WITH toks AS (
+            SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, lang, tok, COUNT(*) AS tf
+            FROM toks WHERE tok <> '' GROUP BY 1, 2, 3
+        ),
+        hashed AS (
+            SELECT doc_id, lang, tf,
+                   CAST('0x' || SUBSTR(MD5(tok), 1, 15) AS BIGINT) AS h
+            FROM tf
+        ),
+        votes AS (
+            SELECT doc_id, lang,
+                   {_SIMHASH_VOTE_SQL}
+            FROM hashed GROUP BY 1, 2
+        ),
+        fp AS (
+            SELECT doc_id, lang,
+                   {_SIMHASH_FP_SQL} AS simhash
+            FROM votes
+        ),
+        bv AS (
+            SELECT doc_id, lang, simhash,
+                   UNNEST(RANGE(0, {N_SIMHASH_BANDS})) AS band,
+                   UNNEST(LIST_TRANSFORM(RANGE(0, {N_SIMHASH_BANDS}),
+                          i -> (simhash >> (i * 6)) & 63)) AS val
+            FROM fp
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM bv a JOIN bv b
+          ON a.lang = b.lang AND a.band = b.band AND a.val = b.val
+         AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+        """
+    ),
+    tags=("X2", "simhash"),
+)
 def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash document fingerprints: per token, a 64-bit hash votes +1/-1
+    """SimHash document fingerprints: per token, a 60-bit hash votes +1/-1
     on each bit position weighted by term frequency; the sign vector is the
-    fingerprint. Computed fully relationally (explode -> xxhash64 ->
-    bit-position explode -> signed sum -> bit reassembly); near-dup pairs
-    are fingerprints at Hamming distance <= 6. Rows-only: xxhash64 has no
-    DuckDB twin.
+    fingerprint. Computed fully relationally (explode -> hash -> 60
+    codegen'd conditional sums -> bit reassembly); near-dup pairs are
+    fingerprints at Hamming distance <= 6. The term hash is the first 15
+    md5 hex chars parsed as an integer — engine-neutral (Spark ``conv``,
+    DuckDB ``'0x'||…::BIGINT`` produce identical values), which is what
+    earns this operator a FULL oracle (the r01 version used xxhash64,
+    which has no DuckDB twin, and was rows-only).
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )  # pre-explode fan-out past the compact-file single input partition
     toks = docs.select(
         "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
-    )
+    ).where(F.col("tok") != "")
     tok_counts = toks.groupBy("doc_id", "lang", "tok").agg(
         F.count(F.lit(1)).alias("tf")
     )
     hashed = tok_counts.select(
-        "doc_id", "lang", "tf", F.xxhash64(F.col("tok")).alias("h")
+        "doc_id",
+        "lang",
+        "tf",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
     )
-    # One aggregation with 64 conditional sums (all whole-stage-codegen'd)
-    # instead of exploding 64 bit-rows per token hash — same fingerprint,
-    # 1/64th the aggregated rows and one shuffle instead of two.
+    # One aggregation with 60 conditional sums (all whole-stage-codegen'd)
+    # instead of exploding 60 bit-rows per token hash — same fingerprint,
+    # 1/60th the aggregated rows and one shuffle instead of two.
     bit_votes = [
         F.sum(
             F.when(F.getbit(F.col("h"), F.lit(bit)) == 1, F.col("tf")).otherwise(
                 -F.col("tf")
             )
         ).alias(f"v{bit}")
-        for bit in range(64)
+        for bit in range(N_SIMHASH_BITS)
     ]
     fingerprints = (
         hashed.groupBy("doc_id", "lang")
@@ -472,20 +536,19 @@ def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             sum(
                 [
-                    F.when(
-                        F.col(f"v{bit}") > 0,
-                        F.lit(1 << bit if bit < 63 else -(1 << 63)).cast("long"),
-                    ).otherwise(F.lit(0).cast("long"))
-                    for bit in range(64)
+                    F.when(F.col(f"v{bit}") > 0, F.lit(1 << bit).cast("long"))
+                    .otherwise(F.lit(0).cast("long"))
+                    for bit in range(N_SIMHASH_BITS)
                 ],
                 F.lit(0).cast("long"),
             ).alias("simhash"),
         )
     )
     # Banded candidate generation (pigeonhole, EXACT): a pair at hamming
-    # <= 6 differs in at most 6 of 8 disjoint 8-bit bands, so it agrees
-    # exactly on >= 2 bands — an equi join on (lang, band_idx, band_value)
-    # finds every qualifying pair without the all-pairs O(n^2) per lang.
+    # <= 6 differs in at most 6 of the 10 disjoint 6-bit bands, so it
+    # agrees exactly on >= 4 bands — an equi join on (lang, band_idx,
+    # band_value) finds every qualifying pair without the all-pairs
+    # O(n^2) per lang.
     banded = fingerprints.select(
         "doc_id",
         "lang",
@@ -495,11 +558,11 @@ def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright(F.col("simhash"), i * 8)
-                        .bitwiseAND(F.lit(255))
+                        F.shiftright(F.col("simhash"), i * 6)
+                        .bitwiseAND(F.lit(63))
                         .alias("val"),
                     )
-                    for i in range(8)
+                    for i in range(N_SIMHASH_BANDS)
                 ]
             )
         ).alias("bv"),

@@ -45,6 +45,8 @@ DEFAULT = [
     "q2_min_cost_supplier",
     "x9_sessionize",
     "x2_minhash_lsh",
+    "x2_minhash_banded",
+    "x2_simhash",
     "x2_embedding_neardup",
     "x3_cosine_topk",
     "x4_unigram_logprob",
