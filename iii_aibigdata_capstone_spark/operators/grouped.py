@@ -390,31 +390,154 @@ def detection_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("w2_nms_greedy", oracle=None, tags=("W2", "grouped-map"))
+_NMS_IOU_SQL = (
+    "LEAST(k.hi, r.hi) - GREATEST(k.lo, r.lo) > 0 AND "
+    "(LEAST(k.hi, r.hi) - GREATEST(k.lo, r.lo)) "
+    "/ ((k.hi - k.lo) + (r.hi - r.lo) - (LEAST(k.hi, r.hi) - GREATEST(k.lo, r.lo)))"
+    " > 0.3"
+)
+
+
+@query(
+    "w2_nms_greedy",
+    oracle=f"""
+        WITH RECURSIVE boxes AS (
+            SELECT l_orderkey AS image_id, l_linenumber AS box_id,
+                   l_quantity AS lo, l_quantity + 5 + l_linenumber AS hi,
+                   ROUND(l_discount * 10 + l_linenumber * 0.0001, 6) AS prob
+            FROM lineitem
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY image_id
+                      ORDER BY prob DESC, box_id, lo, hi) AS rk
+            FROM boxes
+        ),
+        walk AS (
+            SELECT image_id, rk, box_id, lo, hi, prob,
+                   TRUE AS kept_flag,
+                   [{{'lo': lo, 'hi': hi}}] AS kept
+            FROM ranked WHERE rk = 1
+            UNION ALL
+            SELECT r.image_id, r.rk, r.box_id, r.lo, r.hi, r.prob,
+                   LEN(LIST_FILTER(w.kept, k -> {_NMS_IOU_SQL})) = 0,
+                   CASE WHEN LEN(LIST_FILTER(w.kept, k -> {_NMS_IOU_SQL})) = 0
+                        THEN LIST_APPEND(w.kept, {{'lo': r.lo, 'hi': r.hi}})
+                        ELSE w.kept END
+            FROM walk w JOIN ranked r
+              ON r.image_id = w.image_id AND r.rk = w.rk + 1
+        )
+        SELECT image_id, box_id, lo, hi, prob FROM walk WHERE kept_flag
+    """,
+    tags=("W2", "grouped-map"),
+)
 def w2_nms_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy non-maximum suppression per image via grouped map-in-pandas —
     the exact sequential semantics of detect.py:37-60 (window-rank
-    approximations would change results; SURVEY.md §4). Rows-only check;
-    kernel unit-tested against hand cases in tests/test_grouped.py."""
+    approximations would change results; SURVEY.md §4).
+
+    Oracle-checked (upgraded from rows-only in r2): the DuckDB twin walks
+    each image's boxes rank by rank in a recursive CTE, carrying the kept
+    intervals as a LIST and re-deriving the keep/suppress decision with
+    the same IEEE double IoU arithmetic — recursion depth = max boxes per
+    image (13 at sf0.01), total recursive rows = |boxes|. The sort is a
+    TOTAL order (prob desc, box_id, lo, hi): the synthetic lineitem has
+    ~1.5k duplicate (pk, prob) groups with differing intervals, where a
+    partial order would leave greedy results layout-dependent on both
+    engines."""
     boxes = detection_boxes(spark, sf_dir)
     schema = "image_id long, box_id int, lo double, hi double, prob double"
     return _grouped_blocks(
         boxes,
         key="image_id",
-        sort_cols=[F.asc("image_id"), F.desc("prob"), F.asc("box_id")],
+        sort_cols=[
+            F.asc("image_id"),
+            F.desc("prob"),
+            F.asc("box_id"),
+            F.asc("lo"),
+            F.asc("hi"),
+        ],
         block_fn=nms_block,
         schema=schema,
     )
 
 
-@query("w3_greedy_match", oracle=None, tags=("W3", "J4", "grouped-map"))
+_W3_IOU_SQL = (
+    "ROUND((LEAST(i.hi, j.hi) - GREATEST(i.lo, j.lo)) "
+    "/ ((i.hi - i.lo) + (j.hi - j.lo) - (LEAST(i.hi, j.hi) - GREATEST(i.lo, j.lo))), 6)"
+)
+_W3_ACC_SQL = (
+    "w.taken < w.lim AND NOT LIST_CONTAINS(w.ua, r.a) AND NOT LIST_CONTAINS(w.ub, r.b)"
+)
+
+
+@query(
+    "w3_greedy_match",
+    oracle=f"""
+        WITH RECURSIVE boxes AS (
+            SELECT l_orderkey AS image_id, l_linenumber AS box_id,
+                   l_quantity AS lo, l_quantity + 5 + l_linenumber AS hi,
+                   ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_linenumber, l_quantity) AS rid
+            FROM lineitem
+        ),
+        pair AS (
+            SELECT i.image_id,
+                   LEAST(i.box_id, j.box_id) AS a,
+                   GREATEST(i.box_id, j.box_id) AS b,
+                   {_W3_IOU_SQL} AS score
+            FROM boxes i JOIN boxes j
+              ON i.image_id = j.image_id AND i.rid < j.rid
+             AND i.box_id <> j.box_id
+            WHERE LEAST(i.hi, j.hi) - GREATEST(i.lo, j.lo) > 0
+              AND {_W3_IOU_SQL} > 0
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY image_id
+                      ORDER BY score DESC, a, b) AS rk
+            FROM pair
+        ),
+        lim AS (
+            SELECT image_id,
+                   LEAST(COUNT(DISTINCT a), COUNT(DISTINCT b)) AS lim
+            FROM pair GROUP BY 1
+        ),
+        walk AS (
+            SELECT r.image_id, r.rk, r.a, r.b, r.score,
+                   TRUE AS acc, [r.a] AS ua, [r.b] AS ub,
+                   1 AS taken, l.lim AS lim
+            FROM ranked r JOIN lim l USING (image_id) WHERE r.rk = 1
+            UNION ALL
+            SELECT r.image_id, r.rk, r.a, r.b, r.score,
+                   {_W3_ACC_SQL},
+                   CASE WHEN {_W3_ACC_SQL}
+                        THEN LIST_APPEND(w.ua, r.a) ELSE w.ua END,
+                   CASE WHEN {_W3_ACC_SQL}
+                        THEN LIST_APPEND(w.ub, r.b) ELSE w.ub END,
+                   w.taken + CASE WHEN {_W3_ACC_SQL} THEN 1 ELSE 0 END,
+                   w.lim
+            FROM walk w JOIN ranked r
+              ON r.image_id = w.image_id AND r.rk = w.rk + 1
+        )
+        SELECT image_id, CAST(a AS INT) AS a, CAST(b AS INT) AS b, score
+        FROM walk WHERE acc
+    """,
+    tags=("W3", "J4", "grouped-map"),
+)
 def w3_greedy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy one-to-one candidate matching per image (dl_k_to_ss.py:
     175-182). Candidate generation (the J4 join shape, IoU-scored box
     pairs) is fused into the grouped kernel — one shuffle of the box table;
     the relational self-join form it replaces is output-identical (asserted
     when this fusion landed) and survives as j4_limb_candidates for the
-    oracle-checked join shape."""
+    oracle-checked join shape.
+
+    Oracle-checked (upgraded from rows-only in r2): the DuckDB twin
+    enumerates the same unordered ROW pairs (rid self-join below the
+    diagonal — duplicate box_ids in the synthetic lineitem mean a pair of
+    box ids can carry several scores, so pairing must be by row, not id),
+    ranks by (score desc, a, b), and replays the greedy walk in a
+    recursive CTE carrying used-endpoint lists and the accepted count
+    against the min-distinct-endpoints cap."""
     boxes = detection_boxes(spark, sf_dir).select("image_id", "box_id", "lo", "hi")
     return _grouped_blocks(
         boxes,
