@@ -84,7 +84,58 @@ def find_peaks(px: np.ndarray, threshold: int = 160) -> np.ndarray:
     return np.flatnonzero(mask) + 1
 
 
-@query("k_kernel_chain", oracle=None, tags=("K1", "K2", "K3", "K4", "K5", "K6", "K8", "K9", "K11", "A9", "udf"))
+_K_IDX3 = "GREATEST(i, 1)", "i + 1", "LEAST(i + 2, 32)"  # clamped 3-window, 1-based
+
+
+def _k_chain_oracle() -> str:
+    l, m, r = _K_IDX3
+    blur3 = f"(small[{l}] + small[{m}] + small[{r}]) // 3"
+    med_terms = f"blur[{l}], blur[{m}], blur[{r}]"
+    median3 = (
+        f"blur[{l}] + blur[{m}] + blur[{r}]"
+        f" - GREATEST({med_terms}) - LEAST({med_terms})"
+    )
+    return dedent(
+        f"""
+        WITH px AS (
+            SELECT doc_id,
+                   LIST_TRANSFORM(RANGE(0, 32), i ->
+                       CAST('0x' || SUBSTR(SHA256(text), i*2+1, 2) AS INT)) AS d
+            FROM documents
+        ),
+        p64 AS (SELECT doc_id, LIST_CONCAT(d, d) AS p FROM px),
+        sm AS (
+            SELECT doc_id, LIST_TRANSFORM(RANGE(0, 32), i ->
+                       (p[2*i + 1] + p[2*i + 2]) // 2) AS small
+            FROM p64
+        ),
+        bl AS (
+            SELECT doc_id, LIST_TRANSFORM(RANGE(0, 32), i -> {blur3}) AS blur
+            FROM sm
+        ),
+        smo AS (
+            SELECT doc_id, LIST_TRANSFORM(RANGE(0, 32), i -> {median3}) AS s
+            FROM bl
+        ),
+        feats AS (
+            SELECT doc_id,
+                   LEN(LIST_FILTER(RANGE(1, 31), i ->
+                       s[i+1] > s[i] AND s[i+1] > s[i+2] AND s[i+1] > 160))
+                       AS n_peaks,
+                   LIST_TRANSFORM(RANGE(8, 24), i -> s[i+1]) AS patch
+            FROM smo
+        )
+        SELECT doc_id,
+               64 AS padded_len, 32 AS resized_len,
+               CAST(n_peaks AS INT) AS n_peaks,
+               LIST_SUM(patch) / 16.0 AS patch_mean,
+               LIST_MIN(patch) - LIST_SUM(patch) / 16.0 AS patch_centered_min
+        FROM feats
+        """
+    )
+
+
+@query("k_kernel_chain", oracle=_k_chain_oracle(), tags=("K1", "K2", "K3", "K4", "K5", "K6", "K8", "K9", "K11", "A9", "udf"))
 def k_kernel_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The K-kernel chain over binary payloads, one mapInPandas pass:
     decode (K1) -> pad-to-stride (K3) -> 2:1 resize (K2) -> gray/blur
@@ -95,7 +146,15 @@ def k_kernel_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     seam ON THE DRIVER at plan-build time and captured in the closure —
     cloudpickle ships the resolved function with the task, so a
     ``register_decoder``'d cv2/ONNX decode reaches every executor without
-    worker-side env or import tricks."""
+    worker-side env or import tricks.
+
+    Oracle-checked against the DEFAULT (stub) decoder: the whole integer
+    pixel pipeline (resize -> blur -> median -> peaks -> crop) replays as
+    SQL list transforms over the sha256-derived pixels — every
+    intermediate is integer arithmetic, so cross-engine equality is exact;
+    the two float outputs (patch mean and mean-subtracted min) are emitted
+    UNROUNDED because int-sum/16 doubles are exact while rounding at 4
+    decimals sat exactly on banker's-vs-half-away tie points."""
     b = binary_documents(spark, sf_dir).select("doc_id", "payload")
     decode = pixel_decoder()
 
@@ -131,8 +190,8 @@ def k_kernel_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "padded_len": np.full(len(pdf), px.shape[1], dtype=np.int32),
                     "resized_len": np.full(len(pdf), w, dtype=np.int32),
                     "n_peaks": n_peaks.astype(np.int32),
-                    "patch_mean": np.round(mean, 4),
-                    "patch_centered_min": np.round(centered_min, 4),
+                    "patch_mean": mean,
+                    "patch_centered_min": centered_min,
                 }
             )
 
@@ -172,7 +231,39 @@ def e12_paf_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.mapInPandas(integrate, schema="vec_id long, dist double, score double")
 
 
-@query("m5_digit_cascade", oracle=None, tags=("M5", "M6", "K7", "P7", "W5", "udf"))
+@query(
+    "m5_digit_cascade",
+    oracle=dedent(
+        """
+        WITH px AS (
+            SELECT doc_id,
+                   UNNEST(RANGE(0, 32)) AS x,
+                   UNNEST(LIST_TRANSFORM(RANGE(0, 32), i ->
+                       CAST('0x' || SUBSTR(SHA256(text), i*2+1, 2) AS INT))) AS v
+            FROM documents
+        ),
+        prop AS (
+            SELECT doc_id, x, v,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY x) AS rn
+            FROM px WHERE v > 200
+        ),
+        det AS (
+            SELECT doc_id, x, ROUND(v / 255.0, 6) AS prob, v % 10 AS digit
+            FROM prop WHERE rn <= 4
+        ),
+        ranked AS (
+            SELECT doc_id, digit,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY x DESC) - 1 AS r
+            FROM det WHERE prob > 0.8
+        )
+        SELECT doc_id,
+               CAST(SUM(digit * POW(10.0, r)) AS BIGINT) AS number,
+               COUNT(*) AS n_digits
+        FROM ranked GROUP BY doc_id
+        """
+    ),
+    tags=("M5", "M6", "K7", "P7", "W5", "udf"),
+)
 def m5_digit_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5/M6 two-stage CNN cascade (detector then recognizer, pi/digit_
     detector/classify.py:18-33 invoked from detect.py:105-116), weights
@@ -272,7 +363,39 @@ def x4_sentence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("m7_pose_peaks", oracle=None, tags=("M7", "K5", "K6", "udf"))
+@query(
+    "m7_pose_peaks",
+    oracle=dedent(
+        """
+        WITH px AS (
+            SELECT doc_id,
+                   LIST_TRANSFORM(RANGE(0, 32), i ->
+                       CAST('0x' || SUBSTR(SHA256(text), i*2+1, 2) AS INT)) AS b
+            FROM documents
+        ),
+        heat AS (
+            SELECT doc_id, part,
+                   LIST_TRANSFORM(b, v -> (v * (2*part + 3)) % 251) AS h
+            FROM px CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS part)
+        ),
+        smo AS (
+            SELECT doc_id, part, h,
+                   LIST_TRANSFORM(RANGE(0, 32), i ->
+                       (h[GREATEST(i, 1)] + h[i+1] + h[LEAST(i+2, 32)]) // 3) AS s
+            FROM heat
+        )
+        SELECT doc_id, CAST(part AS INT) AS part, CAST(x AS INT) AS x,
+               ROUND(h[x+1] / 255.0, 6) AS score
+        FROM (
+            SELECT doc_id, part, h,
+                   UNNEST(LIST_FILTER(RANGE(1, 31), i ->
+                       s[i+1] > s[i] AND s[i+1] > s[i+2] AND s[i+1] > 170)) AS x
+            FROM smo
+        )
+        """
+    ),
+    tags=("M7", "K5", "K6", "udf"),
+)
 def m7_pose_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7 pose-model inference stub (pi/model/cmu_model.py:176-209 invoked
     at dl_k_to_ss.py:88): per image, a deterministic pseudo-heatmap per body

@@ -81,13 +81,37 @@ def x6_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x6_decode_features", oracle=None, tags=("X6", "udf"))
+@query(
+    "x6_decode_features",
+    oracle=dedent(
+        """
+        WITH px AS (
+            SELECT doc_id,
+                   LIST_TRANSFORM(RANGE(0, 32), i ->
+                       CAST('0x' || SUBSTR(SHA256(text), i*2+1, 2) AS INT)) AS p
+            FROM documents
+        )
+        SELECT doc_id, 8 AS width, 8 AS height,
+               LIST_SUM(p) / 32.0 AS mean_pixel,
+               CAST(LIST_MAX(p) AS INT) AS max_pixel
+        FROM px
+        """
+    ),
+    tags=("X6", "udf"),
+)
 def x6_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract over binary payloads via ``mapInPandas``
     (Arrow-batched; batch size capped by
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` so fat rows fit in
-    memory — SURVEY.md §7's inverted-tuning risk). Uses the deterministic
-    decode stub; rows-only check."""
+    memory — SURVEY.md §7's inverted-tuning risk).
+
+    Oracle-checked against the DEFAULT (stub) decoder: the oracle
+    re-derives the sha256 fake pixels hex-pair by hex-pair in SQL (the
+    stub's 64-entry list is the 32-byte digest doubled, so its mean equals
+    the 32-byte mean). The mean is emitted UNROUNDED — the
+    integer-sum / 32 double is exact in both engines, while round-at-4 sat
+    on banker's-vs-half-away tie boundaries (k/32 ends in an exact 5 at
+    the 5th decimal for odd k)."""
     b = binary_documents(spark, sf_dir).select("doc_id", "payload")
     decode = image_decoder()  # seam: resolved on the driver, shipped in the closure
 
@@ -99,7 +123,7 @@ def x6_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "width": [d[0] for d in dims],
                     "height": [d[1] for d in dims],
-                    "mean_pixel": [round(sum(d[2]) / len(d[2]), 4) for d in dims],
+                    "mean_pixel": [sum(d[2]) / len(d[2]) for d in dims],
                     "max_pixel": [max(d[2]) for d in dims],
                 }
             )
@@ -108,12 +132,29 @@ def x6_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.mapInPandas(decode_batch, schema=schema)
 
 
-@query("x6_frame_sample", oracle=None, tags=("X6", "udf"))
+@query(
+    "x6_frame_sample",
+    oracle=dedent(
+        """
+        SELECT doc_id, CAST(idx AS INT) AS frame_idx,
+               MD5(SUBSTR(text, CAST(idx * 32 + 1 AS INT), 32)) AS frame_md5
+        FROM (
+            SELECT doc_id, text,
+                   UNNEST(RANGE(0, GREATEST(1, LEN(text) // 32), 4)) AS idx
+            FROM documents
+        )
+        """
+    ),
+    tags=("X6", "udf"),
+)
 def x6_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing for video-shaped payloads: each payload is
     treated as a container of fixed-size 'frames'; emit every 4th frame's
     digest (one row per sampled frame — table-generating, like K8 patch
-    cropping). Deterministic stub; rows-only check."""
+    cropping). Oracle-checked: the corpus is pure ASCII (asserted: LEN ==
+    OCTET_LENGTH for every doc), so SQL character slicing reproduces the
+    kernel's byte slicing exactly and DuckDB's MD5 digests the same
+    frames."""
     b = binary_documents(spark, sf_dir).select("doc_id", "payload")
 
     def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -91,7 +91,7 @@ def test_kernel_chain_runs_under_both_decoders(spark, monkeypatch, decoder):
         pad = np.pad(blur, 1, mode="edge")
         smooth = np.median(np.stack([pad[:-2], pad[1:-1], pad[2:]]), axis=0)
         patch = smooth[len(small) // 4 : 3 * len(small) // 4]
-        assert rows[0].patch_mean == pytest.approx(round(float(patch.mean()), 4))
+        assert rows[0].patch_mean == pytest.approx(float(patch.mean()))
 
 
 def test_pad_to_stride():
