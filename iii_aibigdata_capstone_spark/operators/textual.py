@@ -650,7 +650,64 @@ def _learn_bpe_merges(
     return out_rows
 
 
-@query("x4_bpe_vocab", oracle=None, tags=("X4", "bpe", "iterative"))
+def _bpe_vocab_oracle(n_merges: int = N_BPE_MERGES) -> str:
+    """The BPE merge loop as plain (non-recursive) SQL: one unrolled CTE
+    level per merge. Words are boundary-delimited symbol strings —
+    ``CHR(1)CHR(1)`` between symbols, so one greedy left-to-right
+    non-overlapping merge application is exactly one ``REPLACE`` (the
+    doubled separator keeps adjacent matches from sharing boundary
+    characters, which a single separator gets wrong on runs like 'aaaa').
+    Each level: explode adjacent symbol pairs weighted by word count,
+    argmax by (count desc, left, right), apply via REPLACE. Assumes the
+    corpus supports >= n_merges merges (true at every test SF)."""
+    sep2 = "CHR(1)||CHR(1)"
+    parts = [
+        f"""
+        w0 AS MATERIALIZED (
+            SELECT {sep2} || REGEXP_REPLACE(w, '(.)', '\\1'||CHR(1)||CHR(1), 'g') AS r,
+                   COUNT(*) AS n
+            FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+            WHERE w <> '' GROUP BY w
+        )"""
+    ]
+    for k in range(1, n_merges + 1):
+        left = f'(SELECT "left" FROM m{k})'
+        right = f'(SELECT "right" FROM m{k})'
+        parts.append(
+            f"""
+        p{k} AS MATERIALIZED (
+            SELECT syms[i] AS "left", syms[i+1] AS "right", SUM(n) AS cnt
+            FROM (
+                SELECT STRING_SPLIT(TRIM(r, CHR(1)), {sep2}) AS syms, n
+                FROM w{k-1}
+            ) AS s{k}, UNNEST(RANGE(1, LEN(syms))) AS t(i)
+            GROUP BY 1, 2
+        ),
+        m{k} AS MATERIALIZED (
+            SELECT "left", "right", cnt FROM p{k}
+            ORDER BY cnt DESC, "left", "right" LIMIT 1
+        ),
+        w{k} AS MATERIALIZED (
+            SELECT REPLACE(r,
+                       CHR(1)||{left}||{sep2}||{right}||CHR(1),
+                       CHR(1)||{left}||{right}||CHR(1)) AS r, n
+            FROM w{k-1}
+        )"""
+        )
+    unions = "\n            UNION ALL ".join(
+        f'SELECT {k-1} AS iteration, "left", "right", "left"||"right" AS merged, '
+        f"CAST(cnt AS BIGINT) AS cnt FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        "WITH " + ",".join(parts) + f"""
+        SELECT CAST(iteration AS INT) AS iteration, "left", "right", merged, cnt
+        FROM ({unions})
+        """
+    )
+
+
+@query("x4_bpe_vocab", oracle=_bpe_vocab_oracle(), tags=("X4", "bpe", "iterative"))
 def x4_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE vocabulary construction (the tokenizer-training step of an LLM
     data pipeline): learn the first N_BPE_MERGES merges over the corpus.
@@ -674,7 +731,54 @@ def x4_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x4_bpe_tokenize_apply", oracle=None, tags=("X4", "bpe", "tokenize"))
+def _bpe_tokenize_oracle(n_merges: int = N_BPE_MERGES) -> str:
+    """Tokenize-apply as SQL: reuse the vocab oracle's unrolled merge
+    levels, then apply all learned merges to each DISTINCT word as a
+    nested chain of boundary-delimited REPLACEs and weight the per-word
+    token counts back over (doc_id, word) pairs."""
+    sep2 = "CHR(1)||CHR(1)"
+    levels = _bpe_vocab_oracle(n_merges)
+    with_block = levels[: levels.rindex("SELECT CAST(iteration")]
+    with_block = with_block[: with_block.rindex("\n")]  # drop trailing blank
+    applied = f"{sep2} || REGEXP_REPLACE(w, '(.)', '\\1'||CHR(1)||CHR(1), 'g')"
+    for k in range(1, n_merges + 1):
+        left = f'(SELECT "left" FROM m{k})'
+        right = f'(SELECT "right" FROM m{k})'
+        applied = (
+            f"REPLACE({applied},\n                   "
+            f"CHR(1)||{left}||{sep2}||{right}||CHR(1),\n                   "
+            f"CHR(1)||{left}||{right}||CHR(1))"
+        )
+    return (
+        with_block.rstrip().rstrip(",")
+        + f""",
+        dw AS MATERIALIZED (
+            SELECT doc_id, w, COUNT(*) AS cnt
+            FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+                  FROM documents)
+            WHERE w <> '' GROUP BY 1, 2
+        ),
+        vocab AS MATERIALIZED (
+            SELECT w,
+                   LEN(STRING_SPLIT(TRIM({applied}, CHR(1)), {sep2})) AS n_tok,
+                   LEN(w) AS n_chr
+            FROM (SELECT DISTINCT w FROM dw)
+        )
+        SELECT doc_id,
+               CAST(SUM(cnt * n_tok) AS BIGINT) AS n_tokens,
+               CAST(SUM(cnt * n_chr) AS BIGINT) AS n_chars,
+               ((SUM(cnt * n_chr) * 20000 + SUM(cnt * n_tok))
+                // (2 * SUM(cnt * n_tok))) / 10000.0 AS chars_per_token
+        FROM dw JOIN vocab USING (w) GROUP BY doc_id
+        """
+    )
+
+
+@query(
+    "x4_bpe_tokenize_apply",
+    oracle=_bpe_tokenize_oracle(),
+    tags=("X4", "bpe", "tokenize"),
+)
 def x4_bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply a learned BPE merge table back to the corpus — the
     tokenize-the-training-set half of tokenizer training (the vocab query
@@ -724,6 +828,11 @@ def x4_bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             "n_chars",
-            F.round(F.col("n_chars") / F.col("n_tokens"), 4).alias("chars_per_token"),
+            # round-half-up at 4 decimals via exact integer arithmetic —
+            # float ROUND of a long/long quotient can disagree across
+            # engines when the shortest decimal repr sits on a .xxxx5 tie
+            (
+                F.expr("(n_chars * 20000 + n_tokens) div (2 * n_tokens)") / 10000.0
+            ).alias("chars_per_token"),
         )
     )
