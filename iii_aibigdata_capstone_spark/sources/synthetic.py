@@ -9,6 +9,12 @@ generator IS a planned source with partitions (batch) and offsets
 (streaming), so Catalyst sees schema + partitioning and the stream gets
 exactly-once offset tracking for free.
 
+The WRITE half (``_JsonlSink`` / ``_JsonlStreamSink``) rebuilds the
+reference's hand-rolled producer sinks (ml_k_to_ss.py:37-54 KafkaProducer
+per partition; ml_IFTTT webhook) as a planned sink with the standard
+two-phase commit: executors stage files and return commit messages, the
+driver publishes a manifest once — task retries can never double-publish.
+
 Determinism contract: row ``i`` is a pure function of ``i`` (splitmix-style
 mixing), so any (partition count, batch size) slicing yields the same total
 multiset — asserted in tests.
@@ -16,13 +22,20 @@ multiset — asserted in tests.
 
 from __future__ import annotations
 
+import json
+import os
+import uuid
 from collections.abc import Iterator
+from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 SCHEMA = "event_id bigint, user_id bigint, event_type string, value double"
@@ -102,6 +115,79 @@ class _StreamReader(DataSourceStreamReader):
         pass
 
 
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    """One staged file per task — the executor's half of the two-phase
+    commit (must be picklable; travels executor -> driver)."""
+
+    filename: str
+    n_rows: int
+
+
+class _JsonlSink(DataSourceWriter):
+    """Two-phase-commit JSON-lines sink (S7/S8 rebuilt as a PLANNED sink,
+    not a foreachPartition side effect): each task stages
+    ``_staging/<uuid>.jsonl`` and returns its name; only the driver's
+    ``commit`` publishes the batch, atomically, by writing a ``_SUCCESS``
+    manifest naming the staged files — a reader that honors the manifest
+    never sees a partial write, no matter how many tasks failed and
+    retried. ``abort`` deletes the staged files. Local-FS staging stands
+    in for the object store a cluster deployment would use; the protocol
+    (stage on executors, publish once on the driver) is the standard
+    Spark commit shape."""
+
+    def __init__(self, options: dict, columns: list[str], manifest: str):
+        self.path = options.get("path") or options.get("sink_path")
+        if not self.path:
+            raise ValueError("synthetic_events sink requires a 'path' option")
+        self.columns = columns
+        self.manifest = manifest
+
+    def write(self, iterator) -> _FileCommit:
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        name = f"{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(staging, name), "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(dict(zip(self.columns, row))) + "\n")
+                n += 1
+        return _FileCommit(filename=name, n_rows=n)
+
+    def commit(self, messages) -> None:
+        files = [m.filename for m in messages if m is not None]
+        with open(os.path.join(self.path, self.manifest), "w") as fh:
+            json.dump(
+                {
+                    "files": sorted(files),
+                    "rows": sum(m.n_rows for m in messages if m is not None),
+                },
+                fh,
+            )
+
+    def abort(self, messages) -> None:
+        for m in messages or []:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, "_staging", m.filename))
+                except OSError:
+                    pass
+
+
+class _JsonlStreamSink(_JsonlSink, DataSourceStreamWriter):
+    """Streaming flavor: one manifest per epoch (``_SUCCESS_<batchId>``) —
+    at-least-once delivery upgraded to effectively-once for readers that
+    key on the manifest, because a retried epoch just rewrites the same
+    manifest."""
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
+        self.manifest = f"_SUCCESS_{batchId}"
+        _JsonlSink.commit(self, messages)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
+        _JsonlSink.abort(self, messages)
+
+
 class SyntheticEventsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -115,6 +201,12 @@ class SyntheticEventsDataSource(DataSource):
 
     def streamReader(self, schema) -> _StreamReader:
         return _StreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> _JsonlSink:
+        return _JsonlSink(self.options, schema.fieldNames(), "_SUCCESS")
+
+    def streamWriter(self, schema, overwrite: bool) -> _JsonlStreamSink:
+        return _JsonlStreamSink(self.options, schema.fieldNames(), "_SUCCESS")
 
 
 def register(spark) -> None:

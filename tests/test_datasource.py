@@ -63,3 +63,79 @@ def test_filters_apply_on_top(spark):
     assert purchases.count() == df.collect().__len__() - df.where(
         F.col("event_type") != "purchase"
     ).count()
+
+
+def _manifest_rows(path, manifest_names):
+    import json
+    import os
+
+    rows = []
+    for mf in manifest_names:
+        with open(os.path.join(path, mf)) as fh:
+            m = json.load(fh)
+        for name in m["files"]:
+            with open(os.path.join(path, "_staging", name)) as fh:
+                rows += [json.loads(line) for line in fh]
+    return rows
+
+
+def test_batch_sink_two_phase_commit_round_trip(spark, tmp_path):
+    """The custom sink's write path: every task stages a file, the driver
+    publishes ONE manifest; reading exactly the manifest's files recovers
+    the written multiset. Files in _staging not named by the manifest are
+    invisible (the retry-safety property)."""
+    import json
+    import os
+
+    register(spark)
+    df = spark.read.format("synthetic_events").option("rows", 500).option(
+        "partitions", 7
+    ).load()
+    out = str(tmp_path / "sink")
+    df.write.format("synthetic_events").option("path", out).mode("append").save()
+
+    with open(os.path.join(out, "_SUCCESS")) as fh:
+        manifest = json.load(fh)
+    assert manifest["rows"] == 500
+    assert len(manifest["files"]) == 7  # one staged file per input partition
+    got = _manifest_rows(out, ["_SUCCESS"])
+    want = [r.asDict() for r in df.collect()]
+    key = lambda d: d["event_id"]  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key)
+
+
+def test_stream_sink_manifests_per_epoch(spark, tmp_path):
+    """Custom source -> custom sink end to end as a STREAM: availableNow
+    drains the offset range; each epoch publishes its own manifest, and
+    the union of all manifests equals the batch read of the same range."""
+    import os
+
+    register(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", 300)
+        .option("rowsPerBatch", 120)
+        .load()
+    )
+    out = str(tmp_path / "stream_sink")
+    q = (
+        stream.writeStream.format("synthetic_events")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    manifests = sorted(n for n in os.listdir(out) if n.startswith("_SUCCESS_"))
+    assert manifests, os.listdir(out)
+    got = _manifest_rows(out, manifests)
+    assert len(got) == 300
+    want = [
+        r.asDict()
+        for r in spark.read.format("synthetic_events").option("rows", 300).load().collect()
+    ]
+    key = lambda d: d["event_id"]  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key)
