@@ -189,3 +189,43 @@ def test_vectorized_chain_matches_scalar_composition(spark):
         for r in rows
     }
     assert got == expected
+
+
+@given(
+    st.lists(st.sampled_from("ab"), min_size=0, max_size=14).map("".join),
+    st.sampled_from(["a", "b", "ab", "ba", "aa"]),
+    st.sampled_from(["a", "b", "ab", "ba", "aa"]),
+)
+@settings(max_examples=300, deadline=None)
+def test_boundary_replace_equals_greedy_merge_fold(word, left, right):
+    """The BPE oracle's core trick: applying one merge to a
+    double-separator boundary-delimited symbol string via a single REPLACE
+    must equal the greedy left-to-right non-overlapping fold — including
+    runs like 'aaaa' (where a single-separator encoding is wrong because
+    adjacent matches would share a boundary character). Symbols here are
+    arbitrary strings, covering post-merge multi-char symbols."""
+    import duckdb
+
+    # fold reference over an arbitrary starting symbolization: chars first,
+    # then (to also cover multi-char symbols) the result of a prior merge
+    def fold(syms, l, r):
+        out = []
+        for s in syms:
+            if out and out[-1] == l and s == r:
+                out[-1] = l + r
+            else:
+                out.append(s)
+        return out
+
+    syms = fold(list(word), "a", "b")  # prior merge 'ab' creates 2-char syms
+    want = fold(syms, left, right)
+
+    S = "\x01"
+    rep = S + S + "".join(s + S + S for s in syms)
+    con = duckdb.connect()
+    got_str = con.execute(
+        "SELECT REPLACE(?, ?, ?)",
+        [rep, S + left + S + S + right + S, S + left + right + S],
+    ).fetchone()[0]
+    got = [s for s in got_str.split(S + S) if s.strip(S)]
+    assert got == want, (word, left, right, got, want)
