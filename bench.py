@@ -110,6 +110,54 @@ def main() -> None:
 
     timings["flagship"] = timed(flagship)
 
+    # Streaming drain probe (§2.10): custom offset-tracked stream source ->
+    # watermarked tumbling count -> noop-ish memory sink, availableNow.
+    # Times the micro-batch engine end to end (planning, offset slicing,
+    # stateful window store), not just batch operators. Row count scales
+    # with SF so the probe tracks data volume like every other entry.
+    def stream_drain(spark, _sf_dir):
+        import tempfile
+        import uuid
+
+        from pyspark.sql import functions as SF
+        from iii_aibigdata_capstone_spark.sources import register
+
+        register(spark)
+        n_rows = int(200_000 * (sf / 0.1))
+        stream = (
+            spark.readStream.format("synthetic_events")
+            .option("rows", n_rows)
+            .option("rowsPerBatch", max(1, n_rows // 4))
+            .load()
+            .withColumn(
+                "ts", SF.timestamp_seconds(SF.lit(1_700_000_000) + SF.col("event_id") % 3600)
+            )
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(SF.window("ts", "5 minutes"), "event_type")
+            .agg(SF.count(SF.lit(1)).alias("n"), SF.sum("value").alias("sv"))
+        )
+        name = f"bench_stream_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="bench_st_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+        return spark.table(name).limit(0)  # timed() drains via noop
+
+    try:
+        timings["st_stream_drain"] = timed(stream_drain)
+    except Exception as ex:
+        errors["st_stream_drain"] = f"{type(ex).__name__}: {ex}"[:200]
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall_clock",
