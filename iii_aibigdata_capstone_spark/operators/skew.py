@@ -139,3 +139,52 @@ def x8_copartition_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_items").alias("n_items"),
         F.round(F.sum("revenue"), 2).alias("revenue"),
     )
+
+
+@query("x8_compaction", oracle=None, tags=("X8", "maintenance"))
+def x8_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the table-maintenance operator every
+    100 TB lake runs nightly: a fragmented ingest layout (here: the events
+    table scattered across 64 tiny parquet files, the shape micro-batch
+    sinks produce) is rewritten by measuring the ACTUAL on-disk bytes and
+    bin-packing into ceil(bytes / target_file_size) range-partitioned,
+    sorted output files. repartitionByRange + sortWithinPartitions gives
+    the rewrite a clustering key for free (the z-order-lite layout
+    x8_zorder_layout measures), so compaction doubles as data-layout
+    optimization. Returns the before/after layout manifest; filesystem
+    effect, hence rows-only for the oracle."""
+    import math
+    import os
+    import tempfile
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="compaction_")
+    frag_dir, comp_dir = f"{base}/fragmented", f"{base}/compacted"
+    ev.repartition(64).write.mode("overwrite").parquet(frag_dir)
+
+    def layout(path: str) -> tuple[int, int]:
+        files = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+        return len(files), sum(os.path.getsize(f) for f in files)
+
+    n_frag, frag_bytes = layout(frag_dir)
+    target = 4 * 1024 * 1024  # bytes/file; a deployment knob (~128 MiB on a lake)
+    n_out = max(1, math.ceil(frag_bytes / target))
+    (
+        spark.read.parquet(frag_dir)
+        .repartitionByRange(n_out, "event_id")
+        .sortWithinPartitions("event_id")
+        .write.mode("overwrite")
+        .parquet(comp_dir)
+    )
+    n_comp, _ = layout(comp_dir)
+    rows = [
+        ("fragmented", n_frag, spark.read.parquet(frag_dir).count()),
+        ("compacted", n_comp, spark.read.parquet(comp_dir).count()),
+    ]
+    return spark.createDataFrame(rows, "layout string, n_files int, n_rows long")

@@ -78,3 +78,18 @@ def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
         li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").count()
     )
     assert sorted(map(tuple, bucketed.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_compaction_preserves_rows_and_packs_files(spark):
+    """x8_compaction: the rewrite must preserve the row multiset size and
+    strictly reduce the file count of the fragmented layout (bin-packed to
+    the byte target, so tiny inputs collapse to one file)."""
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    rows = {
+        r.layout: r
+        for r in registry()["x8_compaction"].builder(spark, TEST_SF_DIR).collect()
+    }
+    assert rows["fragmented"].n_rows == rows["compacted"].n_rows
+    assert rows["fragmented"].n_files == 64
+    assert 1 <= rows["compacted"].n_files < rows["fragmented"].n_files
