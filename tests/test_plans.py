@@ -322,3 +322,14 @@ def test_tokenize_apply_folds_vocab_not_instances(spark):
     assert "size(aggregate(" in text, text
     assert "Keys [1]: [w#" in text, text
     assert "hashpartitioning(doc_id" in text, text
+
+
+@pytest.mark.parametrize("qname", ["x2_minhash_banded", "x1_incremental_ingest"])
+def test_banded_dedup_joins_are_hash_not_nlj(spark, qname):
+    """The banded-MinHash candidate join and the incremental-ingest
+    anti/shingle joins must all be equi (broadcast/shuffled hash or SMJ)
+    — a BroadcastNestedLoopJoin would mean a band/key predicate stopped
+    being an equality and the plan degenerated to a cross product."""
+    a = audit(registry()[qname].builder(spark, TEST_SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in a.text, a.text
+    assert "CartesianProduct" not in a.text, a.text
