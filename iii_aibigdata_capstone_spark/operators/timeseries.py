@@ -353,14 +353,18 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                    COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sv
             FROM events GROUP BY 1
         )
-        SELECT 'hour' AS grain, bucket, n, ROUND(sv, 2)::DOUBLE AS total
+        SELECT 'hour' AS grain, CAST(epoch(bucket) AS BIGINT) AS bucket_s,
+               CAST(n AS BIGINT) AS n,
+               CAST(ROUND(sv * 100, 0) AS BIGINT) AS total_cents
         FROM hourly
         UNION ALL
-        SELECT 'day', date_trunc('day', bucket)::TIMESTAMP, SUM(n), ROUND(SUM(sv), 2)::DOUBLE
-        FROM hourly GROUP BY 2
+        SELECT 'day', CAST(epoch(date_trunc('day', bucket)) AS BIGINT),
+               CAST(SUM(n) AS BIGINT), CAST(ROUND(SUM(sv) * 100, 0) AS BIGINT)
+        FROM hourly GROUP BY date_trunc('day', bucket)
         UNION ALL
-        SELECT 'week', date_trunc('week', bucket)::TIMESTAMP, SUM(n), ROUND(SUM(sv), 2)::DOUBLE
-        FROM hourly GROUP BY 2
+        SELECT 'week', CAST(epoch(date_trunc('week', bucket)) AS BIGINT),
+               CAST(SUM(n) AS BIGINT), CAST(ROUND(SUM(sv) * 100, 0) AS BIGINT)
+        FROM hourly GROUP BY date_trunc('week', bucket)
         """
     ),
     tags=("X5", "rollup"),
@@ -377,8 +381,22 @@ def ts_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     associative, so re-aggregating hourly partials into day/week grains
     yields bit-identical totals regardless of partitioning or engine
     (float partials re-summed in a different order was the r01 hash
-    mismatch). Rounding happens only at the final projection of each
-    grain, then casts to DOUBLE for a stable cross-engine representation.
+    mismatch).
+
+    The OUTPUT representation is deliberately all-integer (hash-robust by
+    construction — the r02 lesson: values matched at repr level yet the
+    driver hash still flipped on timestamp/DOUBLE serialization):
+
+    - ``bucket_s``: the bucket as epoch SECONDS (BIGINT). A truncated
+      timestamp has no sub-second part, so the cast is exact in both
+      engines and immune to timestamp-object serialization differences.
+    - ``n``: BIGINT in every grain. The oracle wraps the day/week
+      ``SUM(n)`` in ``CAST(... AS BIGINT)`` because DuckDB widens a bare
+      SUM over BIGINT to HUGEINT, which hash-diverges from Spark's LONG
+      even when the values are equal.
+    - ``total_cents``: ``ROUND(sv*100, 0)`` as BIGINT. sv is exact
+      DECIMAL, so sv*100 is exact and half-up rounding of a DECIMAL is
+      engine-stable — no DOUBLE ever appears in the output.
     """
     ev = table(spark, sf_dir, "events")
     hourly = (
@@ -390,23 +408,21 @@ def ts_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # one scan of the raw table feeds all grains
     )
 
+    def project(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("grain"),
+            F.col("bucket").cast("long").alias("bucket_s"),
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("sv") * 100, 0).cast("long").alias("total_cents"),
+        )
+
     def grain(name: str, df: DataFrame) -> DataFrame:
         agg = df.groupBy(F.date_trunc(name, "bucket").alias("bucket")).agg(
             F.sum("n").alias("n"), F.sum("sv").alias("sv")
         )
-        return agg.select(
-            F.lit(name).alias("grain"),
-            "bucket",
-            "n",
-            F.round("sv", 2).cast("double").alias("total"),
-        )
+        return project(name, agg)
 
-    hour = hourly.select(
-        F.lit("hour").alias("grain"),
-        "bucket",
-        "n",
-        F.round("sv", 2).cast("double").alias("total"),
-    )
+    hour = project("hour", hourly)
     return hour.unionByName(grain("day", hourly)).unionByName(grain("week", hourly))
 
 
