@@ -49,13 +49,19 @@ def x10_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration, contributions = ranks / out-degree shipped along edges (one
     equi join), new ranks = damped sum per destination (one aggregation).
 
-    Scale notes: the edge table partitions by src for the join and the
-    contribution shuffle keys on dst — the two exchanges per iteration that
-    define distributed PageRank; dangling mass (nodes with no out-edges,
-    i.e. every supplier here) redistributes uniformly via one scalar
-    aggregate per iteration, not a per-node join. ``localCheckpoint`` per
-    iteration keeps the plan from growing linearly with iteration count.
-    Rows-only check; values pinned vs a numpy power iteration in tests.
+    Scale notes: out-degree is joined onto the node table ONCE before the
+    loop and carried on the ranks table, so each iteration is exactly two
+    shuffle stages — contributions keyed on dst, the rank rebuild keyed on
+    node — the shape GraphX lowers to. Dangling mass (nodes with
+    ``deg == 0``, i.e. every supplier here) is a one-row aggregate over the
+    ranks table that is BROADCAST back via a bounded cross join: no
+    ``collect()`` and no driver action anywhere inside the loop, so all 10
+    iterations submit as one lazy job graph instead of 10 driver
+    round-trips (the r2 version paid an extra full-ranks anti-join action
+    per iteration). ``localCheckpoint`` per iteration keeps the plan from
+    growing linearly with iteration count. Rows-only check; values pinned
+    vs a numpy power iteration in tests/test_kernels.py; loop shape
+    plan-guarded in tests/test_plans.py.
     """
     edges = purchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     nodes = (
@@ -66,35 +72,49 @@ def x10_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = nodes.count()
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # degree joined once, carried through the loop — no per-iteration
+    # degree join and the deg==0 predicate gives dangling mass for free
+    nodes_deg = (
+        nodes.join(out_deg, nodes.node == out_deg.src, "left")
+        .select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
 
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    ranks = nodes_deg.select("node", "deg", F.lit(1.0 / n).alias("rank"))
     for _ in range(N_ITER):
-        contribs = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(out_deg, "src")
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("in_sum"))
-        )
-        # dangling nodes (no out-edges) leak their rank; redistribute it
-        # uniformly — one scalar, not a join
-        dangling = (
-            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
-        )
-        base = (1.0 - DAMPING) / n + DAMPING * dangling / n
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (F.lit(base) + F.lit(DAMPING) * F.coalesce(F.col("in_sum"), F.lit(0.0))).alias(
-                    "rank"
-                ),
-            )
-            .localCheckpoint(eager=False)
-        )
+        ranks = pagerank_step(ranks, edges, nodes_deg, n).localCheckpoint(eager=False)
     return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+def pagerank_step(ranks: DataFrame, edges: DataFrame, nodes_deg: DataFrame, n: int) -> DataFrame:
+    """One PageRank iteration as a pure DataFrame transform (no actions).
+
+    contributions: rank/deg shipped along edges, summed per destination.
+    dangling mass: one-row aggregate over deg==0 ranks, broadcast into the
+    rank rebuild — a bounded (1-row) cross join, not a driver collect.
+    """
+    contribs = (
+        edges.join(ranks.where(F.col("deg") > 0), edges.src == ranks.node)
+        .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+        .groupBy("node")
+        .agg(F.sum("c").alias("in_sum"))
+    )
+    dangling = ranks.where(F.col("deg") == 0).agg(
+        F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+    )
+    return (
+        nodes_deg.join(contribs, "node", "left")
+        .crossJoin(F.broadcast(dangling))
+        .select(
+            "node",
+            "deg",
+            (
+                F.lit((1.0 - DAMPING) / n)
+                + F.lit(DAMPING / n) * F.col("dm")
+                + F.lit(DAMPING) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    )
 
 
 @query(

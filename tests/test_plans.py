@@ -333,3 +333,43 @@ def test_banded_dedup_joins_are_hash_not_nlj(spark, qname):
     a = audit(registry()[qname].builder(spark, TEST_SF_DIR))
     assert "BroadcastNestedLoopJoin" not in a.text, a.text
     assert "CartesianProduct" not in a.text, a.text
+
+
+def test_pagerank_iteration_no_driver_action(spark):
+    """x10_pagerank (VERDICT r2 item 3): one iteration must be a pure
+    transform — dangling mass folded in as a broadcast 1-row aggregate, no
+    CartesianProduct, and no ``collect`` anywhere inside the loop body
+    (the r2 version paid a full-ranks anti-join action per iteration)."""
+    import inspect
+
+    import pyspark.sql.functions as F
+
+    from iii_aibigdata_capstone_spark.operators.graph import (
+        pagerank_step,
+        purchase_edges,
+        x10_pagerank,
+    )
+
+    # source-level guard: the loop body performs no driver actions
+    src = inspect.getsource(x10_pagerank)
+    assert ".collect(" not in src, "driver action inside the pagerank loop"
+
+    # checkpoint the loop inputs (as the operator does) so the audit sees
+    # one iteration's plan, not the edge-derivation lineage
+    edges = purchase_edges(spark, TEST_SF_DIR).localCheckpoint()
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = edges.select(F.col("src").alias("node")).union(edges.select("dst")).distinct()
+    nodes_deg = (
+        nodes.join(out_deg, nodes.node == out_deg.src, "left")
+        .select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
+        .localCheckpoint()
+    )
+    ranks = nodes_deg.select("node", "deg", F.lit(1.0).alias("rank"))
+    a = audit(pagerank_step(ranks, edges, nodes_deg, 100))
+    assert "CartesianProduct" not in a.text, a.text
+    # dangling mass arrives via a broadcast of the 1-row aggregate
+    assert "BroadcastNestedLoopJoin" in a.text or "BroadcastExchange" in a.text, a.text
+    # two logical shuffle stages per iteration (contrib agg on dst/node,
+    # rank rebuild join) — allow the physical count a little headroom for
+    # the partial/final agg split, but a blowup means the shape regressed
+    assert a.hash_exchanges <= 8, a.text
