@@ -338,18 +338,25 @@ def x3_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with exact re-ranking (the IVF-PQ search
     pipeline): split the 64-dim embedding into 8 subvectors, k-means each
-    subspace to a 16-entry codebook (seeded Lloyd on a driver-side training
-    sample — the standard train-small/encode-everything split), encode
-    every vector as 8 one-byte codes, then per query: asymmetric distance
-    (one (8 x 16) exact table per query, 8 lookups per candidate) prunes
-    each batch to a 100-candidate shortlist, and only the shortlist gets an
-    exact float distance — the classic ADC-prune + re-rank cascade (plain
-    ADC ranks are too lossy for top-3 on unstructured vectors: measured
-    13% vs 83%+ recall with re-ranking at test SF).
+    subspace to a 16-entry codebook, encode every vector as 8 one-byte
+    codes, then per query: asymmetric distance (one (8 x 16) exact table
+    per query, 8 lookups per candidate) prunes each batch to a
+    200-candidate shortlist, and only the shortlist gets an exact float
+    distance — the classic ADC-prune + re-rank cascade (plain ADC ranks
+    are too lossy for top-3 on unstructured vectors: measured 13% vs 83%+
+    recall with re-ranking at test SF).
+
+    Codebook training is DISTRIBUTED (VERDICT r2 item 4): each subspace is
+    a seeded MLlib KMeans fit over a bounded deterministic sample
+    DataFrame (`limit(4096)` of the smallest vec_ids — the standard
+    train-small/encode-everything split). The driver only ever receives
+    the fitted cluster centers (M x K x d_sub floats, a model artifact,
+    not data); the k-means math itself runs in executors. The only
+    remaining data collect is the bounded `N_QUERIES` query-vector fetch.
 
     Scale shape: the quantized scan costs 16 bytes + 8 lookups per
     candidate; exact floats are touched only for shortlist survivors
-    (~100 per query per batch), so the full-precision work is bounded
+    (~200 per query per batch), so the full-precision work is bounded
     regardless of corpus size. One broadcast (codebooks + query matrix),
     one map-side pass, one tiny top-k shuffle. Rows-only check; recall vs
     the exact baseline is pinned in tests/test_kernels.py.
@@ -358,31 +365,36 @@ def x3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import numpy as np
     import pandas as pd
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
 
-    M, K, TOPK, SHORTLIST = 8, 16, 3, 100  # subspaces, centroids, k, ADC prune
+    M, K, TOPK, SHORTLIST = 8, 16, 3, 200  # subspaces, centroids, k, ADC prune
 
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    # Train codebooks on a bounded deterministic sample (smallest vec_ids);
-    # at corpus scale this is a .limit() sample, never a full collect.
-    train = np.array(
-        [r.v for r in e.orderBy("vec_id").limit(4096).collect()], dtype=np.float64
+    d = e.select(F.size("v").alias("d")).first().d  # bounded: one scalar
+    d_sub = d // M
+    # Bounded deterministic training sample (smallest vec_ids), kept as a
+    # DataFrame: all M subspace fits read this one cached slice table.
+    train = (
+        e.orderBy("vec_id")
+        .limit(4096)
+        .select(
+            *[
+                array_to_vector(F.slice("v", m * d_sub + 1, d_sub)).alias(f"s{m}")
+                for m in range(M)
+            ]
+        )
+        .cache()
     )
-    d_sub = train.shape[1] // M
-    rng = np.random.RandomState(42)
     codebooks = np.empty((M, K, d_sub))
     for m in range(M):
-        sub = train[:, m * d_sub : (m + 1) * d_sub]
-        cents = sub[rng.choice(len(sub), size=K, replace=False)]
-        for _ in range(10):  # Lloyd iterations; ties -> lowest centroid id
-            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for k in range(K):
-                pts = sub[assign == k]
-                if len(pts):
-                    cents[k] = pts.mean(axis=0)
-        codebooks[m] = cents
+        model = KMeans(
+            k=K, seed=42, maxIter=25, tol=1e-6, featuresCol=f"s{m}", predictionCol=f"pred{m}"
+        ).fit(train)
+        codebooks[m] = np.array(model.clusterCenters())
+    train.unpersist()
 
     q_rows = e.where(F.col("vec_id") < N_QUERIES).collect()
     q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
