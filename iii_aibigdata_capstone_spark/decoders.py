@@ -31,9 +31,17 @@ A production deployment registers, e.g.::
 
     decoders.register_decoder("cv2", pixel=cv2_pixels, image=cv2_image)
 
-and sets ``SPARK_GRAFT_DECODER=cv2`` (via ``spark.executorEnv.*`` on a real
-cluster — the name, not the function, is what travels to executors; the
-registration import must run on the workers, e.g. via ``--py-files``).
+and sets ``SPARK_GRAFT_DECODER=cv2`` **in the driver's environment before
+building the query plan**. Resolution happens ON THE DRIVER when a query
+is built: each kernel/multimodal query calls ``pixel_decoder()`` /
+``image_decoder()`` at plan-build time and ships the *resolved function*
+to executors inside its ``mapInPandas`` closure (cloudpickle serializes
+the function by value, so a decoder registered only on the driver still
+runs on every worker — ``--py-files`` is needed only when the decoder
+function references module-level state such as a loaded ONNX session).
+``spark.executorEnv.*`` is NOT consulted; the driver's env/registration is
+the single source of truth, which also makes the active decoder uniform
+across all tasks of a query by construction.
 """
 
 from __future__ import annotations
@@ -99,8 +107,9 @@ def register_decoder(name: str, pixel: PixelDecoder, image: ImageDecoder) -> Non
 def active_decoder(name: str | None = None) -> Decoder:
     """Resolve the decoder: explicit name > $SPARK_GRAFT_DECODER > stub.
 
-    Resolved at CALL time, inside the executor-side kernel closure, so the
-    env var works in local mode and via ``spark.executorEnv`` on a cluster.
+    Called on the DRIVER (queries resolve at plan-build time and ship the
+    resolved function in their UDF closures — see the module docstring),
+    so the env var / registration that matters is the driver's.
     """
     key = name or os.environ.get(ENV_VAR, "stub")
     try:

@@ -994,9 +994,15 @@ def x2_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     and duplicated-char total. Scale shape: the gram table shuffles once
     on a 64-bit xxhash64 of the gram (8-byte longs, never the text — was
     md5's 32-char hex in r01: ~4x the shuffle bytes and a slower hash;
-    the swap cut sf0.1 wall-clock 12s → ~4s with identical span output,
-    the oracle groups the raw substring so gram-identity semantics are
-    pinned exactly), the semi join back is a plain hash join, and the two
+    the swap cut sf0.1 wall-clock 12s → ~4s. NOTE the identity is now
+    PROBABILISTIC: two distinct grams colliding in 64 bits would flag a
+    false duplicate span — expected colliding pairs ≈ G²/2⁶⁵ for G
+    distinct grams: ~3e-6 at the 10⁷ grams of sf0.1, ~3% at 10⁹, vs
+    md5's 128-bit margin in r01; prepend the gram's first byte to the
+    join key if that ever matters at corpus scale. The
+    oracle groups the raw substring, so a collision would surface as an
+    oracle mismatch rather than pass silently), the semi join back is a
+    plain hash join, and the two
     interval windows plus the span group-by all ride ONE doc_id exchange.
     A true suffix array beats this on minimum match length; at fixed gram
     size this is the same candidate set at a fraction of the

@@ -39,8 +39,9 @@ def decode_pixels(payload: bytes, n: int = 64) -> np.ndarray:
     """K1 decode: n uint8 'pixels' from the payload, via the decoder seam
     (``decoders.pixel_decoder`` — stub by default, swap in cv2/ONNX with
     ``register_decoder``/``SPARK_GRAFT_DECODER``; the TrueBinaryClassifier
-    pattern, reference classify.py:35-51). Resolved per call so executor
-    closures pick up the active decoder without query-code edits."""
+    pattern, reference classify.py:35-51). Like the queries, this resolves
+    on the driver at call time; the resolved function travels in UDF
+    closures (see decoders.py module docstring for the deployment story)."""
     return pixel_decoder()(payload, n)
 
 

@@ -155,36 +155,43 @@ def x8_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     effect, hence rows-only for the oracle."""
     import math
     import os
+    import shutil
     import tempfile
 
     ev = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
     base = tempfile.mkdtemp(prefix="compaction_")
-    frag_dir, comp_dir = f"{base}/fragmented", f"{base}/compacted"
-    ev.repartition(64).write.mode("overwrite").parquet(frag_dir)
+    try:
+        frag_dir, comp_dir = f"{base}/fragmented", f"{base}/compacted"
+        ev.repartition(64).write.mode("overwrite").parquet(frag_dir)
 
-    def layout(path: str) -> tuple[int, int]:
-        files = [
-            os.path.join(path, f)
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
+        def layout(path: str) -> tuple[int, int]:
+            files = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+            return len(files), sum(os.path.getsize(f) for f in files)
+
+        n_frag, frag_bytes = layout(frag_dir)
+        target = 4 * 1024 * 1024  # bytes/file; a deployment knob (~128 MiB on a lake)
+        n_out = max(1, math.ceil(frag_bytes / target))
+        (
+            spark.read.parquet(frag_dir)
+            .repartitionByRange(n_out, "event_id")
+            .sortWithinPartitions("event_id")
+            .write.mode("overwrite")
+            .parquet(comp_dir)
+        )
+        n_comp, _ = layout(comp_dir)
+        rows = [
+            ("fragmented", n_frag, spark.read.parquet(frag_dir).count()),
+            ("compacted", n_comp, spark.read.parquet(comp_dir).count()),
         ]
-        return len(files), sum(os.path.getsize(f) for f in files)
-
-    n_frag, frag_bytes = layout(frag_dir)
-    target = 4 * 1024 * 1024  # bytes/file; a deployment knob (~128 MiB on a lake)
-    n_out = max(1, math.ceil(frag_bytes / target))
-    (
-        spark.read.parquet(frag_dir)
-        .repartitionByRange(n_out, "event_id")
-        .sortWithinPartitions("event_id")
-        .write.mode("overwrite")
-        .parquet(comp_dir)
-    )
-    n_comp, _ = layout(comp_dir)
-    rows = [
-        ("fragmented", n_frag, spark.read.parquet(frag_dir).count()),
-        ("compacted", n_comp, spark.read.parquet(comp_dir).count()),
-    ]
+    finally:
+        # the manifest rows above are fully computed (counts are actions),
+        # so the staging copies can go — ADVICE r2: don't leak 2x the
+        # events table into /tmp per invocation
+        shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, "layout string, n_files int, n_rows long")

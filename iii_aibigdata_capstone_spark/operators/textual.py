@@ -650,7 +650,7 @@ def _learn_bpe_merges(
     return out_rows
 
 
-def _bpe_vocab_oracle(n_merges: int = N_BPE_MERGES) -> str:
+def _bpe_vocab_parts(n_merges: int = N_BPE_MERGES) -> tuple[str, str]:
     """The BPE merge loop as plain (non-recursive) SQL: one unrolled CTE
     level per merge. Words are boundary-delimited symbol strings —
     ``CHR(1)CHR(1)`` between symbols, so one greedy left-to-right
@@ -659,7 +659,11 @@ def _bpe_vocab_oracle(n_merges: int = N_BPE_MERGES) -> str:
     characters, which a single separator gets wrong on runs like 'aaaa').
     Each level: explode adjacent symbol pairs weighted by word count,
     argmax by (count desc, left, right), apply via REPLACE. Assumes the
-    corpus supports >= n_merges merges (true at every test SF)."""
+    corpus supports >= n_merges merges (true at every test SF).
+
+    Returns ``(with_block, final_select)`` separately so the tokenize
+    oracle can extend the WITH block with its own CTEs instead of slicing
+    the rendered SQL."""
     sep2 = "CHR(1)||CHR(1)"
     parts = [
         f"""
@@ -700,11 +704,17 @@ def _bpe_vocab_oracle(n_merges: int = N_BPE_MERGES) -> str:
         for k in range(1, n_merges + 1)
     )
     return (
-        "WITH " + ",".join(parts) + f"""
+        "WITH " + ",".join(parts),
+        f"""
         SELECT CAST(iteration AS INT) AS iteration, "left", "right", merged, cnt
         FROM ({unions})
-        """
+        """,
     )
+
+
+def _bpe_vocab_oracle(n_merges: int = N_BPE_MERGES) -> str:
+    with_block, final_select = _bpe_vocab_parts(n_merges)
+    return with_block + final_select
 
 
 @query("x4_bpe_vocab", oracle=_bpe_vocab_oracle(), tags=("X4", "bpe", "iterative"))
@@ -724,7 +734,9 @@ def x4_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics are exact classic BPE: argmax pair by (count desc, left,
     right) with greedy left-to-right non-overlapping application; the
     sequence is pinned against an independent local reference BPE in
-    tests/test_analytics.py. Iterative, hence rows-only for the oracle."""
+    tests/test_analytics.py AND carries a FULL DuckDB oracle — the same
+    N merges unrolled as one materialized CTE level per merge
+    (_bpe_vocab_parts), so the driver hash-checks the learned table."""
     out_rows = _learn_bpe_merges(spark, sf_dir, N_BPE_MERGES)
     return spark.createDataFrame(
         out_rows, "iteration int, left string, right string, merged string, cnt long"
@@ -737,9 +749,7 @@ def _bpe_tokenize_oracle(n_merges: int = N_BPE_MERGES) -> str:
     nested chain of boundary-delimited REPLACEs and weight the per-word
     token counts back over (doc_id, word) pairs."""
     sep2 = "CHR(1)||CHR(1)"
-    levels = _bpe_vocab_oracle(n_merges)
-    with_block = levels[: levels.rindex("SELECT CAST(iteration")]
-    with_block = with_block[: with_block.rindex("\n")]  # drop trailing blank
+    with_block, _ = _bpe_vocab_parts(n_merges)
     applied = f"{sep2} || REGEXP_REPLACE(w, '(.)', '\\1'||CHR(1)||CHR(1), 'g')"
     for k in range(1, n_merges + 1):
         left = f'(SELECT "left" FROM m{k})'
@@ -750,7 +760,7 @@ def _bpe_tokenize_oracle(n_merges: int = N_BPE_MERGES) -> str:
             f"CHR(1)||{left}||{right}||CHR(1))"
         )
     return (
-        with_block.rstrip().rstrip(",")
+        with_block
         + f""",
         dw AS MATERIALIZED (
             SELECT doc_id, w, COUNT(*) AS cnt
@@ -798,8 +808,9 @@ def x4_bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     then one count-weighted sum. Output
     is per-doc token accounting (compression ratio = chars per token),
     the quantity a data pipeline actually monitors. Pinned against the
-    local reference tokenizer in tests/test_analytics.py; iterative
-    input, hence rows-only for the oracle."""
+    local reference tokenizer in tests/test_analytics.py AND carries a
+    FULL DuckDB oracle (_bpe_tokenize_oracle re-learns the merges via the
+    unrolled vocab CTEs, then applies them as a nested REPLACE chain)."""
     merges = _learn_bpe_merges(spark, sf_dir, N_BPE_MERGES)
     docs = table(spark, sf_dir, "documents")
     doc_words = (
