@@ -14,6 +14,8 @@ construction; tests pin stable category encoding across disjoint slices.
 
 from __future__ import annotations
 
+from textwrap import dedent
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -136,6 +138,69 @@ def score(model, df: DataFrame) -> DataFrame:
         )
         .otherwise(F.format_string("We will lose this quarter (%.0f%%)", prob * 100))
         .alias("message"),
+    )
+
+
+_FEATURE_EXPR_SQL = [
+    "5 + k % 9",          # teamNumber
+    "5 + (k * 3 + 1) % 10",  # enemyNumber
+    "(k * 7) % 6",        # fastBreak
+    "(k * 11) % 14",      # restrictedNumber
+    "(k * 13) % 9",       # perimeterNumber
+    "(k * 17) % 24",      # threeNumber
+    "(k * 19) % 9",       # freethrowNumber
+    "(k * 23) % 7",       # assist
+    "(k * 29) % 11",      # steal
+    "(k * 31) % 4",       # block
+    "(k * 37) % 6",       # foul
+    "(k * 41) % 9",       # turnover
+    "(k * 43) % 25",      # enemyPeriodScore
+    "CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END",  # enemyStyle OHE dim 0
+    "CASE WHEN k % 3 = 1 THEN 1 ELSE 0 END",  # enemyStyle OHE dim 1 (dropLast)
+]
+
+
+@query(
+    "m1_feature_expansion",
+    oracle=dedent(
+        """
+        WITH f AS (
+            SELECT o_orderkey AS game_id,
+                   LIST_VALUE({feats}) AS feats
+            FROM (SELECT o_orderkey, o_orderkey AS k FROM orders)
+        )
+        SELECT game_id, CAST(i - 1 AS INT) AS pos, feats[i] AS val
+        FROM f, UNNEST(RANGE(1, LEN(feats) + 1)) AS t(i)
+        """
+    ).format(feats=", ".join(f"CAST({e} AS DOUBLE)" for e in _FEATURE_EXPR_SQL)),
+    tags=("M1", "M2", "ml", "features"),
+)
+def m1_feature_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1/M2 feature pipeline with a FULL SQL oracle (VERDICT r2 item 5):
+    the fitted OneHotEncoder + VectorAssembler stages — the deterministic
+    half of the reference's ml_model.py pipeline — applied to the quarter
+    frame and exploded to (game_id, pos, val) rows. The oracle re-derives
+    the exact assembled vector in SQL: 13 integer feature columns plus the
+    2-dim dropLast one-hot of enemyStyle (categories {0,1,2} -> [c==0,
+    c==1]); every value is an exact small-integer double, so the driver
+    hash is stable. Proves the encoder's category mapping is the fixed one
+    (the reference's per-batch refit could shift indices between batches —
+    this oracle would catch that class of bug immediately)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import OneHotEncoder, VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    frame = quarter_stats_frame(spark, sf_dir)
+    ohe = OneHotEncoder(
+        inputCols=[CATEGORICAL_COL], outputCols=[f"{CATEGORICAL_COL}_vec"]
+    )
+    assembler = VectorAssembler(
+        inputCols=FEATURE_COLS + [f"{CATEGORICAL_COL}_vec"], outputCol="features"
+    )
+    model = Pipeline(stages=[ohe, assembler]).fit(frame)
+    return model.transform(frame).select(
+        "game_id",
+        F.posexplode(vector_to_array("features")).alias("pos", "val"),
     )
 
 

@@ -89,3 +89,27 @@ def test_binary_evaluator(spark, model):
         labelCol="winPeriod", rawPredictionCol="rawPrediction"
     ).evaluate(scored)
     assert 0.5 < auc <= 1.0
+
+
+def test_scoring_golden_values(spark, model):
+    """M3 value-level golden (VERDICT r2 item 5): the fitted RF's scoring
+    output is deterministic (seeded trees, deterministic frame and train
+    slice), so pin the per-label correctness counts and the exact
+    win_probability quantiles at sf0.001. This test FAILS if scoring
+    changes — a hyperparameter drift, a feature-order change, a category
+    remap in the encoder — not merely if it errors."""
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    summary = sorted(
+        tuple(r)
+        for r in registry()["m3_quarter_pipeline"].builder(spark, TEST_SF_DIR).collect()
+    )
+    assert summary == [(0, 853, 765), (1, 647, 567)], summary
+
+    scored = score(model, quarter_stats_frame(spark, TEST_SF_DIR))
+    assert scored.count() == 1500
+    assert scored.where(F.col("prediction") == 1).count() == 655
+    quantiles = scored.approxQuantile(
+        "win_probability", [0.0, 0.25, 0.5, 0.75, 1.0], 0.0
+    )
+    assert quantiles == [0.5019, 0.7406, 0.8472, 0.9286, 1.0], quantiles
