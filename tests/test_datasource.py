@@ -139,3 +139,76 @@ def test_stream_sink_manifests_per_epoch(spark, tmp_path):
     ]
     key = lambda d: d["event_id"]  # noqa: E731
     assert sorted(got, key=key) == sorted(want, key=key)
+
+
+def test_batch_sink_abort_leaves_no_manifest(spark, tmp_path):
+    """Failure path of the two-phase commit: a task that raises mid-batch
+    fails the job BEFORE the driver publish, so no manifest appears (a
+    manifest-honoring reader sees zero rows, never a partial batch), and
+    ``abort`` removes the staged files of the tasks that had completed.
+    Only the failing attempt's own orphan may remain in _staging — it is
+    named by no manifest, hence invisible."""
+    import os
+
+    import pytest as _pytest
+
+    register(spark)
+
+    @F.udf("double")
+    def boom(event_id):
+        if event_id == 450:
+            raise RuntimeError("mid-batch failure")
+        return 0.0
+
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 500)
+        .option("partitions", 7)
+        .load()
+        .withColumn("value", boom("event_id"))
+    )
+    out = str(tmp_path / "abort_sink")
+    with _pytest.raises(Exception):
+        df.write.format("synthetic_events").option("path", out).mode("append").save()
+
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))
+    staged = os.listdir(os.path.join(out, "_staging")) if os.path.exists(
+        os.path.join(out, "_staging")
+    ) else []
+    # abort() deleted every staged file it was told about; at most the
+    # failing attempts' orphans (unknown to the driver) can survive
+    assert len(staged) < 7, staged
+
+
+def test_stream_sink_epoch_replay_is_idempotent(tmp_path):
+    """ST6/at-least-once made concrete at the protocol level: an epoch
+    that is retried end-to-end (new task attempts, new staged files, same
+    batchId) REWRITES the same per-epoch manifest, so a manifest-keyed
+    reader sees exactly one copy of the epoch — effectively-once on top of
+    at-least-once delivery. Pure-Python protocol test (the writer classes
+    are plain objects), no stream restart machinery needed."""
+    import os
+
+    from iii_aibigdata_capstone_spark.sources.synthetic import (
+        _JsonlStreamSink,
+        _row,
+    )
+
+    out = str(tmp_path / "replay_sink")
+    os.makedirs(out)
+    cols = ["event_id", "user_id", "event_type", "value"]
+    rows = [_row(i) for i in range(40)]
+
+    sink = _JsonlStreamSink({"path": out}, cols, "_SUCCESS")
+    # first delivery of epoch 3
+    m1 = sink.write(iter(rows))
+    sink.commit([m1], batchId=3)
+    # the whole epoch replays: fresh task attempt, fresh staged file
+    m2 = sink.write(iter(rows))
+    sink.commit([m2], batchId=3)
+
+    manifests = [n for n in os.listdir(out) if n.startswith("_SUCCESS_")]
+    assert manifests == ["_SUCCESS_3"]
+    got = _manifest_rows(out, manifests)
+    assert len(got) == 40  # one copy, not two
+    assert sorted(d["event_id"] for d in got) == list(range(40))
