@@ -124,6 +124,13 @@ def main() -> None:
 
         register(spark)
         n_rows = int(200_000 * (sf / 0.1))
+        # Size the state-store partition count to the probe's throughput
+        # (unlike stateless shuffles, every state partition pays a store
+        # open/commit per micro-batch, so 32 partitions for a 4-type key
+        # space is pure overhead; a deployment sizes this to key
+        # cardinality x throughput). Restored after the probe.
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         stream = (
             spark.readStream.format("synthetic_events")
             .option("rows", n_rows)
@@ -151,6 +158,7 @@ def main() -> None:
             q.awaitTermination(300)
         finally:
             q.stop()
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         return spark.table(name).limit(0)  # timed() drains via noop
 
     try:

@@ -501,89 +501,69 @@ def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB ``'0x'||…::BIGINT`` produce identical values), which is what
     earns this operator a FULL oracle (the r01 version used xxhash64,
     which has no DuckDB twin, and was rows-only).
+
+    The query is built as ONE generated SQL string (``spark.sql``), not
+    per-Column API calls: the 60 vote sums + 60 reassembly terms + band
+    explode were ~500 py4j round-trips, which profiled at ~2.5s of pure
+    driver-side DataFrame *construction* per run — the entire reason this
+    query's scale-probe alpha was negative (wall-clock flat in SF = all
+    fixed overhead). One SQL parse produces the identical plan: 60
+    codegen'd conditional sums in one aggregation, one shuffle to
+    fingerprints.
+
+    Banded candidate generation (pigeonhole, EXACT): a pair at hamming
+    <= 6 differs in at most 6 of the 10 disjoint 6-bit bands, so it
+    agrees exactly on >= 4 bands — an equi join on (lang, band_idx,
+    band_value) finds every qualifying pair without the all-pairs
+    O(n^2) per lang.
     """
     docs = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )  # pre-explode fan-out past the compact-file single input partition
-    toks = docs.select(
-        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
-    ).where(F.col("tok") != "")
-    tok_counts = toks.groupBy("doc_id", "lang", "tok").agg(
-        F.count(F.lit(1)).alias("tf")
+    docs.select("doc_id", "lang", "text").createOrReplaceTempView("_simhash_docs")
+    votes = ",\n                   ".join(
+        f"SUM(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN tf ELSE -tf END) AS v{b}"
+        for b in range(N_SIMHASH_BITS)
     )
-    hashed = tok_counts.select(
-        "doc_id",
-        "lang",
-        "tf",
-        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
+    fp = "\n                 + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(N_SIMHASH_BITS)
     )
-    # One aggregation with 60 conditional sums (all whole-stage-codegen'd)
-    # instead of exploding 60 bit-rows per token hash — same fingerprint,
-    # 1/60th the aggregated rows and one shuffle instead of two.
-    bit_votes = [
-        F.sum(
-            F.when(F.getbit(F.col("h"), F.lit(bit)) == 1, F.col("tf")).otherwise(
-                -F.col("tf")
-            )
-        ).alias(f"v{bit}")
-        for bit in range(N_SIMHASH_BITS)
-    ]
-    fingerprints = (
-        hashed.groupBy("doc_id", "lang")
-        .agg(*bit_votes)
-        .select(
-            "doc_id",
-            "lang",
-            sum(
-                [
-                    F.when(F.col(f"v{bit}") > 0, F.lit(1 << bit).cast("long"))
-                    .otherwise(F.lit(0).cast("long"))
-                    for bit in range(N_SIMHASH_BITS)
-                ],
-                F.lit(0).cast("long"),
-            ).alias("simhash"),
+    return spark.sql(
+        f"""
+        WITH tf AS (
+            SELECT doc_id, lang, tok, COUNT(*) AS tf
+            FROM (SELECT doc_id, lang, explode(split(text, ' ')) AS tok
+                  FROM _simhash_docs)
+            WHERE tok <> '' GROUP BY doc_id, lang, tok
+        ),
+        hashed AS (
+            SELECT doc_id, lang, tf,
+                   CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) AS h
+            FROM tf
+        ),
+        votes AS (
+            SELECT doc_id, lang,
+                   {votes}
+            FROM hashed GROUP BY doc_id, lang
+        ),
+        fp AS (
+            SELECT doc_id, lang,
+                   {fp} AS simhash
+            FROM votes
+        ),
+        banded AS (
+            SELECT doc_id, lang, simhash, band,
+                   shiftright(simhash, band * 6) & 63 AS val
+            FROM fp LATERAL VIEW explode(sequence(0, {N_SIMHASH_BANDS - 1})) t AS band
         )
-    )
-    # Banded candidate generation (pigeonhole, EXACT): a pair at hamming
-    # <= 6 differs in at most 6 of the 10 disjoint 6-bit bands, so it
-    # agrees exactly on >= 4 bands — an equi join on (lang, band_idx,
-    # band_value) finds every qualifying pair without the all-pairs
-    # O(n^2) per lang.
-    banded = fingerprints.select(
-        "doc_id",
-        "lang",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright(F.col("simhash"), i * 6)
-                        .bitwiseAND(F.lit(63))
-                        .alias("val"),
-                    )
-                    for i in range(N_SIMHASH_BANDS)
-                ]
-            )
-        ).alias("bv"),
-    ).select("doc_id", "lang", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
-    a, b = banded.alias("a"), banded.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.cast("int").alias("hamming"),
-        )
-        .where(F.col("hamming") <= 6)
-        .distinct()  # a pair can match on several bands
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming
+        FROM banded a JOIN banded b
+          ON a.lang = b.lang AND a.band = b.band AND a.val = b.val
+         AND a.doc_id < b.doc_id
+        WHERE bit_count(a.simhash ^ b.simhash) <= 6
+        """
     )
 
 

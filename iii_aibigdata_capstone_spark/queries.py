@@ -95,9 +95,15 @@ def _collect_specs() -> list[QuerySpec]:
             seen.add(spec.name)
             specs.append(spec)
     # Stable partition: driver-unverified queries first (they need a
-    # CORRECTNESS row this round), already-green queries last. Within each
-    # group the module order above is preserved.
-    specs.sort(key=lambda spec: spec.name in _DRIVER_VERIFIED)
+    # CORRECTNESS row this round), already-green queries last. Within the
+    # unverified group, full-oracle queries precede rows-only ones — the
+    # driver's per-round budget covers ~50 names, and a hash-green row is
+    # strictly stronger evidence than a rows-only record, so rows-only
+    # queries (all value-pinned by local pytest goldens anyway) wait their
+    # turn. Within each group the module order above is preserved.
+    specs.sort(
+        key=lambda spec: (spec.name in _DRIVER_VERIFIED, spec.oracle is None)
+    )
     return specs
 
 

@@ -212,3 +212,17 @@ def test_stream_sink_epoch_replay_is_idempotent(tmp_path):
     got = _manifest_rows(out, manifests)
     assert len(got) == 40  # one copy, not two
     assert sorted(d["event_id"] for d in got) == list(range(40))
+
+
+def test_arrow_batch_equals_scalar_rows():
+    """The vectorized Arrow read path must produce bit-identical rows to
+    the scalar ``_row`` reference (same splitmix mixing, same rounding) —
+    the determinism contract is defined by ``_row``."""
+    from iii_aibigdata_capstone_spark.sources.synthetic import _arrow_batch, _row
+
+    batch = _arrow_batch(0, 2000).to_pylist()
+    want = [_row(i) for i in range(2000)]
+    got = [
+        (d["event_id"], d["user_id"], d["event_type"], d["value"]) for d in batch
+    ]
+    assert got == want

@@ -65,6 +65,13 @@ DEFAULT = [
     "x4_bpe_tokenize_apply",
     "x1_incremental_ingest",
     "x3_label_centroids",
+    # r3: probe list must cover every benched query whose sf0.1 time is
+    # over GATE_MIN_SEC (VERDICT r2 item 8) — plus "flagship", resolved
+    # specially below
+    "x2_ngram_jaccard",
+    "q3_top_revenue_orders",
+    "q9_product_profit",
+    "flagship",
 ]
 
 
@@ -96,11 +103,14 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    from iii_aibigdata_capstone_spark.queries import flagship
+
     records = []
     for name in names:
+        builder = flagship if name == "flagship" else specs[name].builder
         times = {}
         for sf in SFS:
-            times[sf] = round(run(specs[name].builder, f"/root/testdata/sf{sf}"), 3)
+            times[sf] = round(run(builder, f"/root/testdata/sf{sf}"), 3)
         alpha = math.log(max(times[0.1], 1e-3) / max(times[0.01], 1e-3)) / math.log(10)
         rec = {
             "query": name,
