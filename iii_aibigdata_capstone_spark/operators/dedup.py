@@ -1060,3 +1060,91 @@ def x1_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("keeper_chars"),
         "n_members",
     )
+
+
+@query(
+    "x2_semantic_dedup",
+    oracle=dedent(
+        """
+        WITH e AS (
+            SELECT vec_id, v,
+                   (CASE WHEN v[1] >= 0 THEN 8 ELSE 0 END
+                    + CASE WHEN v[2] >= 0 THEN 4 ELSE 0 END
+                    + CASE WHEN v[3] >= 0 THEN 2 ELSE 0 END
+                    + CASE WHEN v[4] >= 0 THEN 1 ELSE 0 END) AS bucket,
+                   SQRT(LIST_DOT_PRODUCT(v, v)) AS nrm
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        ),
+        removed AS (
+            SELECT DISTINCT b.vec_id
+            FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE LIST_DOT_PRODUCT(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
+        )
+        SELECT e.vec_id, CAST(e.bucket AS INT) AS bucket,
+               (r.vec_id IS NULL) AS keep
+        FROM e LEFT JOIN removed r ON r.vec_id = e.vec_id
+        """
+    ),
+    tags=("X2", "X3", "semantic-dedup"),
+)
+def x2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023, one-pass
+    variant): partition the embedding space into coarse cells, compare
+    pairs only WITHIN a cell, and keep the lowest-id member of every
+    high-similarity (cosine >= 0.45) pair. Output is the per-item keep
+    decision — the list a curation pipeline feeds the final corpus write.
+
+    The cell here is the sign pattern of the first 4 dimensions (16
+    deterministic cells — an oracle-friendly stand-in for the k-means
+    cells of the paper; the production knob is cell COUNT, which must
+    grow ~n/const so the within-cell quadratic stays bounded — same IVF
+    shape as x3_ivf_topk, which carries the trained-centroid version).
+    Every join is an equi join (cell key, then the keep anti-join); the
+    cosine is a JVM-side sequential fold (``zip_with``/``aggregate``),
+    evaluated left-to-right exactly like DuckDB's LIST_DOT_PRODUCT, so
+    the >= threshold decides identically in both engines; the output is
+    integer/boolean only.
+    """
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn(
+            "bucket",
+            (
+                F.when(F.col("v")[0] >= 0, 8).otherwise(0)
+                + F.when(F.col("v")[1] >= 0, 4).otherwise(0)
+                + F.when(F.col("v")[2] >= 0, 2).otherwise(0)
+                + F.when(F.col("v")[3] >= 0, 1).otherwise(0)
+            ).cast("int"),
+        )
+        .withColumn(
+            "nrm",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with("v", "v", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+        )
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    removed = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(dot / (F.col("a.nrm") * F.col("b.nrm")) >= 0.45)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return e.join(removed.withColumnRenamed("vec_id", "rm_id"),
+                  e.vec_id == F.col("rm_id"), "left").select(
+        "vec_id", "bucket", F.col("rm_id").isNull().alias("keep")
+    )

@@ -847,3 +847,59 @@ def x4_bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
     )
+
+
+@query(
+    "x4_repetition_ratio",
+    oracle=dedent(
+        """
+        WITH w AS (
+            SELECT doc_id,
+                   LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS ws
+            FROM documents
+        ),
+        t AS (
+            SELECT doc_id,
+                   LIST_TRANSFORM(RANGE(1, LEN(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS tg
+            FROM w WHERE LEN(ws) >= 3
+        )
+        SELECT doc_id,
+               CAST(LEN(tg) AS BIGINT) AS n_trigrams,
+               CAST(LEN(LIST_DISTINCT(tg)) AS BIGINT) AS n_distinct,
+               CAST(((LEN(tg) - LEN(LIST_DISTINCT(tg))) * 10000) // LEN(tg)
+                    AS BIGINT) AS dup_bp
+        FROM t
+        """
+    ),
+    tags=("X4", "quality", "repetition"),
+)
+def x4_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition ratio — the duplicate-n-gram quality rule
+    of the Gopher/MassiveText filter set (Rae et al. 2021 §A1.1: drop
+    documents whose duplicate 3-gram fraction is high; boilerplate and
+    spam score high, prose scores low). Per document: token 3-grams,
+    distinct count, and the duplicated fraction in basis points —
+    COMPUTED ENTIRELY MAP-SIDE: the n-gram build, dedup and ratio are
+    array expressions (``transform``/``array_distinct``) inside one
+    projection, so the operator needs NO shuffle at all — it streams the
+    corpus once, which is the only shape that matters at 100 TB. The
+    ratio is exact integer basis points (floor), never a float.
+    """
+    return (
+        table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "filter(split(text, ' '), x -> x <> '') AS ws")
+        .where(F.size("ws") >= 3)
+        .selectExpr(
+            "doc_id",
+            "transform(sequence(1, size(ws) - 2),"
+            " i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1])) AS tg",
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(size(tg) AS BIGINT) AS n_trigrams",
+            "CAST(size(array_distinct(tg)) AS BIGINT) AS n_distinct",
+            "CAST(((size(tg) - size(array_distinct(tg))) * 10000) div size(tg)"
+            " AS BIGINT) AS dup_bp",
+        )
+    )
