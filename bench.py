@@ -66,6 +66,8 @@ HEADLINE = [
     "x4_postings",
     "x9_doc_chunking",
     "x2_repeated_spans",
+    "x4_repetition_ratio",
+    "x2_semantic_dedup",
 ]
 
 

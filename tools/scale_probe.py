@@ -72,6 +72,8 @@ DEFAULT = [
     "q3_top_revenue_orders",
     "q9_product_profit",
     "flagship",
+    "x2_semantic_dedup",
+    "x4_repetition_ratio",
 ]
 
 
