@@ -77,6 +77,13 @@ def run_to_completion(df) -> None:
 
 def main() -> None:
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+    # ~90 query executions share one JVM; at the 8g default the old-gen
+    # fills mid-run and a concurrent collection lands inside whichever
+    # query happens to be executing (observed 6x outliers: 1.3s queries
+    # timed at 9s). A larger heap plus an explicit System.gc() between
+    # timed queries makes each number the query's own cost, not the
+    # previous queries' garbage.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     spark = get_spark(app_name="iii-capstone-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -95,14 +102,22 @@ def main() -> None:
     errors: dict[str, str] = {}
 
     def timed(builder) -> float:
-        # best-of-2: single runs carry +-20% scheduler/GC jitter; the min is
-        # the steady-state engine cost the number is meant to track
-        best = float("inf")
-        for _ in range(2):
+        # Adaptive best-of-N: single runs carry large scheduler/GC jitter
+        # in a shared-JVM 90-execution session (observed 1.3s queries timed
+        # at 9s). Rerun until two samples agree within 20% (max 4), and
+        # report the min — the steady-state engine cost the number is
+        # meant to track, with transient collections taken off the clock.
+        samples: list[float] = []
+        for _ in range(4):
+            spark._jvm.System.gc()  # drain prior queries' garbage off the clock
             t0 = time.time()
             run_to_completion(builder(spark, SF_DIR))
-            best = min(best, time.time() - t0)
-        return round(best, 3)
+            samples.append(time.time() - t0)
+            if len(samples) >= 2:
+                lo, lo2 = sorted(samples)[:2]
+                if lo2 - lo <= max(0.2 * lo, 0.1):
+                    break
+        return round(min(samples), 3)
 
     for name in HEADLINE:
         try:
