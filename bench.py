@@ -68,6 +68,7 @@ HEADLINE = [
     "x2_repeated_spans",
     "x4_repetition_ratio",
     "x2_semantic_dedup",
+    "x1_fuzzy_dedup_pipeline",
 ]
 
 

@@ -316,6 +316,16 @@ def _minhash_band_keys(sep: str) -> list[str]:
     ]
 
 
+# DuckDB band-key list for `UNNEST([...]) AS bkey`, zipped with
+# UNNEST(RANGE(0, bands)) AS band.
+_MINHASH_BKEY_SQL = ", ".join(
+    "||'|'||".join(
+        f"m{i}::VARCHAR" for i in range(N_MINHASH_SEEDS) if i % N_MINHASH_BANDS == j
+    )
+    for j in range(N_MINHASH_BANDS)
+)
+
+
 @query(
     "x2_minhash_banded",
     oracle=dedent(
@@ -336,7 +346,7 @@ def _minhash_band_keys(sep: str) -> list[str]:
         bk AS (
             SELECT doc_id, lang,
                    UNNEST(RANGE(0, {N_MINHASH_BANDS})) AS band,
-                   UNNEST([{", ".join("||'|'||".join(f"m{i}::VARCHAR" for i in range(N_MINHASH_SEEDS) if i % N_MINHASH_BANDS == j) for j in range(N_MINHASH_BANDS))}]) AS bkey
+                   UNNEST([{_MINHASH_BKEY_SQL}]) AS bkey
             FROM mins
         ),
         cand AS (
@@ -387,6 +397,14 @@ def x2_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingles(spark, sf_dir).localCheckpoint(
         eager=False
     )  # consumed thrice: minhash, sizes, exact verify
+    return _minhash_verified_pairs(sh)
+
+
+def _minhash_verified_pairs(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """(doc_a, doc_b, jaccard) pairs from banded-minhash candidates over a
+    ``(doc_id, lang, s)`` shingle table, verified with exact Jaccard >=
+    ``threshold``. Shared by the standalone query and the end-to-end
+    fuzzy-dedup pipeline."""
     h = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
     mins = (
         sh.select(
@@ -440,7 +458,7 @@ def x2_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .where(jac >= 0.5)
+        .where(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -739,13 +757,26 @@ def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks convergence counts; labels never leave the cluster. The oracle
     is a recursive-CTE transitive closure (viable at oracle SF)."""
     pairs = x2_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _min_label_propagation(pairs)
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
+
+
+def _min_label_propagation(pairs: DataFrame, max_rounds: int = 15) -> DataFrame:
+    """Connected components over an undirected pair list ``(doc_a, doc_b)``
+    as iterative min-label propagation: every node repeatedly adopts the
+    min label among itself and its neighbors until a fixpoint —
+    O(diameter) joins, each a plain shuffle-on-key, the same shape
+    GraphX/GraphFrames use. The driver only checks convergence counts;
+    labels never leave the cluster. Returns ``(node, label)`` for nodes
+    that appear in at least one pair (singletons are the caller's
+    COALESCE). Shared by x2_dedup_clusters and the fuzzy-dedup pipeline."""
     edges = (
         pairs.union(
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
         )
         .distinct()
         # materialize once: every propagation round joins the edge table,
-        # and without this the whole upstream shingle-join pipeline would
+        # and without this the whole upstream pair pipeline would
         # re-execute per iteration (measured ~2x the query's total cost)
         .localCheckpoint(eager=False)
     )
@@ -753,7 +784,7 @@ def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("doc_a").alias("node")).distinct()
         .withColumn("label", F.col("node"))
     )
-    for _ in range(15):  # >= graph diameter at any realistic near-dup scale
+    for _ in range(max_rounds):  # >= graph diameter at realistic near-dup scale
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.node)
             .groupBy(F.col("doc_a").alias("node"))
@@ -776,7 +807,7 @@ def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
+    return labels
 
 
 @query(
@@ -1191,4 +1222,158 @@ def x2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.join(removed.withColumnRenamed("vec_id", "rm_id"),
                   e.vec_id == F.col("rm_id"), "left").select(
         "vec_id", "bucket", F.col("rm_id").isNull().alias("keep")
+    )
+
+
+@query(
+    "x1_fuzzy_dedup_pipeline",
+    oracle=dedent(
+        f"""
+        WITH RECURSIVE
+        exact AS (
+            SELECT doc_id, text, lang, n_chars,
+                   MIN(doc_id) OVER (PARTITION BY MD5(text)) AS canon_exact
+            FROM documents
+        ),
+        survivors AS (SELECT * FROM exact WHERE doc_id = canon_exact),
+        toks AS (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS t FROM survivors),
+        shingles AS (
+            SELECT DISTINCT doc_id, lang,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
+                                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+            FROM toks WHERE LEN(t) >= 3
+        ),
+        hashed AS (
+            SELECT doc_id, lang,
+                   CAST('0x' || SUBSTR(MD5(s), 1, 15) AS BIGINT) % 1073741824 AS hlo,
+                   CAST('0x' || SUBSTR(MD5(s), 1, 15) AS BIGINT) // 1073741824 AS hhi,
+                   s
+            FROM shingles
+        ),
+        mins AS (
+            SELECT doc_id, lang,
+               {_MINHASH_MIN_SQL}
+            FROM hashed GROUP BY 1, 2
+        ),
+        bk AS (
+            SELECT doc_id, lang,
+                   UNNEST(RANGE(0, {N_MINHASH_BANDS})) AS band,
+                   UNNEST([{_MINHASH_BKEY_SQL}]) AS bkey
+            FROM mins
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang
+            FROM bk a JOIN bk b
+              ON a.lang = b.lang AND a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+            FROM cand c
+            JOIN shingles x ON x.doc_id = c.doc_a AND x.lang = c.lang
+            JOIN shingles y ON y.doc_id = c.doc_b AND y.s = x.s AND y.lang = c.lang
+            GROUP BY 1, 2
+        ),
+        pair AS (
+            SELECT i.doc_a, i.doc_b FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.5
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pair
+            UNION ALL SELECT doc_b, doc_a FROM pair
+        ),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach AS (
+            SELECT node AS src, node AS dst FROM nodes
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+        ),
+        clusters AS (SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src),
+        labeled AS (
+            SELECT s.doc_id, s.n_chars, COALESCE(c.cluster, s.doc_id) AS cluster
+            FROM survivors s LEFT JOIN clusters c ON c.doc_id = s.doc_id
+        ),
+        best AS (
+            SELECT doc_id, cluster,
+                   ROW_NUMBER() OVER (PARTITION BY cluster
+                                      ORDER BY n_chars DESC, doc_id) AS rk
+            FROM labeled
+        ),
+        winners AS (SELECT cluster, doc_id AS winner FROM best WHERE rk = 1)
+        SELECT e.doc_id,
+               CASE WHEN e.doc_id <> e.canon_exact THEN 'exact_dup'
+                    WHEN b.rk = 1 THEN 'kept' ELSE 'near_dup' END AS status,
+               CASE WHEN e.doc_id <> e.canon_exact THEN e.canon_exact
+                    WHEN b.rk = 1 THEN e.doc_id ELSE w.winner END AS canonical
+        FROM exact e
+        LEFT JOIN best b ON b.doc_id = e.doc_id
+        LEFT JOIN winners w ON w.cluster = b.cluster
+        """
+    ),
+    tags=("X1", "X2", "pipeline"),
+)
+def x1_fuzzy_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy-dedup pipeline — the composition a production
+    corpus build runs as ONE job (the BigCode/FineWeb shape):
+
+    1. EXACT: content-hash dedup, survivor = min doc_id per md5(text)
+       (window min over the hash partition — shuffles 16-byte hashes);
+    2. NEAR-DUP EDGES: banded-MinHash candidates over the survivors'
+       shingles, verified with exact Jaccard >= 0.5
+       (`_minhash_verified_pairs` — equi joins only, never all-pairs);
+    3. CLUSTERS: connected components over the verified-pair graph
+       (`_min_label_propagation` — O(diameter) shuffle-on-key rounds);
+    4. SURVIVOR: per cluster keep the longest doc (tie: min doc_id).
+
+    Output is the per-document verdict table `(doc_id, status in
+    {{kept, exact_dup, near_dup}}, canonical)` — the artifact downstream
+    stages (packing, training-mix) consume. Every stage is itself a
+    registered operator; this query pins the COMPOSITION, including the
+    boundaries where one stage's survivors feed the next (the classic
+    integration bug — deduping near-dups against already-removed exact
+    dups — is exactly what the oracle's `survivors` scoping checks).
+    Iterative CC makes the Spark side a fixpoint loop; the oracle is a
+    recursive-CTE transitive closure (viable at oracle SF)."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    exact = docs.select(
+        "doc_id", "lang", "n_chars", F.min("doc_id").over(w).alias("canon_exact")
+    )
+    survivors = exact.where(F.col("doc_id") == F.col("canon_exact"))
+    sh = (
+        shingles(spark, sf_dir)
+        .join(survivors.select("doc_id"), "doc_id", "left_semi")
+        .localCheckpoint(eager=False)  # consumed by minhash, sizes, verify
+    )
+    pairs = _minhash_verified_pairs(sh).select("doc_a", "doc_b")
+    labels = _min_label_propagation(pairs)
+    labeled = survivors.join(labels, survivors.doc_id == labels.node, "left").select(
+        survivors.doc_id,
+        "n_chars",
+        F.coalesce(F.col("label"), survivors.doc_id).alias("cluster"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("cluster").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    )
+    best = labeled.select("doc_id", "cluster", rk.alias("rk"))
+    winners = best.where(F.col("rk") == 1).select(
+        "cluster", F.col("doc_id").alias("winner")
+    )
+    return (
+        exact.join(best, "doc_id", "left")
+        .join(winners, "cluster", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") != F.col("canon_exact"), F.lit("exact_dup"))
+            .when(F.col("rk") == 1, F.lit("kept"))
+            .otherwise(F.lit("near_dup"))
+            .alias("status"),
+            F.when(F.col("doc_id") != F.col("canon_exact"), F.col("canon_exact"))
+            .when(F.col("rk") == 1, F.col("doc_id"))
+            .otherwise(F.col("winner"))
+            .alias("canonical"),
+        )
     )

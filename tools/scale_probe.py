@@ -74,6 +74,7 @@ DEFAULT = [
     "flagship",
     "x2_semantic_dedup",
     "x4_repetition_ratio",
+    "x1_fuzzy_dedup_pipeline",
 ]
 
 
