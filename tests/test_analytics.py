@@ -257,3 +257,46 @@ def test_minhash_banded_subset_of_exact_jaccard(spark):
         assert j == exact[pair], (pair, j, exact[pair])
     if exact:
         assert len(banded) / len(exact) >= 0.5, (len(banded), len(exact))
+
+
+def test_min_label_propagation_on_known_graph(spark):
+    """The shared CC helper labels every node with its component's min id:
+    a 5-node path (worst diameter per edge count) plus a disjoint pair."""
+    from iii_aibigdata_capstone_spark.operators.dedup import _min_label_propagation
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r.node: r.label for r in _min_label_propagation(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_fuzzy_dedup_pipeline_invariants(spark):
+    """Per-doc verdicts must be mutually consistent: exact dups point at an
+    identical-text survivor, near-dups point at a kept doc, kept docs are
+    their own canonical, and every doc gets exactly one verdict."""
+    out = {
+        r.doc_id: r
+        for r in registry()["x1_fuzzy_dedup_pipeline"]
+        .builder(spark, TEST_SF_DIR)
+        .collect()
+    }
+    docs = {
+        r.doc_id: r.text
+        for r in table(spark, TEST_SF_DIR, "documents").select("doc_id", "text").collect()
+    }
+    assert set(out) == set(docs)
+    statuses = {r.status for r in out.values()}
+    assert statuses <= {"kept", "exact_dup", "near_dup"}
+    for r in out.values():
+        canon = out[r.canonical]
+        if r.status == "kept":
+            assert r.canonical == r.doc_id
+        elif r.status == "exact_dup":
+            # canonical is the exact-stage survivor with the same text; it
+            # may itself have lost the NEAR-dup stage (stage-local verdicts)
+            assert docs[r.doc_id] == docs[r.canonical]
+            assert canon.status != "exact_dup"
+        else:  # near_dup
+            assert canon.status == "kept"
+            assert docs[r.doc_id] != docs[r.canonical]
