@@ -383,7 +383,7 @@ def x2_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     two 30-bit halves, computed as {N_MINHASH_SEEDS} MIN columns in ONE
     aggregation. The r2 version md5-hashed every (shingle, seed) pair
     behind a {N_MINHASH_SEEDS}x row explode — 24x the hash work and 24x
-    the shuffle rows for identical LSH semantics (3.6s -> ~1s at sf0.1).
+    the shuffle rows for identical LSH semantics (3.6s -> 1.8s at sf0.1).
     Classic banding: {N_MINHASH_BANDS} bands of
     {N_MINHASH_SEEDS // N_MINHASH_BANDS}; docs are candidates iff some
     band's row-mins all agree (band key = concatenated mins — an

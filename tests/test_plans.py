@@ -324,7 +324,9 @@ def test_tokenize_apply_folds_vocab_not_instances(spark):
     assert "hashpartitioning(doc_id" in text, text
 
 
-@pytest.mark.parametrize("qname", ["x2_minhash_banded", "x1_incremental_ingest"])
+@pytest.mark.parametrize(
+    "qname", ["x2_minhash_banded", "x1_incremental_ingest", "x1_fuzzy_dedup_pipeline"]
+)
 def test_banded_dedup_joins_are_hash_not_nlj(spark, qname):
     """The banded-MinHash candidate join and the incremental-ingest
     anti/shingle joins must all be equi (broadcast/shuffled hash or SMJ)
