@@ -1738,3 +1738,44 @@ def w10_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("c_acctbal"), 2).alias("hi"),
         )
     )
+
+
+@query(
+    "x9_shard_manifest",
+    oracle=dedent(
+        """
+        SELECT doc_id,
+               CAST(CAST('0x' || SUBSTR(MD5(text), 1, 8) AS BIGINT) % 16 AS INT) AS shard,
+               CAST(ROW_NUMBER() OVER (
+                    PARTITION BY CAST('0x' || SUBSTR(MD5(text), 1, 8) AS BIGINT) % 16
+                    ORDER BY MD5(text), doc_id) AS BIGINT) AS pos
+        FROM documents
+        """
+    ),
+    tags=("X1", "X9", "shuffle"),
+)
+def x9_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards — the manifest a
+    pretraining data loader consumes: every document gets a (shard, pos)
+    address, shard by content-hash bucket, position by hash order within
+    the shard. Content addressing makes the ORDER a property of the corpus,
+    not of partition layout or a seed — rerunning after re-ingestion or on
+    a different cluster yields byte-identical epoch order (the property
+    `rand(seed)`/`repartition` shuffles lack, and the reason dataloader
+    "shuffle manifests" are built offline like this at all).
+
+    Plan shape: one window = shuffle into 16 hash partitions + per-shard
+    sort — exactly the physical layout of the shard WRITE that follows
+    (`partitionBy(shard)` + sorted files), so at 100 TB the sort cost IS
+    the write path's sort, not an extra pass; per-shard data is corpus/16,
+    and the shard count is the scale knob (a deployment sizes it so a
+    shard's manifest fits one task's sort buffer, e.g. 8k shards for a
+    100 TB corpus)."""
+    docs = table(spark, sf_dir, "documents")
+    shard = _md5_bucket("text", 16).cast("int")
+    pos = F.row_number().over(
+        Window.partitionBy(shard).orderBy(F.md5("text"), F.col("doc_id"))
+    )
+    return docs.select(
+        "doc_id", shard.alias("shard"), pos.cast("long").alias("pos")
+    )
