@@ -316,6 +316,33 @@ def _minhash_band_keys(sep: str) -> list[str]:
     ]
 
 
+def minhash_signature_exprs(grams_col: str = "grams") -> list[F.Column]:
+    """The 24 minhash signature values as ROW-LEVEL expressions over a
+    word-gram ARRAY column — ``array_min`` over the affine transform of
+    each gram's 60-bit md5 parse. Row-level (vs the groupBy-of-exploded-
+    shingles form in ``_minhash_verified_pairs``) means the signature
+    composes with a downstream stateful streaming stage: Structured
+    Streaming allows only one stateful operator per query, and this keeps
+    the signature stage stateless. Identical values to the batch form —
+    min over the same multiset."""
+    g = F.col(grams_col)
+
+    def _mins(a: int, b: int, c: int) -> F.Column:
+        def per_gram(x: F.Column) -> F.Column:
+            h = F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
+            return (
+                F.lit(a) * h.bitwiseAND(F.lit((1 << 30) - 1))
+                + F.lit(b) * F.shiftright(h, 30)
+                + F.lit(c)
+            ) % _MINHASH_P
+
+        return F.array_min(F.transform(g, per_gram))
+
+    return [
+        _mins(a, b, c).alias(f"m{i}") for i, (a, b, c) in enumerate(_MINHASH_COEFFS)
+    ]
+
+
 # DuckDB band-key list for `UNNEST([...]) AS bkey`, zipped with
 # UNNEST(RANGE(0, bands)) AS band.
 _MINHASH_BKEY_SQL = ", ".join(

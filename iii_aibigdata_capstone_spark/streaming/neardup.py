@@ -1,0 +1,163 @@
+"""Streaming near-duplicate detection — the streaming twin of the batch
+banded-MinHash lane (SURVEY.md §2.10 ST7-class extension; the reference's
+streams are stateless map+lookup, but an ingest firehose for a 100 TB
+corpus needs cross-batch dedup state).
+
+Shape:
+
+1. STATELESS signature stage: per document row, word-3-gram array ->
+   24-component minhash signature (`minhash_signature_exprs`, row-level
+   array expressions — Structured Streaming allows one stateful operator
+   per query, so the signature must not need a pre-aggregation) -> explode
+   into the 6 LSH band keys.
+2. STATEFUL bucket stage: ``applyInPandasWithState`` keyed by
+   ``(lang, band, bkey)``. State = the bucket's previously seen members
+   (doc_id + signature). Every arriving doc emits a candidate pair against
+   each stored member (and earlier docs of the same micro-batch), with the
+   signature-estimated Jaccard (fraction of agreeing components — the
+   standard streaming estimate; exact verification is a downstream batch
+   join over the candidate set, same as the batch lane's verify stage).
+
+State is bounded: at most ``STATE_CAP`` members are stored per bucket;
+beyond that the bucket only counts overflows (a degenerate hot bucket —
+thousands of near-identical docs — would otherwise grow state and emit
+O(n^2) pairs; production policy for such buckets is "everything after the
+cap is a dup of the bucket", which the overflow counter supports). Buckets
+scale with distinct (band, key) values, so the state store grows with
+corpus diversity, not corpus size.
+
+Candidates equal the batch LSH's candidates: a pair lands in the same
+bucket here iff it lands in the same band bucket in ``x2_minhash_banded``
+(same signatures, same band keys) — pinned by
+tests/test_streaming.py::test_streaming_neardup_matches_batch_candidates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.dedup import (
+    N_MINHASH_BANDS,
+    N_MINHASH_SEEDS,
+    minhash_signature_exprs,
+)
+
+STATE_CAP = 128
+
+OUTPUT_SCHEMA = (
+    "lang string, band int, doc_a long, doc_b long, est_jaccard double"
+)
+STATE_SCHEMA = "doc_ids array<long>, sigs array<string>, overflow long"
+
+
+def banded_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, band, bkey, sig) rows — 6 per document. Works on a
+    batch OR streaming DataFrame with (doc_id, lang, text) columns; every
+    expression is row-level (stateless)."""
+    t = F.split(F.col("text"), " ")
+    toks = docs.select("doc_id", "lang", t.alias("t")).where(F.size(t) >= 3)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("t")) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("t"), i),
+                F.element_at(F.col("t"), i + F.lit(1)),
+                F.element_at(F.col("t"), i + F.lit(2)),
+            ),
+        )
+    )
+    sigs = toks.select("doc_id", "lang", grams.alias("grams")).select(
+        "doc_id", "lang", *minhash_signature_exprs("grams")
+    )
+    sig_str = F.concat_ws(",", *[F.col(f"m{i}").cast("string") for i in range(N_MINHASH_SEEDS)])
+    band_keys = [
+        F.concat_ws(
+            "|",
+            *[
+                F.col(f"m{i}").cast("string")
+                for i in range(N_MINHASH_SEEDS)
+                if i % N_MINHASH_BANDS == j
+            ],
+        )
+        for j in range(N_MINHASH_BANDS)
+    ]
+    stack_args = ", ".join(
+        f"{j}, bk{j}" for j in range(N_MINHASH_BANDS)
+    )
+    return sigs.select(
+        "doc_id",
+        "lang",
+        sig_str.alias("sig"),
+        *[k.alias(f"bk{j}") for j, k in enumerate(band_keys)],
+    ).selectExpr(
+        "doc_id", "lang", "sig", f"stack({N_MINHASH_BANDS}, {stack_args}) AS (band, bkey)"
+    )
+
+
+def _est_jaccard(sig_a: str, sig_b: str) -> float:
+    a, b = sig_a.split(","), sig_b.split(",")
+    return sum(x == y for x, y in zip(a, b)) / len(a)
+
+
+def _bucket_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    lang, band = key[0], key[1]
+    doc_ids, sigs, overflow = (
+        state.get if state.exists else ([], [], 0)
+    )
+    doc_ids, sigs = list(doc_ids), list(sigs)
+    known = set(doc_ids)
+    out_a: list[int] = []
+    out_b: list[int] = []
+    out_j: list[float] = []
+    for pdf in pdfs:
+        for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
+            doc_id = int(doc_id)
+            if doc_id in known:  # replayed input row; state already has it
+                continue
+            for prev_id, prev_sig in zip(doc_ids, sigs):
+                out_a.append(min(doc_id, prev_id))
+                out_b.append(max(doc_id, prev_id))
+                out_j.append(_est_jaccard(sig, prev_sig))
+            if len(doc_ids) < STATE_CAP:
+                doc_ids.append(doc_id)
+                sigs.append(sig)
+                known.add(doc_id)
+            else:
+                overflow += 1
+    state.update((doc_ids, sigs, overflow))
+    if out_a:
+        yield pd.DataFrame(
+            {
+                "lang": lang,
+                "band": band,
+                "doc_a": out_a,
+                "doc_b": out_b,
+                "est_jaccard": out_j,
+            }
+        )
+
+
+def streaming_neardup_candidates(docs: DataFrame) -> DataFrame:
+    """Cross-batch near-dup candidate pairs over a (doc_id, lang, text)
+    stream. Emits each bucket-cohabiting pair once (per band), with the
+    signature-estimated Jaccard."""
+    return (
+        banded_signatures(docs)
+        .groupBy("lang", "band", "bkey")
+        .applyInPandasWithState(
+            _bucket_fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

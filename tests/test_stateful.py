@@ -184,3 +184,69 @@ def test_drop_duplicates_within_watermark(spark):
     want = {(r.user_id, r.event_type) for r in df.select("user_id", "event_type").distinct().collect()}
     assert len(got) == len(set(got)) == len(want)
     assert set(got) == want
+
+
+def test_streaming_neardup_matches_batch_candidates(spark):
+    """The stateful LSH bucket operator must surface EXACTLY the batch
+    banded-MinHash candidate set, no matter how the docs are split across
+    micro-batches (state carries earlier batches' bucket members), and the
+    verified x2_minhash_banded pairs must all appear among the candidates
+    (banding candidates are a superset of verified near-dups)."""
+    import tempfile
+
+    from iii_aibigdata_capstone_spark.queries import registry
+    from iii_aibigdata_capstone_spark.streaming.neardup import (
+        banded_signatures,
+        streaming_neardup_candidates,
+    )
+
+    docs = table(spark, TEST_SF_DIR, "documents").select("doc_id", "lang", "text")
+    d = tempfile.mkdtemp(prefix="neardup_src_")
+    for part in range(3):  # three files -> three micro-batches
+        docs.where(F.col("doc_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    rows = []
+    q = (
+        streaming_neardup_candidates(stream)
+        .writeStream.foreachBatch(lambda df, _id: rows.extend(df.collect()))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="neardup_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    got = {(r.band, r.doc_a, r.doc_b) for r in rows}
+    assert len(got) == len(rows), "a bucket emitted the same pair twice"
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+
+    bs = banded_signatures(docs)
+    a, b = bs.alias("a"), bs.alias("b")
+    want = {
+        (r.band, r.doc_a, r.doc_b)
+        for r in a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.band").alias("band"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .collect()
+    }
+    assert got == want, (got - want, want - got)
+
+    pair_set = {(da, db) for _, da, db in got}
+    for r in registry()["x2_minhash_banded"].builder(spark, TEST_SF_DIR).collect():
+        assert (r.doc_a, r.doc_b) in pair_set
