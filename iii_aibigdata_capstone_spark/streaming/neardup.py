@@ -29,7 +29,9 @@ corpus diversity, not corpus size.
 Candidates equal the batch LSH's candidates: a pair lands in the same
 bucket here iff it lands in the same band bucket in ``x2_minhash_banded``
 (same signatures, same band keys) — pinned by
-tests/test_streaming.py::test_streaming_neardup_matches_batch_candidates.
+tests/test_stateful.py::test_streaming_neardup_matches_batch_candidates,
+and candidates -> exact verify reproduces x2_minhash_banded's pairs
+(test_streaming_neardup_verified_equals_batch_pairs).
 """
 
 from __future__ import annotations
@@ -160,4 +162,42 @@ def streaming_neardup_candidates(docs: DataFrame) -> DataFrame:
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def verify_candidates_exact(
+    candidates: DataFrame, shingle_index: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against a shingle
+    index (``(doc_id, lang, s)`` rows — the batch lane's ``shingles()``
+    output, persisted as the corpus inverted index in a deployment).
+    Batch-side: runs inside ``foreachBatch`` as a stream-static join —
+    candidates are the micro-batch's output, the index is the static side,
+    and the join keys (doc_id, then shingle value) are all equalities.
+    Returns ``(doc_a, doc_b, jaccard)``; signature-estimate false
+    positives drop out here, so the streaming lane's final output equals
+    the batch lane's (same candidates, same exact verify)."""
+    pairs = candidates.select("doc_a", "doc_b").distinct()
+    sizes = shingle_index.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs.join(
+            shingle_index.select(F.col("doc_id").alias("doc_a"), "lang", "s"), "doc_a"
+        )
+        .join(
+            shingle_index.select(F.col("doc_id").alias("doc_b"), "lang", "s"),
+            ["doc_b", "lang", "s"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a"
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b"
+        )
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )

@@ -250,3 +250,52 @@ def test_streaming_neardup_matches_batch_candidates(spark):
     pair_set = {(da, db) for _, da, db in got}
     for r in registry()["x2_minhash_banded"].builder(spark, TEST_SF_DIR).collect():
         assert (r.doc_a, r.doc_b) in pair_set
+
+
+def test_streaming_neardup_verified_equals_batch_pairs(spark):
+    """Candidates -> exact-verify (stream-static join in foreachBatch)
+    must reproduce x2_minhash_banded's verified pairs exactly: same
+    candidates (previous test), same exact-Jaccard filter."""
+    import tempfile
+
+    from iii_aibigdata_capstone_spark.operators.dedup import shingles
+    from iii_aibigdata_capstone_spark.queries import registry
+    from iii_aibigdata_capstone_spark.streaming.neardup import (
+        streaming_neardup_candidates,
+        verify_candidates_exact,
+    )
+
+    docs = table(spark, TEST_SF_DIR, "documents").select("doc_id", "lang", "text")
+    d = tempfile.mkdtemp(prefix="neardup_v_src_")
+    for part in range(2):
+        docs.where(F.col("doc_id") % 2 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    index = shingles(spark, TEST_SF_DIR).localCheckpoint()  # the static side
+    verified: set[tuple] = set()
+
+    def verify(batch_df, _id):
+        for r in verify_candidates_exact(batch_df, index).collect():
+            verified.add((r.doc_a, r.doc_b, r.jaccard))
+
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        streaming_neardup_candidates(stream)
+        .writeStream.foreachBatch(verify)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="neardup_v_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in registry()["x2_minhash_banded"].builder(spark, TEST_SF_DIR).collect()
+    }
+    assert verified == want, (verified - want, want - verified)
