@@ -811,29 +811,31 @@ def _min_label_propagation(pairs: DataFrame, max_rounds: int = 15) -> DataFrame:
         edges.select(F.col("doc_a").alias("node")).distinct()
         .withColumn("label", F.col("node"))
     )
-    for _ in range(max_rounds):  # >= graph diameter at realistic near-dup scale
+    for round_no in range(max_rounds):  # >= graph diameter at realistic scale
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.node)
             .groupBy(F.col("doc_a").alias("node"))
             .agg(F.min("label").alias("nmin"))
         )
+        # carry the pre-round label through the checkpoint so convergence
+        # is a narrow filter-count over the materialized table, not an
+        # extra labels-vs-labels shuffle join per round
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                F.col("label").alias("old_label"),
             )
             .localCheckpoint(eager=True)  # cut the growing lineage each round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        labels = new_labels.select("node", "label")
+        # round 0 always changes something when any edge exists (and when
+        # none do, every table here is empty) — skip its convergence job
+        if round_no > 0 or max_rounds == 1:
+            changed = new_labels.where(F.col("label") != F.col("old_label")).count()
+            if changed == 0:
+                break
     return labels
 
 
