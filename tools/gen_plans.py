@@ -162,6 +162,35 @@ GALLERY = [
             ),
         ],
     ),
+    (
+        "x2_minhash_banded (at-scale shape: auto-broadcast off)",
+        "x2_minhash_banded",
+        "Banded MinHash LSH: each shingle is md5-hashed ONCE; all 24 affine "
+        "signature mins compute in a single (doc_id, lang) aggregation (no "
+        "per-seed row explode), band keys stack from the mins, candidates "
+        "come from an equi join on (lang, band, key), and only candidate "
+        "pairs pay the exact-Jaccard verify. The shingle table is "
+        "checkpointed once and feeds signature, sizes, and verify.",
+        [
+            ("raw documents scanned at most once",
+             lambda a: a.text.count("documents.parquet") <= 1),
+            ("no CartesianProduct", lambda a: "CartesianProduct" not in a.text),
+            ("no BroadcastNestedLoopJoin",
+             lambda a: "BroadcastNestedLoopJoin" not in a.text),
+        ],
+    ),
+    (
+        "x9_shard_manifest",
+        "x9_shard_manifest",
+        "Deterministic training-shard manifest: ONE window = shuffle into "
+        "content-hash shard partitions + per-shard sort — the same physical "
+        "layout the sharded corpus write needs, so the manifest sort is the "
+        "write path's sort, not an extra pass.",
+        [
+            ("exactly one hash exchange", lambda a: a.hash_exchanges == 1),
+            ("no join in the plan", lambda a: "Join" not in a.text),
+        ],
+    ),
 ]
 
 
