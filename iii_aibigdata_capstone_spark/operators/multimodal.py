@@ -176,3 +176,72 @@ def x6_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.repartition(max(spark.sparkContext.defaultParallelism, 8)).mapInPandas(
         sample_frames, schema="doc_id long, frame_idx int, frame_md5 string"
     )
+
+
+@query(
+    "x6_audio_energy",
+    oracle=dedent(
+        """
+        SELECT doc_id, CAST(w AS INT) AS win_idx,
+               CAST(LIST_SUM(LIST_TRANSFORM(
+                        LIST_TRANSFORM(RANGE(1, 65),
+                                       i -> ASCII(SUBSTR(text, CAST(w * 64 + i AS INT), 1))),
+                        c -> c * c)) AS BIGINT) AS energy,
+               CAST(LIST_MAX(LIST_TRANSFORM(RANGE(1, 65),
+                        i -> ASCII(SUBSTR(text, CAST(w * 64 + i AS INT), 1)))) AS INT) AS peak,
+               LIST_SUM(LIST_TRANSFORM(
+                        LIST_TRANSFORM(RANGE(1, 65),
+                                       i -> ASCII(SUBSTR(text, CAST(w * 64 + i AS INT), 1))),
+                        c -> c * c)) < 400000 AS silent
+        FROM documents, UNNEST(RANGE(0, LEN(text) // 64)) AS t(w)
+        """
+    ),
+    tags=("X6", "udf", "audio"),
+)
+def x6_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shaped payload processing: treat the binary payload as a PCM
+    sample stream, window it into fixed 64-sample frames, and emit per
+    window the integer ENERGY (sum of squared samples), PEAK sample, and a
+    silence flag (energy under threshold) — the windowing/feature shape of
+    VAD segmentation and loudness normalization. Runs in ``mapInPandas``
+    over the opaque binary column (numpy vectorized per batch; a real
+    deployment registers an audio codec at the decoder seam and only the
+    sample-extraction line changes). Table-generating: one row per (doc,
+    window); partial trailing windows are dropped (fixed frame size is the
+    codec contract). All-integer output (energy BIGINT, peak INT, silent
+    BOOL) — hash-robust across engines by construction. The oracle
+    re-derives the same windows from the text bytes (ascii payload:
+    byte == character code)."""
+    b = binary_documents(spark, sf_dir).select("doc_id", "payload")
+
+    def window_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out_doc: list[int] = []
+            out_idx: list[int] = []
+            out_energy: list[int] = []
+            out_peak: list[int] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                n_win = len(samples) // 64
+                if not n_win:
+                    continue
+                wins = samples[: n_win * 64].reshape(n_win, 64)
+                out_doc.extend([int(doc_id)] * n_win)
+                out_idx.extend(range(n_win))
+                out_energy.extend((wins * wins).sum(axis=1).tolist())
+                out_peak.extend(wins.max(axis=1).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "win_idx": out_idx,
+                    "energy": out_energy,
+                    "peak": out_peak,
+                }
+            )
+
+    schema = "doc_id long, win_idx int, energy long, peak int"
+    return b.mapInPandas(window_energy, schema=schema).withColumn(
+        "silent", F.col("energy") < 400000
+    )
