@@ -532,3 +532,99 @@ def x3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn") <= MMR_CANDIDATES
     )
     return cand.groupBy("query_id").applyInPandas(_mmr_fn, MMR_OUT)
+
+
+@query(
+    "x3_hard_negatives",
+    oracle=dedent(
+        f"""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+            SELECT a.vec_id AS query_id, a.label AS query_label,
+                   b.vec_id AS other_id, b.label AS other_label,
+                   ROUND({_COS}, 6) AS cosine
+            FROM e a JOIN e b ON b.vec_id <> a.vec_id
+            WHERE a.vec_id < {N_QUERIES}
+        ),
+        pos AS (
+            SELECT query_id, other_id AS pos_id, cosine AS pos_cosine FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY cosine ASC, other_id) AS rn
+                FROM scored WHERE other_label = query_label
+            ) WHERE rn = 1
+        ),
+        neg AS (
+            SELECT query_id, other_id AS neg_id, cosine AS neg_cosine FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY cosine DESC, other_id) AS rn
+                FROM scored WHERE other_label <> query_label
+            ) WHERE rn = 1
+        )
+        SELECT p.query_id, p.pos_id, p.pos_cosine, n.neg_id, n.neg_cosine,
+               ROUND(n.neg_cosine - p.pos_cosine, 6) AS margin
+        FROM pos p JOIN neg n ON n.query_id = p.query_id
+        """
+    ),
+    tags=("X3", "contrastive"),
+)
+def x3_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet mining for contrastive training: per probe vector, the
+    HARD POSITIVE (same label, lowest cosine — the far in-class example)
+    and the HARD NEGATIVE (different label, highest cosine — the near
+    out-of-class impostor), plus the margin between them — the batch
+    construction step of triplet/InfoNCE fine-tuning, and the quantity
+    margin-based mining schedules threshold on. One broadcast of the probe
+    set, one scan of the corpus, two windowed argmins/argmaxes over the
+    scored pairs (rounded-cosine ordering with id tiebreak for
+    cross-engine determinism — the same contract as x3_cosine_topk). At
+    corpus scale the probe side is the (mini-batch sized) anchor set, so
+    the scan is the dominant and only super-constant cost, and it
+    parallelizes perfectly."""
+    e = with_norm(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", "v", "norm"
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES)
+    a, b = q.alias("a"), e.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    scored = (
+        F.broadcast(a)
+        .join(b, F.col("b.vec_id") != F.col("a.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("a.label").alias("query_label"),
+            F.col("b.vec_id").alias("other_id"),
+            F.col("b.label").alias("other_label"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .localCheckpoint(eager=False)  # feeds both the pos and neg windows
+    )
+    w_pos = Window.partitionBy("query_id").orderBy(F.asc("cosine"), F.asc("other_id"))
+    pos = (
+        scored.where(F.col("other_label") == F.col("query_label"))
+        .withColumn("rn", F.row_number().over(w_pos))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("other_id").alias("pos_id"),
+            F.col("cosine").alias("pos_cosine"),
+        )
+    )
+    w_neg = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("other_id"))
+    neg = (
+        scored.where(F.col("other_label") != F.col("query_label"))
+        .withColumn("rn", F.row_number().over(w_neg))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("other_id").alias("neg_id"),
+            F.col("cosine").alias("neg_cosine"),
+        )
+    )
+    return pos.join(neg, "query_id").select(
+        "query_id",
+        "pos_id",
+        "pos_cosine",
+        "neg_id",
+        "neg_cosine",
+        F.round(F.col("neg_cosine") - F.col("pos_cosine"), 6).alias("margin"),
+    )
