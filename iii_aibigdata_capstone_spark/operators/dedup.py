@@ -1370,7 +1370,9 @@ def x1_fuzzy_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy(F.md5("text"))
     exact = docs.select(
         "doc_id", "lang", "n_chars", F.min("doc_id").over(w).alias("canon_exact")
-    )
+    ).localCheckpoint(
+        eager=False
+    )  # stage boundary: consumed by survivors (x3 paths) and the final verdict join
     survivors = exact.where(F.col("doc_id") == F.col("canon_exact"))
     sh = (
         shingles(spark, sf_dir)
