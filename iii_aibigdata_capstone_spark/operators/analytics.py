@@ -1779,3 +1779,80 @@ def x9_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", shard.alias("shard"), pos.cast("long").alias("pos")
     )
+
+
+@query(
+    "x4_bigram_nll",
+    oracle=dedent(
+        """
+        WITH toks AS (
+            SELECT doc_id, source, STRING_SPLIT(text, ' ') AS t FROM documents
+        ),
+        bi AS (
+            SELECT doc_id, source,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)), i -> t[i])) AS w1,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)), i -> t[i+1])) AS w2
+            FROM toks WHERE LEN(t) >= 2
+        ),
+        bi_model AS (SELECT w1, w2, COUNT(*) AS c_bi FROM bi GROUP BY 1, 2),
+        prefix AS (SELECT w1, SUM(c_bi) AS c_prefix FROM bi_model GROUP BY 1),
+        doc_nll AS (
+            SELECT b.doc_id, b.source,
+                   AVG(-LN(m.c_bi / CAST(p.c_prefix AS DOUBLE))) AS nll
+            FROM bi b
+            JOIN bi_model m ON m.w1 = b.w1 AND m.w2 = b.w2
+            JOIN prefix p ON p.w1 = b.w1
+            GROUP BY 1, 2
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               ROUND(AVG(nll), 6) AS avg_nll,
+               ROUND(MIN(nll), 6) AS min_nll,
+               ROUND(MAX(nll), 6) AS max_nll
+        FROM doc_nll GROUP BY source
+        """
+    ),
+    tags=("X4", "quality", "curation"),
+)
+def x4_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring, the conditional (bigram) case:
+    score each document by its mean surprisal −ln p(w_i | w_{i-1}) under
+    the corpus's own bigram model — the next step up from
+    ``x4_unigram_logprob`` toward the CCNet/KenLM perplexity filters that
+    rank web-crawl text (conditional probabilities catch word-salad text
+    that unigram frequency alone scores as fluent). Distributed shape: the
+    bigram table is materialized once and feeds model counts, prefix
+    (context) counts and the scoring join; probabilities are exact corpus
+    frequencies (every scored bigram is in the model by construction, so
+    no smoothing term is needed); the model joins are unhinted — a
+    web-scale bigram vocabulary outgrows any broadcast, and Catalyst picks
+    broadcast-vs-shuffle by size. Doc scores aggregate per source."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    toks = docs.select("doc_id", "source", t.alias("t")).where(F.size(t) >= 2)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("t")) - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("t"), i).alias("w1"),
+            F.element_at(F.col("t"), i + F.lit(1)).alias("w2"),
+        ),
+    )
+    bi = (
+        toks.select("doc_id", "source", F.explode(pairs).alias("p"))
+        .select("doc_id", "source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .localCheckpoint(eager=False)  # feeds model, prefix and scoring
+    )
+    bi_model = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bi"))
+    prefix = bi_model.groupBy("w1").agg(F.sum("c_bi").alias("c_prefix"))
+    doc_nll = (
+        bi.join(bi_model, ["w1", "w2"])
+        .join(prefix, "w1")
+        .groupBy("doc_id", "source")
+        .agg(F.avg(-F.log(F.col("c_bi") / F.col("c_prefix").cast("double"))).alias("nll"))
+    )
+    return doc_nll.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+        F.round(F.min("nll"), 6).alias("min_nll"),
+        F.round(F.max("nll"), 6).alias("max_nll"),
+    )
