@@ -299,3 +299,64 @@ def test_streaming_neardup_verified_equals_batch_pairs(spark):
         for r in registry()["x2_minhash_banded"].builder(spark, TEST_SF_DIR).collect()
     }
     assert verified == want, (verified - want, want - verified)
+
+
+def test_streaming_neardup_state_survives_restart(spark):
+    """Bucket state must recover from the checkpoint: docs arriving after a
+    query restart still pair against members stored BEFORE the restart,
+    no pair is emitted twice, and the union equals the batch candidate
+    set (the effectively-once contract of the streaming dedup lane)."""
+    from iii_aibigdata_capstone_spark.streaming.neardup import (
+        banded_signatures,
+        streaming_neardup_candidates,
+    )
+
+    docs = table(spark, TEST_SF_DIR, "documents").select("doc_id", "lang", "text")
+    src = tempfile.mkdtemp(prefix="neardup_rs_src_")
+    chk = tempfile.mkdtemp(prefix="neardup_rs_chk_")
+
+    def run():
+        rows = []
+        q = (
+            streaming_neardup_candidates(
+                spark.readStream.schema("doc_id long, lang string, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            .writeStream.foreachBatch(lambda df, _id: rows.extend(df.collect()))
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+        return rows
+
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    first = run()
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    second = run()
+
+    first_set = {(r.band, r.doc_a, r.doc_b) for r in first}
+    second_set = {(r.band, r.doc_a, r.doc_b) for r in second}
+    assert not (first_set & second_set), "a pair re-emitted after restart"
+
+    bs = banded_signatures(docs)
+    a, b = bs.alias("a"), bs.alias("b")
+    want = {
+        (r.band, r.doc_a, r.doc_b)
+        for r in a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.band").alias("band"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .collect()
+    }
+    assert first_set | second_set == want
