@@ -148,34 +148,37 @@ def main() -> None:
         # space is pure overhead; a deployment sizes this to key
         # cardinality x throughput). Restored after the probe.
         old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        stream = (
-            spark.readStream.format("synthetic_events")
-            .option("rows", n_rows)
-            .option("rowsPerBatch", max(1, n_rows // 4))
-            .load()
-            .withColumn(
-                "ts", SF.timestamp_seconds(SF.lit(1_700_000_000) + SF.col("event_id") % 3600)
-            )
-        )
-        agg = (
-            stream.withWatermark("ts", "10 minutes")
-            .groupBy(SF.window("ts", "5 minutes"), "event_type")
-            .agg(SF.count(SF.lit(1)).alias("n"), SF.sum("value").alias("sv"))
-        )
-        name = f"bench_stream_{uuid.uuid4().hex[:8]}"
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="bench_st_"))
-            .trigger(availableNow=True)
-            .start()
-        )
+        q = None
         try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            stream = (
+                spark.readStream.format("synthetic_events")
+                .option("rows", n_rows)
+                .option("rowsPerBatch", max(1, n_rows // 4))
+                .load()
+                .withColumn(
+                    "ts",
+                    SF.timestamp_seconds(SF.lit(1_700_000_000) + SF.col("event_id") % 3600),
+                )
+            )
+            agg = (
+                stream.withWatermark("ts", "10 minutes")
+                .groupBy(SF.window("ts", "5 minutes"), "event_type")
+                .agg(SF.count(SF.lit(1)).alias("n"), SF.sum("value").alias("sv"))
+            )
+            name = f"bench_stream_{uuid.uuid4().hex[:8]}"
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", tempfile.mkdtemp(prefix="bench_st_"))
+                .trigger(availableNow=True)
+                .start()
+            )
             q.awaitTermination(300)
         finally:
-            q.stop()
+            if q is not None:
+                q.stop()
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         return spark.table(name).limit(0)  # timed() drains via noop
 

@@ -317,7 +317,7 @@ def _minhash_band_keys(sep: str) -> list[str]:
 
 
 def minhash_signature_exprs(grams_col: str = "grams") -> list[F.Column]:
-    """The 24 minhash signature values as ROW-LEVEL expressions over a
+    """One minhash signature value per seed as ROW-LEVEL expressions over a
     word-gram ARRAY column — ``array_min`` over the affine transform of
     each gram's 60-bit md5 parse. Row-level (vs the groupBy-of-exploded-
     shingles form in ``_minhash_verified_pairs``) means the signature
@@ -409,8 +409,9 @@ def x2_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     affine transforms ``(a*hlo + b*hhi + c) mod 2^31-1`` of that hash's
     two 30-bit halves, computed as {N_MINHASH_SEEDS} MIN columns in ONE
     aggregation. The r2 version md5-hashed every (shingle, seed) pair
-    behind a {N_MINHASH_SEEDS}x row explode — 24x the hash work and 24x
-    the shuffle rows for identical LSH semantics (3.6s -> 1.8s at sf0.1).
+    behind a {N_MINHASH_SEEDS}x row explode — {N_MINHASH_SEEDS}x the hash
+    work and shuffle rows for identical LSH semantics (3.6s -> 1.8s at
+    sf0.1).
     Classic banding: {N_MINHASH_BANDS} bands of
     {N_MINHASH_SEEDS // N_MINHASH_BANDS}; docs are candidates iff some
     band's row-mins all agree (band key = concatenated mins — an
@@ -468,11 +469,25 @@ def _minhash_verified_pairs(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.lang").alias("lang"),
         )
-        .distinct()
-    )
+    )  # multi-band duplicates fold in the verify helper's distinct
+    return exact_jaccard_verify(cand, sh, threshold)
+
+
+def exact_jaccard_verify(
+    cand: DataFrame, sh: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate ``(doc_a, doc_b, lang)``
+    pairs against a ``(doc_id, lang, s)`` shingle table: intersection via
+    the inverted-index equi joins, sizes from one aggregation, emit pairs
+    at ``jaccard >= threshold`` as ``(doc_a, doc_b, jaccard)``. ONE
+    definition shared by the batch LSH query and the streaming lane's
+    foreachBatch verify — the stream==batch equality contract depends on
+    both lanes verifying identically."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
-        cand.join(
+        cand.select("doc_a", "doc_b", "lang")
+        .distinct()
+        .join(
             sh.select(F.col("doc_id").alias("doc_a"), "lang", "s"), ["doc_a", "lang"]
         )
         .join(
@@ -836,6 +851,13 @@ def _min_label_propagation(pairs: DataFrame, max_rounds: int = 15) -> DataFrame:
             changed = new_labels.where(F.col("label") != F.col("old_label")).count()
             if changed == 0:
                 break
+    else:
+        # budget exhausted with labels still moving: silent non-convergence
+        # would emit wrong components (component diameter > max_rounds)
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing); raise max_rounds"
+        )
     return labels
 
 
@@ -1231,6 +1253,7 @@ def x2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
+        .localCheckpoint(eager=False)  # consumed thrice: both join sides + keep
     )
     a, b = e.alias("a"), e.alias("b")
     dot = F.aggregate(

@@ -6,10 +6,10 @@ corpus needs cross-batch dedup state).
 Shape:
 
 1. STATELESS signature stage: per document row, word-3-gram array ->
-   24-component minhash signature (`minhash_signature_exprs`, row-level
+   per-seed minhash signature (`minhash_signature_exprs`, row-level
    array expressions — Structured Streaming allows one stateful operator
    per query, so the signature must not need a pre-aggregation) -> explode
-   into the 6 LSH band keys.
+   into the N_MINHASH_BANDS LSH band keys.
 2. STATEFUL bucket stage: ``applyInPandasWithState`` keyed by
    ``(lang, band, bkey)``. State = the bucket's previously seen members
    (doc_id + signature). Every arriving doc emits a candidate pair against
@@ -47,6 +47,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from ..operators.dedup import (
     N_MINHASH_BANDS,
     N_MINHASH_SEEDS,
+    _minhash_band_keys,
+    exact_jaccard_verify,
     minhash_signature_exprs,
 )
 
@@ -59,7 +61,7 @@ STATE_SCHEMA = "doc_ids array<long>, sigs array<string>, overflow long"
 
 
 def banded_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, lang, band, bkey, sig) rows — 6 per document. Works on a
+    """(doc_id, lang, band, bkey, sig) rows — N_MINHASH_BANDS per document. Works on a
     batch OR streaming DataFrame with (doc_id, lang, text) columns; every
     expression is row-level (stateless)."""
     t = F.split(F.col("text"), " ")
@@ -79,16 +81,11 @@ def banded_signatures(docs: DataFrame) -> DataFrame:
         "doc_id", "lang", *minhash_signature_exprs("grams")
     )
     sig_str = F.concat_ws(",", *[F.col(f"m{i}").cast("string") for i in range(N_MINHASH_SEEDS)])
+    # seed-to-band assignment comes from the batch lane's helper — ONE
+    # definition of the banding scheme, or stream and batch bucket apart
     band_keys = [
-        F.concat_ws(
-            "|",
-            *[
-                F.col(f"m{i}").cast("string")
-                for i in range(N_MINHASH_SEEDS)
-                if i % N_MINHASH_BANDS == j
-            ],
-        )
-        for j in range(N_MINHASH_BANDS)
+        F.concat_ws("|", *[F.col(n).cast("string") for n in key.split(", ")])
+        for key in _minhash_band_keys(", ")
     ]
     stack_args = ", ".join(
         f"{j}, bk{j}" for j in range(N_MINHASH_BANDS)
@@ -176,28 +173,8 @@ def verify_candidates_exact(
     and the join keys (doc_id, then shingle value) are all equalities.
     Returns ``(doc_a, doc_b, jaccard)``; signature-estimate false
     positives drop out here, so the streaming lane's final output equals
-    the batch lane's (same candidates, same exact verify)."""
-    pairs = candidates.select("doc_a", "doc_b").distinct()
-    sizes = shingle_index.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        pairs.join(
-            shingle_index.select(F.col("doc_id").alias("doc_a"), "lang", "s"), "doc_a"
-        )
-        .join(
-            shingle_index.select(F.col("doc_id").alias("doc_b"), "lang", "s"),
-            ["doc_b", "lang", "s"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a"
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b"
-        )
-        .where(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    the batch lane's — delegated to the SAME ``exact_jaccard_verify``
+    the batch query runs."""
+    return exact_jaccard_verify(
+        candidates.select("doc_a", "doc_b", "lang"), shingle_index, threshold
     )

@@ -165,7 +165,7 @@ GALLERY = [
     (
         "x2_minhash_banded (at-scale shape: auto-broadcast off)",
         "x2_minhash_banded",
-        "Banded MinHash LSH: each shingle is md5-hashed ONCE; all 24 affine "
+        "Banded MinHash LSH: each shingle is md5-hashed ONCE; all per-seed affine "
         "signature mins compute in a single (doc_id, lang) aggregation (no "
         "per-seed row explode), band keys stack from the mins, candidates "
         "come from an equi join on (lang, band, key), and only candidate "
