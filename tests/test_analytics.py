@@ -300,3 +300,20 @@ def test_fuzzy_dedup_pipeline_invariants(spark):
         else:  # near_dup
             assert canon.status == "kept"
             assert docs[r.doc_id] != docs[r.canonical]
+
+
+def test_min_label_propagation_raises_on_round_budget(spark):
+    """A component whose diameter exceeds max_rounds must raise, not
+    silently return intermediate labels (review finding r3)."""
+    import pytest
+
+    from iii_aibigdata_capstone_spark.operators.dedup import _min_label_propagation
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _min_label_propagation(chain, max_rounds=2).collect()
+    # and with enough rounds the same chain resolves to component-min 0
+    got = {r.label for r in _min_label_propagation(chain, max_rounds=25).collect()}
+    assert got == {0}
