@@ -793,9 +793,9 @@ def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Unlike the per-image union-find (T4, groups of dozens), this graph
     spans the whole corpus, so it runs as ITERATIVE distributed label
-    propagation: every node repeatedly adopts the min label among itself
-    and its neighbors until a fixpoint — O(diameter) joins, each a plain
-    shuffle-on-key, the same shape GraphX/GraphFrames use. The driver only
+    propagation with pointer jumping: every node repeatedly adopts the min
+    label among itself, its neighbors, and its label's own label until a
+    fixpoint — O(log diameter) rounds, each a plain shuffle-on-key join. The driver only
     checks convergence counts; labels never leave the cluster. The oracle
     is a recursive-CTE transitive closure (viable at oracle SF)."""
     pairs = x2_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
@@ -806,9 +806,10 @@ def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _min_label_propagation(pairs: DataFrame, max_rounds: int = 15) -> DataFrame:
     """Connected components over an undirected pair list ``(doc_a, doc_b)``
     as iterative min-label propagation: every node repeatedly adopts the
-    min label among itself and its neighbors until a fixpoint —
-    O(diameter) joins, each a plain shuffle-on-key, the same shape
-    GraphX/GraphFrames use. The driver only checks convergence counts;
+    min label among itself and its neighbors, PLUS its label's own current
+    label (pointer jumping), until a fixpoint — O(log diameter) rounds of
+    plain shuffle-on-key joins, the large-star/small-star shape of
+    MapReduce connected components. The driver only checks convergence counts;
     labels never leave the cluster. Returns ``(node, label)`` for nodes
     that appear in at least one pair (singletons are the caller's
     COALESCE). Shared by x2_dedup_clusters and the fuzzy-dedup pipeline."""
@@ -826,21 +827,37 @@ def _min_label_propagation(pairs: DataFrame, max_rounds: int = 15) -> DataFrame:
         edges.select(F.col("doc_a").alias("node")).distinct()
         .withColumn("label", F.col("node"))
     )
-    for round_no in range(max_rounds):  # >= graph diameter at realistic scale
+    for round_no in range(max_rounds):  # >= log2(diameter) with jumping
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.node)
             .groupBy(F.col("doc_a").alias("node"))
             .agg(F.min("label").alias("nmin"))
         )
+        stepped = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            F.col("label").alias("old_label"),
+        )
+        # pointer jumping: also adopt the CURRENT label of your label
+        # (label(label(v)) — the shortcut that turns O(diameter) rounds
+        # into O(log diameter), the large-star/small-star acceleration).
+        # Only ever lowers toward the component min, so the fixpoint
+        # argument is unchanged: stability of the combined step implies
+        # stability of the neighbor-min step alone.
+        lbl = labels.select(
+            F.col("node").alias("l_node"), F.col("label").alias("l_label")
+        )
         # carry the pre-round label through the checkpoint so convergence
         # is a narrow filter-count over the materialized table, not an
         # extra labels-vs-labels shuffle join per round
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            stepped.join(lbl, stepped.label == lbl.l_node, "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
-                F.col("label").alias("old_label"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("l_label"), F.col("label"))
+                ).alias("label"),
+                "old_label",
             )
             .localCheckpoint(eager=True)  # cut the growing lineage each round
         )
@@ -1377,7 +1394,7 @@ def x1_fuzzy_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
        shingles, verified with exact Jaccard >= 0.5
        (`_minhash_verified_pairs` — equi joins only, never all-pairs);
     3. CLUSTERS: connected components over the verified-pair graph
-       (`_min_label_propagation` — O(diameter) shuffle-on-key rounds);
+       (`_min_label_propagation` — O(log diameter) pointer-jumping rounds);
     4. SURVIVOR: per cluster keep the longest doc (tie: min doc_id).
 
     Output is the per-document verdict table `(doc_id, status in
