@@ -360,3 +360,47 @@ def test_streaming_neardup_state_survives_restart(spark):
         .collect()
     }
     assert first_set | second_set == want
+
+
+def test_streaming_neardup_hot_bucket_caps_state(spark):
+    """A degenerate bucket (150 identical docs) must emit pairs only
+    against the first STATE_CAP stored members: docs past the cap pair
+    backward but are not stored, so output stays O(cap * n) per band, not
+    O(n^2)."""
+    import tempfile
+
+    from iii_aibigdata_capstone_spark.streaming.neardup import (
+        N_MINHASH_BANDS,
+        STATE_CAP,
+        streaming_neardup_candidates,
+    )
+
+    n = 150
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(i, "en", text) for i in range(n)], "doc_id long, lang string, text string"
+    )
+    d = tempfile.mkdtemp(prefix="neardup_hot_")
+    docs.where(F.col("doc_id") < 100).coalesce(1).write.mode("append").parquet(d)
+    docs.where(F.col("doc_id") >= 100).coalesce(1).write.mode("append").parquet(d)
+
+    rows = []
+    q = (
+        streaming_neardup_candidates(
+            spark.readStream.schema("doc_id long, lang string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        .writeStream.foreachBatch(lambda df, _id: rows.extend(df.collect()))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="neardup_hot_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    # per band: the first STATE_CAP docs all pair with each other; the
+    # (n - STATE_CAP) overflow docs each pair against the stored CAP only
+    per_band = STATE_CAP * (STATE_CAP - 1) // 2 + (n - STATE_CAP) * STATE_CAP
+    assert len(rows) == N_MINHASH_BANDS * per_band, (len(rows), per_band)
+    assert all(r.est_jaccard == 1.0 for r in rows)
