@@ -69,6 +69,10 @@ HEADLINE = [
     "x4_repetition_ratio",
     "x2_semantic_dedup",
     "x1_fuzzy_dedup_pipeline",
+    "x6_audio_energy",
+    "x4_bigram_nll",
+    "x9_shard_manifest",
+    "x3_hard_negatives",
 ]
 
 

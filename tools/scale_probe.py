@@ -75,6 +75,9 @@ DEFAULT = [
     "x2_semantic_dedup",
     "x4_repetition_ratio",
     "x1_fuzzy_dedup_pipeline",
+    "x6_audio_energy",
+    "x4_bigram_nll",
+    "x3_hard_negatives",
 ]
 
 
