@@ -229,3 +229,49 @@ def test_boundary_replace_equals_greedy_merge_fold(word, left, right):
     ).fetchone()[0]
     got = [s for s in got_str.split(S + S) if s.strip(S)]
     assert got == want, (word, left, right, got, want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abcdef ", min_size=3, max_size=40), min_size=1, max_size=6
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_minhash_signature_matches_python_model(spark, docs_grams):
+    """The row-level signature expressions must equal a pure-Python model
+    of the affine minhash — md5's first 15 hex chars as a 60-bit int,
+    split into 30-bit halves, (a*hlo + b*hhi + c) mod 2^31-1, min over
+    the gram set. Pins the Spark expressions (conv/shiftright/bitwiseAND
+    and no silent double arithmetic) against the operator definition."""
+    import hashlib
+
+    from iii_aibigdata_capstone_spark.operators.dedup import (
+        _MINHASH_COEFFS,
+        _MINHASH_P,
+        minhash_signature_exprs,
+    )
+
+    rows = [(i, grams) for i, grams in enumerate(docs_grams)]
+    df = spark.createDataFrame(rows, "doc_id long, grams array<string>")
+    got = {
+        r.doc_id: [r[f"m{i}"] for i in range(len(_MINHASH_COEFFS))]
+        for r in df.select("doc_id", *minhash_signature_exprs("grams")).collect()
+    }
+
+    def model(grams):
+        sigs = []
+        for a, b, c in _MINHASH_COEFFS:
+            best = None
+            for g in grams:
+                h = int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                v = (a * (h & ((1 << 30) - 1)) + b * (h >> 30) + c) % _MINHASH_P
+                best = v if best is None else min(best, v)
+            sigs.append(best)
+        return sigs
+
+    for doc_id, grams in rows:
+        assert got[doc_id] == model(grams), doc_id
