@@ -152,7 +152,7 @@ def x9_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT s.lang,
                COUNT(CASE WHEN f.doc_id IS NOT NULL THEN 1 END) AS n_kept,
-               COALESCE(SUM(CASE WHEN f.doc_id IS NOT NULL THEN s.n_tokens END), 0) AS n_tokens_kept,
+               CAST(COALESCE(SUM(CASE WHEN f.doc_id IS NOT NULL THEN s.n_tokens END), 0) AS BIGINT) AS n_tokens_kept,
                COUNT(CASE WHEN g.doc_id IS NULL THEN 1 END) AS n_dropped_quality,
                COUNT(CASE WHEN g.doc_id IS NOT NULL AND e.doc_id IS NULL THEN 1 END) AS n_dropped_exact,
                COUNT(CASE WHEN e.doc_id IS NOT NULL AND f.doc_id IS NULL THEN 1 END) AS n_dropped_neardup
@@ -320,7 +320,7 @@ def x9_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         WITH per_source AS (
             SELECT source, COUNT(*) AS n_docs,
-                   SUM(LEN(STRING_SPLIT(text, ' '))) AS n_tokens
+                   CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
             FROM documents GROUP BY source
         ),
         weighted AS (

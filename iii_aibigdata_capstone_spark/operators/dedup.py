@@ -813,6 +813,8 @@ def _min_label_propagation(pairs: DataFrame, max_rounds: int = 15) -> DataFrame:
     labels never leave the cluster. Returns ``(node, label)`` for nodes
     that appear in at least one pair (singletons are the caller's
     COALESCE). Shared by x2_dedup_clusters and the fuzzy-dedup pipeline."""
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     edges = (
         pairs.union(
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))

@@ -194,8 +194,9 @@ def x10_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed = wedges.join(
         oriented.select("src", F.col("dst.v").alias("close_v")), ["src", "close_v"]
     )
-    n_edges = und.count()
-    return closed.agg(
-        F.lit(n_edges).alias("n_edges"),
-        F.count(F.lit(1)).alias("n_triangles"),
-    )
+    # Edge count folded in as a broadcast one-row aggregate (same
+    # discipline as PageRank's dangling mass) — no driver-side action,
+    # the whole query is a single job.
+    edge_count = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return tri.crossJoin(F.broadcast(edge_count)).select("n_edges", "n_triangles")

@@ -109,7 +109,7 @@ def x7_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM lineitem GROUP BY l_orderkey
         )
         SELECT o.o_orderstatus, COUNT(*) AS n_orders,
-               SUM(li.n_items) AS n_items, ROUND(SUM(li.revenue), 2) AS revenue
+               CAST(SUM(li.n_items) AS BIGINT) AS n_items, ROUND(SUM(li.revenue), 2) AS revenue
         FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
         GROUP BY o.o_orderstatus
         """

@@ -528,7 +528,7 @@ def x5_except_all_months(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT event_type,
                COUNT(*) AS n,
-               SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_total,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
                MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
         FROM events
         WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50

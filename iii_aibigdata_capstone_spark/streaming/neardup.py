@@ -18,20 +18,34 @@ Shape:
    standard streaming estimate; exact verification is a downstream batch
    join over the candidate set, same as the batch lane's verify stage).
 
-State is bounded: at most ``STATE_CAP`` members are stored per bucket;
-beyond that the bucket only counts overflows (a degenerate hot bucket —
-thousands of near-identical docs — would otherwise grow state and emit
-O(n^2) pairs; production policy for such buckets is "everything after the
-cap is a dup of the bucket", which the overflow counter supports). Buckets
-scale with distinct (band, key) values, so the state store grows with
-corpus diversity, not corpus size.
+State is bounded: at most ``STATE_CAP`` members are stored (doc_id +
+signature) per bucket. A doc arriving at a full bucket is an OVERFLOW
+doc: it still pairs against every stored member (so it is always flagged
+as a candidate), emits one marker row (``is_overflow=true``,
+``doc_b``/``est_jaccard`` null) that downstream consumes to apply the
+hot-bucket policy "everything past the cap is a dup of the bucket", and
+its doc_id — but not its ~20x larger signature — is appended to the
+bucket's overflow-id list so an at-least-once replay of the same input
+row emits nothing twice. The overflow-id list has its own cap
+(``OVERFLOW_ID_CAP``); past THAT a bucket is saturated and further
+arrivals are dropped from this bucket's output entirely (the doc's other
+``N_MINHASH_BANDS - 1`` buckets still see it) — so per-bucket state and
+exactly-once pair emission are both unconditional. Buckets scale with
+distinct (band, key) values, so the state store grows with corpus
+diversity, not corpus size.
 
-Candidates equal the batch LSH's candidates: a pair lands in the same
-bucket here iff it lands in the same band bucket in ``x2_minhash_banded``
-(same signatures, same band keys) — pinned by
+Equality contract (conditional on bucket size): while every bucket stays
+at or below ``STATE_CAP`` members, candidates equal the batch LSH's
+candidates exactly — a pair lands in the same bucket here iff it lands in
+the same band bucket in ``x2_minhash_banded`` (same signatures, same band
+keys) — pinned by
 tests/test_stateful.py::test_streaming_neardup_matches_batch_candidates,
 and candidates -> exact verify reproduces x2_minhash_banded's pairs
-(test_streaming_neardup_verified_equals_batch_pairs).
+(test_streaming_neardup_verified_equals_batch_pairs). For hotter buckets
+the streaming output is deliberately NOT the batch output: overflow docs
+pair only backward against the ``STATE_CAP`` stored members (never
+overflow-overflow), and the marker rows carry the policy instead —
+pinned by test_streaming_neardup_hot_bucket_caps_state.
 """
 
 from __future__ import annotations
@@ -53,11 +67,13 @@ from ..operators.dedup import (
 )
 
 STATE_CAP = 128
+OVERFLOW_ID_CAP = 4096
 
 OUTPUT_SCHEMA = (
-    "lang string, band int, doc_a long, doc_b long, est_jaccard double"
+    "lang string, band int, doc_a long, doc_b long, est_jaccard double, "
+    "is_overflow boolean"
 )
-STATE_SCHEMA = "doc_ids array<long>, sigs array<string>, overflow long"
+STATE_SCHEMA = "doc_ids array<long>, sigs array<string>, ovf_ids array<long>"
 
 
 def banded_signatures(docs: DataFrame) -> DataFrame:
@@ -109,46 +125,61 @@ def _bucket_fn(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     lang, band = key[0], key[1]
-    doc_ids, sigs, overflow = (
-        state.get if state.exists else ([], [], 0)
+    doc_ids, sigs, ovf_ids = (
+        state.get if state.exists else ([], [], [])
     )
-    doc_ids, sigs = list(doc_ids), list(sigs)
+    doc_ids, sigs, ovf_ids = list(doc_ids), list(sigs), list(ovf_ids)
     known = set(doc_ids)
-    out_a: list[int] = []
-    out_b: list[int] = []
-    out_j: list[float] = []
+    ovf_known = set(ovf_ids)
+    out_a: list[int | None] = []
+    out_b: list[int | None] = []
+    out_j: list[float | None] = []
+    out_o: list[bool] = []
     for pdf in pdfs:
         for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
             doc_id = int(doc_id)
-            if doc_id in known:  # replayed input row; state already has it
-                continue
+            if doc_id in known or doc_id in ovf_known:
+                continue  # replayed input row; already emitted for it
+            if len(doc_ids) >= STATE_CAP and len(ovf_ids) >= OVERFLOW_ID_CAP:
+                continue  # saturated bucket: drop (other bands cover it)
             for prev_id, prev_sig in zip(doc_ids, sigs):
                 out_a.append(min(doc_id, prev_id))
                 out_b.append(max(doc_id, prev_id))
                 out_j.append(_est_jaccard(sig, prev_sig))
+                out_o.append(False)
             if len(doc_ids) < STATE_CAP:
                 doc_ids.append(doc_id)
                 sigs.append(sig)
                 known.add(doc_id)
             else:
-                overflow += 1
-    state.update((doc_ids, sigs, overflow))
+                # overflow: remember the id (idempotent replay) and emit
+                # the policy marker row for downstream
+                ovf_ids.append(doc_id)
+                ovf_known.add(doc_id)
+                out_a.append(doc_id)
+                out_b.append(None)
+                out_j.append(None)
+                out_o.append(True)
+    state.update((doc_ids, sigs, ovf_ids))
     if out_a:
         yield pd.DataFrame(
             {
                 "lang": lang,
                 "band": band,
-                "doc_a": out_a,
-                "doc_b": out_b,
-                "est_jaccard": out_j,
+                "doc_a": pd.array(out_a, dtype="Int64"),
+                "doc_b": pd.array(out_b, dtype="Int64"),
+                "est_jaccard": pd.array(out_j, dtype="Float64"),
+                "is_overflow": out_o,
             }
         )
 
 
 def streaming_neardup_candidates(docs: DataFrame) -> DataFrame:
     """Cross-batch near-dup candidate pairs over a (doc_id, lang, text)
-    stream. Emits each bucket-cohabiting pair once (per band), with the
-    signature-estimated Jaccard."""
+    stream. Emits each bucket-cohabiting pair exactly once (per band),
+    with the signature-estimated Jaccard, plus one ``is_overflow=true``
+    marker row per doc that arrived at an already-full bucket (see the
+    module docstring for the capped-bucket contract)."""
     return (
         banded_signatures(docs)
         .groupBy("lang", "band", "bkey")
@@ -172,9 +203,12 @@ def verify_candidates_exact(
     candidates are the micro-batch's output, the index is the static side,
     and the join keys (doc_id, then shingle value) are all equalities.
     Returns ``(doc_a, doc_b, jaccard)``; signature-estimate false
-    positives drop out here, so the streaming lane's final output equals
-    the batch lane's — delegated to the SAME ``exact_jaccard_verify``
-    the batch query runs."""
+    positives drop out here, so — while no bucket has exceeded
+    ``STATE_CAP`` (module docstring) — the streaming lane's final output
+    equals the batch lane's, delegated to the SAME ``exact_jaccard_verify``
+    the batch query runs. Overflow marker rows are not pairs and are
+    excluded; downstream applies the hot-bucket policy to them directly."""
+    pairs = candidates.where(~F.col("is_overflow")) if "is_overflow" in candidates.columns else candidates
     return exact_jaccard_verify(
-        candidates.select("doc_a", "doc_b", "lang"), shingle_index, threshold
+        pairs.select("doc_a", "doc_b", "lang"), shingle_index, threshold
     )

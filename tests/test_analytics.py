@@ -317,3 +317,7 @@ def test_min_label_propagation_raises_on_round_budget(spark):
     # and with enough rounds the same chain resolves to component-min 0
     got = {r.label for r in _min_label_propagation(chain, max_rounds=25).collect()}
     assert got == {0}
+    # max_rounds < 1 is a caller error, rejected at entry (the for/else
+    # would otherwise reference an unbound loop variable)
+    with pytest.raises(ValueError, match="max_rounds"):
+        _min_label_propagation(chain, max_rounds=0)

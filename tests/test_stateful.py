@@ -363,10 +363,13 @@ def test_streaming_neardup_state_survives_restart(spark):
 
 
 def test_streaming_neardup_hot_bucket_caps_state(spark):
-    """A degenerate bucket (150 identical docs) must emit pairs only
-    against the first STATE_CAP stored members: docs past the cap pair
-    backward but are not stored, so output stays O(cap * n) per band, not
-    O(n^2)."""
+    """The capped-bucket contract for a degenerate bucket (150 identical
+    docs): pairs are emitted only against the first STATE_CAP stored
+    members (O(cap * n) per band, not the batch lane's O(n^2)); every doc
+    past the cap additionally emits exactly one is_overflow marker row
+    carrying the 'past the cap is a dup of the bucket' policy; and an
+    at-least-once redelivery of overflow docs emits NOTHING again (their
+    ids are tracked in state)."""
     import tempfile
 
     from iii_aibigdata_capstone_spark.streaming.neardup import (
@@ -381,26 +384,46 @@ def test_streaming_neardup_hot_bucket_caps_state(spark):
         [(i, "en", text) for i in range(n)], "doc_id long, lang string, text string"
     )
     d = tempfile.mkdtemp(prefix="neardup_hot_")
+    chk = tempfile.mkdtemp(prefix="neardup_hot_ck_")
+
+    def run():
+        rows = []
+        q = (
+            streaming_neardup_candidates(
+                spark.readStream.schema("doc_id long, lang string, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(d)
+            )
+            .writeStream.foreachBatch(lambda df, _id: rows.extend(df.collect()))
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+        return rows
+
     docs.where(F.col("doc_id") < 100).coalesce(1).write.mode("append").parquet(d)
     docs.where(F.col("doc_id") >= 100).coalesce(1).write.mode("append").parquet(d)
+    rows = run()
 
-    rows = []
-    q = (
-        streaming_neardup_candidates(
-            spark.readStream.schema("doc_id long, lang string, text string")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(d)
-        )
-        .writeStream.foreachBatch(lambda df, _id: rows.extend(df.collect()))
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="neardup_hot_ck_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
-    q.stop()
-
+    pairs = [r for r in rows if not r.is_overflow]
+    markers = [r for r in rows if r.is_overflow]
     # per band: the first STATE_CAP docs all pair with each other; the
     # (n - STATE_CAP) overflow docs each pair against the stored CAP only
     per_band = STATE_CAP * (STATE_CAP - 1) // 2 + (n - STATE_CAP) * STATE_CAP
-    assert len(rows) == N_MINHASH_BANDS * per_band, (len(rows), per_band)
-    assert all(r.est_jaccard == 1.0 for r in rows)
+    assert len(pairs) == N_MINHASH_BANDS * per_band, (len(pairs), per_band)
+    assert all(r.est_jaccard == 1.0 for r in pairs)
+    # exactly one marker per overflow doc per band, and the markers name
+    # exactly the docs past the cap — stored-members ∪ marker-docs covers
+    # every doc, so the downstream policy loses nothing
+    assert len(markers) == N_MINHASH_BANDS * (n - STATE_CAP)
+    marked = {r.doc_a for r in markers}
+    assert len(marked) == n - STATE_CAP
+    assert all(r.doc_b is None and r.est_jaccard is None for r in markers)
+    stored = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+    assert stored | marked == set(range(n))
+
+    # at-least-once redelivery of the overflow docs: nothing re-emitted
+    docs.where(F.col("doc_id") >= 100).coalesce(1).write.mode("append").parquet(d)
+    assert run() == []

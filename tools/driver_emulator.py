@@ -36,6 +36,88 @@ TABLES = (
 ).split()
 
 
+def _canon_spark_type(dt: str) -> str:
+    """Canonical family name for a Spark dtype string.
+
+    int8..int64 all collapse to "int": the driver's value hash stringifies
+    cells, and numpy int32(5) and int64(5) both print "5" — 17 registered
+    queries with i32-vs-i64 width differences have green driver hash rows.
+    What the hash does NOT tolerate is a family change: HUGEINT (arrow
+    renders float64/object), DECIMAL (prints "5.00" not "5.0"), f32 repr
+    drift. Those stay distinct families here.
+    """
+    dt = dt.lower()
+    if dt in ("bigint", "long", "int", "integer", "smallint", "tinyint"):
+        return "int"
+    if dt == "double":
+        return "f64"
+    if dt == "float":
+        return "f32"
+    if dt == "string":
+        return "str"
+    if dt == "boolean":
+        return "bool"
+    if dt == "date":
+        return "date"
+    if dt.startswith("timestamp"):
+        return "ts"
+    if dt.startswith("decimal"):
+        return "dec" + dt[len("decimal"):].replace(" ", "")
+    if dt.startswith("array"):
+        return "arr"
+    if dt == "binary":
+        return "bin"
+    return dt
+
+
+def _canon_duck_type(dt: str) -> str:
+    """Canonical family name for a DuckDB logical type string.
+
+    HUGEINT deliberately maps to its own family ("i128") — DuckDB widens
+    SUM over any integer input to HUGEINT, and the driver's typed value
+    hash treats that as a mismatch against Spark's bigint even when every
+    value is equal (the r2 `ts_rollup_hierarchy` / r3 `e17_json_extract`
+    bug class). Oracle SQL must CAST(SUM(...) AS BIGINT) to line up.
+    """
+    dt = dt.upper()
+    if dt in ("BIGINT", "INTEGER", "INT", "SMALLINT", "TINYINT"):
+        return "int"
+    if dt == "HUGEINT":
+        return "i128"
+    if dt == "DOUBLE":
+        return "f64"
+    if dt in ("FLOAT", "REAL"):
+        return "f32"
+    if dt == "VARCHAR":
+        return "str"
+    if dt == "BOOLEAN":
+        return "bool"
+    if dt == "DATE":
+        return "date"
+    if dt.startswith("TIMESTAMP"):
+        return "ts"
+    if dt.startswith("DECIMAL"):
+        return "dec" + dt[len("DECIMAL"):].replace(" ", "").lower()
+    if dt.endswith("[]") or dt.startswith("LIST") or dt.startswith("ARRAY"):
+        return "arr"
+    if dt == "BLOB":
+        return "bin"
+    return dt.lower()
+
+
+def type_mismatches(s_dtypes, d_cols, d_types):
+    """Name-matched logical-type compare: Spark result dtypes vs DuckDB
+    relation types. Returns [(col, spark_canon, duck_canon), ...]."""
+    duck = {c: _canon_duck_type(str(t)) for c, t in zip(d_cols, d_types)}
+    bad = []
+    for col, dt in s_dtypes:
+        sc = _canon_spark_type(dt)
+        dc = duck.get(col)
+        if dc is not None and sc != dc:
+            bad.append((col, sc, dc))
+    return bad
+
+
 def normalize(columns, rows):
     """The driver-compare canonical form: columns sorted by name, rows
     sorted, -0.0 and NaN normalized. Keeps (type, value) per cell."""
@@ -86,11 +168,15 @@ def main() -> None:
             s_rows = [tuple(r) for r in sdf.collect()]
             rel = con.sql(spec.oracle)
             d_cols = list(rel.columns)
+            d_types = list(rel.types)
             d_rows = rel.fetchall()
             status = "ok"
             detail = ""
+            bad_types = type_mismatches(sdf.dtypes, d_cols, d_types)
             if sorted(s_cols) != sorted(d_cols):
                 status, detail = "schema_mismatch", f"{s_cols} vs {d_cols}"
+            elif bad_types:
+                status, detail = "type_mismatch", str(bad_types)[:300]
             elif len(s_rows) != len(d_rows):
                 status, detail = "rows_mismatch", f"{len(s_rows)} vs {len(d_rows)}"
             else:
