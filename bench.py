@@ -73,6 +73,9 @@ HEADLINE = [
     "x4_bigram_nll",
     "x9_shard_manifest",
     "x3_hard_negatives",
+    "x3_mmr_rerank",
+    "x4_quality_model_score",
+    "x9_dsir_resample",
 ]
 
 

@@ -4,8 +4,10 @@ per-language yield report. One composed DataFrame DAG, fully oracle-checked.
 
 Stage semantics (each SQL-expressible so the whole pipeline keeps a DuckDB
 oracle):
-1. quality: keep docs with 20-200 tokens and unique-token ratio >= 0.3
-   (x4_quality_score's rule);
+1. quality: keep docs the broadcast quality classifier passes
+   (x4_quality_model_score's integer-quantized linear head, logit >= 0 —
+   the production shape: curation pipelines gate on a trained model, not
+   hand rules);
 2. exact: among survivors, keep the min doc_id per md5(text);
 3. near-dup: drop any survivor that shares >= 0.5 word-3-gram Jaccard with
    a SMALLER surviving doc_id (min-id representative wins; rule is
@@ -26,9 +28,19 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import table
 from ..registry import QuerySpec, make_registrar
+from .textual import QUALITY_MODEL, STOPWORDS
 
 SPECS: list[QuerySpec] = []
 query = make_registrar(SPECS)
+
+# stage-1 gate: the quality model's exact-integer logit, as SQL text for
+# the oracle (same weights the Spark side applies)
+_LOGIT_SQL = (
+    f"{QUALITY_MODEL['bias']} + {QUALITY_MODEL['n_tokens']} * n_tokens"
+    f" + {QUALITY_MODEL['n_stop']} * n_stop"
+    f" + {QUALITY_MODEL['n_uniq']} * n_uniq"
+    f" + {QUALITY_MODEL['n_chars']} * n_chars"
+)
 
 
 @query(
@@ -105,17 +117,17 @@ def x9_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x9_corpus_curation",
     oracle=dedent(
-        """
+        f"""
         WITH scored AS (
-            SELECT doc_id, lang, text,
+            SELECT doc_id, lang, text, n_chars,
                    LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
-                   LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) * 1.0
-                       / LEN(STRING_SPLIT(text, ' ')) AS uniq_ratio
+                   LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                   t -> t IN {STOPWORDS!r})) AS n_stop,
+                   LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_uniq
             FROM documents
         ),
         good AS (
-            SELECT * FROM scored
-            WHERE n_tokens BETWEEN 20 AND 200 AND uniq_ratio >= 0.3
+            SELECT * FROM scored WHERE {_LOGIT_SQL} >= 0
         ),
         keepers AS (
             SELECT MIN(doc_id) AS doc_id FROM good GROUP BY MD5(text)
@@ -169,22 +181,34 @@ def x9_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See module docstring. The Spark side tags each document with the
     stage that dropped it, then aggregates once — no per-stage re-scans of
     the corpus."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
     toks = F.split(F.col("text"), " ")
     # scored feeds the quality chain AND the final tagging join; exact_kept
     # feeds both shingle-join sides, the anti join, and the tagging join.
     # Materialize each once — re-deriving the tokenization/dedup for every
     # consumer measured 2.5s -> 2.0s at sf0.1 (and 6s cold).
+    # Stage-1 gate = the broadcast quality model's logit (all-integer
+    # arithmetic, same weights as x4_quality_model_score), JVM-side here
+    # because the linear head IS a Catalyst expression — the mapInPandas
+    # seam in x4 is for models that aren't.
+    m = QUALITY_MODEL
+    logit = (
+        F.lit(m["bias"])
+        + F.lit(m["n_tokens"]) * F.size(toks)
+        + F.lit(m["n_stop"]) * F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+        + F.lit(m["n_uniq"]) * F.size(F.array_distinct(toks))
+        + F.lit(m["n_chars"]) * F.col("n_chars")
+    )
     scored = docs.select(
         "doc_id",
         "lang",
         "text",
         F.size(toks).cast("long").alias("n_tokens"),
-        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("uniq_ratio"),
+        logit.cast("long").alias("logit_milli"),
     ).localCheckpoint(eager=False)
-    good = scored.where(
-        F.col("n_tokens").between(20, 200) & (F.col("uniq_ratio") >= 0.3)
-    )
+    good = scored.where(F.col("logit_milli") >= 0)
 
     # stage 2: exact dedup, min doc_id survives per content hash
     w_hash = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
@@ -409,4 +433,146 @@ def x9_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(chunk).alias("chunk_len"),
             F.md5(chunk).alias("chunk_md5"),
         )
+    )
+
+
+# --- DSIR-style importance resampling --------------------------------------
+
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "en"
+DSIR_K = 50
+
+
+@query(
+    "x9_dsir_resample",
+    oracle=dedent(
+        f"""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   CAST('0x' || SUBSTR(MD5(UNNEST(STRING_SPLIT(text, ' '))), 1, 15)
+                        AS BIGINT) % {DSIR_BUCKETS} AS b
+            FROM documents
+        ),
+        raw_model AS (
+            SELECT b, COUNT(*) AS n_raw FROM tok GROUP BY b
+        ),
+        tgt_model AS (
+            SELECT b, COUNT(*) AS n_tgt FROM tok
+            WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b
+        ),
+        totals AS (
+            SELECT (SELECT COUNT(*) FROM tok) AS t_raw,
+                   (SELECT COUNT(*) FROM tok WHERE lang = '{DSIR_TARGET_LANG}') AS t_tgt
+        ),
+        lr AS (
+            SELECT r.b,
+                   LN((COALESCE(g.n_tgt, 0) + 1)
+                      / CAST(t.t_tgt + {DSIR_BUCKETS} AS DOUBLE))
+                 - LN((r.n_raw + 1)
+                      / CAST(t.t_raw + {DSIR_BUCKETS} AS DOUBLE)) AS logratio
+            FROM raw_model r
+            LEFT JOIN tgt_model g ON r.b = g.b
+            CROSS JOIN totals t
+        ),
+        doc_w AS (
+            SELECT tok.doc_id, ANY_VALUE(tok.lang) AS lang,
+                   SUM(lr.logratio) AS logw
+            FROM tok JOIN lr ON tok.b = lr.b
+            GROUP BY tok.doc_id
+        ),
+        keyed AS (
+            SELECT doc_id, lang,
+                   ROUND(logw, 6) AS logw,
+                   ROUND(logw - LN(-LN(
+                       (CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15)
+                             AS BIGINT) % 1000000 + CAST(0.5 AS DOUBLE))
+                       / CAST(1000000 AS DOUBLE))), 6) AS gumbel_key
+            FROM doc_w
+        )
+        SELECT CAST(rank AS BIGINT) AS rank, doc_id, lang, logw, gumbel_key
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY gumbel_key DESC, doc_id) AS rank
+            FROM keyed
+        ) WHERE rank <= {DSIR_K}
+        """
+    ),
+    tags=("X9", "X4", "dsir", "curation"),
+)
+def x9_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): build hashed-unigram
+    bag models of the TARGET distribution (here lang='en') and the RAW
+    corpus, weight every document by its log importance ratio
+    sum_tokens ln(p_tgt(bucket)/p_raw(bucket)) (Laplace-smoothed, 256
+    hash buckets), and resample via deterministic Gumbel top-k — the
+    exact DSIR sampler, with the Gumbel noise derived from the
+    engine-neutral md5-uniform of doc_id instead of an RNG so the draw
+    is reproducible (and oracle-checkable) across engines.
+
+    Scale shape: one token explode; the bucket models are 256-row
+    aggregates (constant state regardless of corpus size — the whole
+    point of hashed features), broadcast back onto the token table; one
+    groupBy doc_id; the global top-k is a single ROW_NUMBER over rounded
+    keys. At 100 TB: two shuffles (bucket agg is map-side combined to
+    256 rows, doc agg hashes on doc_id) plus a final 50-row limit —
+    nothing grows with vocabulary."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("long")
+        % DSIR_BUCKETS
+    )
+    tok = (
+        docs.select(
+            "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("term")
+        )
+        .select("doc_id", "lang", bucket.alias("b"))
+        .localCheckpoint(eager=False)  # feeds both models and the scoring pass
+    )
+    raw_model = tok.groupBy("b").agg(F.count(F.lit(1)).alias("n_raw"))
+    tgt_model = tok.where(F.col("lang") == DSIR_TARGET_LANG).groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_tgt")
+    )
+    totals = tok.agg(
+        F.count(F.lit(1)).alias("t_raw"),
+        F.sum((F.col("lang") == DSIR_TARGET_LANG).cast("long")).alias("t_tgt"),
+    )
+    lr = (
+        raw_model.join(tgt_model, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("n_tgt"), F.lit(0)) + 1)
+                    / (F.col("t_tgt") + DSIR_BUCKETS).cast("double")
+                )
+                - F.log(
+                    (F.col("n_raw") + 1)
+                    / (F.col("t_raw") + DSIR_BUCKETS).cast("double")
+                )
+            ).alias("logratio"),
+        )
+    )
+    doc_w = (
+        tok.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(F.any_value("lang").alias("lang"), F.sum("logratio").alias("logw"))
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 1000000
+        + F.lit(0.5)
+    ) / F.lit(1000000.0)
+    keyed = doc_w.select(
+        "doc_id",
+        "lang",
+        F.round("logw", 6).alias("logw"),
+        F.round(F.col("logw") - F.log(-F.log(u)), 6).alias("gumbel_key"),
+    )
+    w = Window.orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= DSIR_K)
+        .select("rank", "doc_id", "lang", "logw", "gumbel_key")
     )

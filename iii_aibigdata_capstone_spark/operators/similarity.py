@@ -466,36 +466,131 @@ MMR_OUT = "query_id long, rank int, neighbor_id long, mmr_score double"
 def _mmr_fn(pdf):
     """Greedy maximal-marginal-relevance over ONE query's candidate set:
     pick argmax of lambda*sim(q,d) - (1-lambda)*max_sim(d, selected),
-    ties broken by neighbor_id. O(k * n^2) on n<=20 rows per group."""
-    import numpy as np
+    ties broken by neighbor_id. Input rows are the candidate PAIR table
+    (a_id, qsim, b_id, sim) — every similarity arrives pre-computed and
+    round-6 by the engine's `dot` expression, so the greedy runs on
+    exactly the scalars the SQL oracle sees (the float-determinism trick
+    that upgrades this query from rows-only to a full oracle). O(k * n^2)
+    comparisons on n<=20 candidates per group."""
     import pandas as pd
 
-    V = np.stack(pdf["emb"].to_numpy()).astype("float64")
-    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-    S = Vn @ Vn.T
-    qsim = pdf["cosine"].to_numpy()
-    ids = pdf["neighbor_id"].to_numpy()
+    qid = int(pdf["query_id"].iloc[0])
+    qsim: dict[int, float] = {}
+    sim: dict[tuple[int, int], float] = {}
+    for a, q, b, s in zip(pdf["a_id"], pdf["qsim"], pdf["b_id"], pdf["sim"]):
+        a, b = int(a), int(b)
+        qsim[a] = float(q)
+        sim[(a, b)] = float(s)
+    avail = sorted(qsim)
     chosen: list[int] = []
-    avail = list(range(len(ids)))
     out = []
     while avail and len(chosen) < MMR_K:
         best = None
         for i in avail:
-            pen = max((S[i, j] for j in chosen), default=0.0)
+            pen = max((sim[(i, j)] for j in chosen), default=0.0)
             score = MMR_LAMBDA * qsim[i] - (1 - MMR_LAMBDA) * pen
-            key = (-score, ids[i])
+            key = (-score, i)
             if best is None or key < best[0]:
                 best = (key, i, score)
         _, i, score = best
         chosen.append(i)
         avail.remove(i)
-        out.append(
-            (int(pdf["query_id"].iloc[0]), len(chosen), int(ids[i]), round(float(score), 6))
-        )
+        # no final rounding: the raw score is bit-identical in both
+        # engines (round-6 inputs, identical IEEE ops), while round()
+        # vs SQL ROUND disagree on the half-boundaries 0.7*qsim lands on
+        out.append((qid, len(chosen), i, score))
     return pd.DataFrame(out, columns=["query_id", "rank", "neighbor_id", "mmr_score"])
 
 
-@query("x3_mmr_rerank", oracle=None, tags=("X3", "mmr"))
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR as CTEs (same technique as the BPE oracle):
+    MMR_K selection steps, each an argmax over the not-yet-selected
+    candidates with penalty MAX(sim to selected). All arithmetic is
+    forced DOUBLE (`CAST(0.7 AS DOUBLE)` — a bare 0.7 literal is DECIMAL
+    in DuckDB and `1 - 0.7` would then be an exact 0.3, not the double
+    0.30000000000000004 the Python side computes)."""
+    lam = "CAST(0.7 AS DOUBLE)"
+    cos_nv = (
+        "LIST_DOT_PRODUCT(a.nv, b.nv) / (SQRT(LIST_DOT_PRODUCT(a.nv, a.nv)) * "
+        "SQRT(LIST_DOT_PRODUCT(b.nv, b.nv)))"
+    )
+    steps = []
+    for k in range(2, MMR_K + 1):
+        steps.append(
+            f""",
+        pen{k} AS (
+            SELECT c.query_id, c.neighbor_id, c.cosine, MAX(p.sim) AS pen
+            FROM cand c
+            JOIN psim p ON p.query_id = c.query_id AND p.a_id = c.neighbor_id
+            JOIN sel_upto{k - 1} s ON s.query_id = p.query_id
+                                  AND s.neighbor_id = p.b_id
+            WHERE NOT EXISTS (SELECT 1 FROM sel_upto{k - 1} x
+                              WHERE x.query_id = c.query_id
+                                AND x.neighbor_id = c.neighbor_id)
+            GROUP BY c.query_id, c.neighbor_id, c.cosine
+        ),
+        sel{k} AS (
+            SELECT query_id, {k} AS rank, neighbor_id, score FROM (
+                SELECT query_id, neighbor_id,
+                       {lam} * cosine - (1 - {lam}) * pen AS score,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY {lam} * cosine - (1 - {lam}) * pen DESC,
+                                    neighbor_id
+                       ) AS rn
+                FROM pen{k}
+            ) WHERE rn = 1
+        ),
+        sel_upto{k} AS (
+            SELECT * FROM sel_upto{k - 1}
+            UNION ALL SELECT query_id, neighbor_id FROM sel{k}
+        )"""
+        )
+    union = "\n            UNION ALL ".join(
+        f"SELECT * FROM sel{k}" for k in range(1, MMR_K + 1)
+    )
+    return dedent(
+        f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.v AS nv,
+                   ROUND({_COS}, 6) AS cosine
+            FROM e a JOIN e b ON b.vec_id <> a.vec_id
+            WHERE a.vec_id < {N_QUERIES}
+        ),
+        cand AS (
+            SELECT query_id, neighbor_id, nv, cosine FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY cosine DESC, neighbor_id) AS rn
+                FROM scored
+            ) WHERE rn <= {MMR_CANDIDATES}
+        ),
+        psim AS (
+            SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+                   ROUND({cos_nv}, 6) AS sim
+            FROM cand a JOIN cand b ON a.query_id = b.query_id
+                                   AND a.neighbor_id <> b.neighbor_id
+        ),
+        sel1 AS (
+            SELECT query_id, 1 AS rank, neighbor_id, score FROM (
+                SELECT query_id, neighbor_id,
+                       {lam} * cosine - (1 - {lam}) * 0.0 AS score,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY {lam} * cosine - (1 - {lam}) * 0.0 DESC,
+                                    neighbor_id
+                       ) AS rn
+                FROM cand
+            ) WHERE rn = 1
+        ),
+        sel_upto1 AS (SELECT query_id, neighbor_id FROM sel1){"".join(steps)}
+        SELECT query_id, rank, neighbor_id, score AS mmr_score
+        FROM ({union})
+        """
+    )
+
+
+@query("x3_mmr_rerank", oracle=_mmr_oracle(), tags=("X3", "mmr"))
 def x3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-aware retrieval: exact cosine top-20 candidates per probe
     vector (the ANN stage), then greedy MMR re-ranking to the final 5 —
@@ -503,10 +598,14 @@ def x3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     list. The candidate stage is the broadcast-probe scan shape of
     x3_cosine_topk; the greedy stage is inherently sequential PER QUERY
     but embarrassingly parallel ACROSS queries, so it runs as
-    applyInPandas keyed by query_id on k=20-row groups — per-group cost
-    is O(k^2) dot products on already-shrunk candidates, never on the
-    corpus. Rows-only (iterative greedy is not SQL); the selection is
-    pinned against a local numpy reference in tests."""
+    applyInPandas keyed by query_id over the candidate PAIR table —
+    per-group cost is O(k^2) on already-shrunk candidates, never on the
+    corpus. Every similarity (query-candidate and candidate-candidate) is
+    computed by the engine's `dot` expression and rounded to 6 BEFORE the
+    greedy, so the selection is a pure function of cross-engine-stable
+    scalars — which is what lets an unrolled-CTE oracle verify an
+    iterative algorithm exactly (same trick family as x3_label_centroids'
+    DECIMAL pinning). Also pinned against a local reference in tests."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -531,7 +630,25 @@ def x3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = scored.withColumn("rn", F.row_number().over(w)).where(
         F.col("rn") <= MMR_CANDIDATES
     )
-    return cand.groupBy("query_id").applyInPandas(_mmr_fn, MMR_OUT)
+    # candidate pair table: 20 rows/query -> 380 pairs/query, all sims
+    # from the same JVM-side `dot` the oracle's LIST_DOT_PRODUCT mirrors
+    a, b = cand.alias("a"), cand.alias("b")
+    pair_cos = dot(F.col("a.emb"), F.col("b.emb")) / (
+        F.sqrt(dot(F.col("a.emb"), F.col("a.emb")))
+        * F.sqrt(dot(F.col("b.emb"), F.col("b.emb")))
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.query_id") == F.col("b.query_id"))
+        & (F.col("a.neighbor_id") != F.col("b.neighbor_id")),
+    ).select(
+        F.col("a.query_id").alias("query_id"),
+        F.col("a.neighbor_id").alias("a_id"),
+        F.col("a.cosine").alias("qsim"),
+        F.col("b.neighbor_id").alias("b_id"),
+        F.round(pair_cos, 6).alias("sim"),
+    )
+    return pairs.groupBy("query_id").applyInPandas(_mmr_fn, MMR_OUT)
 
 
 @query(

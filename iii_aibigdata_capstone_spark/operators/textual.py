@@ -903,3 +903,111 @@ def x4_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) AS dup_bp",
         )
     )
+
+
+# --- broadcast-model quality scoring ---------------------------------------
+#
+# The one deliberate exception to this module's zero-Python rule: scoring
+# documents with a TRAINED quality classifier is the production shape of
+# corpus curation (fastText / logistic heads in C4, CCNet, RefinedWeb
+# pipelines), and its Spark shape is "broadcast the model, score in one
+# Arrow-batched pass" — worth demonstrating as plumbing even though THIS
+# model is a hand-quantized linear head. Weights are integer milli-units
+# and every feature is an exact integer count, so the logit is exact
+# BIGINT arithmetic — reproducible in SQL, hence a full oracle (the trick
+# the float-emitting real thing would not allow; a production model slots
+# into the same seam with a rows-only check).
+
+QUALITY_MODEL = {
+    # feature -> milli-weight; bias in milli-units. Chosen so the corpus
+    # splits near 50/50 at logit 0 (median logit ~ +26 at sf0.01).
+    "bias": -1100,
+    "n_tokens": 15,
+    "n_stop": 40,
+    "n_uniq": 25,
+    "n_chars": -2,
+}
+
+
+@query(
+    "x4_quality_model_score",
+    oracle=dedent(
+        f"""
+        WITH f AS (
+            SELECT doc_id, lang,
+                   LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+                   LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                   t -> t IN {STOPWORDS!r})) AS n_stop,
+                   LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_uniq,
+                   n_chars
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CAST({QUALITY_MODEL["bias"]}
+                    + {QUALITY_MODEL["n_tokens"]} * n_tokens
+                    + {QUALITY_MODEL["n_stop"]} * n_stop
+                    + {QUALITY_MODEL["n_uniq"]} * n_uniq
+                    + {QUALITY_MODEL["n_chars"]} * n_chars
+                    AS BIGINT) AS logit_milli,
+               ({QUALITY_MODEL["bias"]}
+                + {QUALITY_MODEL["n_tokens"]} * n_tokens
+                + {QUALITY_MODEL["n_stop"]} * n_stop
+                + {QUALITY_MODEL["n_uniq"]} * n_uniq
+                + {QUALITY_MODEL["n_chars"]} * n_chars) >= 0 AS quality_pass
+        FROM f
+        """
+    ),
+    tags=("X4", "quality", "model"),
+)
+def x4_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based document quality scoring — the broadcast-classifier
+    seam of a curation pipeline. The weight vector is shipped to every
+    executor ONCE via a Spark broadcast variable (at 100 TB the model is
+    megabytes against terabytes of documents — broadcasting is the only
+    sane distribution), and scoring is a single ``mapInPandas`` pass:
+    Arrow-batched in, exact int64 feature extraction + dot product in
+    pandas/numpy, Arrow-batched out, no shuffle anywhere. Features:
+    space-split token count, stopword hits (same STOPWORDS as
+    x4_text_stats), distinct-token count, and the table's n_chars.
+    Returns (doc_id, lang, logit_milli, quality_pass)."""
+    import numpy as np
+    import pandas as pd
+
+    sc = spark.sparkContext
+    bweights = sc.broadcast(dict(QUALITY_MODEL))
+    stop = frozenset(STOPWORDS)
+
+    def score(batches):
+        w = bweights.value
+        for pdf in batches:
+            toks = [t.split(" ") for t in pdf["text"]]
+            n_tokens = np.array([len(ts) for ts in toks], dtype="int64")
+            n_stop = np.array(
+                [sum(t in stop for t in ts) for ts in toks], dtype="int64"
+            )
+            n_uniq = np.array([len(set(ts)) for ts in toks], dtype="int64")
+            n_chars = pdf["n_chars"].to_numpy(dtype="int64")
+            logit = (
+                w["bias"]
+                + w["n_tokens"] * n_tokens
+                + w["n_stop"] * n_stop
+                + w["n_uniq"] * n_uniq
+                + w["n_chars"] * n_chars
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "lang": pdf["lang"],
+                    "logit_milli": logit,
+                    "quality_pass": logit >= 0,
+                }
+            )
+
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text", "n_chars")
+        .mapInPandas(
+            score,
+            "doc_id long, lang string, logit_milli long, quality_pass boolean",
+        )
+    )

@@ -15,7 +15,7 @@ from .catalog import table
 from .registry import QuerySpec
 
 
-def _driver_verified_names() -> frozenset[str]:
+def _driver_verified_names() -> tuple[frozenset[str], frozenset[str]]:
     """Names that already earned a fully-green driver CORRECTNESS row in
     ANY past round (rows + schema + hash all true, or the intended
     rows-only / no-oracle record for sketch queries).
@@ -26,12 +26,18 @@ def _driver_verified_names() -> frozenset[str]:
     budget. The set is read from the driver's own ``CORRECTNESS_r*.json``
     artifacts at import time, so each new round's results reorder the
     next round automatically (a query that FAILED a check is deliberately
-    not in the set — it must re-verify first)."""
+    not in the set — it must re-verify first).
+
+    Returns (hash_verified, rows_only_verified) as separate sets: a query
+    whose only green record is rows-only but that has SINCE gained a full
+    oracle (e.g. the r4 x3_mmr_rerank upgrade) must re-register first so
+    the driver records the stronger hash row."""
     import glob
     import json
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    verified: set[str] = set()
+    hash_ok: set[str] = set()
+    rows_ok: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
@@ -41,18 +47,22 @@ def _driver_verified_names() -> frozenset[str]:
         for name, rec in records.items():
             if not isinstance(rec, dict):
                 continue
-            green_hash = rec.get("hash_match") is True
-            rows_only = rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
-            if green_hash or rows_only:
-                verified.add(name)
+            if rec.get("hash_match") is True:
+                hash_ok.add(name)
+            elif rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None:
+                rows_ok.add(name)
             elif rec.get("hash_match") is False or (
                 rec.get("err") not in (None, "no_oracle")
             ):
-                verified.discard(name)  # a later failure forces re-verification
-    return frozenset(verified)
+                # a later failure forces re-verification
+                hash_ok.discard(name)
+                rows_ok.discard(name)
+    return frozenset(hash_ok), frozenset(rows_ok)
 
 
-_DRIVER_VERIFIED: frozenset[str] = _driver_verified_names()
+_DRIVER_HASH_VERIFIED, _DRIVER_ROWS_ONLY = _driver_verified_names()
+# union kept for the emulator's "unchecked queries" default mode
+_DRIVER_VERIFIED: frozenset[str] = _DRIVER_HASH_VERIFIED | _DRIVER_ROWS_ONLY
 
 
 def _collect_specs() -> list[QuerySpec]:
@@ -101,8 +111,15 @@ def _collect_specs() -> list[QuerySpec]:
     # strictly stronger evidence than a rows-only record, so rows-only
     # queries (all value-pinned by local pytest goldens anyway) wait their
     # turn. Within each group the module order above is preserved.
+    # "verified" for ordering purposes = a green hash row, or a rows-only
+    # row for a query that (still) has no oracle. A rows-only query that
+    # has since GAINED an oracle re-registers first for its hash row.
     specs.sort(
-        key=lambda spec: (spec.name in _DRIVER_VERIFIED, spec.oracle is None)
+        key=lambda spec: (
+            spec.name in _DRIVER_HASH_VERIFIED
+            or (spec.oracle is None and spec.name in _DRIVER_ROWS_ONLY),
+            spec.oracle is None,
+        )
     )
     return specs
 

@@ -355,7 +355,9 @@ def test_pagerank_matches_power_iteration(spark):
 def test_mmr_rerank_matches_reference(spark):
     """x3_mmr_rerank: the greedy MMR selection must equal a local numpy
     reference computed from the same top-20 cosine candidates (argmax of
-    0.7*q_sim - 0.3*max_sim_to_selected, ties by neighbor_id)."""
+    0.7*q_sim - 0.3*max_sim_to_selected, ties by neighbor_id). Pairwise
+    sims are rounded to 6 before the greedy and the output score is the
+    raw double — the oracle-parity contract."""
     import numpy as np
     import pyspark.sql.functions as F
     from pyspark.sql import Window
@@ -402,7 +404,7 @@ def test_mmr_rerank_matches_reference(spark):
     for qid, rows in by_q.items():
         V = np.array([r["emb"] for r in rows], dtype="float64")
         Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-        S = Vn @ Vn.T
+        S = np.round(Vn @ Vn.T, 6)
         ids = [r["neighbor_id"] for r in rows]
         qsim = [r["cosine"] for r in rows]
         chosen, avail = [], list(range(len(ids)))
@@ -420,7 +422,7 @@ def test_mmr_rerank_matches_reference(spark):
             want.append((qid, len(chosen), ids[i], round(float(score), 6)))
 
     got = [
-        (r["query_id"], r["rank"], r["neighbor_id"], r["mmr_score"])
+        (r["query_id"], r["rank"], r["neighbor_id"], round(r["mmr_score"], 6))
         for r in registry()["x3_mmr_rerank"].builder(spark, TEST_SF_DIR).collect()
     ]
     assert sorted(got) == sorted(want)

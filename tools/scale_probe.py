@@ -78,6 +78,8 @@ DEFAULT = [
     "x6_audio_energy",
     "x4_bigram_nll",
     "x3_hard_negatives",
+    "x3_mmr_rerank",
+    "x9_dsir_resample",
 ]
 
 
