@@ -6,9 +6,14 @@ near-dup graph) and the PageRank here. Both follow the same scale recipe:
 each iteration is one join + one aggregation on the edge key (the shape
 GraphX/GraphFrames lower to), with ``localCheckpoint`` cutting the growing
 lineage so plan size stays constant over iterations. The reference has no
-graph surface at all; this is part of the §2.12 extension set (iterative
-algorithms the driver checks rows-only — SURVEY.md §5 layer 2 pins values
-against a local power-iteration reference in tests/test_kernels.py).
+graph surface at all; this is part of the §2.12 extension set. PageRank
+carries a full unrolled-CTE oracle (r4); label propagation stays rows-only
+(its oracle equivalent is the recursive-CTE closure on x2_dedup_clusters;
+DuckDB recursive CTEs cannot aggregate in the recursive term, so PageRank's
+per-iteration SUM forces the unroll, with AS MATERIALIZED on every CTE —
+inlining would re-expand each iteration's three references exponentially) —
+SURVEY.md §5 layer 2 additionally pins values against a local
+power-iteration reference in tests/test_kernels.py.
 """
 
 from __future__ import annotations
@@ -42,7 +47,57 @@ def purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x10_pagerank", oracle=None, tags=("X5", "graph", "iterative"))
+def _pagerank_oracle() -> str:
+    """Unrolled power iteration as CTEs (the MMR/BPE technique: a fixed
+    iteration count turns an iterative algorithm into straight-line SQL).
+    Float discipline: every constant is forced DOUBLE (bare 0.85 is
+    DECIMAL in DuckDB) and the rank-update expression tree matches the
+    Spark side's left-associative shape exactly, so the only cross-engine
+    divergence is float-summation order inside the two SUMs — ~1e-17
+    absolute after 10 iterations, invisible at the round-9 output."""
+    d = "CAST(0.85 AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    zero = "CAST(0 AS DOUBLE)"
+    iters = []
+    for k in range(1, N_ITER + 1):
+        iters.append(
+            f""",
+        c{k} AS MATERIALIZED (
+            SELECT e.dst AS node, SUM(r.rank / r.deg) AS in_sum
+            FROM edges e JOIN r{k - 1} r ON e.src = r.node AND r.deg > 0
+            GROUP BY e.dst
+        ),
+        d{k} AS MATERIALIZED (
+            SELECT COALESCE(SUM(rank), {zero}) AS dm FROM r{k - 1} WHERE deg = 0
+        ),
+        r{k} AS MATERIALIZED (
+            SELECT nd.node, nd.deg,
+                   ({one} - {d}) / nn.n
+                   + {d} / nn.n * d{k}.dm
+                   + {d} * COALESCE(c{k}.in_sum, {zero}) AS rank
+            FROM nd LEFT JOIN c{k} ON nd.node = c{k}.node
+            CROSS JOIN d{k} CROSS JOIN nn
+        )"""
+        )
+    return f"""
+        WITH edges AS MATERIALIZED (
+            SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        nd AS MATERIALIZED (
+            SELECT n.node, COALESCE(d.deg, 0) AS deg
+            FROM nodes n LEFT JOIN (
+                SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+            ) d ON n.node = d.src
+        ),
+        nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nd),
+        r0 AS MATERIALIZED (SELECT node, deg, {one} / nn.n AS rank FROM nd CROSS JOIN nn){"".join(iters)}
+        SELECT node, ROUND(rank, 9) AS rank FROM r{N_ITER}
+        """
+
+
+@query("x10_pagerank", oracle=_pagerank_oracle(), tags=("X5", "graph", "iterative"))
 def x10_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (10 iterations, damping 0.85) over the customer->supplier
     purchase graph — the canonical iterative-algorithm shape: per
@@ -59,9 +114,10 @@ def x10_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations submit as one lazy job graph instead of 10 driver
     round-trips (the r2 version paid an extra full-ranks anti-join action
     per iteration). ``localCheckpoint`` per iteration keeps the plan from
-    growing linearly with iteration count. Rows-only check; values pinned
-    vs a numpy power iteration in tests/test_kernels.py; loop shape
-    plan-guarded in tests/test_plans.py.
+    growing linearly with iteration count. Fully oracle-checked since r4
+    (unrolled power-iteration CTEs — see ``_pagerank_oracle``); values
+    also pinned vs a numpy power iteration in tests/test_kernels.py; loop
+    shape plan-guarded in tests/test_plans.py.
     """
     edges = purchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     nodes = (
