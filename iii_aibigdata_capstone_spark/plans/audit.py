@@ -64,7 +64,16 @@ class PlanAudit:
 
     @property
     def python_map_operators(self) -> int:
-        return len(re.findall(r"MapInPandas|FlatMapGroupsInPandas", self.text))
+        # count numbered node headers only — formatted explain prints each
+        # operator twice (tree line + "(N) Op" detail section), so a raw
+        # substring count double-counts every node
+        return len(
+            re.findall(
+                r"^\(\d+\) (?:MapInPandas|FlatMapGroupsInPandas)",
+                self.text,
+                re.MULTILINE,
+            )
+        )
 
 
 def audit(df: DataFrame) -> PlanAudit:

@@ -375,3 +375,45 @@ def test_pagerank_iteration_no_driver_action(spark):
     # rank rebuild join) — allow the physical count a little headroom for
     # the partial/final agg split, but a blowup means the shape regressed
     assert a.hash_exchanges <= 8, a.text
+
+
+def test_quality_model_score_is_one_scan_no_shuffle(spark):
+    """x4_quality_model_score: broadcast-model scoring must be a single
+    narrow pass — parquet scan pruned to the 4 input columns feeding one
+    MapInPandas, with NO exchange anywhere (a shuffle in a pure scoring
+    map is a 100 TB regression)."""
+    a = audit(registry()["x4_quality_model_score"].builder(spark, TEST_SF_DIR))
+    assert a.hash_exchanges == 0, a.text
+    assert a.python_map_operators == 1, a.text
+    assert a.read_widths and max(a.read_widths) <= 4, a.read_widths
+
+
+def test_dsir_model_join_is_broadcast(spark):
+    """x9_dsir_resample: the 256-row bucket log-ratio model must reach the
+    token table via an explicit broadcast (it is constant-size by
+    construction — hashed features — so the join must never shuffle the
+    token side), and nothing in the plan may be a cartesian product except
+    the bounded 1-row totals cross join."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = audit(registry()["x9_dsir_resample"].builder(spark, TEST_SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert a.broadcast_joins > 0, a.text
+    assert "CartesianProduct" not in a.text, a.text
+
+
+def test_mmr_probes_broadcast_and_single_grouped_kernel(spark):
+    """x3_mmr_rerank: the probe set is explicitly broadcast against the
+    corpus scan (never a shuffled join of the full embedding table), and
+    the greedy runs as exactly one grouped-pandas kernel over the already
+    top-20-shrunk candidate pair table."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = audit(registry()["x3_mmr_rerank"].builder(spark, TEST_SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Broadcast" in a.text, a.text
+    assert a.python_map_operators == 1, a.text
