@@ -28,19 +28,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import table
 from ..registry import QuerySpec, make_registrar
-from .textual import QUALITY_MODEL, STOPWORDS
+from .textual import QUALITY_LOGIT_SQL, QUALITY_MODEL, STOPWORDS
 
 SPECS: list[QuerySpec] = []
 query = make_registrar(SPECS)
-
-# stage-1 gate: the quality model's exact-integer logit, as SQL text for
-# the oracle (same weights the Spark side applies)
-_LOGIT_SQL = (
-    f"{QUALITY_MODEL['bias']} + {QUALITY_MODEL['n_tokens']} * n_tokens"
-    f" + {QUALITY_MODEL['n_stop']} * n_stop"
-    f" + {QUALITY_MODEL['n_uniq']} * n_uniq"
-    f" + {QUALITY_MODEL['n_chars']} * n_chars"
-)
 
 
 @query(
@@ -127,7 +118,7 @@ def x9_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         ),
         good AS (
-            SELECT * FROM scored WHERE {_LOGIT_SQL} >= 0
+            SELECT * FROM scored WHERE {QUALITY_LOGIT_SQL} >= 0
         ),
         keepers AS (
             SELECT MIN(doc_id) AS doc_id FROM good GROUP BY MD5(text)

@@ -478,9 +478,10 @@ def _mmr_fn(pdf):
     qsim: dict[int, float] = {}
     sim: dict[tuple[int, int], float] = {}
     for a, q, b, s in zip(pdf["a_id"], pdf["qsim"], pdf["b_id"], pdf["sim"]):
-        a, b = int(a), int(b)
+        a = int(a)
         qsim[a] = float(q)
-        sim[(a, b)] = float(s)
+        if not pd.isna(b):  # left-join sentinel: a lone candidate has no partners
+            sim[(a, int(b))] = float(s)
     avail = sorted(qsim)
     chosen: list[int] = []
     out = []
@@ -518,7 +519,7 @@ def _mmr_oracle() -> str:
     for k in range(2, MMR_K + 1):
         steps.append(
             f""",
-        pen{k} AS (
+        pen{k} AS MATERIALIZED (
             SELECT c.query_id, c.neighbor_id, c.cosine, MAX(p.sim) AS pen
             FROM cand c
             JOIN psim p ON p.query_id = c.query_id AND p.a_id = c.neighbor_id
@@ -529,7 +530,7 @@ def _mmr_oracle() -> str:
                                 AND x.neighbor_id = c.neighbor_id)
             GROUP BY c.query_id, c.neighbor_id, c.cosine
         ),
-        sel{k} AS (
+        sel{k} AS MATERIALIZED (
             SELECT query_id, {k} AS rank, neighbor_id, score FROM (
                 SELECT query_id, neighbor_id,
                        {lam} * cosine - (1 - {lam}) * pen AS score,
@@ -541,7 +542,7 @@ def _mmr_oracle() -> str:
                 FROM pen{k}
             ) WHERE rn = 1
         ),
-        sel_upto{k} AS (
+        sel_upto{k} AS MATERIALIZED (
             SELECT * FROM sel_upto{k - 1}
             UNION ALL SELECT query_id, neighbor_id FROM sel{k}
         )"""
@@ -551,27 +552,27 @@ def _mmr_oracle() -> str:
     )
     return dedent(
         f"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        scored AS (
+        WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS MATERIALIZED (
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.v AS nv,
                    ROUND({_COS}, 6) AS cosine
             FROM e a JOIN e b ON b.vec_id <> a.vec_id
             WHERE a.vec_id < {N_QUERIES}
         ),
-        cand AS (
+        cand AS MATERIALIZED (
             SELECT query_id, neighbor_id, nv, cosine FROM (
                 SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                              ORDER BY cosine DESC, neighbor_id) AS rn
                 FROM scored
             ) WHERE rn <= {MMR_CANDIDATES}
         ),
-        psim AS (
+        psim AS MATERIALIZED (
             SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
                    ROUND({cos_nv}, 6) AS sim
             FROM cand a JOIN cand b ON a.query_id = b.query_id
                                    AND a.neighbor_id <> b.neighbor_id
         ),
-        sel1 AS (
+        sel1 AS MATERIALIZED (
             SELECT query_id, 1 AS rank, neighbor_id, score FROM (
                 SELECT query_id, neighbor_id,
                        {lam} * cosine - (1 - {lam}) * 0.0 AS score,
@@ -583,7 +584,7 @@ def _mmr_oracle() -> str:
                 FROM cand
             ) WHERE rn = 1
         ),
-        sel_upto1 AS (SELECT query_id, neighbor_id FROM sel1){"".join(steps)}
+        sel_upto1 AS MATERIALIZED (SELECT query_id, neighbor_id FROM sel1){"".join(steps)}
         SELECT query_id, rank, neighbor_id, score AS mmr_score
         FROM ({union})
         """
@@ -637,10 +638,14 @@ def x3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(dot(F.col("a.emb"), F.col("a.emb")))
         * F.sqrt(dot(F.col("b.emb"), F.col("b.emb")))
     )
+    # LEFT join: a query with a single candidate has no partner rows, and
+    # an inner join would drop its group entirely while the oracle's sel1
+    # still selects it — the sentinel row (null b_id/sim) keeps the group
     pairs = a.join(
         b,
         (F.col("a.query_id") == F.col("b.query_id"))
         & (F.col("a.neighbor_id") != F.col("b.neighbor_id")),
+        "left",
     ).select(
         F.col("a.query_id").alias("query_id"),
         F.col("a.neighbor_id").alias("a_id"),

@@ -928,6 +928,17 @@ QUALITY_MODEL = {
     "n_chars": -2,
 }
 
+# The logit as SQL text over columns (n_tokens, n_stop, n_uniq, n_chars) —
+# the ONE definition every oracle that applies the model must reuse
+# (x4_quality_model_score here, the curation flagship's stage-1 gate), so
+# a structural model change cannot desynchronize the two gates.
+QUALITY_LOGIT_SQL = (
+    f"{QUALITY_MODEL['bias']} + {QUALITY_MODEL['n_tokens']} * n_tokens"
+    f" + {QUALITY_MODEL['n_stop']} * n_stop"
+    f" + {QUALITY_MODEL['n_uniq']} * n_uniq"
+    f" + {QUALITY_MODEL['n_chars']} * n_chars"
+)
+
 
 @query(
     "x4_quality_model_score",
@@ -943,17 +954,8 @@ QUALITY_MODEL = {
             FROM documents
         )
         SELECT doc_id, lang,
-               CAST({QUALITY_MODEL["bias"]}
-                    + {QUALITY_MODEL["n_tokens"]} * n_tokens
-                    + {QUALITY_MODEL["n_stop"]} * n_stop
-                    + {QUALITY_MODEL["n_uniq"]} * n_uniq
-                    + {QUALITY_MODEL["n_chars"]} * n_chars
-                    AS BIGINT) AS logit_milli,
-               ({QUALITY_MODEL["bias"]}
-                + {QUALITY_MODEL["n_tokens"]} * n_tokens
-                + {QUALITY_MODEL["n_stop"]} * n_stop
-                + {QUALITY_MODEL["n_uniq"]} * n_uniq
-                + {QUALITY_MODEL["n_chars"]} * n_chars) >= 0 AS quality_pass
+               CAST({QUALITY_LOGIT_SQL} AS BIGINT) AS logit_milli,
+               ({QUALITY_LOGIT_SQL}) >= 0 AS quality_pass
         FROM f
         """
     ),

@@ -28,9 +28,12 @@ its doc_id — but not its ~20x larger signature — is appended to the
 bucket's overflow-id list so an at-least-once replay of the same input
 row emits nothing twice. The overflow-id list has its own cap
 (``OVERFLOW_ID_CAP``); past THAT a bucket is saturated and further
-arrivals are dropped from this bucket's output entirely (the doc's other
-``N_MINHASH_BANDS - 1`` buckets still see it) — so per-bucket state and
-exactly-once pair emission are both unconditional. Buckets scale with
+arrivals emit ONLY the marker row, untracked — identical docs saturate
+all their bands in lockstep (same signature, same band keys), so
+dropping them silently would keep hot-bucket dups; the marker-driven
+drop policy is idempotent by content, so at-least-once markers in the
+saturated regime are safe. Per-bucket state stays hard-bounded and PAIR
+emission stays exactly-once unconditionally. Buckets scale with
 distinct (band, key) values, so the state store grows with corpus
 diversity, not corpus size.
 
@@ -121,70 +124,100 @@ def _est_jaccard(sig_a: str, sig_b: str) -> float:
     return sum(x == y for x, y in zip(a, b)) / len(a)
 
 
-def _bucket_fn(
-    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    lang, band = key[0], key[1]
-    doc_ids, sigs, ovf_ids = (
-        state.get if state.exists else ([], [], [])
-    )
-    doc_ids, sigs, ovf_ids = list(doc_ids), list(sigs), list(ovf_ids)
-    known = set(doc_ids)
-    ovf_known = set(ovf_ids)
-    out_a: list[int | None] = []
-    out_b: list[int | None] = []
-    out_j: list[float | None] = []
-    out_o: list[bool] = []
-    for pdf in pdfs:
-        for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
-            doc_id = int(doc_id)
-            if doc_id in known or doc_id in ovf_known:
-                continue  # replayed input row; already emitted for it
-            if len(doc_ids) >= STATE_CAP and len(ovf_ids) >= OVERFLOW_ID_CAP:
-                continue  # saturated bucket: drop (other bands cover it)
-            for prev_id, prev_sig in zip(doc_ids, sigs):
-                out_a.append(min(doc_id, prev_id))
-                out_b.append(max(doc_id, prev_id))
-                out_j.append(_est_jaccard(sig, prev_sig))
-                out_o.append(False)
-            if len(doc_ids) < STATE_CAP:
-                doc_ids.append(doc_id)
-                sigs.append(sig)
-                known.add(doc_id)
-            else:
-                # overflow: remember the id (idempotent replay) and emit
-                # the policy marker row for downstream
-                ovf_ids.append(doc_id)
-                ovf_known.add(doc_id)
-                out_a.append(doc_id)
-                out_b.append(None)
-                out_j.append(None)
-                out_o.append(True)
-    state.update((doc_ids, sigs, ovf_ids))
-    if out_a:
-        yield pd.DataFrame(
-            {
-                "lang": lang,
-                "band": band,
-                "doc_a": pd.array(out_a, dtype="Int64"),
-                "doc_b": pd.array(out_b, dtype="Int64"),
-                "est_jaccard": pd.array(out_j, dtype="Float64"),
-                "is_overflow": out_o,
-            }
+def _make_bucket_fn(state_cap: int, ovf_id_cap: int):
+    """Build the stateful bucket function with the caps captured in the
+    closure (cloudpickle ships them to executors — module-global caps
+    would be re-imported worker-side and untestable)."""
+
+    def _bucket_fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        lang, band = key[0], key[1]
+        doc_ids, sigs, ovf_ids = (
+            state.get if state.exists else ([], [], [])
         )
+        doc_ids, sigs, ovf_ids = list(doc_ids), list(sigs), list(ovf_ids)
+        known = set(doc_ids)
+        ovf_known = set(ovf_ids)
+        out_a: list[int | None] = []
+        out_b: list[int | None] = []
+        out_j: list[float | None] = []
+        out_o: list[bool] = []
+
+        def emit_marker(doc_id: int) -> None:
+            out_a.append(doc_id)
+            out_b.append(None)
+            out_j.append(None)
+            out_o.append(True)
+
+        for pdf in pdfs:
+            for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
+                doc_id = int(doc_id)
+                if doc_id in known or doc_id in ovf_known:
+                    continue  # replayed input row; already emitted for it
+                if len(doc_ids) >= state_cap and len(ovf_ids) >= ovf_id_cap:
+                    # Saturated bucket: the overflow-id list is full, so
+                    # the marker cannot be tracked for exactly-once — but
+                    # DROPPING it would silently KEEP a hot-bucket dup
+                    # (identical docs saturate all their bands in
+                    # lockstep, so no other band rescues them). The
+                    # "drop doc_a" policy is idempotent by content, so
+                    # emit the marker at-least-once and store nothing.
+                    emit_marker(doc_id)
+                    continue
+                for prev_id, prev_sig in zip(doc_ids, sigs):
+                    out_a.append(min(doc_id, prev_id))
+                    out_b.append(max(doc_id, prev_id))
+                    out_j.append(_est_jaccard(sig, prev_sig))
+                    out_o.append(False)
+                if len(doc_ids) < state_cap:
+                    doc_ids.append(doc_id)
+                    sigs.append(sig)
+                    known.add(doc_id)
+                else:
+                    # overflow: remember the id (idempotent replay) and
+                    # emit the policy marker row for downstream
+                    ovf_ids.append(doc_id)
+                    ovf_known.add(doc_id)
+                    emit_marker(doc_id)
+        state.update((doc_ids, sigs, ovf_ids))
+        if out_a:
+            yield pd.DataFrame(
+                {
+                    "lang": lang,
+                    "band": band,
+                    "doc_a": pd.array(out_a, dtype="Int64"),
+                    "doc_b": pd.array(out_b, dtype="Int64"),
+                    "est_jaccard": pd.array(out_j, dtype="Float64"),
+                    "is_overflow": out_o,
+                }
+            )
+
+    return _bucket_fn
 
 
-def streaming_neardup_candidates(docs: DataFrame) -> DataFrame:
+def streaming_neardup_candidates(
+    docs: DataFrame,
+    state_cap: int = STATE_CAP,
+    overflow_id_cap: int = OVERFLOW_ID_CAP,
+) -> DataFrame:
     """Cross-batch near-dup candidate pairs over a (doc_id, lang, text)
     stream. Emits each bucket-cohabiting pair exactly once (per band),
     with the signature-estimated Jaccard, plus one ``is_overflow=true``
     marker row per doc that arrived at an already-full bucket (see the
-    module docstring for the capped-bucket contract)."""
+    module docstring for the capped-bucket contract; markers degrade to
+    at-least-once — still idempotent for the drop policy — once a
+    bucket's overflow-id list itself fills).
+
+    NOTE: the r4 state schema (``ovf_ids array<long>``) is incompatible
+    with checkpoints written by the pre-r4 code (``overflow long``);
+    restarting an old query on this version requires a fresh checkpoint
+    directory (the state store cannot migrate column types)."""
     return (
         banded_signatures(docs)
         .groupBy("lang", "band", "bkey")
         .applyInPandasWithState(
-            _bucket_fn,
+            _make_bucket_fn(state_cap, overflow_id_cap),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",

@@ -427,3 +427,66 @@ def test_streaming_neardup_hot_bucket_caps_state(spark):
     # at-least-once redelivery of the overflow docs: nothing re-emitted
     docs.where(F.col("doc_id") >= 100).coalesce(1).write.mode("append").parquet(d)
     assert run() == []
+
+
+def test_streaming_neardup_saturated_bucket_still_marks(spark):
+    """Past BOTH caps (members + overflow ids) a bucket is saturated:
+    arrivals must STILL emit the is_overflow marker (identical docs
+    saturate every band in lockstep, so dropping them would silently keep
+    hot-bucket dups), just untracked — so a redelivery re-emits only
+    markers (at-least-once, idempotent for the drop policy) and never any
+    pair."""
+    import tempfile
+
+    from iii_aibigdata_capstone_spark.streaming.neardup import (
+        N_MINHASH_BANDS,
+        streaming_neardup_candidates,
+    )
+
+    state_cap, ovf_cap = 3, 2
+    n = 8  # 3 stored + 2 tracked overflow + 3 saturated arrivals
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(i, "en", text) for i in range(n)], "doc_id long, lang string, text string"
+    )
+    d = tempfile.mkdtemp(prefix="neardup_sat_")
+    chk = tempfile.mkdtemp(prefix="neardup_sat_ck_")
+
+    def run(df):
+        rows = []
+        df.coalesce(1).write.mode("append").parquet(d)
+        q = (
+            streaming_neardup_candidates(
+                spark.readStream.schema("doc_id long, lang string, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(d),
+                state_cap=state_cap,
+                overflow_id_cap=ovf_cap,
+            )
+            .writeStream.foreachBatch(lambda df, _id: rows.extend(df.collect()))
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+        return rows
+
+    rows = run(docs)
+    pairs = [r for r in rows if not r.is_overflow]
+    markers = [r for r in rows if r.is_overflow]
+    # pairs: stored members all-pairs + tracked-overflow docs backward vs
+    # stored; saturated arrivals emit NO pairs (marker only)
+    per_band = state_cap * (state_cap - 1) // 2 + ovf_cap * state_cap
+    assert len(pairs) == N_MINHASH_BANDS * per_band
+    # markers: one per non-stored doc per band — INCLUDING the saturated
+    # arrivals past the overflow-id cap
+    assert len(markers) == N_MINHASH_BANDS * (n - state_cap)
+    assert {r.doc_a for r in markers} == set(range(state_cap, n))
+
+    # redelivery: tracked docs emit nothing; saturated docs re-emit their
+    # marker only (at-least-once), never a pair
+    again = run(docs.where(F.col("doc_id") >= state_cap))
+    assert [r for r in again if not r.is_overflow] == []
+    sat_ids = set(range(state_cap + ovf_cap, n))
+    assert {r.doc_a for r in again if r.is_overflow} == sat_ids

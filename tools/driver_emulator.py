@@ -67,6 +67,14 @@ def _canon_spark_type(dt: str) -> str:
         return "arr"
     if dt == "binary":
         return "bin"
+    # composite types compare at family level only — the two engines
+    # print element types in incompatible dialects (map<string,bigint>
+    # vs MAP(VARCHAR, BIGINT)), and a per-element canon would just
+    # re-implement both parsers for no driver-observable gain
+    if dt.startswith("map"):
+        return "map"
+    if dt.startswith("struct"):
+        return "struct"
     return dt
 
 
@@ -102,6 +110,10 @@ def _canon_duck_type(dt: str) -> str:
         return "arr"
     if dt == "BLOB":
         return "bin"
+    if dt.startswith("MAP"):
+        return "map"
+    if dt.startswith("STRUCT"):
+        return "struct"
     return dt.lower()
 
 
