@@ -561,9 +561,16 @@ def x9_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("logw", 6).alias("logw"),
         F.round(F.col("logw") - F.log(-F.log(u)), 6).alias("gumbel_key"),
     )
+    # global top-k as orderBy+limit (TakeOrderedAndProject: per-partition
+    # partial top-k merged on the driver — scale-safe), NOT a row_number
+    # over an unpartitioned window, which would sort the whole corpus in
+    # ONE partition; rank is then a window over just the k survivors
+    topk = keyed.orderBy(F.desc("gumbel_key"), F.asc("doc_id")).limit(DSIR_K)
     w = Window.orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
-    return (
-        keyed.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= DSIR_K)
-        .select("rank", "doc_id", "lang", "logw", "gumbel_key")
+    return topk.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        "lang",
+        "logw",
+        "gumbel_key",
     )

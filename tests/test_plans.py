@@ -402,6 +402,9 @@ def test_dsir_model_join_is_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert a.broadcast_joins > 0, a.text
     assert "CartesianProduct" not in a.text, a.text
+    # global top-k must be TakeOrderedAndProject (distributed partial
+    # top-k), never a single-partition window sort of the whole corpus
+    assert "TakeOrderedAndProject" in a.text, a.text
 
 
 def test_mmr_probes_broadcast_and_single_grouped_kernel(spark):
