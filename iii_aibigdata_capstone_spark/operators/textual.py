@@ -940,6 +940,52 @@ QUALITY_LOGIT_SQL = (
 )
 
 
+def score_documents(docs: DataFrame) -> DataFrame:
+    """Apply the quality model to any (doc_id, lang, text, n_chars)
+    DataFrame — batch OR streaming (the scorer is stateless, so the same
+    transform drops into a readStream pipeline unchanged; pinned by
+    tests/test_streaming.py::test_streaming_quality_scores_equal_batch).
+    See x4_quality_model_score for the full story."""
+    import numpy as np
+    import pandas as pd
+
+    spark = docs.sparkSession
+    sc = spark.sparkContext
+    bweights = sc.broadcast(dict(QUALITY_MODEL))
+    stop = frozenset(STOPWORDS)
+
+    def score(batches):
+        w = bweights.value
+        for pdf in batches:
+            toks = [t.split(" ") for t in pdf["text"]]
+            n_tokens = np.array([len(ts) for ts in toks], dtype="int64")
+            n_stop = np.array(
+                [sum(t in stop for t in ts) for ts in toks], dtype="int64"
+            )
+            n_uniq = np.array([len(set(ts)) for ts in toks], dtype="int64")
+            n_chars = pdf["n_chars"].to_numpy(dtype="int64")
+            logit = (
+                w["bias"]
+                + w["n_tokens"] * n_tokens
+                + w["n_stop"] * n_stop
+                + w["n_uniq"] * n_uniq
+                + w["n_chars"] * n_chars
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "lang": pdf["lang"],
+                    "logit_milli": logit,
+                    "quality_pass": logit >= 0,
+                }
+            )
+
+    return docs.select("doc_id", "lang", "text", "n_chars").mapInPandas(
+        score,
+        "doc_id long, lang string, logit_milli long, quality_pass boolean",
+    )
+
+
 @query(
     "x4_quality_model_score",
     oracle=dedent(
@@ -971,45 +1017,8 @@ def x4_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas/numpy, Arrow-batched out, no shuffle anywhere. Features:
     space-split token count, stopword hits (same STOPWORDS as
     x4_text_stats), distinct-token count, and the table's n_chars.
-    Returns (doc_id, lang, logit_milli, quality_pass)."""
-    import numpy as np
-    import pandas as pd
-
-    sc = spark.sparkContext
-    bweights = sc.broadcast(dict(QUALITY_MODEL))
-    stop = frozenset(STOPWORDS)
-
-    def score(batches):
-        w = bweights.value
-        for pdf in batches:
-            toks = [t.split(" ") for t in pdf["text"]]
-            n_tokens = np.array([len(ts) for ts in toks], dtype="int64")
-            n_stop = np.array(
-                [sum(t in stop for t in ts) for ts in toks], dtype="int64"
-            )
-            n_uniq = np.array([len(set(ts)) for ts in toks], dtype="int64")
-            n_chars = pdf["n_chars"].to_numpy(dtype="int64")
-            logit = (
-                w["bias"]
-                + w["n_tokens"] * n_tokens
-                + w["n_stop"] * n_stop
-                + w["n_uniq"] * n_uniq
-                + w["n_chars"] * n_chars
-            )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "lang": pdf["lang"],
-                    "logit_milli": logit,
-                    "quality_pass": logit >= 0,
-                }
-            )
-
-    return (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", "lang", "text", "n_chars")
-        .mapInPandas(
-            score,
-            "doc_id long, lang string, logit_milli long, quality_pass boolean",
-        )
-    )
+    Returns (doc_id, lang, logit_milli, quality_pass). Stateless, so the
+    identical transform (``score_documents``) also runs in a streaming
+    ingest gate — stream output == this batch output, pinned in
+    tests/test_streaming.py."""
+    return score_documents(table(spark, sf_dir, "documents"))

@@ -374,3 +374,42 @@ def test_observe_metrics_ride_the_main_query(spark):
     assert m["value_nulls"] == ev.where(F.col("value").isNull()).count()
     lo, hi = ev.agg(F.min("value"), F.max("value")).first()
     assert m["value_min"] == lo and m["value_max"] == hi
+
+
+def test_streaming_quality_scores_equal_batch(spark):
+    """score_documents (the broadcast quality model) is stateless, so the
+    SAME transform must run unchanged on a readStream and produce exactly
+    the batch lane's rows — the 'streaming = same operators' contract for
+    the curation ingest gate."""
+    import tempfile
+
+    from iii_aibigdata_capstone_spark.operators.textual import score_documents
+
+    docs = table(spark, TEST_SF_DIR, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    d = tempfile.mkdtemp(prefix="qscore_src_")
+    for part in range(2):
+        docs.where(F.col("doc_id") % 2 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    rows = []
+    q = (
+        score_documents(
+            spark.readStream.schema(
+                "doc_id long, lang string, text string, n_chars long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        .writeStream.foreachBatch(lambda df, _id: rows.extend(df.collect()))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="qscore_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    want = sorted(map(tuple, score_documents(docs).collect()))
+    assert sorted(map(tuple, rows)) == want
