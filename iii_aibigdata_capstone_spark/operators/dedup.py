@@ -803,16 +803,62 @@ def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
 
 
-def _min_label_propagation(pairs: DataFrame, max_rounds: int = 15) -> DataFrame:
-    """Connected components over an undirected pair list ``(doc_a, doc_b)``
-    as iterative min-label propagation: every node repeatedly adopts the
-    min label among itself and its neighbors, PLUS its label's own current
-    label (pointer jumping), until a fixpoint — O(log diameter) rounds of
-    plain shuffle-on-key joins, the large-star/small-star shape of
-    MapReduce connected components. The driver only checks convergence counts;
-    labels never leave the cluster. Returns ``(node, label)`` for nodes
-    that appear in at least one pair (singletons are the caller's
-    COALESCE). Shared by x2_dedup_clusters and the fuzzy-dedup pipeline."""
+DRIVER_CC_MAX_EDGES = 100_000
+
+
+def _driver_union_find(edge_rows):
+    """Min-label connected components on the driver (path-compressed
+    union-find) — byte-for-byte the same (node, label) contract as the
+    distributed propagation: every node that appears in a pair gets the
+    MIN node id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min keeps the root AT the component min, so the
+            # final label read-off is just find()
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return [(n, find(n)) for n in parent]
+
+
+def _min_label_propagation(
+    pairs: DataFrame, max_rounds: int = 15, driver_cc_max: int | None = None
+) -> DataFrame:
+    """Connected components over an undirected pair list ``(doc_a, doc_b)``.
+
+    SIZE-ADAPTIVE: the dup graph of a deduplicated corpus is usually tiny
+    relative to the corpus (most docs aren't dups), while the iterative
+    path pays a fixed ~2.3 s of per-round Spark-job overhead regardless of
+    size — so if the edge table fits under ``DRIVER_CC_MAX_EDGES`` it is
+    collected (explicitly bounded — the count gates the collect) and
+    solved with a path-compressed union-find on the driver, exactly
+    reproducing the distributed labels (pinned by
+    tests/test_analytics.py::test_cc_local_and_distributed_paths_agree).
+    Above the threshold: iterative min-label propagation — every node
+    repeatedly adopts the min label among itself and its neighbors, PLUS
+    its label's own current label (pointer jumping), until a fixpoint —
+    O(log diameter) rounds of plain shuffle-on-key joins, the
+    large-star/small-star shape of MapReduce connected components; the
+    driver only checks convergence counts and labels never leave the
+    cluster. Returns ``(node, label)`` for nodes that appear in at least
+    one pair (singletons are the caller's COALESCE). Shared by
+    x2_dedup_clusters and the fuzzy-dedup pipeline."""
     if max_rounds < 1:
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     edges = (
@@ -825,6 +871,15 @@ def _min_label_propagation(pairs: DataFrame, max_rounds: int = 15) -> DataFrame:
         # re-execute per iteration (measured ~2x the query's total cost)
         .localCheckpoint(eager=False)
     )
+    if driver_cc_max is None:
+        driver_cc_max = DRIVER_CC_MAX_EDGES
+    n_edges = edges.count()  # materializes the checkpoint either way
+    if n_edges <= driver_cc_max:
+        node_type = dict(pairs.dtypes)["doc_a"]
+        rows = _driver_union_find((r[0], r[1]) for r in edges.toLocalIterator())
+        return pairs.sparkSession.createDataFrame(
+            rows, f"node {node_type}, label {node_type}"
+        )
     labels = (
         edges.select(F.col("doc_a").alias("node")).distinct()
         .withColumn("label", F.col("node"))

@@ -312,12 +312,43 @@ def test_min_label_propagation_raises_on_round_budget(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(20)], "doc_a long, doc_b long"
     )
+    # driver_cc_max=-1 forces the distributed path (the local union-find
+    # has no round budget to exhaust)
     with pytest.raises(RuntimeError, match="did not converge"):
-        _min_label_propagation(chain, max_rounds=2).collect()
+        _min_label_propagation(chain, max_rounds=2, driver_cc_max=-1).collect()
     # and with enough rounds the same chain resolves to component-min 0
-    got = {r.label for r in _min_label_propagation(chain, max_rounds=25).collect()}
+    got = {
+        r.label
+        for r in _min_label_propagation(
+            chain, max_rounds=25, driver_cc_max=-1
+        ).collect()
+    }
     assert got == {0}
     # max_rounds < 1 is a caller error, rejected at entry (the for/else
     # would otherwise reference an unbound loop variable)
     with pytest.raises(ValueError, match="max_rounds"):
         _min_label_propagation(chain, max_rounds=0)
+
+
+def test_cc_local_and_distributed_paths_agree(spark):
+    """The size-adaptive CC must produce IDENTICAL (node, label) rows on
+    both paths — driver union-find (small edge sets) and iterative
+    propagation — including multi-component graphs with chains, cliques
+    and isolated pairs."""
+    from iii_aibigdata_capstone_spark.operators.dedup import _min_label_propagation
+
+    edges = (
+        # chain 10..15, clique {3,4,5}, pair (100, 7), self-contained (20,21)
+        [(i, i + 1) for i in range(10, 15)]
+        + [(3, 4), (4, 5), (3, 5)]
+        + [(100, 7), (20, 21)]
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    local = sorted(map(tuple, _min_label_propagation(pairs).collect()))
+    dist = sorted(
+        map(tuple, _min_label_propagation(pairs, driver_cc_max=-1).collect())
+    )
+    assert local == dist
+    # spot-check the min-label contract
+    labels = dict(local)
+    assert labels[100] == 7 and labels[5] == 3 and labels[14] == 10
