@@ -76,6 +76,7 @@ HEADLINE = [
     "x3_mmr_rerank",
     "x4_quality_model_score",
     "x9_dsir_resample",
+    "k12_render_annotations",
 ]
 
 

@@ -446,3 +446,91 @@ def m7_pose_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return b.mapInPandas(infer, schema="doc_id long, part int, x int, score double")
+
+
+@query(
+    "k12_render_annotations",
+    oracle=dedent(
+        """
+        WITH px AS (
+            SELECT doc_id,
+                   LIST_TRANSFORM(RANGE(0, 32), i ->
+                       CAST('0x' || SUBSTR(SHA256(text), i*2+1, 2) AS INT)) AS d
+            FROM documents
+        ),
+        p64 AS (SELECT doc_id, LIST_CONCAT(d, d) AS p FROM px),
+        pk AS (
+            SELECT doc_id, p,
+                   LIST_FILTER(RANGE(2, 64), i ->
+                       p[i] > p[i-1] AND p[i] > p[i+1] AND p[i] > 160) AS peaks
+            FROM p64
+        ),
+        bounds AS (
+            SELECT doc_id, p, peaks,
+                   CASE WHEN LEN(peaks) > 0
+                        THEN GREATEST(LIST_MIN(peaks) - 1, 1) END AS lo,
+                   CASE WHEN LEN(peaks) > 0
+                        THEN LEAST(LIST_MAX(peaks) + 1, 64) END AS hi
+            FROM pk
+        ),
+        ann AS (
+            SELECT doc_id, peaks,
+                   LIST_TRANSFORM(RANGE(1, 65), i ->
+                       CASE WHEN LIST_CONTAINS(peaks, i) THEN 255
+                            WHEN i = lo OR i = hi THEN 0
+                            ELSE p[i] END) AS a
+            FROM bounds
+        )
+        SELECT doc_id,
+               CAST(LEN(peaks) AS BIGINT) AS n_marks,
+               CAST(LIST_SUM(a) AS BIGINT) AS render_sum,
+               MD5(ARRAY_TO_STRING(a, ',')) AS render_md5
+        FROM ann
+        """
+    ),
+    tags=("K12", "K1", "K6", "udf"),
+)
+def k12_render_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K12 drawing/visualization AS DATAFLOW (reference
+    player_identification/digit_detector/show.py:9-89: cv2.rectangle box
+    edges + keypoint dots drawn onto frames for display). The engine's
+    form renders the same annotations INTO the pixel array — keypoint
+    marks (255 at each K6 peak) and the bounding-box edges (0 at the
+    clamped min/max peak boundary, peak marks win ties) — and emits a
+    content-addressed render: (n_marks, pixel sum, md5 of the annotated
+    array). That is the part of 'show' that IS dataflow (deterministic
+    rasterization + artifact addressing, the shape of a thumbnail/asset
+    render stage feeding a sink); putting pixels on a screen stays out of
+    scope. One mapInPandas crossing over the binary payloads via the K1
+    decoder seam; the oracle replays the render as SQL list transforms
+    over the sha256 stub pixels, all-integer end to end."""
+    b = binary_documents(spark, sf_dir).select("doc_id", "payload")
+    decode = pixel_decoder()
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode(bytes(payload), 64)
+                ann = px.astype(np.int64).copy()
+                peaks = find_peaks(px, 160)
+                if len(peaks):
+                    lo = max(int(peaks.min()) - 1, 0)
+                    hi = min(int(peaks.max()) + 1, 63)
+                    ann[lo] = 0
+                    ann[hi] = 0
+                    ann[peaks] = 255  # keypoint marks win over box edges
+                digest = hashlib.md5(
+                    ",".join(str(int(v)) for v in ann).encode()
+                ).hexdigest()
+                out.append((int(doc_id), len(peaks), int(ann.sum()), digest))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_marks", "render_sum", "render_md5"]
+            )
+
+    return b.mapInPandas(
+        render,
+        "doc_id long, n_marks long, render_sum long, render_md5 string",
+    )
