@@ -77,6 +77,7 @@ HEADLINE = [
     "x4_quality_model_score",
     "x9_dsir_resample",
     "k12_render_annotations",
+    "m9_gd_training_loop",
 ]
 
 

@@ -97,3 +97,132 @@ def m8_binary_evaluator(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows.append((metric, round(ev.evaluate(scored), 6)))
     return spark.createDataFrame(rows, "metric string, value double")
+
+
+# --- M9: the training LOOP as dataflow -------------------------------------
+
+GD_ITERS = 8
+GD_LR = "CAST(0.5 AS DOUBLE)"
+GD_SCALE = "CAST(100 AS DOUBLE)"
+
+
+def _gd_oracle() -> str:
+    """Unrolled full-batch gradient descent as MATERIALIZED CTEs (the
+    PageRank technique). Each iteration: per-doc sigmoid under the
+    previous weights (CROSS JOIN of the 1-row weight table), one AVG
+    aggregation per gradient component, broadcast-shaped weight update.
+    All constants forced DOUBLE; the sigmoid/gradient expression trees
+    match the Spark side term for term, so only float-summation order
+    diverges (~1e-14 after 8 iterations, invisible at round-6)."""
+    steps = []
+    dot = " + ".join(f"w{j} * x{j}" for j in range(5))
+    for k in range(1, GD_ITERS + 1):
+        grads = ", ".join(
+            f"AVG((1 / (1 + EXP(-({dot}))) - y) * x{j}) AS g{j}" for j in range(5)
+        )
+        upd = ", ".join(f"w{j} - {GD_LR} * g{j} AS w{j}" for j in range(5))
+        steps.append(
+            f""",
+        g{k} AS MATERIALIZED (
+            SELECT {grads} FROM f CROSS JOIN w{k - 1}
+        ),
+        w{k} AS MATERIALIZED (
+            SELECT {upd} FROM w{k - 1} CROSS JOIN g{k}
+        )"""
+        )
+    unpivots = "\n            UNION ALL ".join(
+        f"SELECT {j} AS feature_idx, ROUND(w{j}, 6) AS weight FROM w{GD_ITERS}"
+        for j in range(5)
+    )
+    return f"""
+        WITH f AS MATERIALIZED (
+            SELECT CAST(1 AS DOUBLE) AS x0,
+                   LEN(STRING_SPLIT(text, ' ')) / {GD_SCALE} AS x1,
+                   LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                   t -> t IN ('the', 'a', 'value', 'data')))
+                       / {GD_SCALE} AS x2,
+                   LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) / {GD_SCALE} AS x3,
+                   n_chars / {GD_SCALE} AS x4,
+                   CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE)
+                        ELSE CAST(0 AS DOUBLE) END AS y
+            FROM documents
+        ),
+        w0 AS MATERIALIZED (
+            SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+                   CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3,
+                   CAST(0 AS DOUBLE) AS w4
+        ){"".join(steps)}
+        SELECT CAST(feature_idx AS BIGINT) AS feature_idx, weight
+        FROM ({unpivots})
+        """
+
+
+@query("m9_gd_training_loop", oracle=_gd_oracle(), tags=("M9", "X4", "iterative"))
+def m9_gd_training_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The M9 training LOOP re-expressed as dataflow (reference
+    digit_detector/train.py:11-71 — a single-node Keras fit). Training a
+    CNN is out of engine scope (the engine consumes weights), but the
+    LOOP ITSELF — the part that must scale with data — is distributed
+    logistic regression by full-batch gradient descent: per iteration,
+    each document computes its sigmoid under the broadcast weights (one
+    narrow pass), the gradient is ONE map-side-combined aggregation (5
+    AVGs -> a single row), and the weight update is a 1-row-by-1-row
+    cross join — the parameter-server-less data-parallel shape every
+    distributed trainer lowers to. No driver action anywhere in the
+    loop; ``localCheckpoint`` per iteration keeps the plan flat (the
+    PageRank discipline). Features are the quality model's (scaled);
+    the label (lang='en') is deliberately weak — determinism of the
+    trajectory, not accuracy, is the contract, and the unrolled-CTE
+    oracle checks all 8 iterations of it exactly."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scale = F.lit(100).cast("double")
+    f = docs.select(
+        F.lit(1).cast("double").alias("x0"),
+        (F.size(toks) / scale).alias("x1"),
+        (
+            F.size(F.filter(toks, lambda x: x.isin("the", "a", "value", "data")))
+            / scale
+        ).alias("x2"),
+        (F.size(F.array_distinct(toks)) / scale).alias("x3"),
+        (F.col("n_chars") / scale).alias("x4"),
+        F.when(F.col("lang") == "en", F.lit(1).cast("double"))
+        .otherwise(F.lit(0).cast("double"))
+        .alias("y"),
+    ).localCheckpoint(eager=False)  # consumed once per iteration
+
+    w = f.sparkSession.range(1).select(
+        *[F.lit(0).cast("double").alias(f"w{j}") for j in range(5)]
+    )
+    dot = None
+    for k in range(GD_ITERS):
+        joined = f.crossJoin(F.broadcast(w))
+        dot = sum((F.col(f"w{j}") * F.col(f"x{j}") for j in range(1, 5)),
+                  F.col("w0") * F.col("x0"))
+        p = F.lit(1).cast("double") / (F.lit(1).cast("double") + F.exp(-dot))
+        grad = joined.agg(
+            *[F.avg((p - F.col("y")) * F.col(f"x{j}")).alias(f"g{j}") for j in range(5)]
+        )
+        w = (
+            w.crossJoin(F.broadcast(grad))
+            .select(
+                *[
+                    (F.col(f"w{j}") - F.lit(0.5).cast("double") * F.col(f"g{j}")).alias(
+                        f"w{j}"
+                    )
+                    for j in range(5)
+                ]
+            )
+            .localCheckpoint(eager=False)
+        )
+    rows = [
+        w.select(
+            F.lit(j).cast("long").alias("feature_idx"),
+            F.round(F.col(f"w{j}"), 6).alias("weight"),
+        )
+        for j in range(5)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

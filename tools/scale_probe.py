@@ -80,6 +80,7 @@ DEFAULT = [
     "x3_hard_negatives",
     "x3_mmr_rerank",
     "x9_dsir_resample",
+    "m9_gd_training_loop",
 ]
 
 
