@@ -201,14 +201,55 @@ def k_kernel_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.mapInPandas(chain, schema=schema)
 
 
-@query("e12_paf_integral", oracle=None, tags=("E12", "E11", "K10", "udf"))
+def _e12_oracle() -> str:
+    """The PAF sampling replayed in SQL. Float discipline: the sample
+    positions use ``FLOOR(x + 0.5)`` (the Python side does the same —
+    ``rint``'s half-even rule differs from SQL ROUND's half-away exactly
+    at .5 boundaries, while floor(x+0.5) is identical everywhere), the
+    linspace weights reproduce numpy's ``k * (1/9)`` with the endpoint
+    pinned to 1.0, and the 10-sample mean is an explicit left-to-right
+    sum matching the Python fold (LIST_SUM's reduction order is an
+    implementation detail of neither engine's contract)."""
+    one = "CAST(1 AS DOUBLE)"
+    ts = [f"CAST({k} AS DOUBLE) * ({one} / 9)" for k in range(9)] + [one]
+    samples = [
+        f"f[CAST(FLOOR(s + ({t}) * (en - s) + 0.5) AS INT) + 1]" for t in ts
+    ]
+    ssum = " + ".join(samples)
+    return dedent(
+        f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS f, LEN(embedding) AS d
+            FROM embeddings
+        ),
+        base AS (
+            SELECT vec_id, f,
+                   vec_id % d AS s, (vec_id * 7 + 3) % d AS en
+            FROM e
+        )
+        SELECT vec_id,
+               CAST(ABS(en - s) AS DOUBLE) AS dist,
+               ROUND(({ssum}) / 10
+                     + LEAST(CAST(0.5 AS DOUBLE) * 64
+                             / GREATEST(CAST(ABS(en - s) AS DOUBLE), {one}),
+                             {one})
+                     - {one}, 6) AS score
+        FROM base
+        """
+    )
+
+
+@query("e12_paf_integral", oracle=_e12_oracle(), tags=("E12", "E11", "K10", "udf"))
 def e12_paf_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E12 PAF line integral (pi/dl_k_to_ss.py:158-167): sample the field at
     10 evenly spaced points along a segment, dot with the segment's unit
     vector, mean + distance prior. The field here is the embedding vector
     (the real PAF tensor needs the image); endpoints derive from vec_id.
     Vectorized numpy over Arrow batches — one batch, not one row, per
-    crossing."""
+    crossing. Full oracle since r4: sample positions use floor(x+0.5)
+    (bit-identical in both engines, unlike rint-vs-ROUND at half
+    boundaries) and the 10-sample mean is a sequential fold mirroring the
+    oracle's explicit sum — see ``_e12_oracle``."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("field")
     )
@@ -220,11 +261,20 @@ def e12_paf_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
             vec_ids = pdf["vec_id"].to_numpy()
             start = (vec_ids % d).astype(np.int64)
             end = ((vec_ids * 7 + 3) % d).astype(np.int64)
-            ts = np.linspace(0.0, 1.0, 10)  # E11
-            idx = np.rint(start[:, None] + ts[None, :] * (end - start)[:, None]).astype(np.int64)
+            # numpy linspace(0,1,10) semantics, written out so the oracle
+            # can reproduce the exact doubles: k*(1/9), endpoint pinned
+            ts = np.arange(10) * (1.0 / 9.0)
+            ts[9] = 1.0  # E11
+            pos = start[:, None] + ts[None, :] * (end - start)[:, None]
+            idx = np.floor(pos + 0.5).astype(np.int64)
             samples = np.take_along_axis(fields, idx, axis=1)  # (n, 10)
+            # sequential left-to-right fold — matches the oracle's explicit
+            # sum (np.mean's pairwise reduction order would not)
+            acc = samples[:, 0].copy()
+            for k in range(1, 10):
+                acc = acc + samples[:, k]
             dist = np.abs(end - start).astype(np.float64)
-            score = samples.mean(axis=1) + np.minimum(0.5 * 64 / np.maximum(dist, 1.0), 1.0) - 1.0
+            score = acc / 10 + np.minimum(0.5 * 64 / np.maximum(dist, 1.0), 1.0) - 1.0
             yield pd.DataFrame(
                 {"vec_id": vec_ids, "dist": dist, "score": np.round(score, 6)}
             )
