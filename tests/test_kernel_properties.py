@@ -275,3 +275,46 @@ def test_minhash_signature_matches_python_model(spark, docs_grams):
 
     for doc_id, grams in rows:
         assert got[doc_id] == model(grams), doc_id
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_driver_union_find_matches_brute_force(pairs):
+    """_driver_union_find (the small-graph fast path of the size-adaptive
+    CC) must assign every node the MIN node id of its connected component,
+    for arbitrary pair lists — checked against a brute-force BFS closure."""
+    from iii_aibigdata_capstone_spark.operators.dedup import _driver_union_find
+
+    # the engine path feeds both edge directions; mirror that
+    edges = pairs + [(b, a) for a, b in pairs]
+    got = dict(_driver_union_find(iter(edges)))
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    seen: set[int] = set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp, frontier = {start}, [start]
+        while frontier:
+            n = frontier.pop()
+            for m in adj[n]:
+                if m not in comp:
+                    comp.add(m)
+                    frontier.append(m)
+        seen |= comp
+        lo = min(comp)
+        for n in comp:
+            want[n] = lo
+    assert got == want
