@@ -18,6 +18,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import table
+from ..operators.textual import STOPWORDS
 from ..registry import QuerySpec, make_registrar
 
 SPECS: list[QuerySpec] = []
@@ -102,8 +103,10 @@ def m8_binary_evaluator(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- M9: the training LOOP as dataflow -------------------------------------
 
 GD_ITERS = 8
-GD_LR = "CAST(0.5 AS DOUBLE)"
-GD_SCALE = "CAST(100 AS DOUBLE)"
+GD_LR = 0.5
+GD_SCALE = 100
+_GD_LR_SQL = f"CAST({GD_LR} AS DOUBLE)"
+_GD_SCALE_SQL = f"CAST({GD_SCALE} AS DOUBLE)"
 
 
 def _gd_oracle() -> str:
@@ -120,7 +123,7 @@ def _gd_oracle() -> str:
         grads = ", ".join(
             f"AVG((1 / (1 + EXP(-({dot}))) - y) * x{j}) AS g{j}" for j in range(5)
         )
-        upd = ", ".join(f"w{j} - {GD_LR} * g{j} AS w{j}" for j in range(5))
+        upd = ", ".join(f"w{j} - {_GD_LR_SQL} * g{j} AS w{j}" for j in range(5))
         steps.append(
             f""",
         g{k} AS MATERIALIZED (
@@ -137,12 +140,11 @@ def _gd_oracle() -> str:
     return f"""
         WITH f AS MATERIALIZED (
             SELECT CAST(1 AS DOUBLE) AS x0,
-                   LEN(STRING_SPLIT(text, ' ')) / {GD_SCALE} AS x1,
+                   LEN(STRING_SPLIT(text, ' ')) / {_GD_SCALE_SQL} AS x1,
                    LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
-                                   t -> t IN ('the', 'a', 'value', 'data')))
-                       / {GD_SCALE} AS x2,
-                   LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) / {GD_SCALE} AS x3,
-                   n_chars / {GD_SCALE} AS x4,
+                                   t -> t IN {STOPWORDS!r})) / {_GD_SCALE_SQL} AS x2,
+                   LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) / {_GD_SCALE_SQL} AS x3,
+                   n_chars / {_GD_SCALE_SQL} AS x4,
                    CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE)
                         ELSE CAST(0 AS DOUBLE) END AS y
             FROM documents
@@ -176,12 +178,12 @@ def m9_gd_training_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle checks all 8 iterations of it exactly."""
     docs = table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    scale = F.lit(100).cast("double")
+    scale = F.lit(GD_SCALE).cast("double")
     f = docs.select(
         F.lit(1).cast("double").alias("x0"),
         (F.size(toks) / scale).alias("x1"),
         (
-            F.size(F.filter(toks, lambda x: x.isin("the", "a", "value", "data")))
+            F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
             / scale
         ).alias("x2"),
         (F.size(F.array_distinct(toks)) / scale).alias("x3"),
@@ -194,7 +196,6 @@ def m9_gd_training_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = f.sparkSession.range(1).select(
         *[F.lit(0).cast("double").alias(f"w{j}") for j in range(5)]
     )
-    dot = None
     for k in range(GD_ITERS):
         joined = f.crossJoin(F.broadcast(w))
         dot = sum((F.col(f"w{j}") * F.col(f"x{j}") for j in range(1, 5)),
@@ -207,7 +208,7 @@ def m9_gd_training_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.crossJoin(F.broadcast(grad))
             .select(
                 *[
-                    (F.col(f"w{j}") - F.lit(0.5).cast("double") * F.col(f"g{j}")).alias(
+                    (F.col(f"w{j}") - F.lit(GD_LR).cast("double") * F.col(f"g{j}")).alias(
                         f"w{j}"
                     )
                     for j in range(5)

@@ -792,12 +792,13 @@ def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     document groups.
 
     Unlike the per-image union-find (T4, groups of dozens), this graph
-    spans the whole corpus, so it runs as ITERATIVE distributed label
-    propagation with pointer jumping: every node repeatedly adopts the min
-    label among itself, its neighbors, and its label's own label until a
-    fixpoint — O(log diameter) rounds, each a plain shuffle-on-key join. The driver only
-    checks convergence counts; labels never leave the cluster. The oracle
-    is a recursive-CTE transitive closure (viable at oracle SF)."""
+    spans the whole corpus, so it runs through the SIZE-ADAPTIVE
+    ``_min_label_propagation``: a dup graph under ``DRIVER_CC_MAX_EDGES``
+    (the common case — most docs are not dups) is solved by a bounded
+    driver union-find; past that threshold it is iterative distributed
+    label propagation with pointer jumping — O(log diameter) rounds, each
+    a plain shuffle-on-key join, labels never leaving the cluster. The
+    oracle is a recursive-CTE transitive closure (viable at oracle SF)."""
     pairs = x2_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     labels = _min_label_propagation(pairs)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
@@ -876,7 +877,9 @@ def _min_label_propagation(
     n_edges = edges.count()  # materializes the checkpoint either way
     if n_edges <= driver_cc_max:
         node_type = dict(pairs.dtypes)["doc_a"]
-        rows = _driver_union_find((r[0], r[1]) for r in edges.toLocalIterator())
+        # one bounded job (the count above gates the size); collect, not
+        # toLocalIterator, which pays roughly one job per partition
+        rows = _driver_union_find((r[0], r[1]) for r in edges.collect())
         return pairs.sparkSession.createDataFrame(
             rows, f"node {node_type}, label {node_type}"
         )

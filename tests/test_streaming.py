@@ -408,7 +408,7 @@ def test_streaming_quality_scores_equal_batch(spark):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish within 120s"
     q.stop()
 
     want = sorted(map(tuple, score_documents(docs).collect()))
