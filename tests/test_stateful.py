@@ -490,3 +490,92 @@ def test_streaming_neardup_saturated_bucket_still_marks(spark):
     assert [r for r in again if not r.is_overflow] == []
     sat_ids = set(range(state_cap + ovf_cap, n))
     assert {r.doc_a for r in again if r.is_overflow} == sat_ids
+
+
+def test_streaming_sessions_equal_batch(spark):
+    """Custom stateful sessionization with EVENT-TIME TIMEOUTS: closed
+    sessions stream out as the watermark passes their gap, state is
+    evicted, and the emitted (user, start, end, n_events) set equals the
+    batch gaps-and-islands sessions exactly — only emission time differs.
+    Sentinel far-future rows advance the watermark so every session closes
+    before the stream drains."""
+    import tempfile
+
+    from datetime import datetime, timezone
+
+    from iii_aibigdata_capstone_spark.streaming.sessions import (
+        SESSION_GAP_US,
+        streaming_sessions,
+    )
+
+    ev = (
+        table(spark, TEST_SF_DIR, "events")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id")
+        .where(F.col("user_id") < 40)  # keep the group count test-sized
+    )
+    rows = ev.orderBy("ts", "event_id").collect()
+    assert rows, "no events"
+    max_us = max(int(r.ts.timestamp() * 1_000_000) for r in rows)
+
+    d = tempfile.mkdtemp(prefix="sess_src_")
+    third = len(rows) // 3 or 1
+    chunks = [rows[:third], rows[third : 2 * third], rows[2 * third :]]
+    for chunk in chunks:
+        if chunk:
+            spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+    # two sentinel batches: the first advances the watermark past every
+    # open session's timeout, the second gives the engine a batch in
+    # which those timeouts fire
+    for k in (1, 2):
+        flush_ts = datetime.fromtimestamp(
+            (max_us + k * 7_200_000_000) / 1_000_000, tz=timezone.utc
+        ).replace(tzinfo=None)
+        spark.createDataFrame(
+            [(-1, flush_ts, -k)],
+            "user_id long, ts timestamp, event_id long",
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    got_rows = []
+    q = (
+        streaming_sessions(
+            spark.readStream.schema("user_id long, ts timestamp, event_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        .writeStream.foreachBatch(lambda df, _id: got_rows.extend(df.collect()))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sess_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not finish"
+    q.stop()
+
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in got_rows
+        if r.user_id >= 0
+    }
+
+    # batch gaps-and-islands reference
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(
+            (int(r.ts.timestamp() * 1_000_000), r.event_id)
+        )
+    want = set()
+    for uid, evs in by_user.items():
+        evs.sort()
+        start = last = None
+        n = 0
+        for t, _eid in evs:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > SESSION_GAP_US:
+                want.add((uid, start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        want.add((uid, start, last, n))
+    assert got == want, (len(got), len(want), list(got - want)[:3], list(want - got)[:3])
