@@ -579,3 +579,89 @@ def test_streaming_sessions_equal_batch(spark):
                 last, n = t, n + 1
         want.add((uid, start, last, n))
     assert got == want, (len(got), len(want), list(got - want)[:3], list(want - got)[:3])
+
+
+def test_streaming_sessions_survive_restart(spark):
+    """Session state (including pending event-time timeouts) must recover
+    from the checkpoint: a session OPEN at shutdown closes correctly after
+    restart — events arriving post-restart extend it or its timeout fires
+    from recovered state — no session emits twice, and the union equals
+    the batch sessions."""
+    import tempfile
+    from datetime import datetime, timezone
+
+    from iii_aibigdata_capstone_spark.streaming.sessions import (
+        SESSION_GAP_US,
+        streaming_sessions,
+    )
+
+    ev = (
+        table(spark, TEST_SF_DIR, "events")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id")
+        .where(F.col("user_id") < 25)
+    )
+    rows = ev.orderBy("ts", "event_id").collect()
+    max_us = max(int(r.ts.timestamp() * 1_000_000) for r in rows)
+    d = tempfile.mkdtemp(prefix="sess_rs_src_")
+    chk = tempfile.mkdtemp(prefix="sess_rs_chk_")
+
+    def run():
+        got = []
+        q = (
+            streaming_sessions(
+                spark.readStream.schema("user_id long, ts timestamp, event_id long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(d)
+            )
+            .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), "stream did not finish"
+        q.stop()
+        return got
+
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], ev.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    first = run()  # sessions still open at shutdown stay in state
+
+    spark.createDataFrame(rows[half:], ev.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    for k in (1, 2):  # flush batches so every session closes
+        flush_ts = datetime.fromtimestamp(
+            (max_us + k * 7_200_000_000) / 1_000_000, tz=timezone.utc
+        ).replace(tzinfo=None)
+        spark.createDataFrame(
+            [(-1, flush_ts, -k)], "user_id long, ts timestamp, event_id long"
+        ).coalesce(1).write.mode("append").parquet(d)
+    second = run()
+
+    key = lambda r: (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+    first_set = {key(r) for r in first if r.user_id >= 0}
+    second_set = {key(r) for r in second if r.user_id >= 0}
+    assert not (first_set & second_set), "a session emitted twice across restart"
+
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(
+            (int(r.ts.timestamp() * 1_000_000), r.event_id)
+        )
+    want = set()
+    for uid, evs in by_user.items():
+        evs.sort()
+        start = last = None
+        n = 0
+        for t, _eid in evs:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > SESSION_GAP_US:
+                want.add((uid, start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        want.add((uid, start, last, n))
+    assert first_set | second_set == want
