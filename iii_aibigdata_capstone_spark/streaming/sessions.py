@@ -20,9 +20,20 @@ Mechanics per micro-batch and user:
   is bounded by ACTIVE sessions, not by users ever seen.
 
 Session content (start, end, n_events) matches the batch gaps-and-islands
-sessions exactly; only emission TIME differs (a session emits when its
-gap elapses past the watermark, not when the job ends) — pinned by
+sessions exactly WHEN events arrive in event-time order per key; only
+emission TIME differs (a session emits when its gap elapses past the
+watermark, not when the job ends) — pinned by
 tests/test_stateful.py::test_streaming_sessions_equal_batch.
+
+Late-data policy (cross-batch out-of-order, admitted up to the
+watermark): an event at or before the open session's end joins that
+session — it is counted and may WIDEN the start, but never regresses the
+session end (the end is the event-time timeout anchor; moving it
+backwards could evict the session prematurely or produce end < start).
+A late event can therefore merge into the open session where the batch
+twin, seeing it in order, might have split two sessions — the standard
+streaming trade: exact equality holds for in-order keys, late events
+degrade to a principled merge rather than corrupt state.
 """
 
 from __future__ import annotations
@@ -64,7 +75,17 @@ def _session_fn(
         yield row(start, last, n)
         return
 
-    batch = pd.concat(list(pdfs), ignore_index=True)
+    frames = [p for p in pdfs if len(p)]
+    if not frames:
+        # engine handed an empty group (state exists, no surviving rows):
+        # re-arm the existing timeout and leave state untouched
+        if state.exists:
+            _, last, _ = state.get
+            state.setTimeoutTimestamp(
+                max((last + SESSION_GAP_US) // 1_000, state.getCurrentWatermarkMs() + 1)
+            )
+        return
+    batch = pd.concat(frames, ignore_index=True)
     ts_us = (batch["ts"].astype("int64") // 1_000).to_numpy()  # ns -> us
     order = sorted(range(len(batch)), key=lambda i: (ts_us[i], batch["event_id"].iloc[i]))
 
@@ -75,6 +96,12 @@ def _session_fn(
         t = int(ts_us[i])
         if start is None:
             start, last, n = t, t, 1
+        elif t <= last:
+            # cross-batch late arrival (in-batch rows are sorted, so this
+            # only happens against restored state): joins the open
+            # session — count it, widen the start if needed, never move
+            # the end (= the timeout anchor) backwards
+            start, n = min(start, t), n + 1
         elif t - last > SESSION_GAP_US:
             yield row(start, last, n)
             start, last, n = t, t, 1

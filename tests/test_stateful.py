@@ -328,7 +328,7 @@ def test_streaming_neardup_state_survives_restart(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "stream did not finish"
         q.stop()
         return rows
 
@@ -399,7 +399,7 @@ def test_streaming_neardup_hot_bucket_caps_state(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "stream did not finish"
         q.stop()
         return rows
 
@@ -468,7 +468,7 @@ def test_streaming_neardup_saturated_bucket_still_marks(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "stream did not finish"
         q.stop()
         return rows
 
@@ -665,3 +665,103 @@ def test_streaming_sessions_survive_restart(spark):
                 last, n = t, n + 1
         want.add((uid, start, last, n))
     assert first_set | second_set == want
+
+def test_streaming_sessions_late_event_within_watermark(spark):
+    """Cross-batch OUT-OF-ORDER events (late but inside the watermark) must
+    join the open session without corrupting it: the event is counted, the
+    start widens if the late event precedes it, and the session END never
+    regresses (it anchors the event-time timeout — regressing it could
+    evict prematurely or yield end < start)."""
+    import tempfile
+    from datetime import datetime, timezone
+
+    from iii_aibigdata_capstone_spark.streaming.sessions import streaming_sessions
+
+    def ts(sec):
+        return datetime.fromtimestamp(sec, tz=timezone.utc).replace(tzinfo=None)
+
+    d = tempfile.mkdtemp(prefix="sess_late_src_")
+    schema = "user_id long, ts timestamp, event_id long"
+    # batch 1: user 1 session spans 1000..1600s; user 2 single event at 1600s
+    # (watermark after this batch: 1600s - 10min = 1000s)
+    spark.createDataFrame(
+        [(1, ts(1000), 1), (1, ts(1600), 2), (2, ts(1600), 10)], schema
+    ).coalesce(1).write.mode("append").parquet(d)
+    # batch 2: LATE events, both >= the 1000s watermark:
+    #   user 1 @1200s — inside the open session: count it, end stays 1600s
+    #   user 2 @1100s — BEFORE the open session's start: start widens
+    spark.createDataFrame(
+        [(1, ts(1200), 3), (2, ts(1100), 11)], schema
+    ).coalesce(1).write.mode("append").parquet(d)
+    for k in (1, 2):  # flush batches so the sessions close
+        spark.createDataFrame(
+            [(-1, ts(1600 + k * 7200), -k)], schema
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    got_rows = []
+    q = (
+        streaming_sessions(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+        )
+        .writeStream.foreachBatch(lambda df, _id: got_rows.extend(df.collect()))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sess_late_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not finish"
+    q.stop()
+
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in got_rows
+        if r.user_id >= 0
+    }
+    assert got == {
+        (1, 1000_000_000, 1600_000_000, 3),
+        (2, 1100_000_000, 1600_000_000, 2),
+    }, got
+
+
+def test_session_fn_empty_batch_rearms_timeout():
+    """An invocation with state but NO surviving rows (engine-permitted)
+    must not crash or clobber state: the existing timeout is re-armed and
+    the open session is left untouched. With neither state nor rows the
+    call is a no-op."""
+    from iii_aibigdata_capstone_spark.streaming.sessions import (
+        SESSION_GAP_US,
+        _session_fn,
+    )
+
+    class FakeState:
+        def __init__(self, tup):
+            self._t = tup
+            self.exists = tup is not None
+            self.hasTimedOut = False
+            self.timeout = None
+            self.updated = None
+            self.removed = False
+
+        @property
+        def get(self):
+            return self._t
+
+        def update(self, t):
+            self.updated = t
+
+        def remove(self):
+            self.removed = True
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout = ms
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+    st = FakeState((1_000_000, 2_000_000, 3))
+    assert list(_session_fn((7,), iter([]), st)) == []
+    assert st.updated is None and not st.removed
+    assert st.timeout == (2_000_000 + SESSION_GAP_US) // 1_000
+
+    st2 = FakeState(None)
+    assert list(_session_fn((7,), iter([]), st2)) == []
+    assert st2.updated is None and st2.timeout is None
