@@ -83,21 +83,27 @@ def m8_binary_evaluator(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the reference — implemented here): areaUnderROC + areaUnderPR of the
     quarter model on a held-out slice (game_id % 5 == 0, never trained on a
     distinct slice — the reference evaluates in-sample; we keep its scoring
-    frame but report both metrics)."""
-    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    frame but report both metrics). Since r5 the metrics run through the
+    DISTRIBUTED rank-statistics path (ml/metrics.binary_rank_metrics) —
+    Catalyst window/aggregate over the scored rows, no driver-side
+    ``evaluate()`` loop — which is the shape that scores 100 TB; equality
+    with MLlib's evaluator is pinned in tests/test_ml_quarter.py. Still
+    rows-only for the driver (RF probabilities are seeded MLlib); the
+    hash-checked twin over deterministic logits is m8_rank_metrics."""
+    from pyspark.ml.functions import vector_to_array
 
+    from .metrics import binary_rank_metrics
     from .quarter import LABEL_COL, fit_quarter_model, quarter_stats_frame
 
     model = fit_quarter_model(spark, sf_dir)
     holdout = quarter_stats_frame(spark, sf_dir).where(F.col("game_id") % 5 == 0)
-    scored = model.transform(holdout)
-    rows = []
-    for metric in ("areaUnderROC", "areaUnderPR"):
-        ev = BinaryClassificationEvaluator(
-            labelCol=LABEL_COL, rawPredictionCol="rawPrediction", metricName=metric
-        )
-        rows.append((metric, round(ev.evaluate(scored), 6)))
-    return spark.createDataFrame(rows, "metric string, value double")
+    scored = model.transform(holdout).select(
+        F.element_at(vector_to_array("probability"), 2).alias("score"),
+        F.col(LABEL_COL).alias("y"),
+    )
+    return binary_rank_metrics(scored, "score", "y").select(
+        "metric", F.round("value", 6).alias("value")
+    )
 
 
 # --- M9: the training LOOP as dataflow -------------------------------------

@@ -1,0 +1,198 @@
+"""Distributed binary-classifier metrics as rank statistics (SURVEY.md
+§2.9 M8).
+
+Reference: qp/ml_model.py:31-33 intends a ``BinaryClassificationEvaluator``
+(areaUnderROC / areaUnderPR). MLlib's evaluator computes both on the
+driver via ``evaluate()`` — fine for a validation slice, wrong shape for
+scoring 100 TB. Both metrics are pure RANK statistics, so they lower to
+Catalyst aggregations over the scored rows:
+
+- **areaUnderROC** is the Mann-Whitney U statistic with midranks:
+  ``AUC = (sum of positive midranks - P(P+1)/2) / (P * N)``. With scores
+  grouped (ties share a group) the midrank sum is exact INTEGER
+  arithmetic — ``2*rank_sum = Σ np * (2*below + n + 1)`` — and the one
+  final division is bit-identical in any IEEE engine, so the metric
+  carries a full DuckDB oracle. Tie handling (midranks) is exactly the
+  trapezoidal ROC with tied scores collapsed — what MLlib computes.
+- **areaUnderPR** follows MLlib's curve convention: one point per
+  distinct score descending, ``(recall, precision)`` from cumulative
+  counts, a first segment from ``(0, p₁)`` (MLlib prepends it), trapezoid
+  between points. Per-segment terms are pure divisions/multiplications
+  (bit-identical cross-engine); the segment SUM is the one float
+  reduction whose ORDER matters, so it is a strict left-to-right fold in
+  both engines — Spark ``F.aggregate`` over the score-desc-sorted curve
+  array, DuckDB ``LIST_REDUCE`` over ``LIST(term ORDER BY score DESC)``
+  (the e12 sequential-fold discipline).
+
+Scale shape: one ``groupBy(score)`` shuffle reduces the corpus to the
+DISTINCT-SCORE curve table; every window/fold after that runs over curve
+points, not rows. For heavily-tied scores (integer logits, calibrated
+bins) the curve is tiny at any corpus size. For continuous scores,
+quantize first (``F.round(score, k)``) — the exact analogue of MLlib's
+``numBins`` down-sampling — or the curve grows with the data.
+"""
+
+from __future__ import annotations
+
+from textwrap import dedent
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import table
+from ..registry import QuerySpec, make_registrar
+
+SPECS: list[QuerySpec] = []
+query = make_registrar(SPECS)
+
+
+def binary_rank_metrics(scored: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """areaUnderROC + areaUnderPR of ``scored`` as distributed rank
+    statistics — ``(metric string, value double)``, two rows. Needs at
+    least one positive and one negative label. Equality with MLlib's
+    ``BinaryClassificationEvaluator`` (below its numBins down-sampling
+    threshold) is pinned in tests/test_ml_quarter.py."""
+    g = scored.groupBy(F.col(score_col).alias("score")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(label_col).cast("long")).alias("np"),
+    )
+    tot = g.agg(F.sum("np").alias("p"), (F.sum("n") - F.sum("np")).alias("neg"))
+
+    # --- ROC: exact integer midrank sums, ONE final division ------------
+    w_asc = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s2 = (
+        g.withColumn("below", F.sum("n").over(w_asc) - F.col("n"))
+        .agg(F.sum(F.col("np") * (2 * F.col("below") + F.col("n") + 1)).alias("s2"))
+    )
+    roc = s2.crossJoin(F.broadcast(tot)).select(
+        F.lit("areaUnderROC").alias("metric"),
+        (
+            (F.col("s2") - F.col("p") * (F.col("p") + 1)).cast("double")
+            / (2 * F.col("p") * F.col("neg")).cast("double")
+        ).alias("value"),
+    )
+
+    # --- PR: per-point terms, then a strict left-to-right fold ----------
+    w_desc_rows = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_desc = Window.orderBy(F.desc("score"))
+    curve = g.crossJoin(F.broadcast(tot)).select(
+        "score",
+        (F.sum("np").over(w_desc_rows).cast("double") / F.col("p").cast("double")).alias(
+            "rec"
+        ),
+        (
+            F.sum("np").over(w_desc_rows).cast("double")
+            / F.sum("n").over(w_desc_rows).cast("double")
+        ).alias("prec"),
+    )
+    terms = curve.select(
+        "score",
+        (
+            (F.col("rec") - F.coalesce(F.lag("rec").over(w_desc), F.lit(0.0)))
+            * (F.col("prec") + F.coalesce(F.lag("prec").over(w_desc), F.col("prec")))
+            / F.lit(2.0)
+        ).alias("term"),
+    )
+    # curve table only (distinct scores), never raw rows, reaches this array
+    arr = F.sort_array(F.collect_list(F.struct("score", "term")), asc=False)
+    pr = terms.agg(
+        F.aggregate(
+            arr, F.lit(0.0), lambda acc, s: acc + s["term"]
+        ).alias("value")
+    ).select(F.lit("areaUnderPR").alias("metric"), "value")
+    return roc.unionByName(pr)
+
+
+def _rank_metrics_oracle() -> str:
+    from ..operators.textual import QUALITY_LOGIT_SQL, STOPWORDS
+
+    return dedent(
+        f"""
+        WITH feat AS (
+            SELECT lang,
+                   LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+                   LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                   t -> t IN {STOPWORDS!r})) AS n_stop,
+                   LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_uniq,
+                   n_chars
+            FROM documents
+        ),
+        s AS (
+            SELECT CAST({QUALITY_LOGIT_SQL} AS BIGINT) AS score,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM feat
+        ),
+        g AS (
+            SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS np
+            FROM s GROUP BY score
+        ),
+        tot AS (
+            SELECT CAST(SUM(np) AS BIGINT) AS p,
+                   CAST(SUM(n - np) AS BIGINT) AS neg
+            FROM g
+        ),
+        s2 AS (
+            SELECT CAST(SUM(np * (2 * below + n + 1)) AS BIGINT) AS s2
+            FROM (
+                SELECT n, np,
+                       CAST(SUM(n) OVER (ORDER BY score
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - n AS BIGINT) AS below
+                FROM g
+            )
+        ),
+        curve AS (
+            SELECT score,
+                   CAST(SUM(np) OVER w AS DOUBLE) / CAST(p AS DOUBLE) AS rec,
+                   CAST(SUM(np) OVER w AS DOUBLE)
+                       / CAST(SUM(n) OVER w AS DOUBLE) AS prec
+            FROM g, tot
+            WINDOW w AS (ORDER BY score DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        terms AS (
+            SELECT score,
+                   (rec - COALESCE(LAG(rec) OVER (ORDER BY score DESC),
+                                   CAST(0 AS DOUBLE)))
+                   * (prec + COALESCE(LAG(prec) OVER (ORDER BY score DESC),
+                                      prec))
+                   / CAST(2 AS DOUBLE) AS term
+            FROM curve
+        )
+        SELECT 'areaUnderROC' AS metric,
+               CAST(s2 - p * (p + 1) AS DOUBLE)
+                   / CAST(2 * p * neg AS DOUBLE) AS value
+        FROM s2, tot
+        UNION ALL
+        SELECT 'areaUnderPR' AS metric,
+               LIST_REDUCE(
+                   LIST_PREPEND(CAST(0 AS DOUBLE),
+                                LIST(term ORDER BY score DESC)),
+                   (a, b) -> a + b) AS value
+        FROM terms
+        """
+    )
+
+
+@query("m8_rank_metrics", oracle=_rank_metrics_oracle(), tags=("M8", "X4", "ml", "metrics"))
+def m8_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 with a FULL oracle (VERDICT r4 item 1): areaUnderROC +
+    areaUnderPR of the deterministic quality-model logits
+    (x4_quality_model_score) against the lang='en' label, computed
+    entirely as Catalyst rank statistics — no driver-side ``evaluate()``
+    loop anywhere. The logits are exact BIGINT, so the score groups, rank
+    sums and curve counts match DuckDB exactly; AUC-ROC is one division
+    of exact integers and AUC-PR a left-to-right fold of bit-identical
+    per-segment doubles, so both RAW double outputs hash-match.
+    ``m8_binary_evaluator`` (ml/cluster.py) reports the RF lane through
+    this same distributed path."""
+    from ..operators.textual import score_documents
+
+    scored = score_documents(table(spark, sf_dir, "documents")).select(
+        F.col("logit_milli").alias("score"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    return binary_rank_metrics(scored, "score", "y")

@@ -91,9 +91,9 @@ def _collect_specs() -> list[QuerySpec]:
             continue
         modules.append(module)
     try:
-        from .ml import cluster, quarter
+        from .ml import cluster, metrics, quarter
 
-        modules.extend([quarter, cluster])
+        modules.extend([quarter, cluster, metrics])
     except ImportError:
         pass
     specs: list[QuerySpec] = []

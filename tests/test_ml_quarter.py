@@ -113,3 +113,61 @@ def test_scoring_golden_values(spark, model):
         "win_probability", [0.0, 0.25, 0.5, 0.75, 1.0], 0.0
     )
     assert quantiles == [0.5019, 0.7406, 0.8472, 0.9286, 1.0], quantiles
+
+def test_rank_metrics_match_mllib_evaluator(spark, model):
+    """The distributed rank-statistics AUC/PR (ml/metrics) must equal
+    MLlib's BinaryClassificationEvaluator on the same scored frame —
+    at test SF the distinct-score count is far below the evaluator's
+    numBins=1000 down-sampling threshold, so both compute the exact
+    un-binned curve and agree to float tolerance."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.functions import vector_to_array
+
+    from iii_aibigdata_capstone_spark.ml.metrics import binary_rank_metrics
+    from iii_aibigdata_capstone_spark.ml.quarter import LABEL_COL
+
+    holdout = quarter_stats_frame(spark, TEST_SF_DIR).where(F.col("game_id") % 5 == 0)
+    scored = model.transform(holdout)
+    assert (
+        scored.select(F.col("probability")).distinct().count() < 1000
+    ), "holdout has too many distinct scores for an exact-evaluator compare"
+
+    ours = {
+        r.metric: r.value
+        for r in binary_rank_metrics(
+            scored.select(
+                F.element_at(vector_to_array("probability"), 2).alias("score"),
+                F.col(LABEL_COL).alias("y"),
+            ),
+            "score",
+            "y",
+        ).collect()
+    }
+    for metric in ("areaUnderROC", "areaUnderPR"):
+        ev = BinaryClassificationEvaluator(
+            labelCol=LABEL_COL, rawPredictionCol="probability", metricName=metric
+        )
+        want = ev.evaluate(scored)
+        assert abs(ours[metric] - want) < 1e-9, (metric, ours[metric], want)
+    assert 0.5 < ours["areaUnderROC"] <= 1.0  # the RF beats coin flips
+
+
+def test_rank_metrics_known_values(spark):
+    """Hand-checkable golden: scores (y=1: 0.9, 0.8, 0.4) vs (y=0: 0.7,
+    0.3) with a TIE at 0.7 -> midrank AUC = 5.5/6; PR trapezoid per
+    MLlib's convention (first segment from (0, p1))."""
+    from iii_aibigdata_capstone_spark.ml.metrics import binary_rank_metrics
+
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.7, 0), (0.7, 1), (0.3, 0)],
+        "score double, y long",
+    )
+    got = {r.metric: r.value for r in binary_rank_metrics(df, "score", "y").collect()}
+    # midranks ascending: 0.3->1, 0.7 pair->2.5 each, 0.8->4, 0.9->5
+    # positive rank sum = 2.5 + 4 + 5 = 11.5; AUC = (11.5 - 3*4/2)/(3*2)
+    assert abs(got["areaUnderROC"] - (11.5 - 6.0) / 6.0) < 1e-12
+    # curve (recall, precision) desc: (1/3,1), (2/3,1), (1, 3/4) [tie group]
+    # then the 0.3 point (1, 3/5); MLlib area:
+    # 1/3*1 + 1/3*1 + 1/3*(1+0.75)/2 + 0*(0.75+0.6)/2
+    want_pr = 1 / 3 + 1 / 3 + (1 / 3) * (1 + 0.75) / 2
+    assert abs(got["areaUnderPR"] - want_pr) < 1e-12
