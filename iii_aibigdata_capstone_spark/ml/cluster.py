@@ -106,6 +106,222 @@ def m8_binary_evaluator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- M4 as dataflow: deterministic Lloyd's iterations -----------------------
+
+LLOYD_K = 5
+LLOYD_ITERS = 6
+
+
+def _lloyd_dist_sql(j: int) -> str:
+    """Squared distance to centroid j — ONE string used verbatim by both
+    the Spark side (F.expr) and the DuckDB oracle, so the IEEE expression
+    trees match term for term (explicit x*x, not POWER)."""
+    return (
+        f"(r - cr{j}) * (r - cr{j}) + (g - cg{j}) * (g - cg{j})"
+        f" + (b - cb{j}) * (b - cb{j})"
+    )
+
+
+def _lloyd_cl_sql() -> str:
+    """Argmin over d0..d{k-1} with lowest-index tie-break, as a CASE
+    cascade (deterministic in both engines, no struct/min_by needed)."""
+    arms = []
+    for j in range(LLOYD_K - 1):
+        conds = " AND ".join(f"d{j} <= d{m}" for m in range(j + 1, LLOYD_K))
+        arms.append(f"WHEN {conds} THEN {j}")
+    return "CASE " + " ".join(arms) + f" ELSE {LLOYD_K - 1} END"
+
+
+_LLOYD_HASH_SPARK = (
+    "CAST(conv(substring(md5(concat(CAST(vec_id AS STRING), ':',"
+    " CAST(pix_idx AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+)
+_LLOYD_HASH_DUCK = (
+    "CAST('0x' || SUBSTR(MD5(vec_id || ':' || pix_idx), 1, 15) AS BIGINT)"
+)
+
+
+def _lloyd_oracle() -> str:
+    """Unrolled Lloyd's iterations as MATERIALIZED CTEs (the M9/PageRank
+    recipe). Init: per hash-bucket argmin-by-md5 pixel (lexicographic
+    struct MIN — deterministic under the astronomically-unlikely 60-bit
+    hash collision). Each iteration: CASE-cascade assignment against the
+    1-row centroid table, 15 conditional AVGs, COALESCE to the previous
+    centroid if a cluster empties. Only float-summation order diverges
+    from Spark (the AVGs); assignments are argmin over distances spread
+    ~1e3 apart, so a ~1e-13 centroid wobble never flips one."""
+    ks = range(LLOYD_K)
+    dists = ",\n                   ".join(f"{_lloyd_dist_sql(j)} AS d{j}" for j in ks)
+    avgs = ", ".join(
+        f"AVG(CASE WHEN cl = {j} THEN {ch} END) AS a{ch}{j}"
+        for j in ks
+        for ch in ("r", "g", "b")
+    )
+    keep = ", ".join(
+        f"COALESCE(a{ch}{j}, c{ch}{j}) AS c{ch}{j}"
+        for j in ks
+        for ch in ("r", "g", "b")
+    )
+    steps = []
+    for k in range(1, LLOYD_ITERS + 1):
+        steps.append(
+            f""",
+        d{k} AS MATERIALIZED (
+            SELECT px.*, {dists}
+            FROM px CROSS JOIN c{k - 1}
+        ),
+        a{k} AS MATERIALIZED (
+            SELECT {_lloyd_cl_sql()} AS cl, r, g, b FROM d{k}
+        ),
+        c{k} AS MATERIALIZED (
+            SELECT {keep}
+            FROM (SELECT {avgs} FROM a{k}) CROSS JOIN c{k - 1}
+        )"""
+        )
+    init_max = ", ".join(
+        f"MAX(CASE WHEN bucket = {j} THEN m.{ch} END) AS c{ch}{j}"
+        for j in ks
+        for ch in ("r", "g", "b")
+    )
+    cent_rows = "\n            UNION ALL ".join(
+        f"SELECT {j} AS cluster, cr{j} AS cr, cg{j} AS cg, cb{j} AS cb"
+        f" FROM c{LLOYD_ITERS}"
+        for j in ks
+    )
+    return f"""
+        WITH px AS MATERIALIZED (
+            SELECT vec_id, CAST(i AS BIGINT) AS pix_idx,
+                   CAST(embedding[3 * i + 1] AS DOUBLE) * 128 + 128 AS r,
+                   CAST(embedding[3 * i + 2] AS DOUBLE) * 128 + 128 AS g,
+                   CAST(embedding[3 * i + 3] AS DOUBLE) * 128 + 128 AS b
+            FROM embeddings, UNNEST(RANGE(0, LEN(embedding) // 3)) AS t(i)
+        ),
+        i0 AS MATERIALIZED (
+            SELECT hh % {LLOYD_K} AS bucket,
+                   MIN({{'hh': hh, 'v': vec_id, 'p': pix_idx,
+                         'r': r, 'g': g, 'b': b}}) AS m
+            FROM (SELECT px.*, {_LLOYD_HASH_DUCK} AS hh FROM px)
+            GROUP BY hh % {LLOYD_K}
+        ),
+        c0 AS MATERIALIZED (
+            SELECT {init_max} FROM i0
+        ){"".join(steps)},
+        dfin AS MATERIALIZED (
+            SELECT px.*, {dists}
+            FROM px CROSS JOIN c{LLOYD_ITERS}
+        ),
+        hist AS MATERIALIZED (
+            SELECT cl, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT {_lloyd_cl_sql()} AS cl FROM dfin)
+            GROUP BY cl
+        ),
+        cent AS MATERIALIZED (
+            {cent_rows}
+        )
+        SELECT CAST(h.cl AS BIGINT) AS cluster, h.cnt,
+               CAST(h.cnt AS DOUBLE)
+                   / CAST(SUM(h.cnt) OVER () AS DOUBLE) AS share,
+               h.cnt = MAX(h.cnt) OVER () AS is_dominant,
+               ROUND(c.cr, 6) AS cr, ROUND(c.cg, 6) AS cg,
+               ROUND(c.cb, 6) AS cb
+        FROM hist h JOIN cent c ON h.cl = c.cluster
+        """
+
+
+@query(
+    "m4_lloyd_iterations",
+    oracle=_lloyd_oracle(),
+    tags=("M4", "T3", "A3", "A4", "A5", "iterative"),
+)
+def m4_lloyd_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 KMeans re-expressed as dataflow with a FULL oracle (VERDICT r4
+    item 2) — deterministic Lloyd's over the T3 pixel table (reference
+    pi/dl_k_to_ss.py:328-330 runs sklearn KMeans(k=5) per torso crop; the
+    corpus-scale variant must be the iteration itself, not a seeded
+    black box). Init is data-derived and deterministic: the md5-argmin
+    pixel of each hash bucket (j = h % k). Each of the {LLOYD_ITERS}
+    iterations is one broadcast of the 1-row centroid table + a
+    CASE-cascade argmin assignment (lowest-index tie-break — shared SQL
+    text with the oracle, identical IEEE trees) + ONE map-side-combined
+    aggregation (15 conditional AVGs), with COALESCE keeping an emptied
+    cluster's previous centroid — zero driver actions in the loop, the
+    m9/PageRank shape. The A3-A5 chain (histogram, share, dominant flag)
+    sits on the final assignment; output carries round-6 centroids.
+    ``m4_kmeans_dominant`` keeps the seeded-MLlib variant for parity with
+    real MLlib pipelines."""
+    px = pixel_rows(spark, sf_dir).localCheckpoint(eager=False)
+    chans = [(j, ch) for j in range(LLOYD_K) for ch in ("r", "g", "b")]
+
+    init_rows = (
+        px.withColumn("hh", F.expr(_LLOYD_HASH_SPARK))
+        .withColumn("bucket", F.col("hh") % LLOYD_K)
+        .groupBy("bucket")
+        .agg(F.min(F.struct("hh", "vec_id", "pix_idx", "r", "g", "b")).alias("m"))
+    )
+    c = init_rows.agg(
+        *[
+            F.max(F.when(F.col("bucket") == j, F.col(f"m.{ch}"))).alias(f"c{ch}{j}")
+            for j, ch in chans
+        ]
+    )
+
+    def assign(frame: DataFrame) -> DataFrame:
+        d = frame
+        for j in range(LLOYD_K):
+            d = d.withColumn(f"d{j}", F.expr(_lloyd_dist_sql(j)))
+        return d.withColumn("cl", F.expr(_lloyd_cl_sql()))
+
+    for _ in range(LLOYD_ITERS):
+        a = assign(px.crossJoin(F.broadcast(c)))
+        means = a.agg(
+            *[
+                F.avg(F.when(F.col("cl") == j, F.col(ch))).alias(f"a{ch}{j}")
+                for j, ch in chans
+            ]
+        )
+        c = (
+            means.crossJoin(F.broadcast(c))
+            .select(
+                *[
+                    F.coalesce(F.col(f"a{ch}{j}"), F.col(f"c{ch}{j}")).alias(
+                        f"c{ch}{j}"
+                    )
+                    for j, ch in chans
+                ]
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    hist = (
+        assign(px.crossJoin(F.broadcast(c)))
+        .groupBy("cl")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cents = [
+        c.select(
+            F.lit(j).cast("long").alias("cluster"),
+            F.col(f"cr{j}").alias("cr"),
+            F.col(f"cg{j}").alias("cg"),
+            F.col(f"cb{j}").alias("cb"),
+        )
+        for j in range(LLOYD_K)
+    ]
+    cent = cents[0]
+    for extra in cents[1:]:
+        cent = cent.unionByName(extra)
+    total = F.sum("cnt").over(Window.partitionBy())
+    dominant = F.max("cnt").over(Window.partitionBy())
+    return hist.join(F.broadcast(cent), hist.cl == cent.cluster).select(
+        "cluster",
+        "cnt",
+        (F.col("cnt").cast("double") / total.cast("double")).alias("share"),
+        (F.col("cnt") == dominant).alias("is_dominant"),
+        F.round("cr", 6).alias("cr"),
+        F.round("cg", 6).alias("cg"),
+        F.round("cb", 6).alias("cb"),
+    )
+
+
 # --- M9: the training LOOP as dataflow -------------------------------------
 
 GD_ITERS = 8
