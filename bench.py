@@ -78,6 +78,9 @@ HEADLINE = [
     "x9_dsir_resample",
     "k12_render_annotations",
     "m9_gd_training_loop",
+    "x2_paragraph_dedup",
+    "m4_lloyd_iterations",
+    "m8_rank_metrics",
 ]
 
 
@@ -95,7 +98,12 @@ def main() -> None:
     # previous queries' garbage.
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     spark = get_spark(app_name="iii-capstone-bench")
-    spark.sparkContext.setLogLevel("ERROR")
+    # OFF, not ERROR: a 90-execution shared JVM emits benign ERROR-level
+    # shutdown noise (DAGScheduler fragments from streaming teardown) that
+    # lands in the artifact above the metric line and can camouflage a real
+    # failure. Real failures are reported through the JSON "errors" dict —
+    # the reliable channel — so console log4j output carries no signal here.
+    spark.sparkContext.setLogLevel("OFF")
 
     # Warmup: the flagship primes JVM/codegen; the identity mapInPandas
     # primes the Python worker pool (first pandas-UDF query otherwise pays
@@ -206,7 +214,10 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    # the metric line must be the LAST thing in the artifact: drain any
+    # buffered stderr first so late JVM noise cannot interleave above it
+    sys.stderr.flush()
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

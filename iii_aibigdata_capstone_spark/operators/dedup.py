@@ -1508,3 +1508,211 @@ def x1_fuzzy_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("canonical"),
         )
     )
+
+
+# --- paragraph-level near-dup (sub-document granularity) --------------------
+
+PARA_TOKENS = 12
+PARA_ID_STRIDE = 1024  # para_id = doc_id * stride + pidx; docs here have
+# <= ~50 windows, and at any real scale paragraph counts stay far below
+# the stride (split pathological documents upstream)
+
+
+@query(
+    "x2_paragraph_dedup",
+    oracle=dedent(
+        f"""
+        WITH RECURSIVE
+        ws AS (
+            SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS w FROM documents
+        ),
+        paras AS (
+            SELECT doc_id, lang, CAST(i AS BIGINT) AS pidx,
+                   doc_id * {PARA_ID_STRIDE} + i AS para_id,
+                   ARRAY_TO_STRING(w[{PARA_TOKENS}*i+1 : {PARA_TOKENS}*i+{PARA_TOKENS}], ' ') AS ptext
+            FROM ws, UNNEST(RANGE(0, (LEN(w) + {PARA_TOKENS} - 1) // {PARA_TOKENS})) AS t(i)
+        ),
+        exact AS (
+            SELECT *, MIN(para_id) OVER (PARTITION BY MD5(ptext)) AS canon_exact
+            FROM paras
+        ),
+        survivors AS (SELECT * FROM exact WHERE para_id = canon_exact),
+        toks AS (
+            SELECT para_id, lang, STRING_SPLIT(ptext, ' ') AS t FROM survivors
+        ),
+        shingles AS (
+            SELECT DISTINCT para_id AS doc_id, lang,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
+                                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+            FROM toks WHERE LEN(t) >= 3
+        ),
+        hashed AS (
+            SELECT doc_id, lang,
+                   CAST('0x' || SUBSTR(MD5(s), 1, 15) AS BIGINT) % 1073741824 AS hlo,
+                   CAST('0x' || SUBSTR(MD5(s), 1, 15) AS BIGINT) // 1073741824 AS hhi,
+                   s
+            FROM shingles
+        ),
+        mins AS (
+            SELECT doc_id, lang,
+               {_MINHASH_MIN_SQL}
+            FROM hashed GROUP BY 1, 2
+        ),
+        bk AS (
+            SELECT doc_id, lang,
+                   UNNEST(RANGE(0, {N_MINHASH_BANDS})) AS band,
+                   UNNEST([{_MINHASH_BKEY_SQL}]) AS bkey
+            FROM mins
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang
+            FROM bk a JOIN bk b
+              ON a.lang = b.lang AND a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+            FROM cand c
+            JOIN shingles x ON x.doc_id = c.doc_a AND x.lang = c.lang
+            JOIN shingles y ON y.doc_id = c.doc_b AND y.s = x.s AND y.lang = c.lang
+            GROUP BY 1, 2
+        ),
+        pair AS (
+            SELECT i.doc_a, i.doc_b FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.5
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pair
+            UNION ALL SELECT doc_b, doc_a FROM pair
+        ),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach AS (
+            SELECT node AS src, node AS dst FROM nodes
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+        ),
+        clusters AS (SELECT src AS para_id, MIN(dst) AS cluster FROM reach GROUP BY src),
+        st AS (
+            SELECT e.doc_id, e.pidx, e.ptext,
+                   CASE WHEN e.para_id <> e.canon_exact THEN 'exact'
+                        WHEN c.cluster IS NOT NULL AND c.cluster <> e.para_id THEN 'near'
+                        ELSE 'kept' END AS st
+            FROM exact e LEFT JOIN clusters c ON c.para_id = e.para_id
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_paras,
+               CAST(SUM(CASE WHEN st = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN st = 'exact' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_removed,
+               CAST(SUM(CASE WHEN st = 'near' THEN 1 ELSE 0 END) AS BIGINT) AS n_near_removed,
+               COALESCE(STRING_AGG(CASE WHEN st = 'kept' THEN ptext END,
+                                   ' ' ORDER BY pidx), '') AS kept_text
+        FROM st GROUP BY doc_id
+        """
+    ),
+    tags=("X2", "X1", "paragraph", "pipeline"),
+)
+def x2_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level near-dup dedup — the FineWeb/Dolma corpus-cleaning
+    granularity (document-level dedup misses boilerplate repeated ACROSS
+    otherwise-distinct documents). The synthetic corpus has no newline
+    paragraph marks, so the splitter is fixed {PARA_TOKENS}-token windows;
+    a real corpus swaps in split-on-'\\n\\n' and every stage downstream of
+    ``paras`` is unchanged — the splitter is the only knob.
+
+    Stages (each reusing the document-level machinery at paragraph grain):
+    1. SPLIT: token windows -> (doc_id, pidx, para_id, ptext), exploded
+       AFTER a doc_id repartition (compact-file corpora read as one
+       partition — the explode must fan out first);
+    2. EXACT: window-min over md5(ptext) — the corpus-wide "same paragraph
+       seen elsewhere" test, keeper = min para_id;
+    3. NEAR-DUP: banded-MinHash + exact-Jaccard >= 0.5 over the exact
+       survivors' paragraph shingles (``_minhash_verified_pairs`` — equi
+       joins only), then min-label connected components
+       (``_min_label_propagation``); a paragraph survives iff it IS its
+       cluster's min id;
+    4. REASSEMBLE: per document, scrubbed text = surviving paragraphs
+       re-joined in position order (sort_array over collected (pidx,
+       ptext) structs) plus removal stats — the artifact a curation
+       pipeline writes back.
+
+    Everything is exact integer/string output, so the recursive-CTE
+    oracle (the fuzzy-pipeline pattern at paragraph grain) hash-matches."""
+    para_arr = F.split(F.col("text"), " ")
+    n_windows = F.ceil(F.size(para_arr) / F.lit(PARA_TOKENS)).cast("int")
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    paras = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_windows - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(para_arr, i * PARA_TOKENS + 1, PARA_TOKENS)
+                    ),
+                )
+            ).alias("pidx", "ptext"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("pidx").cast("long").alias("pidx"),
+            (F.col("doc_id") * PARA_ID_STRIDE + F.col("pidx")).alias("para_id"),
+            "ptext",
+        )
+    )
+    w = Window.partitionBy(F.md5("ptext"))
+    exact = paras.withColumn(
+        "canon_exact", F.min("para_id").over(w)
+    ).localCheckpoint(eager=False)  # stage boundary: survivors + final verdict
+    survivors = exact.where(F.col("para_id") == F.col("canon_exact"))
+
+    t = F.split(F.col("ptext"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+        ),
+    )
+    sh = (
+        survivors.where(F.size(t) >= 3)
+        .select(
+            F.col("para_id").alias("doc_id"),
+            "lang",
+            F.explode(F.array_distinct(grams)).alias("s"),
+        )
+        .localCheckpoint(eager=False)  # consumed by minhash, sizes, verify
+    )
+    pairs = _minhash_verified_pairs(sh).select("doc_a", "doc_b")
+    labels = _min_label_propagation(pairs)
+
+    st = (
+        exact.join(labels, exact.para_id == labels.node, "left")
+        .withColumn(
+            "st",
+            F.when(F.col("para_id") != F.col("canon_exact"), F.lit("exact"))
+            .when(
+                F.col("label").isNotNull() & (F.col("label") != F.col("para_id")),
+                F.lit("near"),
+            )
+            .otherwise(F.lit("kept")),
+        )
+    )
+    kept_struct = F.when(F.col("st") == "kept", F.struct("pidx", "ptext"))
+    return st.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum((F.col("st") == "kept").cast("long")).alias("n_kept"),
+        F.sum((F.col("st") == "exact").cast("long")).alias("n_exact_removed"),
+        F.sum((F.col("st") == "near").cast("long")).alias("n_near_removed"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(kept_struct)), lambda s: s["ptext"]
+            ),
+            " ",
+        ).alias("kept_text"),
+    )

@@ -81,6 +81,10 @@ DEFAULT = [
     "x3_mmr_rerank",
     "x9_dsir_resample",
     "m9_gd_training_loop",
+    # r5 additions (each over GATE_MIN_SEC or iterative/pipeline-shaped)
+    "x2_paragraph_dedup",
+    "m4_lloyd_iterations",
+    "m8_rank_metrics",
 ]
 
 
