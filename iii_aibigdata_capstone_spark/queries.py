@@ -91,9 +91,9 @@ def _collect_specs() -> list[QuerySpec]:
             continue
         modules.append(module)
     try:
-        from .ml import cluster, metrics, quarter
+        from .ml import cluster, metrics, quarter, rf_apply
 
-        modules.extend([quarter, cluster, metrics])
+        modules.extend([quarter, cluster, metrics, rf_apply])
     except ImportError:
         pass
     specs: list[QuerySpec] = []

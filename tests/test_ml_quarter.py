@@ -171,3 +171,67 @@ def test_rank_metrics_known_values(spark):
     # 1/3*1 + 1/3*1 + 1/3*(1+0.75)/2 + 0*(0.75+0.6)/2
     want_pr = 1 / 3 + 1 / 3 + (1 / 3) * (1 + 0.75) / 2
     assert abs(got["areaUnderPR"] - want_pr) < 1e-12
+
+def test_rf_export_matches_frozen_literal(spark):
+    """The frozen QUARTER_RF_TREES literal must equal a fresh export of
+    the canonical fit (sf0.01 training slice, seed 42) — the fit is
+    reproducible (verified bit-identical across local[8]/local[32]), so
+    drift here means the model definition or data derivation changed and
+    tools/gen_rf_trees.py must be re-run."""
+    from iii_aibigdata_capstone_spark.ml.rf_apply import (
+        QUARTER_RF_TREES,
+        export_rf_trees,
+    )
+
+    model = fit_quarter_model(spark, "/root/testdata/sf0.01")
+    assert export_rf_trees(model.stages[-1]) == QUARTER_RF_TREES
+
+
+def test_rf_case_cascade_equals_mllib_transform(spark, model):
+    """The generated CASE cascade must score BIT-IDENTICALLY to MLlib's
+    PipelineModel.transform for the SAME forest: export the fresh
+    test-SF fit's trees, score the quarter frame both ways, compare
+    prediction exactly and the class-1 probability to 1e-15 (the cascade
+    reproduces predictRaw's per-leaf integer divisions, tree-order
+    summation, and normalize)."""
+    import pyspark.sql.functions as SF
+    from pyspark.ml.functions import vector_to_array
+
+    from iii_aibigdata_capstone_spark.ml.rf_apply import rf_votes_sql, export_rf_trees
+
+    trees = export_rf_trees(model.stages[-1])
+    frame = quarter_stats_frame(spark, TEST_SF_DIR)
+    ml = model.transform(frame).select(
+        "game_id",
+        SF.col("prediction").cast("int").alias("prediction"),
+        SF.element_at(vector_to_array("probability"), 2).alias("p_win"),
+    )
+
+    assembled = model.transform(frame).select(
+        "game_id", vector_to_array("features").alias("fv")
+    )
+    feats = assembled.select(
+        "game_id", *[SF.col("fv")[i].alias(f"f{i}") for i in range(15)]
+    )
+    ours = feats.selectExpr(
+        "game_id",
+        f"{rf_votes_sql(trees, 0)} AS v0",
+        f"{rf_votes_sql(trees, 1)} AS v1",
+    ).selectExpr(
+        "game_id",
+        "CAST(v1 > v0 AS INT) AS prediction",
+        "v1 / (v0 + v1) AS p_win",
+    )
+
+    joined = ml.alias("a").join(ours.alias("b"), "game_id").select(
+        SF.col("a.prediction").alias("pa"),
+        SF.col("b.prediction").alias("pb"),
+        SF.col("a.p_win").alias("wa"),
+        SF.col("b.p_win").alias("wb"),
+    )
+    bad = joined.where(
+        (SF.col("pa") != SF.col("pb"))
+        | (SF.abs(SF.col("wa") - SF.col("wb")) > 1e-15)
+    ).count()
+    assert bad == 0
+    assert joined.count() == frame.count()
