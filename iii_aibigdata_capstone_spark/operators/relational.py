@@ -731,6 +731,11 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3-shaped join + aggregate + deterministic top-k. Filters are
     pushed below the joins by Catalyst; the LIMIT is applied via a
     TakeOrderedAndProject (per-partition top-k + merge), never a full sort.
+    The lineitem edge is MERGE-hinted: compressed-parquet size estimates
+    auto-broadcast the fact table (single-threaded driver hash build —
+    1.05 s vs 0.74 s SMJ at sf0.1), and a lineitem hash relation is the
+    plan that dies at 100 TB (the q5 lesson, applied to every fact⋈fact
+    edge in the TPC-H lane).
     """
     c = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders").where(
@@ -741,7 +746,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(li.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -782,6 +787,13 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (constant-size at any SF); the customer⋈orders⋈lineitem spine shuffles
     on its natural keys and AQE handles skew. The local-supplier condition
     (s_nationkey = c_nationkey) rides the supplier equi-join.
+
+    The lineitem edge carries an explicit MERGE hint: parquet compression
+    tricks the size estimator into auto-broadcasting the 600k-row FACT
+    table (a single-threaded driver hash-relation build — measured 1.32 s
+    vs 0.89 s for SMJ at sf0.1, the r4 bench drift), and a fact-table
+    hash relation is exactly the plan that dies at 100 TB. Sort-merge on
+    l_orderkey is the shape both scales want.
     """
     r = table(spark, sf_dir, "region").where(F.col("r_name").isin("ASIA", "EUROPE"))
     n = table(spark, sf_dir, "nation")
@@ -794,7 +806,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), n.n_regionkey == r.r_regionkey)
         .join(c, c.c_nationkey == n.n_nationkey)
         .join(o, o.o_custkey == c.c_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(li.hint("merge"), li.l_orderkey == o.o_orderkey)
         .join(
             F.broadcast(s),
             (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),

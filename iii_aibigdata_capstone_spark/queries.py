@@ -137,7 +137,10 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Revenue per nation with a per-region rank, top 3 nations per region.
     region/nation broadcast; one shuffle for the big join spine, one for
-    the (tiny) windowed ranking.
+    the (tiny) windowed ranking. The lineitem⋈orders edge is MERGE-hinted:
+    both sides are fact tables, and letting the size estimator broadcast
+    one of them is the plan that dies at 100 TB (and is measurably slower
+    even at sf0.1 — the q5 lesson).
     """
     r = table(spark, sf_dir, "region")
     n = table(spark, sf_dir, "nation")
@@ -146,7 +149,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     per_nation = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)

@@ -13,10 +13,14 @@ from iii_aibigdata_capstone_spark.queries import flagship, registry
 from .conftest import TEST_SF_DIR
 
 
-def test_flagship_broadcasts_dims_no_smj(spark):
+def test_flagship_broadcasts_dims_merges_facts(spark):
+    # dims (region/nation) broadcast; the fact spine is MERGE-hinted since
+    # r5 — compressed-parquet size estimates used to auto-broadcast a fact
+    # table (the q5 bench drift), and a fact-table hash relation is the
+    # plan that dies at 100 TB. SMJ on the spine is the intended shape.
     a = audit(flagship(spark, TEST_SF_DIR))
     assert a.broadcast_joins > 0
-    assert a.sort_merge_joins == 0  # dims broadcast; facts auto-sized by AQE
+    assert a.sort_merge_joins >= 1
 
 
 def test_q1_scan_is_pruned_and_pushed(spark):
