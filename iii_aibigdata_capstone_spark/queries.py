@@ -15,6 +15,39 @@ from .catalog import table
 from .registry import QuerySpec
 
 
+def _driver_last_green_round() -> dict[str, int]:
+    """name -> highest round number whose CORRECTNESS file records a green
+    row (hash or intended rows-only) for the query. Drives the STALE-FIRST
+    rotation: with every query verified at least once, the residual risk
+    is stale greens, so the driver's per-round budget should re-check the
+    queries it has not seen for the longest."""
+    import glob
+    import json
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                records = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, rec in records.items():
+            if not isinstance(rec, dict):
+                continue
+            green = rec.get("hash_match") is True or (
+                rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
+            )
+            if green:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
 def _driver_verified_names() -> tuple[frozenset[str], frozenset[str]]:
     """Names that already earned a fully-green driver CORRECTNESS row in
     ANY past round (rows + schema + hash all true, or the intended
@@ -63,6 +96,7 @@ def _driver_verified_names() -> tuple[frozenset[str], frozenset[str]]:
 _DRIVER_HASH_VERIFIED, _DRIVER_ROWS_ONLY = _driver_verified_names()
 # union kept for the emulator's "unchecked queries" default mode
 _DRIVER_VERIFIED: frozenset[str] = _DRIVER_HASH_VERIFIED | _DRIVER_ROWS_ONLY
+_DRIVER_LAST_GREEN = _driver_last_green_round()
 
 
 def _collect_specs() -> list[QuerySpec]:
@@ -110,15 +144,21 @@ def _collect_specs() -> list[QuerySpec]:
     # driver's per-round budget covers ~50 names, and a hash-green row is
     # strictly stronger evidence than a rows-only record, so rows-only
     # queries (all value-pinned by local pytest goldens anyway) wait their
-    # turn. Within each group the module order above is preserved.
-    # "verified" for ordering purposes = a green hash row, or a rows-only
-    # row for a query that (still) has no oracle. A rows-only query that
-    # has since GAINED an oracle re-registers first for its hash row.
+    # turn. "verified" for ordering purposes = a green hash row, or a
+    # rows-only row for a query that (still) has no oracle. A rows-only
+    # query that has since GAINED an oracle re-registers first for its
+    # hash row. WITHIN the verified group, STALEST-FIRST rotation: sort by
+    # the round of the last green record ascending, so the driver's
+    # budget re-verifies the queries it has not checked for the longest
+    # instead of re-reading last round's fifty forever (stale-green risk
+    # replaces never-checked risk once everything is covered). Module
+    # order breaks remaining ties stably.
     specs.sort(
         key=lambda spec: (
             spec.name in _DRIVER_HASH_VERIFIED
             or (spec.oracle is None and spec.name in _DRIVER_ROWS_ONLY),
             spec.oracle is None,
+            _DRIVER_LAST_GREEN.get(spec.name, 0),
         )
     )
     return specs
