@@ -940,12 +940,15 @@ QUALITY_LOGIT_SQL = (
 )
 
 
-def score_documents(docs: DataFrame) -> DataFrame:
+def score_documents(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Apply the quality model to any (doc_id, lang, text, n_chars)
     DataFrame — batch OR streaming (the scorer is stateless, so the same
     transform drops into a readStream pipeline unchanged; pinned by
     tests/test_streaming.py::test_streaming_quality_scores_equal_batch).
-    See x4_quality_model_score for the full story."""
+    ``keep`` names extra input columns to pass through unchanged — how a
+    streaming ingest gate keeps ``text`` flowing to the next stage (the
+    composed stream pipeline in tests/test_streaming.py). See
+    x4_quality_model_score for the full story."""
     import numpy as np
     import pandas as pd
 
@@ -953,6 +956,7 @@ def score_documents(docs: DataFrame) -> DataFrame:
     sc = spark.sparkContext
     bweights = sc.broadcast(dict(QUALITY_MODEL))
     stop = frozenset(STOPWORDS)
+    keep = tuple(c for c in keep if c not in ("doc_id", "lang"))
 
     def score(batches):
         w = bweights.value
@@ -971,19 +975,24 @@ def score_documents(docs: DataFrame) -> DataFrame:
                 + w["n_uniq"] * n_uniq
                 + w["n_chars"] * n_chars
             )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "lang": pdf["lang"],
-                    "logit_milli": logit,
-                    "quality_pass": logit >= 0,
-                }
-            )
+            out = {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "logit_milli": logit,
+                "quality_pass": logit >= 0,
+            }
+            for c in keep:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return docs.select("doc_id", "lang", "text", "n_chars").mapInPandas(
-        score,
-        "doc_id long, lang string, logit_milli long, quality_pass boolean",
+    dtypes = dict(docs.dtypes)
+    in_cols = ["doc_id", "lang", "text", "n_chars"] + [
+        c for c in keep if c not in ("text", "n_chars")
+    ]
+    schema = "doc_id long, lang string, logit_milli long, quality_pass boolean" + "".join(
+        f", {c} {dtypes[c]}" for c in keep
     )
+    return docs.select(*in_cols).mapInPandas(score, schema)
 
 
 @query(

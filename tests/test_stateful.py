@@ -59,7 +59,7 @@ def test_first_seen_dedup_across_batches(spark):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish"
 
     got = spark.sql("SELECT user_id, event_type FROM first_seen").collect()
     keys = [(r.user_id, r.event_type) for r in got]
@@ -90,7 +90,7 @@ def test_state_survives_query_restart(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not finish"
         return rows
 
     # batch 1: evens only
@@ -127,7 +127,7 @@ def test_running_totals_accumulate(spark):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish"
 
     # last emission per user must equal the batch aggregate
     got = spark.sql(
@@ -179,7 +179,7 @@ def test_drop_duplicates_within_watermark(spark):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish"
     got = [(r.user_id, r.event_type) for r in spark.sql("SELECT * FROM wm_dedup").collect()]
     want = {(r.user_id, r.event_type) for r in df.select("user_id", "event_type").distinct().collect()}
     assert len(got) == len(set(got)) == len(want)
@@ -220,7 +220,7 @@ def test_streaming_neardup_matches_batch_candidates(spark):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish"
     q.stop()
     got = {(r.band, r.doc_a, r.doc_b) for r in rows}
     assert len(got) == len(rows), "a bucket emitted the same pair twice"
@@ -291,7 +291,7 @@ def test_streaming_neardup_verified_equals_batch_pairs(spark):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish"
     q.stop()
 
     want = {

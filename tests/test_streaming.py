@@ -413,3 +413,120 @@ def test_streaming_quality_scores_equal_batch(spark):
 
     want = sorted(map(tuple, score_documents(docs).collect()))
     assert sorted(map(tuple, rows)) == want
+
+def test_composed_streaming_curation_pipeline_equals_batch(spark):
+    """The streaming curation pipeline COMPOSED end to end — the streaming
+    analogue of x1_fuzzy_dedup_pipeline's composition guarantee. One
+    readStream query chains the stateless broadcast-model quality gate
+    (score_documents, mapInPandas) directly into the STATEFUL banded-
+    MinHash near-dup (applyInPandasWithState) with exact verification in
+    foreachBatch; a second query over the same ingest records the gate's
+    verdicts (Structured Streaming allows one stateful operator per
+    query, so a multi-operator streaming DAG is one source fanned into
+    one query per stateful stage — the sessionizer runs the same way and
+    carries its own batch-equality tests). The per-document verdict
+    assembled from the stream (quality_fail / dup / kept) must equal the
+    batch composition of the SAME stages on the same rows."""
+    import tempfile
+
+    from iii_aibigdata_capstone_spark.operators.dedup import (
+        _minhash_verified_pairs,
+    )
+    from iii_aibigdata_capstone_spark.operators.textual import score_documents
+    from iii_aibigdata_capstone_spark.streaming.neardup import (
+        streaming_neardup_candidates,
+        verify_candidates_exact,
+    )
+
+    docs = table(spark, TEST_SF_DIR, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    d = tempfile.mkdtemp(prefix="curate_src_")
+    for part in range(2):  # two micro-batches: state must carry across
+        docs.where(F.col("doc_id") % 2 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    def stream():
+        return (
+            spark.readStream.schema(
+                "doc_id long, lang string, text string, n_chars long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+
+    # --- batch twin: same stages, batch primitives ----------------------
+    scored_b = score_documents(docs).collect()
+    good_ids = {r.doc_id for r in scored_b if r.quality_pass}
+    good = docs.where(F.col("doc_id").isin(*good_ids))
+    t = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+        ),
+    )
+    sh = good.where(F.size(t) >= 3).select(
+        "doc_id", "lang", F.explode(F.array_distinct(grams)).alias("s")
+    ).localCheckpoint()
+    batch_dropped = {
+        r.doc_b for r in _minhash_verified_pairs(sh).collect()
+    }
+    want = {
+        r.doc_id: (
+            "quality_fail"
+            if r.doc_id not in good_ids
+            else ("dup" if r.doc_id in batch_dropped else "kept")
+        )
+        for r in scored_b
+    }
+
+    # --- query 1: gate -> stateful near-dup -> exact verify -------------
+    verified_rows, markers = [], []
+
+    def verify(batch_df, _id):
+        rows = batch_df.collect()
+        markers.extend(r for r in rows if r.is_overflow)
+        verified_rows.extend(verify_candidates_exact(batch_df, sh).collect())
+
+    gated = score_documents(stream(), keep=("text",)).where(
+        F.col("quality_pass")
+    ).select("doc_id", "lang", "text")
+    q = (
+        streaming_neardup_candidates(gated)
+        .writeStream.foreachBatch(verify)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="curate_ck1_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "near-dup query did not finish"
+    q.stop()
+    assert not markers, "unexpected bucket overflow at test SF"
+
+    # --- query 2: the gate's verdict stream ------------------------------
+    gate_rows = []
+    q2 = (
+        score_documents(stream())
+        .writeStream.foreachBatch(lambda df, _id: gate_rows.extend(df.collect()))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="curate_ck2_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(180), "gate query did not finish"
+    q2.stop()
+
+    stream_dropped = {r.doc_b for r in verified_rows}
+    got = {
+        r.doc_id: (
+            "quality_fail"
+            if not r.quality_pass
+            else ("dup" if r.doc_id in stream_dropped else "kept")
+        )
+        for r in gate_rows
+    }
+    assert got == want, {
+        k: (got.get(k), want.get(k)) for k in set(got) | set(want) if got.get(k) != want.get(k)
+    }
+    # the composition is non-trivial at this SF: every verdict class occurs
+    assert set(want.values()) == {"quality_fail", "dup", "kept"}
