@@ -214,8 +214,10 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    # the metric line must be the LAST thing in the artifact: drain any
-    # buffered stderr first so late JVM noise cannot interleave above it
+    # keep the metric line clean: log4j is set to OFF above, which is the
+    # real mitigation (JVM threads write straight to fd 2 — flushing
+    # Python's stderr buffer cannot serialize them); the flush only
+    # orders PYTHON-side writes ahead of the metric line
     sys.stderr.flush()
     print(json.dumps(out), flush=True)
 

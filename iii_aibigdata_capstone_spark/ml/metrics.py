@@ -59,16 +59,26 @@ def binary_rank_metrics(scored: DataFrame, score_col: str, label_col: str) -> Da
     tot = g.agg(F.sum("np").alias("p"), (F.sum("n") - F.sum("np")).alias("neg"))
 
     # --- ROC: exact integer midrank sums, ONE final division ------------
+    # Intermediates run in DECIMAL(38,0) (DuckDB: HUGEINT): the midrank
+    # sum is ~2*P*R and the U denominator 2*P*N, both past int64 once
+    # P*N > ~4.6e18 (a few billion scored rows — exactly the scale this
+    # module targets). Decimal->double of an exact integer is correctly
+    # rounded in both engines, so the bit-identical contract holds.
+    dec = "decimal(38,0)"
     w_asc = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     s2 = (
         g.withColumn("below", F.sum("n").over(w_asc) - F.col("n"))
-        .agg(F.sum(F.col("np") * (2 * F.col("below") + F.col("n") + 1)).alias("s2"))
+        .agg(
+            F.sum(
+                F.col("np").cast(dec) * (2 * F.col("below") + F.col("n") + 1).cast(dec)
+            ).alias("s2")
+        )
     )
     roc = s2.crossJoin(F.broadcast(tot)).select(
         F.lit("areaUnderROC").alias("metric"),
         (
-            (F.col("s2") - F.col("p") * (F.col("p") + 1)).cast("double")
-            / (2 * F.col("p") * F.col("neg")).cast("double")
+            (F.col("s2") - F.col("p").cast(dec) * (F.col("p") + 1).cast(dec)).cast("double")
+            / (2 * F.col("p").cast(dec) * F.col("neg").cast(dec)).cast("double")
         ).alias("value"),
     )
 
@@ -135,7 +145,7 @@ def _rank_metrics_oracle() -> str:
             FROM g
         ),
         s2 AS (
-            SELECT CAST(SUM(np * (2 * below + n + 1)) AS BIGINT) AS s2
+            SELECT SUM(CAST(np AS HUGEINT) * (2 * below + n + 1)) AS s2
             FROM (
                 SELECT n, np,
                        CAST(SUM(n) OVER (ORDER BY score
@@ -163,8 +173,8 @@ def _rank_metrics_oracle() -> str:
             FROM curve
         )
         SELECT 'areaUnderROC' AS metric,
-               CAST(s2 - p * (p + 1) AS DOUBLE)
-                   / CAST(2 * p * neg AS DOUBLE) AS value
+               CAST(s2 - CAST(p AS HUGEINT) * (p + 1) AS DOUBLE)
+                   / CAST(2 * CAST(p AS HUGEINT) * neg AS DOUBLE) AS value
         FROM s2, tot
         UNION ALL
         SELECT 'areaUnderPR' AS metric,

@@ -1513,9 +1513,11 @@ def x1_fuzzy_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- paragraph-level near-dup (sub-document granularity) --------------------
 
 PARA_TOKENS = 12
-PARA_ID_STRIDE = 1024  # para_id = doc_id * stride + pidx; docs here have
-# <= ~50 windows, and at any real scale paragraph counts stay far below
-# the stride (split pathological documents upstream)
+PARA_ID_STRIDE = 1 << 20  # para_id = doc_id * stride + pidx. The stride
+# admits ~12.6M tokens per document before the pidx guard below fires
+# (F.raise_error, not silent aliasing into the next doc's id space), and
+# keeps para_id in int64 for doc_id < 2^43. Keeper selection is
+# stride-independent: para_id orders exactly like (doc_id, pidx).
 
 
 @query(
@@ -1640,20 +1642,24 @@ def x2_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Everything is exact integer/string output, so the recursive-CTE
     oracle (the fuzzy-pipeline pattern at paragraph grain) hash-matches."""
-    para_arr = F.split(F.col("text"), " ")
-    n_windows = F.ceil(F.size(para_arr) / F.lit(PARA_TOKENS)).cast("int")
     docs = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
+    # token array materialized as its own projection (the shingles()
+    # discipline): inlining split(text) into size() + every window slice
+    # re-splits per sub-expression
+    wtoks = docs.select("doc_id", "lang", F.split(F.col("text"), " ").alias("w"))
+    w_arr = F.col("w")
+    n_windows = F.ceil(F.size(w_arr) / F.lit(PARA_TOKENS)).cast("int")
     paras = (
-        docs.select(
+        wtoks.select(
             "doc_id",
             "lang",
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(0), n_windows - 1),
                     lambda i: F.concat_ws(
-                        " ", F.slice(para_arr, i * PARA_TOKENS + 1, PARA_TOKENS)
+                        " ", F.slice(w_arr, i * PARA_TOKENS + 1, PARA_TOKENS)
                     ),
                 )
             ).alias("pidx", "ptext"),
@@ -1662,7 +1668,22 @@ def x2_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             F.col("pidx").cast("long").alias("pidx"),
-            (F.col("doc_id") * PARA_ID_STRIDE + F.col("pidx")).alias("para_id"),
+            F.when(
+                F.col("pidx") < PARA_ID_STRIDE,
+                F.col("doc_id") * PARA_ID_STRIDE + F.col("pidx"),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"paragraph index exceeds PARA_ID_STRIDE ({PARA_ID_STRIDE}); "
+                            "split pathological document upstream: doc_id="
+                        ),
+                        F.col("doc_id").cast("string"),
+                    )
+                )
+            )
+            .alias("para_id"),
             "ptext",
         )
     )
@@ -1672,7 +1693,10 @@ def x2_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)  # stage boundary: survivors + final verdict
     survivors = exact.where(F.col("para_id") == F.col("canon_exact"))
 
-    t = F.split(F.col("ptext"), " ")
+    ptoks = survivors.select(
+        F.col("para_id").alias("doc_id"), "lang", F.split(F.col("ptext"), " ").alias("t")
+    )
+    t = F.col("t")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(t) - 2),
         lambda i: F.concat_ws(
@@ -1680,12 +1704,8 @@ def x2_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     sh = (
-        survivors.where(F.size(t) >= 3)
-        .select(
-            F.col("para_id").alias("doc_id"),
-            "lang",
-            F.explode(F.array_distinct(grams)).alias("s"),
-        )
+        ptoks.where(F.size(t) >= 3)
+        .select("doc_id", "lang", F.explode(F.array_distinct(grams)).alias("s"))
         .localCheckpoint(eager=False)  # consumed by minhash, sizes, verify
     )
     pairs = _minhash_verified_pairs(sh).select("doc_a", "doc_b")

@@ -67,11 +67,21 @@ def _driver_verified_names() -> tuple[frozenset[str], frozenset[str]]:
     the driver records the stronger hash row."""
     import glob
     import json
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     hash_ok: set[str] = set()
     rows_ok: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    # numeric round order, NOT lexicographic: from round 10 on, sorted()
+    # on filenames would process r10 before r2..r9 and the
+    # "later failure forces re-verification" logic below would use the
+    # wrong notion of "later"
+    rounds: list[tuple[int, str]] = []
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            rounds.append((int(m.group(1)), path))
+    for _rnd, path in sorted(rounds):
         try:
             with open(path) as fh:
                 records = json.load(fh)

@@ -45,11 +45,15 @@ def main() -> None:
         count=1,
         flags=re.S,
     )
+    if literal not in src and new == src:
+        raise SystemExit("QUARTER_RF_TREES assignment not found")
+    n_nodes = sum(1 for t in trees for _ in _iter(t))
     if new == src:
-        raise SystemExit("QUARTER_RF_TREES assignment not found/unchanged")
+        # steady state: the fresh fit equals the frozen literal
+        print(f"unchanged: {len(trees)} trees, {n_nodes} nodes already frozen in {MODULE}")
+        return
     with open(MODULE, "w") as fh:
         fh.write(new)
-    n_nodes = sum(1 for t in trees for _ in _iter(t))
     print(f"wrote {len(trees)} trees, {n_nodes} nodes to {MODULE}")
 
 
