@@ -46,16 +46,27 @@ SPECS: list[QuerySpec] = []
 query = make_registrar(SPECS)
 
 
+def _score_curve(scored: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """The distinct-score curve table ``(score, n, np)`` — the ONE pass
+    over the scored corpus. Module-level so plan tests can audit the
+    pre-checkpoint shape (single scan, single scoring map, one exchange)."""
+    return scored.groupBy(F.col(score_col).alias("score")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(label_col).cast("long")).alias("np"),
+    )
+
+
 def binary_rank_metrics(scored: DataFrame, score_col: str, label_col: str) -> DataFrame:
     """areaUnderROC + areaUnderPR of ``scored`` as distributed rank
     statistics — ``(metric string, value double)``, two rows. Needs at
     least one positive and one negative label. Equality with MLlib's
     ``BinaryClassificationEvaluator`` (below its numBins down-sampling
     threshold) is pinned in tests/test_ml_quarter.py."""
-    g = scored.groupBy(F.col(score_col).alias("score")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col(label_col).cast("long")).alias("np"),
-    )
+    # ONE corpus pass: the curve table is materialized once (lazy
+    # localCheckpoint) — s2 / totals / the PR curve all consume it, and
+    # without the boundary each branch would re-run the full scan +
+    # scoring map (4 corpus passes at 100 TB for a 2-row answer)
+    g = _score_curve(scored, score_col, label_col).localCheckpoint(eager=False)
     tot = g.agg(F.sum("np").alias("p"), (F.sum("n") - F.sum("np")).alias("neg"))
 
     # --- ROC: exact integer midrank sums, ONE final division ------------

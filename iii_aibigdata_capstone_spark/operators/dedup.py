@@ -1520,6 +1520,55 @@ PARA_ID_STRIDE = 1 << 20  # para_id = doc_id * stride + pidx. The stride
 # stride-independent: para_id orders exactly like (doc_id, pidx).
 
 
+def _paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, pidx, para_id, ptext) paragraph rows — fixed
+    token-window splitter (the only knob; a real corpus swaps in
+    split-on-'\\n\\n'). Module-level so plan tests can audit the
+    pre-checkpoint shape: the doc_id repartition must precede the
+    posexplode (compact-file corpora read as ONE partition), and the
+    token array is its own projection (the shingles() discipline —
+    inlined split(text) re-evaluates per sub-expression)."""
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    wtoks = docs.select("doc_id", "lang", F.split(F.col("text"), " ").alias("w"))
+    w_arr = F.col("w")
+    n_windows = F.ceil(F.size(w_arr) / F.lit(PARA_TOKENS)).cast("int")
+    return wtoks.select(
+        "doc_id",
+        "lang",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_windows - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(w_arr, i * PARA_TOKENS + 1, PARA_TOKENS)
+                ),
+            )
+        ).alias("pidx", "ptext"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("pidx").cast("long").alias("pidx"),
+        F.when(
+            F.col("pidx") < PARA_ID_STRIDE,
+            F.col("doc_id") * PARA_ID_STRIDE + F.col("pidx"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"paragraph index exceeds PARA_ID_STRIDE ({PARA_ID_STRIDE}); "
+                        "split pathological document upstream: doc_id="
+                    ),
+                    F.col("doc_id").cast("string"),
+                )
+            )
+        )
+        .alias("para_id"),
+        "ptext",
+    )
+
+
 @query(
     "x2_paragraph_dedup",
     oracle=dedent(
@@ -1642,51 +1691,7 @@ def x2_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Everything is exact integer/string output, so the recursive-CTE
     oracle (the fuzzy-pipeline pattern at paragraph grain) hash-matches."""
-    docs = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
-    # token array materialized as its own projection (the shingles()
-    # discipline): inlining split(text) into size() + every window slice
-    # re-splits per sub-expression
-    wtoks = docs.select("doc_id", "lang", F.split(F.col("text"), " ").alias("w"))
-    w_arr = F.col("w")
-    n_windows = F.ceil(F.size(w_arr) / F.lit(PARA_TOKENS)).cast("int")
-    paras = (
-        wtoks.select(
-            "doc_id",
-            "lang",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), n_windows - 1),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(w_arr, i * PARA_TOKENS + 1, PARA_TOKENS)
-                    ),
-                )
-            ).alias("pidx", "ptext"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            F.col("pidx").cast("long").alias("pidx"),
-            F.when(
-                F.col("pidx") < PARA_ID_STRIDE,
-                F.col("doc_id") * PARA_ID_STRIDE + F.col("pidx"),
-            )
-            .otherwise(
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            f"paragraph index exceeds PARA_ID_STRIDE ({PARA_ID_STRIDE}); "
-                            "split pathological document upstream: doc_id="
-                        ),
-                        F.col("doc_id").cast("string"),
-                    )
-                )
-            )
-            .alias("para_id"),
-            "ptext",
-        )
-    )
+    paras = _paragraphs(spark, sf_dir)
     w = Window.partitionBy(F.md5("ptext"))
     exact = paras.withColumn(
         "canon_exact", F.min("para_id").over(w)

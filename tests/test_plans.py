@@ -424,3 +424,60 @@ def test_mmr_probes_broadcast_and_single_grouped_kernel(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "Broadcast" in a.text, a.text
     assert a.python_map_operators == 1, a.text
+
+
+def test_rf_apply_is_pure_projection(spark):
+    """m3_rf_apply: model application is the 100 TB hot path — the frozen
+    forest must score as ONE pruned scan + projection: no exchange, no
+    join, no Python anywhere in the plan."""
+    a = audit(registry()["m3_rf_apply"].builder(spark, TEST_SF_DIR))
+    assert a.hash_exchanges == 0, a.text
+    assert a.python_map_operators == 0, a.text
+    assert a.read_widths and max(a.read_widths) <= 1, a.read_widths
+    assert "Join" not in a.text, a.text
+
+
+def test_rank_metrics_single_corpus_pass(spark):
+    """m8_rank_metrics/binary_rank_metrics: the scored corpus is reduced
+    to the distinct-score curve in ONE pass — one pruned scan, one scoring
+    map, one hash exchange — and the metric branches consume the
+    checkpointed curve, never a rebuilt scan (pre-checkpoint this plan
+    read + re-scored the corpus FOUR times)."""
+    import pyspark.sql.functions as F
+
+    from iii_aibigdata_capstone_spark.catalog import table
+    from iii_aibigdata_capstone_spark.ml.metrics import _score_curve
+    from iii_aibigdata_capstone_spark.operators.textual import score_documents
+
+    scored = score_documents(table(spark, TEST_SF_DIR, "documents")).select(
+        F.col("logit_milli").alias("score"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    a = audit(_score_curve(scored, "score", "y"))
+    assert a.python_map_operators == 1, a.text
+    assert len(a.read_widths) == 1 and a.read_widths[0] <= 4, a.read_widths
+    assert a.hash_exchanges == 1, a.text
+    # downstream of the checkpoint: no scan, no scoring map may reappear
+    b = audit(registry()["m8_rank_metrics"].builder(spark, TEST_SF_DIR))
+    assert b.python_map_operators == 0, b.text
+    assert not b.read_widths, b.read_widths
+
+
+def test_paragraph_split_parallelizes_before_explode(spark):
+    """x2_paragraph_dedup's splitter (_paragraphs): the doc_id repartition
+    must sit BELOW the posexplode (compact-file corpora read as one input
+    partition — without the pre-explode exchange the whole O(docs x
+    windows) split runs on a single core), and the token array must be
+    projected exactly once (inlined split(text) re-evaluates per
+    sub-expression — the shingles() discipline)."""
+    from iii_aibigdata_capstone_spark.operators.dedup import _paragraphs
+    from iii_aibigdata_capstone_spark.plans.audit import plan_text
+
+    text = plan_text(_paragraphs(spark, TEST_SF_DIR))
+    gen_pos = text.find("Generate")
+    exch_pos = text.find("Exchange")
+    # tree prints top-down (sink first): the exchange printing AFTER the
+    # Generate means it executes before it
+    assert gen_pos != -1 and exch_pos != -1 and exch_pos > gen_pos, text
+    assert "hashpartitioning(doc_id" in text, text
+    assert text.count("split(text") == 1, text
