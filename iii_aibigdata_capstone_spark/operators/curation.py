@@ -311,11 +311,21 @@ def x9_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviation), flag |v - med| > 3 sigma_MAD with the 1.4826 normal
     consistency constant — the value-distribution QA gate that mean/stddev
     z-scores fail on heavy-tailed data. Two median passes (each one
-    shuffle), then a broadcast of the tiny per-group stats."""
+    shuffle), then a broadcast of the tiny per-group stats. ``med`` and
+    ``dev`` are each consumed twice (the MAD pass + the flag pass), so
+    both are materialized once via lazy localCheckpoint — without the
+    boundaries the fact table is scanned four times instead of twice
+    (medians are not algebraic; two sequential passes is the floor)."""
     ev = table(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
-    dev = ev.join(F.broadcast(med), "event_type").withColumn(
-        "adev", F.abs(F.col("value") - F.col("med"))
+    med = (
+        ev.groupBy("event_type")
+        .agg(F.median("value").alias("med"))
+        .localCheckpoint(eager=False)
+    )
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .withColumn("adev", F.abs(F.col("value") - F.col("med")))
+        .localCheckpoint(eager=False)
     )
     mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
     flagged = dev.join(F.broadcast(mad), "event_type")

@@ -907,6 +907,10 @@ def t5_pos_neg_labeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_linenumber").alias("line_b"),
             (inter / union).alias("iou"),
         )
+        # materialized once: the positive filter AND the max-IoU negative
+        # aggregate both consume the pair table — without the boundary the
+        # self-join (two fact scans + a shuffle) runs twice
+        .localCheckpoint(eager=False)
     )
     positives = pair_iou.where(F.col("iou") >= 0.5).select(
         "l_orderkey", "line_a", "line_b", F.lit(1).alias("label")

@@ -132,6 +132,10 @@ def x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w_assign))
         .where(F.col("rn") == 1)
         .select("vec_id", "v", "norm", "cid")
+        # materialized once: the cell self-join below consumes BOTH sides
+        # from this table — without the boundary the scan + broadcast
+        # argmin assignment runs twice
+        .localCheckpoint(eager=False)
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
@@ -306,6 +310,10 @@ def x3_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.crossJoin(F.broadcast(centroids))
         .select("vec_id", "v", "norm", "cid", dist.alias("d"))
         .withColumn("rn", F.row_number().over(w_assign))
+        # materialized once: both the candidate side (rn=1) and the probe
+        # side (rn<=2) slice this ranking — without the boundary the scan
+        # + broadcast argmin assignment runs twice
+        .localCheckpoint(eager=False)
     )
     assigned = ranked.where(F.col("rn") == 1).select("vec_id", "v", "norm", "cid")
     probes = ranked.where(
@@ -591,22 +599,11 @@ def _mmr_oracle() -> str:
     )
 
 
-@query("x3_mmr_rerank", oracle=_mmr_oracle(), tags=("X3", "mmr"))
-def x3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Diversity-aware retrieval: exact cosine top-20 candidates per probe
-    vector (the ANN stage), then greedy MMR re-ranking to the final 5 —
-    the standard RAG answer to near-duplicate passages crowding a result
-    list. The candidate stage is the broadcast-probe scan shape of
-    x3_cosine_topk; the greedy stage is inherently sequential PER QUERY
-    but embarrassingly parallel ACROSS queries, so it runs as
-    applyInPandas keyed by query_id over the candidate PAIR table —
-    per-group cost is O(k^2) on already-shrunk candidates, never on the
-    corpus. Every similarity (query-candidate and candidate-candidate) is
-    computed by the engine's `dot` expression and rounded to 6 BEFORE the
-    greedy, so the selection is a pure function of cross-engine-stable
-    scalars — which is what lets an unrolled-CTE oracle verify an
-    iterative algorithm exactly (same trick family as x3_label_centroids'
-    DECIMAL pinning). Also pinned against a local reference in tests."""
+def _mmr_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-``MMR_CANDIDATES`` per probe — the broadcast-probe
+    corpus scan feeding the MMR greedy. Module-level so plan tests can
+    audit the pre-checkpoint shape (probes broadcast against ONE corpus
+    scan, per-query top-k window)."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -628,9 +625,31 @@ def x3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    cand = scored.withColumn("rn", F.row_number().over(w)).where(
+    return scored.withColumn("rn", F.row_number().over(w)).where(
         F.col("rn") <= MMR_CANDIDATES
     )
+
+
+@query("x3_mmr_rerank", oracle=_mmr_oracle(), tags=("X3", "mmr"))
+def x3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval: exact cosine top-20 candidates per probe
+    vector (the ANN stage), then greedy MMR re-ranking to the final 5 —
+    the standard RAG answer to near-duplicate passages crowding a result
+    list. The candidate stage is the broadcast-probe scan shape of
+    x3_cosine_topk; the greedy stage is inherently sequential PER QUERY
+    but embarrassingly parallel ACROSS queries, so it runs as
+    applyInPandas keyed by query_id over the candidate PAIR table —
+    per-group cost is O(k^2) on already-shrunk candidates, never on the
+    corpus. Every similarity (query-candidate and candidate-candidate) is
+    computed by the engine's `dot` expression and rounded to 6 BEFORE the
+    greedy, so the selection is a pure function of cross-engine-stable
+    scalars — which is what lets an unrolled-CTE oracle verify an
+    iterative algorithm exactly (same trick family as x3_label_centroids'
+    DECIMAL pinning). Also pinned against a local reference in tests."""
+    # materialized once (tiny: MMR_CANDIDATES rows/query) — the pair
+    # self-join consumes both sides; without the boundary the
+    # broadcast-probe corpus scan + top-k window runs twice
+    cand = _mmr_candidates(spark, sf_dir).localCheckpoint(eager=False)
     # candidate pair table: 20 rows/query -> 380 pairs/query, all sims
     # from the same JVM-side `dot` the oracle's LIST_DOT_PRODUCT mirrors
     a, b = cand.alias("a"), cand.alias("b")

@@ -620,6 +620,10 @@ def x5_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = (
         cust.where(F.col("c_custkey") % 10 == 0)
         .select("c_custkey", F.round(F.col("c_acctbal") + 100, 2).alias("new_bal"))
+        # the changes batch is consumed twice (broadcast merge side + the
+        # appended new versions) — materialize it once, as a real MERGE
+        # source would be
+        .localCheckpoint(eager=False)
     )
     closed_or_open = (
         cust.join(F.broadcast(changes), "c_custkey", "left")

@@ -464,13 +464,17 @@ def x5_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every stage is an aggregate + join on user_id: one partitioning serves
     the whole funnel (no per-stage wide shuffle on different keys), and
     stage N's input is already the survivors of stage N-1, so cardinality
-    only shrinks down the funnel.
+    only shrinks down the funnel. Stage outputs v and c are each consumed
+    TWICE (next stage + final join), so they are materialized once via a
+    lazy localCheckpoint — without the boundary each consumer re-scans and
+    re-aggregates the event table (6 fact scans instead of 3).
     """
     ev = table(spark, sf_dir, "events")
     v = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("view_ts"))
+        .localCheckpoint(eager=False)
     )
     c = (
         ev.where(F.col("event_type") == "click")
@@ -478,6 +482,7 @@ def x5_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts") > F.col("view_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("click_ts"))
+        .localCheckpoint(eager=False)
     )
     p = (
         ev.where(F.col("event_type") == "purchase")

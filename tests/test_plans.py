@@ -412,17 +412,22 @@ def test_dsir_model_join_is_broadcast(spark):
 
 
 def test_mmr_probes_broadcast_and_single_grouped_kernel(spark):
-    """x3_mmr_rerank: the probe set is explicitly broadcast against the
-    corpus scan (never a shuffled join of the full embedding table), and
-    the greedy runs as exactly one grouped-pandas kernel over the already
-    top-20-shrunk candidate pair table."""
+    """x3_mmr_rerank: the probe set is explicitly broadcast against ONE
+    corpus scan (never a shuffled join of the full embedding table) —
+    audited on the pre-checkpoint candidate builder since r5 materializes
+    the candidate table once for the pair self-join — and the greedy runs
+    as exactly one grouped-pandas kernel over the top-20-shrunk pairs."""
+    from iii_aibigdata_capstone_spark.operators.similarity import _mmr_candidates
+
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
+        c = audit(_mmr_candidates(spark, TEST_SF_DIR))
         a = audit(registry()["x3_mmr_rerank"].builder(spark, TEST_SF_DIR))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-    assert "Broadcast" in a.text, a.text
+    assert "Broadcast" in c.text, c.text
+    assert len(c.read_widths) == 2, c.read_widths  # probes + corpus, once each
     assert a.python_map_operators == 1, a.text
 
 
