@@ -1031,3 +1031,95 @@ def x4_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest gate — stream output == this batch output, pinned in
     tests/test_streaming.py."""
     return score_documents(table(spark, sf_dir, "documents"))
+
+
+# --- PII scrubbing (regex redaction, the C4/Dolma curation stage) -----------
+
+# RE2-and-Java-compatible patterns only (no lookaround/backrefs): the same
+# strings drive Spark's codegen'd regexp_* and the DuckDB oracle.
+PII_EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+"
+PII_IP_RE = r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b"
+PII_PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+def _pii_oracle() -> str:
+    # NOTE literal regex braces below are doubled for the f-string
+    return dedent(
+        f"""
+        WITH injected AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@mail.example or admin' || CAST(doc_id AS VARCHAR)
+                        || '@web.example phone 555-'
+                        || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS txt
+            FROM documents
+        ),
+        scrubbed AS (
+            SELECT doc_id, txt,
+                   REGEXP_REPLACE(
+                       REGEXP_REPLACE(
+                           REGEXP_REPLACE(txt, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                           '{PII_IP_RE}', '<IP>', 'g'),
+                       '{PII_PHONE_RE}', '<PHONE>', 'g') AS clean
+            FROM injected
+        )
+        SELECT doc_id,
+               CAST(LEN(REGEXP_EXTRACT_ALL(txt, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+               CAST(LEN(REGEXP_EXTRACT_ALL(txt, '{PII_IP_RE}')) AS BIGINT) AS n_ips,
+               CAST(LEN(REGEXP_EXTRACT_ALL(txt, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+               CAST(LEN(txt) - LEN(clean) AS BIGINT) AS redacted_chars,
+               MD5(clean) AS scrub_md5
+        FROM scrubbed
+        """
+    )
+
+
+@query("x4_pii_scrub", oracle=_pii_oracle(), tags=("X4", "pii", "curation"))
+def x4_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the regex-redaction stage every public-web corpus
+    pipeline runs (emails / phone numbers / IPv4s -> typed placeholder
+    tokens) before training-data release. Pure Catalyst ``regexp_replace``
+    / ``regexp_count`` chains: whole-stage codegen, one pruned scan, zero
+    Python, embarrassingly parallel — the 100 TB shape. The synthetic
+    corpus contains no PII-shaped strings (no digits or '@' at all), so
+    the query first APPENDS deterministic doc_id-derived PII (same
+    expression in both engines) — on a real corpus the injection drops
+    out and the scrub chain is unchanged. Counts come from the
+    pre-scrub text, the content hash from the scrubbed text; scrub order
+    is email -> IP -> phone in both engines (placeholders contain no
+    digits, so later patterns cannot re-match inside an earlier
+    redaction)."""
+    doc = F.col("doc_id")
+    txt = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        doc.cast("string"),
+        F.lit("@mail.example or admin"),
+        doc.cast("string"),
+        F.lit("@web.example phone 555-"),
+        F.lpad((doc % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."),
+        (doc % 256).cast("string"),
+        F.lit(".0."),
+        ((doc * 7) % 256).cast("string"),
+    )
+    injected = table(spark, sf_dir, "documents").select("doc_id", txt.alias("txt"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("txt"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_IP_RE,
+            "<IP>",
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return injected.select(
+        "doc_id",
+        F.regexp_count(F.col("txt"), F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("txt"), F.lit(PII_IP_RE)).alias("n_ips"),
+        F.regexp_count(F.col("txt"), F.lit(PII_PHONE_RE)).alias("n_phones"),
+        (F.length("txt") - F.length(clean)).cast("long").alias("redacted_chars"),
+        F.md5(clean).alias("scrub_md5"),
+    )
