@@ -75,6 +75,7 @@ HEADLINE = [
     "x3_hard_negatives",
     "x3_mmr_rerank",
     "x4_quality_model_score",
+    "x4_pii_scrub",
     "x9_dsir_resample",
     "k12_render_annotations",
     "m9_gd_training_loop",

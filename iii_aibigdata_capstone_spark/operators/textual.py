@@ -1076,21 +1076,17 @@ def _pii_oracle() -> str:
     )
 
 
-@query("x4_pii_scrub", oracle=_pii_oracle(), tags=("X4", "pii", "curation"))
-def x4_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrubbing — the regex-redaction stage every public-web corpus
-    pipeline runs (emails / phone numbers / IPv4s -> typed placeholder
-    tokens) before training-data release. Pure Catalyst ``regexp_replace``
-    / ``regexp_count`` chains: whole-stage codegen, one pruned scan, zero
-    Python, embarrassingly parallel — the 100 TB shape. The synthetic
-    corpus contains no PII-shaped strings (no digits or '@' at all), so
-    the query first APPENDS deterministic doc_id-derived PII (same
-    expression in both engines) — on a real corpus the injection drops
-    out and the scrub chain is unchanged. Counts come from the
-    pre-scrub text, the content hash from the scrubbed text; scrub order
-    is email -> IP -> phone in both engines (placeholders contain no
-    digits, so later patterns cannot re-match inside an earlier
-    redaction)."""
+def scrub_documents(docs: DataFrame) -> DataFrame:
+    """Stateless PII-scrub transform over a (doc_id, text) frame —
+    batch-or-stream applicable like ``score_documents`` (stream == batch
+    pinned in tests/test_streaming.py). The synthetic corpus contains no
+    PII-shaped strings (no digits or '@' at all), so the transform first
+    APPENDS deterministic doc_id-derived PII (same expression in both
+    engines) — on a real corpus the injection drops out and the scrub
+    chain is unchanged. Counts come from the pre-scrub text, the content
+    hash from the scrubbed text; scrub order is email -> IP -> phone in
+    both engines (placeholders contain no digits, so later patterns
+    cannot re-match inside an earlier redaction)."""
     doc = F.col("doc_id")
     txt = F.concat(
         F.col("text"),
@@ -1105,7 +1101,7 @@ def x4_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(".0."),
         ((doc * 7) % 256).cast("string"),
     )
-    injected = table(spark, sf_dir, "documents").select("doc_id", txt.alias("txt"))
+    injected = docs.select("doc_id", txt.alias("txt"))
     clean = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(F.col("txt"), PII_EMAIL_RE, "<EMAIL>"),
@@ -1123,3 +1119,15 @@ def x4_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("txt") - F.length(clean)).cast("long").alias("redacted_chars"),
         F.md5(clean).alias("scrub_md5"),
     )
+
+
+@query("x4_pii_scrub", oracle=_pii_oracle(), tags=("X4", "pii", "curation"))
+def x4_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the regex-redaction stage every public-web corpus
+    pipeline runs (emails / phone numbers / IPv4s -> typed placeholder
+    tokens) before training-data release. Pure Catalyst ``regexp_replace``
+    / ``regexp_count`` chains (``scrub_documents``): whole-stage codegen,
+    one pruned scan, zero Python, embarrassingly parallel — the 100 TB
+    shape, and stateless, so the identical transform also runs on a
+    readStream ingest."""
+    return scrub_documents(table(spark, sf_dir, "documents"))

@@ -352,3 +352,20 @@ def test_cc_local_and_distributed_paths_agree(spark):
     # spot-check the min-label contract
     labels = dict(local)
     assert labels[100] == 7 and labels[5] == 3 and labels[14] == 10
+
+
+def test_paragraph_stride_guard_raises(spark, monkeypatch):
+    """_paragraphs: a document whose window count exceeds PARA_ID_STRIDE
+    must raise (the guard), never silently alias its paragraphs into the
+    next doc_id's id space. Stride is monkeypatched tiny so an ordinary
+    test document trips it."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from iii_aibigdata_capstone_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "PARA_ID_STRIDE", 2)
+    with pytest.raises(SparkRuntimeException, match="PARA_ID_STRIDE"):
+        # aggregate para_id itself: a bare count() would let column
+        # pruning drop the guarded expression entirely
+        dedup._paragraphs(spark, TEST_SF_DIR).select(F.sum("para_id")).collect()

@@ -530,3 +530,37 @@ def test_composed_streaming_curation_pipeline_equals_batch(spark):
     }
     # the composition is non-trivial at this SF: every verdict class occurs
     assert set(want.values()) == {"quality_fail", "dup", "kept"}
+
+
+def test_streaming_pii_scrub_equals_batch(spark):
+    """scrub_documents (the PII redaction stage) is stateless, so the SAME
+    transform must run unchanged on a readStream and produce exactly the
+    batch lane's rows — scrub is stage 0 of a streaming ingest gate."""
+    import tempfile
+
+    from iii_aibigdata_capstone_spark.operators.textual import scrub_documents
+
+    docs = table(spark, TEST_SF_DIR, "documents").select("doc_id", "text")
+    d = tempfile.mkdtemp(prefix="pii_src_")
+    for part in range(2):
+        docs.where(F.col("doc_id") % 2 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    rows = []
+    q = (
+        scrub_documents(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        .writeStream.foreachBatch(lambda df, _id: rows.extend(df.collect()))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="pii_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish within 120s"
+    q.stop()
+
+    want = sorted(map(tuple, scrub_documents(docs).collect()))
+    assert sorted(map(tuple, rows)) == want
