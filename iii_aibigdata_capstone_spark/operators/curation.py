@@ -324,7 +324,10 @@ def x9_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dev = (
         ev.join(F.broadcast(med), "event_type")
-        .withColumn("adev", F.abs(F.col("value") - F.col("med")))
+        # project to the 4 consumed columns BEFORE the checkpoint: the
+        # boundary blocks downstream pruning from reaching the scan, so an
+        # unprojected checkpoint would read + store the full event width
+        .select("event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev"))
         .localCheckpoint(eager=False)
     )
     mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))

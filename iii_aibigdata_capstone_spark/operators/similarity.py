@@ -312,7 +312,11 @@ def x3_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w_assign))
         # materialized once: both the candidate side (rn=1) and the probe
         # side (rn<=2) slice this ranking — without the boundary the scan
-        # + broadcast argmin assignment runs twice
+        # + broadcast argmin assignment runs twice. Filter + project
+        # BEFORE the checkpoint: storing all 8 ranks (and the spent
+        # distance column) would materialize 4x the state ever consumed.
+        .where(F.col("rn") <= 2)
+        .select("vec_id", "v", "norm", "cid", "rn")
         .localCheckpoint(eager=False)
     )
     assigned = ranked.where(F.col("rn") == 1).select("vec_id", "v", "norm", "cid")

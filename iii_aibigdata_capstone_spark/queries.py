@@ -72,10 +72,10 @@ def _driver_verified_names() -> tuple[frozenset[str], frozenset[str]]:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     hash_ok: set[str] = set()
     rows_ok: set[str] = set()
-    # numeric round order, NOT lexicographic: from round 10 on, sorted()
-    # on filenames would process r10 before r2..r9 and the
-    # "later failure forces re-verification" logic below would use the
-    # wrong notion of "later"
+    # numeric round order, NOT lexicographic: the driver zero-pads today
+    # (r01..r09, safe through r99), but this loop's "later failure forces
+    # re-verification" logic must not silently depend on a filename
+    # convention the repo does not control
     rounds: list[tuple[int, str]] = []
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)

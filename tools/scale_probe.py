@@ -85,6 +85,7 @@ DEFAULT = [
     "x2_paragraph_dedup",
     "m4_lloyd_iterations",
     "m8_rank_metrics",
+    "x4_pii_scrub",
 ]
 
 
