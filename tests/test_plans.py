@@ -486,3 +486,27 @@ def test_paragraph_split_parallelizes_before_explode(spark):
     assert gen_pos != -1 and exch_pos != -1 and exch_pos > gen_pos, text
     assert "hashpartitioning(doc_id" in text, text
     assert text.count("split(text") == 1, text
+
+
+def test_no_scale_killers_in_any_registered_plan(spark):
+    """Repo-wide plan hygiene (the r5 sweep, institutionalized): for EVERY
+    registered query, the physical plan contains (a) no CartesianProduct
+    node and (b) no table scanned three or more times — the two shapes
+    that silently turn a correct sf0.001 query into a 100 TB
+    non-starter (unbounded pair space; re-running a corpus scan per
+    consumer instead of materializing a shared subplan once). Queries
+    with a legitimate triple-scan must be whitelisted here with a reason."""
+    import re
+    from collections import Counter
+
+    TRIPLE_SCAN_ALLOWED: dict[str, str] = {}  # name -> justification
+
+    offenders = []
+    for name, spec in registry().items():
+        text = audit(spec.builder(spark, TEST_SF_DIR)).text
+        cart = len(re.findall(r"^\(\d+\) CartesianProduct", text, re.MULTILINE))
+        files = Counter(re.findall(r"/(\w+)\.parquet", text))
+        triple = {t: n for t, n in files.items() if n >= 3}
+        if cart or (triple and name not in TRIPLE_SCAN_ALLOWED):
+            offenders.append((name, cart, triple))
+    assert not offenders, offenders
