@@ -1076,7 +1076,9 @@ def _pii_oracle() -> str:
     )
 
 
-def scrub_documents(docs: DataFrame) -> DataFrame:
+def scrub_documents(
+    docs: DataFrame, keep: tuple[str, ...] = (), emit_clean: bool = False
+) -> DataFrame:
     """Stateless PII-scrub transform over a (doc_id, text) frame —
     batch-or-stream applicable like ``score_documents`` (stream == batch
     pinned in tests/test_streaming.py). The synthetic corpus contains no
@@ -1086,7 +1088,13 @@ def scrub_documents(docs: DataFrame) -> DataFrame:
     chain is unchanged. Counts come from the pre-scrub text, the content
     hash from the scrubbed text; scrub order is email -> IP -> phone in
     both engines (placeholders contain no digits, so later patterns
-    cannot re-match inside an earlier redaction)."""
+    cannot re-match inside an earlier redaction).
+
+    ``keep`` names extra input columns passed through unchanged;
+    ``emit_clean`` adds the scrubbed text itself as ``clean_text`` — how
+    the scrub runs as stage 0 of a composed pipeline (downstream stages
+    consume the redacted text, tests/test_streaming.py)."""
+    keep = tuple(c for c in keep if c != "doc_id")
     doc = F.col("doc_id")
     txt = F.concat(
         F.col("text"),
@@ -1101,7 +1109,7 @@ def scrub_documents(docs: DataFrame) -> DataFrame:
         F.lit(".0."),
         ((doc * 7) % 256).cast("string"),
     )
-    injected = docs.select("doc_id", txt.alias("txt"))
+    injected = docs.select("doc_id", txt.alias("txt"), *keep)
     clean = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(F.col("txt"), PII_EMAIL_RE, "<EMAIL>"),
@@ -1111,14 +1119,18 @@ def scrub_documents(docs: DataFrame) -> DataFrame:
         PII_PHONE_RE,
         "<PHONE>",
     )
-    return injected.select(
-        "doc_id",
+    out = [
+        F.col("doc_id"),
         F.regexp_count(F.col("txt"), F.lit(PII_EMAIL_RE)).alias("n_emails"),
         F.regexp_count(F.col("txt"), F.lit(PII_IP_RE)).alias("n_ips"),
         F.regexp_count(F.col("txt"), F.lit(PII_PHONE_RE)).alias("n_phones"),
         (F.length("txt") - F.length(clean)).cast("long").alias("redacted_chars"),
         F.md5(clean).alias("scrub_md5"),
-    )
+    ]
+    if emit_clean:
+        out.append(clean.alias("clean_text"))
+    out.extend(F.col(c) for c in keep)
+    return injected.select(*out)
 
 
 @query("x4_pii_scrub", oracle=_pii_oracle(), tags=("X4", "pii", "curation"))

@@ -416,23 +416,28 @@ def test_streaming_quality_scores_equal_batch(spark):
 
 def test_composed_streaming_curation_pipeline_equals_batch(spark):
     """The streaming curation pipeline COMPOSED end to end — the streaming
-    analogue of x1_fuzzy_dedup_pipeline's composition guarantee. One
-    readStream query chains the stateless broadcast-model quality gate
-    (score_documents, mapInPandas) directly into the STATEFUL banded-
-    MinHash near-dup (applyInPandasWithState) with exact verification in
-    foreachBatch; a second query over the same ingest records the gate's
-    verdicts (Structured Streaming allows one stateful operator per
-    query, so a multi-operator streaming DAG is one source fanned into
-    one query per stateful stage — the sessionizer runs the same way and
-    carries its own batch-equality tests). The per-document verdict
-    assembled from the stream (quality_fail / dup / kept) must equal the
-    batch composition of the SAME stages on the same rows."""
+    analogue of x1_fuzzy_dedup_pipeline's composition guarantee, now the
+    full 3-stage curation DAG: stateless PII scrub (stage 0, Catalyst
+    regex — downstream stages consume the REDACTED text, so ordering is
+    load-bearing) -> stateless broadcast-model quality gate
+    (score_documents, mapInPandas) -> STATEFUL banded-MinHash near-dup
+    (applyInPandasWithState) with exact verification in foreachBatch; a
+    second query over the same ingest records the gate's verdicts
+    (Structured Streaming allows one stateful operator per query, so a
+    multi-operator streaming DAG is one source fanned into one query per
+    stateful stage — the sessionizer runs the same way and carries its
+    own batch-equality tests). The per-document verdict assembled from
+    the stream (quality_fail / dup / kept) must equal the batch
+    composition of the SAME stages on the same rows."""
     import tempfile
 
     from iii_aibigdata_capstone_spark.operators.dedup import (
         _minhash_verified_pairs,
     )
-    from iii_aibigdata_capstone_spark.operators.textual import score_documents
+    from iii_aibigdata_capstone_spark.operators.textual import (
+        score_documents,
+        scrub_documents,
+    )
     from iii_aibigdata_capstone_spark.streaming.neardup import (
         streaming_neardup_candidates,
         verify_candidates_exact,
@@ -441,6 +446,16 @@ def test_composed_streaming_curation_pipeline_equals_batch(spark):
     docs = table(spark, TEST_SF_DIR, "documents").select(
         "doc_id", "lang", "text", "n_chars"
     )
+
+    def scrubbed(frame):
+        # stage 0: redact, then re-derive text/n_chars from the CLEAN text
+        s = scrub_documents(frame, keep=("lang",), emit_clean=True)
+        return s.select(
+            "doc_id",
+            "lang",
+            F.col("clean_text").alias("text"),
+            F.length("clean_text").cast("long").alias("n_chars"),
+        )
     d = tempfile.mkdtemp(prefix="curate_src_")
     for part in range(2):  # two micro-batches: state must carry across
         docs.where(F.col("doc_id") % 2 == part).coalesce(1).write.mode(
@@ -457,9 +472,10 @@ def test_composed_streaming_curation_pipeline_equals_batch(spark):
         )
 
     # --- batch twin: same stages, batch primitives ----------------------
-    scored_b = score_documents(docs).collect()
+    sdocs = scrubbed(docs).localCheckpoint()
+    scored_b = score_documents(sdocs).collect()
     good_ids = {r.doc_id for r in scored_b if r.quality_pass}
-    good = docs.where(F.col("doc_id").isin(*good_ids))
+    good = sdocs.where(F.col("doc_id").isin(*good_ids))
     t = F.split(F.col("text"), " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(t) - 2),
@@ -490,7 +506,7 @@ def test_composed_streaming_curation_pipeline_equals_batch(spark):
         markers.extend(r for r in rows if r.is_overflow)
         verified_rows.extend(verify_candidates_exact(batch_df, sh).collect())
 
-    gated = score_documents(stream(), keep=("text",)).where(
+    gated = score_documents(scrubbed(stream()), keep=("text",)).where(
         F.col("quality_pass")
     ).select("doc_id", "lang", "text")
     q = (
@@ -507,7 +523,7 @@ def test_composed_streaming_curation_pipeline_equals_batch(spark):
     # --- query 2: the gate's verdict stream ------------------------------
     gate_rows = []
     q2 = (
-        score_documents(stream())
+        score_documents(scrubbed(stream()))
         .writeStream.foreachBatch(lambda df, _id: gate_rows.extend(df.collect()))
         .option("checkpointLocation", tempfile.mkdtemp(prefix="curate_ck2_"))
         .trigger(availableNow=True)
