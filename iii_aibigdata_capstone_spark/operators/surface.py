@@ -641,3 +641,72 @@ def x5_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("valid_to"),
     )
     return closed_or_open.unionByName(new_versions)
+
+
+@query(
+    "s10_hash_stratified",
+    oracle=dedent(
+        """
+        WITH rates AS (
+            SELECT lang,
+                   CASE WHEN (ROW_NUMBER() OVER (ORDER BY lang) - 1) % 2 = 0
+                        THEN 500 ELSE 200 END AS rate_pm
+            FROM (SELECT DISTINCT lang FROM documents)
+        ),
+        kept AS (
+            SELECT d.lang, d.n_chars, r.rate_pm
+            FROM documents d JOIN rates r USING (lang)
+            WHERE CAST('0x' || SUBSTR(MD5(d.lang || ':' ||
+                       CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                  % 1000 < r.rate_pm
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_sampled,
+               MIN(rate_pm) AS rate_pm
+        FROM kept GROUP BY lang
+        """
+    ),
+    tags=("S10", "X1", "sampling"),
+)
+def s10_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling with a FULL oracle — the
+    content-addressed twin of ``s10_stratified_sample`` (which keeps
+    Spark's native seeded ``sampleBy`` and is rows-only by construction).
+    Keep-decision = md5(lang:doc_id) bucket < per-stratum rate in
+    integer permille — exactly reproducible across engines, reruns,
+    RESHARDING and cluster sizes (a seeded sampler's draw sequence is
+    none of those), which is why real corpus pipelines sample by content
+    hash. Per-stratum rates alternate 50%/20% over the alphabetical
+    stratum index, mirroring the native variant's fraction map; the
+    tiny distinct-stratum rate table broadcasts. One pruned scan, one
+    final aggregation shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.orderBy("lang")  # distinct-stratum table: a handful of rows
+    rates = (
+        docs.select("lang")
+        .distinct()
+        .withColumn("idx", F.row_number().over(w) - 1)
+        .select(
+            "lang",
+            F.when(F.col("idx") % 2 == 0, 500).otherwise(200).alias("rate_pm"),
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("lang"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    kept = docs.join(F.broadcast(rates), "lang").where(bucket < F.col("rate_pm"))
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").cast("bigint").alias("chars_sampled"),
+        F.min("rate_pm").alias("rate_pm"),
+    )
