@@ -773,3 +773,182 @@ def x3_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_cosine",
         F.round(F.col("neg_cosine") - F.col("pos_cosine"), 6).alias("margin"),
     )
+
+
+# --- deterministic PQ codebooks (integer-quantized Lloyd, full oracle) ------
+
+PQ_DET_M = 8  # subspaces
+PQ_DET_K = 16  # centroids per subspace
+PQ_DET_DSUB = 8  # dims per subspace (64-dim embeddings)
+PQ_DET_ITERS = 4
+PQ_DET_SCALE = 1_000_000  # fixed-point quantization of embedding components
+PQ_DET_TRAIN = 4096  # training slice: vec_id < N (ids are dense from 0)
+
+
+def _pq_det_oracle() -> str:
+    parts = [
+        f"""
+        WITH sub AS MATERIALIZED (
+            SELECT vec_id,
+                   CAST((pos - 1) // {PQ_DET_DSUB} AS BIGINT) AS m,
+                   CAST((pos - 1) % {PQ_DET_DSUB} AS BIGINT) AS d,
+                   CAST(FLOOR(val * {PQ_DET_SCALE} + 0.5) AS BIGINT) AS q
+            FROM (
+                SELECT vec_id,
+                       UNNEST(embedding::DOUBLE[]) AS val,
+                       UNNEST(RANGE(1, {PQ_DET_M * PQ_DET_DSUB} + 1)) AS pos
+                FROM embeddings WHERE vec_id < {PQ_DET_TRAIN}
+            )
+        ),
+        seeds AS MATERIALIZED (
+            SELECT vec_id, m,
+                   CAST('0x' || SUBSTR(MD5(CAST(m AS VARCHAR) || ':' ||
+                        CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+            FROM (SELECT DISTINCT vec_id, m FROM sub)
+        ),
+        picked AS (
+            SELECT m, j, vec_id FROM (
+                SELECT m, h % {PQ_DET_K} AS j, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY m, h % {PQ_DET_K}
+                                          ORDER BY h, vec_id) AS rn
+                FROM seeds
+            ) WHERE rn = 1
+        ),
+        cb0 AS MATERIALIZED (
+            SELECT s.m, p.j, s.d, s.q AS c
+            FROM picked p JOIN sub s ON s.vec_id = p.vec_id AND s.m = p.m
+        )"""
+    ]
+    for i in range(PQ_DET_ITERS):
+        parts.append(
+            f""",
+        dist{i} AS MATERIALIZED (
+            SELECT s.vec_id, s.m, c.j,
+                   SUM((s.q - c.c) * (s.q - c.c)) AS dist
+            FROM sub s JOIN cb{i} c ON c.m = s.m AND c.d = s.d
+            GROUP BY 1, 2, 3
+        ),
+        asg{i} AS MATERIALIZED (
+            SELECT vec_id, m, j FROM (
+                SELECT vec_id, m, j,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                          ORDER BY dist, j) AS rn
+                FROM dist{i}
+            ) WHERE rn = 1
+        ),
+        cb{i + 1} AS MATERIALIZED (
+            SELECT p.m, p.j, p.d,
+                   COALESCE(n.mean_c, p.c) AS c
+            FROM cb{i} p LEFT JOIN (
+                SELECT s.m, a.j, s.d,
+                       CAST(FLOOR(SUM(s.q) / COUNT(*) + 0.5) AS BIGINT) AS mean_c
+                FROM asg{i} a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+                GROUP BY 1, 2, 3
+            ) n ON n.m = p.m AND n.j = p.j AND n.d = p.d
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT m, j, d, c FROM cb{PQ_DET_ITERS}
+        """
+    )
+    return dedent("".join(parts))
+
+
+@query("x3_pq_codebooks", oracle=_pq_det_oracle(), tags=("X3", "pq", "M4", "iterative"))
+def x3_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PQ codebook training with a FULL oracle — the
+    m4_lloyd_iterations recipe applied per subspace, in LONG format so
+    everything stays relational: embedding components are fixed-point
+    quantized (floor(v*1e6 + 0.5) — the e12 bit-identical rounding), so
+    per-cluster distance sums and means are EXACT integer arithmetic
+    (order-independent, unlike float k-means), and the one float step per
+    centroid update (SUM/COUNT of exact int64 < 2^53) is correctly
+    rounded identically in both engines before re-flooring to an integer
+    centroid. Init is md5-argmin per (subspace, hash bucket); each of the
+    {PQ_DET_ITERS} Lloyd iterations is: broadcast 1024-row codebook join
+    -> per-(vector, subspace, centroid) integer distance aggregation ->
+    lowest-(dist, j) assignment -> grouped integer means with COALESCE
+    keeping an emptied cluster's previous centroid. Zero driver actions
+    in the loop; subvector rows are materialized once. This makes the PQ
+    *training* stage hash-checkable (`x3_pq_topk` keeps the seeded-MLlib
+    codebooks as the MLlib-parity variant); output = the final
+    (subspace, centroid, dim, component) codebook table."""
+    e = table(spark, sf_dir, "embeddings").where(F.col("vec_id") < PQ_DET_TRAIN)
+    pe = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "val"),
+    )
+    sub = (
+        pe.select(
+            "vec_id",
+            F.floor(F.col("pos0") / PQ_DET_DSUB).cast("long").alias("m"),
+            (F.col("pos0") % PQ_DET_DSUB).cast("long").alias("d"),
+            F.floor(F.col("val") * PQ_DET_SCALE + F.lit(0.5)).cast("long").alias("q"),
+        )
+        .localCheckpoint(eager=False)  # consumed by init + every iteration
+    )
+
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("m").cast("string"),
+                        F.lit(":"),
+                        F.col("vec_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    seeds = sub.select("vec_id", "m").distinct().select("vec_id", "m", h.alias("h"))
+    w_pick = Window.partitionBy("m", "j").orderBy("h", "vec_id")
+    picked = (
+        seeds.withColumn("j", F.col("h") % PQ_DET_K)
+        .withColumn("rn", F.row_number().over(w_pick))
+        .where(F.col("rn") == 1)
+        .select("m", "j", "vec_id")
+    )
+    cb = (
+        picked.join(sub, ["vec_id", "m"])
+        .select("m", "j", "d", F.col("q").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+
+    w_asg = Window.partitionBy("vec_id", "m").orderBy("dist", "j")
+    for _ in range(PQ_DET_ITERS):
+        dists = (
+            sub.join(F.broadcast(cb), ["m", "d"])
+            .groupBy("vec_id", "m", "j")
+            .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("dist"))
+        )
+        asg = (
+            dists.withColumn("rn", F.row_number().over(w_asg))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "m", "j")
+        )
+        means = (
+            asg.join(sub, ["vec_id", "m"])
+            .groupBy("m", "j", "d")
+            .agg(
+                F.floor(F.sum("q") / F.count(F.lit(1)) + F.lit(0.5))
+                .cast("long")
+                .alias("mean_c")
+            )
+        )
+        cb = (
+            cb.join(means, ["m", "j", "d"], "left")
+            .select(
+                "m",
+                "j",
+                "d",
+                F.coalesce(F.col("mean_c"), F.col("c")).alias("c"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cb.select("m", "j", "d", "c")
