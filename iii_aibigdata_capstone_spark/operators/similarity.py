@@ -785,10 +785,13 @@ PQ_DET_SCALE = 1_000_000  # fixed-point quantization of embedding components
 PQ_DET_TRAIN = 4096  # training slice: vec_id < N (ids are dense from 0)
 
 
-def _pq_det_oracle() -> str:
+def _pq_det_cb_ctes() -> str:
+    """WITH-body prefix shared by every deterministic-PQ oracle: the
+    quantized subvector rows (``subf`` = full corpus, ``sub`` = training
+    slice) and the unrolled Lloyd iterations ending at cb{ITERS}."""
     parts = [
         f"""
-        WITH sub AS MATERIALIZED (
+        subf AS MATERIALIZED (
             SELECT vec_id,
                    CAST((pos - 1) // {PQ_DET_DSUB} AS BIGINT) AS m,
                    CAST((pos - 1) % {PQ_DET_DSUB} AS BIGINT) AS d,
@@ -797,8 +800,11 @@ def _pq_det_oracle() -> str:
                 SELECT vec_id,
                        UNNEST(embedding::DOUBLE[]) AS val,
                        UNNEST(RANGE(1, {PQ_DET_M * PQ_DET_DSUB} + 1)) AS pos
-                FROM embeddings WHERE vec_id < {PQ_DET_TRAIN}
+                FROM embeddings
             )
+        ),
+        sub AS MATERIALIZED (
+            SELECT * FROM subf WHERE vec_id < {PQ_DET_TRAIN}
         ),
         seeds AS MATERIALIZED (
             SELECT vec_id, m,
@@ -847,47 +853,54 @@ def _pq_det_oracle() -> str:
             ) n ON n.m = p.m AND n.j = p.j AND n.d = p.d
         )"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _pq_det_oracle() -> str:
+    return dedent(
+        "WITH "
+        + _pq_det_cb_ctes()
+        + f"""
         SELECT m, j, d, c FROM cb{PQ_DET_ITERS}
         """
     )
-    return dedent("".join(parts))
 
 
-@query("x3_pq_codebooks", oracle=_pq_det_oracle(), tags=("X3", "pq", "M4", "iterative"))
-def x3_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic PQ codebook training with a FULL oracle — the
-    m4_lloyd_iterations recipe applied per subspace, in LONG format so
-    everything stays relational: embedding components are fixed-point
-    quantized (floor(v*1e6 + 0.5) — the e12 bit-identical rounding), so
-    per-cluster distance sums and means are EXACT integer arithmetic
-    (order-independent, unlike float k-means), and the one float step per
-    centroid update (SUM/COUNT of exact int64 < 2^53) is correctly
-    rounded identically in both engines before re-flooring to an integer
-    centroid. Init is md5-argmin per (subspace, hash bucket); each of the
-    {PQ_DET_ITERS} Lloyd iterations is: broadcast 1024-row codebook join
-    -> per-(vector, subspace, centroid) integer distance aggregation ->
-    lowest-(dist, j) assignment -> grouped integer means with COALESCE
-    keeping an emptied cluster's previous centroid. Zero driver actions
-    in the loop; subvector rows are materialized once. This makes the PQ
-    *training* stage hash-checkable (`x3_pq_topk` keeps the seeded-MLlib
-    codebooks as the MLlib-parity variant); output = the final
-    (subspace, centroid, dim, component) codebook table."""
-    e = table(spark, sf_dir, "embeddings").where(F.col("vec_id") < PQ_DET_TRAIN)
+def _pq_quantized_sub(e: DataFrame) -> DataFrame:
+    """(vec_id, m, d, q) fixed-point subvector rows of an embeddings frame."""
     pe = e.select(
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "val"),
     )
-    sub = (
-        pe.select(
-            "vec_id",
-            F.floor(F.col("pos0") / PQ_DET_DSUB).cast("long").alias("m"),
-            (F.col("pos0") % PQ_DET_DSUB).cast("long").alias("d"),
-            F.floor(F.col("val") * PQ_DET_SCALE + F.lit(0.5)).cast("long").alias("q"),
-        )
-        .localCheckpoint(eager=False)  # consumed by init + every iteration
+    return pe.select(
+        "vec_id",
+        F.floor(F.col("pos0") / PQ_DET_DSUB).cast("long").alias("m"),
+        (F.col("pos0") % PQ_DET_DSUB).cast("long").alias("d"),
+        F.floor(F.col("val") * PQ_DET_SCALE + F.lit(0.5)).cast("long").alias("q"),
     )
+
+
+def _pq_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """Nearest-centroid code per (vector, subspace): broadcast-codebook
+    join -> exact integer distance aggregation -> lowest-(dist, j) pick.
+    Returns (vec_id, m, j, dist)."""
+    w_asg = Window.partitionBy("vec_id", "m").orderBy("dist", "j")
+    return (
+        sub.join(F.broadcast(cb), ["m", "d"])
+        .groupBy("vec_id", "m", "j")
+        .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("dist"))
+        .withColumn("rn", F.row_number().over(w_asg))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", "j", "dist")
+    )
+
+
+def _pq_det_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained deterministic codebook (m, j, d, c) — see
+    x3_pq_codebooks for the full story. Checkpointed, reusable by the
+    ADC search query."""
+    e = table(spark, sf_dir, "embeddings").where(F.col("vec_id") < PQ_DET_TRAIN)
+    sub = _pq_quantized_sub(e).localCheckpoint(eager=False)
 
     h = (
         F.conv(
@@ -920,18 +933,8 @@ def x3_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
 
-    w_asg = Window.partitionBy("vec_id", "m").orderBy("dist", "j")
     for _ in range(PQ_DET_ITERS):
-        dists = (
-            sub.join(F.broadcast(cb), ["m", "d"])
-            .groupBy("vec_id", "m", "j")
-            .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("dist"))
-        )
-        asg = (
-            dists.withColumn("rn", F.row_number().over(w_asg))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "m", "j")
-        )
+        asg = _pq_assign(sub, cb).select("vec_id", "m", "j")
         means = (
             asg.join(sub, ["vec_id", "m"])
             .groupBy("m", "j", "d")
@@ -951,4 +954,143 @@ def x3_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
-    return cb.select("m", "j", "d", "c")
+    return cb
+
+
+@query("x3_pq_codebooks", oracle=_pq_det_oracle(), tags=("X3", "pq", "M4", "iterative"))
+def x3_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PQ codebook training with a FULL oracle — the
+    m4_lloyd_iterations recipe applied per subspace, in LONG format so
+    everything stays relational: embedding components are fixed-point
+    quantized (floor(v*1e6 + 0.5) — the e12 bit-identical rounding), so
+    per-cluster distance sums and means are EXACT integer arithmetic
+    (order-independent, unlike float k-means), and the one float step per
+    centroid update (SUM/COUNT of exact int64 < 2^53) is correctly
+    rounded identically in both engines before re-flooring to an integer
+    centroid. Init is md5-argmin per (subspace, hash bucket); each of the
+    {PQ_DET_ITERS} Lloyd iterations is: broadcast 1024-row codebook join
+    -> per-(vector, subspace, centroid) integer distance aggregation ->
+    lowest-(dist, j) assignment -> grouped integer means with COALESCE
+    keeping an emptied cluster's previous centroid. Zero driver actions
+    in the loop; subvector rows are materialized once. This makes the PQ
+    *training* stage hash-checkable (`x3_pq_topk` keeps the seeded-MLlib
+    codebooks as the MLlib-parity variant); output = the final
+    (subspace, centroid, dim, component) codebook table."""
+    return _pq_det_codebook(spark, sf_dir).select("m", "j", "d", "c")
+
+
+PQ_DET_SHORTLIST = 200  # ADC prune size before exact re-ranking
+
+
+def _pq_adc_oracle() -> str:
+    return dedent(
+        "WITH "
+        + _pq_det_cb_ctes()
+        + f""",
+        codes AS MATERIALIZED (
+            SELECT vec_id, m, j FROM (
+                SELECT s.vec_id, s.m, c.j,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.vec_id, s.m
+                           ORDER BY SUM((s.q - c.c) * (s.q - c.c)), c.j) AS rn
+                FROM subf s JOIN cb{PQ_DET_ITERS} c ON c.m = s.m AND c.d = s.d
+                GROUP BY s.vec_id, s.m, c.j
+            ) WHERE rn = 1
+        ),
+        ptab AS MATERIALIZED (
+            SELECT s.vec_id AS query_id, s.m, c.j,
+                   SUM((s.q - c.c) * (s.q - c.c)) AS pdist
+            FROM subf s JOIN cb{PQ_DET_ITERS} c ON c.m = s.m AND c.d = s.d
+            WHERE s.vec_id < {N_QUERIES}
+            GROUP BY 1, 2, 3
+        ),
+        adc AS MATERIALIZED (
+            SELECT p.query_id, b.vec_id AS neighbor_id,
+                   SUM(p.pdist) AS adc_dist
+            FROM codes b JOIN ptab p ON p.m = b.m AND p.j = b.j
+            WHERE b.vec_id <> p.query_id
+            GROUP BY 1, 2
+        ),
+        short AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY adc_dist, neighbor_id) AS rn
+                FROM adc
+            ) WHERE rn <= {PQ_DET_SHORTLIST}
+        ),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        rerank AS (
+            SELECT s.query_id, s.neighbor_id,
+                   ROUND({_COS}, 6) AS cosine
+            FROM short s
+            JOIN e a ON a.vec_id = s.query_id
+            JOIN e b ON b.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id) AS rn
+            FROM rerank
+        ) WHERE rn <= 3
+        """
+    )
+
+
+@query("x3_pq_adc_topk", oracle=_pq_adc_oracle(), tags=("X3", "pq", "adc"))
+def x3_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL PQ search cascade with a FULL oracle — encode with the
+    deterministic codebook (x3_pq_codebooks), ADC-prune, exact re-rank:
+    every stage is exact arithmetic, so the whole ANN pipeline is
+    hash-checkable end to end (the seeded-MLlib ``x3_pq_topk`` remains
+    the MLlib-parity variant with its recall goldens).
+
+    Stages: (1) ENCODE — every vector's per-subspace code is the
+    lowest-(integer distance, j) centroid, the same ``_pq_assign`` the
+    trainer runs; (2) ADC — each probe's (subspace, centroid) integer
+    distance table joins the code table on (m, j) and SUMs to the
+    asymmetric distance (exact int64: no float ranking anywhere in the
+    prune); (3) SHORTLIST — top {PQ_DET_SHORTLIST} per probe by
+    (adc_dist, neighbor_id), a deterministic integer ordering; (4)
+    RE-RANK — exact cosine on shortlist survivors only, rounded to 6,
+    top-3 per probe. At 100 TB: the codebook broadcast is KB-sized, the
+    encode + ADC pass touches 8 small integers per candidate, and full
+    floats are read only for shortlist survivors — the classic IVF-PQ
+    cost shape, now with bit-exact reproducibility."""
+    cb = _pq_det_codebook(spark, sf_dir)
+    e_all = table(spark, sf_dir, "embeddings")
+    subf = _pq_quantized_sub(e_all).localCheckpoint(eager=False)
+
+    codes = _pq_assign(subf, cb).select("vec_id", "m", "j")
+    ptab = (
+        subf.where(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cb), ["m", "d"])
+        .groupBy(F.col("vec_id").alias("query_id"), F.col("m"), F.col("j"))
+        .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("pdist"))
+    )
+    adc = (
+        codes.join(F.broadcast(ptab), ["m", "j"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pdist").alias("adc_dist"))
+    )
+    w_short = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    short = (
+        adc.withColumn("rn", F.row_number().over(w_short))
+        .where(F.col("rn") <= PQ_DET_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+
+    ev = with_norm(e_all).select("vec_id", "v", "norm")
+    a, b = ev.alias("a"), ev.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    rerank = (
+        short.join(F.broadcast(a), F.col("a.vec_id") == F.col("query_id"))
+        .join(b, F.col("b.vec_id") == F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rerank.withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "cosine")
+    )
