@@ -76,6 +76,8 @@ HEADLINE = [
     "x3_mmr_rerank",
     "x4_quality_model_score",
     "x4_pii_scrub",
+    "x3_pq_codebooks",
+    "x3_pq_adc_topk",
     "x9_dsir_resample",
     "k12_render_annotations",
     "m9_gd_training_loop",

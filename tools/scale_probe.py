@@ -86,6 +86,8 @@ DEFAULT = [
     "m4_lloyd_iterations",
     "m8_rank_metrics",
     "x4_pii_scrub",
+    "x3_pq_codebooks",
+    "x3_pq_adc_topk",
 ]
 
 
