@@ -78,6 +78,8 @@ HEADLINE = [
     "x4_pii_scrub",
     "x3_pq_codebooks",
     "x3_pq_adc_topk",
+    "x3_signlsh_topk",
+    "x1_minhash_ingest",
     "x9_dsir_resample",
     "k12_render_annotations",
     "m9_gd_training_loop",

@@ -428,11 +428,12 @@ def x2_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_verified_pairs(sh)
 
 
-def _minhash_verified_pairs(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """(doc_a, doc_b, jaccard) pairs from banded-minhash candidates over a
-    ``(doc_id, lang, s)`` shingle table, verified with exact Jaccard >=
-    ``threshold``. Shared by the standalone query and the end-to-end
-    fuzzy-dedup pipeline."""
+def _minhash_band_table(sh: DataFrame) -> DataFrame:
+    """(doc_id, lang, band, bkey) banded-minhash LSH keys over a
+    ``(doc_id, lang, s)`` shingle table — each shingle hashed once, all
+    {N_MINHASH_SEEDS} signatures as MIN columns in one aggregation, band
+    keys via stack. This IS the persisted LSH index of a production
+    pipeline: {N_MINHASH_BANDS} short rows per doc, regardless of length."""
     h = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
     mins = (
         sh.select(
@@ -452,9 +453,17 @@ def _minhash_verified_pairs(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
     stack_args = ", ".join(
         f"{j}, concat_ws('|', {key})" for j, key in enumerate(_minhash_band_keys(", "))
     )
-    bk = mins.selectExpr(
+    return mins.selectExpr(
         "doc_id", "lang", f"stack({N_MINHASH_BANDS}, {stack_args}) AS (band, bkey)"
     )
+
+
+def _minhash_verified_pairs(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """(doc_a, doc_b, jaccard) pairs from banded-minhash candidates over a
+    ``(doc_id, lang, s)`` shingle table, verified with exact Jaccard >=
+    ``threshold``. Shared by the standalone query and the end-to-end
+    fuzzy-dedup pipeline."""
+    bk = _minhash_band_table(sh)
     cand = (
         bk.alias("a")
         .join(
@@ -503,6 +512,116 @@ def exact_jaccard_verify(
         .where(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@query(
+    "x1_minhash_ingest",
+    oracle=dedent(
+        """
+        WITH idx AS (SELECT * FROM documents WHERE doc_id % 5 <> 4),
+        batch AS (SELECT * FROM documents WHERE doc_id % 5 = 4),
+        fresh AS (
+            SELECT b.* FROM batch b
+            ANTI JOIN idx i ON MD5(b.text) = MD5(i.text)
+        ),
+        {shingle_cte},
+        hashed AS (
+            SELECT doc_id, lang,
+                   CAST('0x' || SUBSTR(MD5(s), 1, 15) AS BIGINT) % 1073741824 AS hlo,
+                   CAST('0x' || SUBSTR(MD5(s), 1, 15) AS BIGINT) // 1073741824 AS hhi
+            FROM shingles
+        ),
+        mins AS (
+            SELECT doc_id, lang,
+               {minhash_min_sql}
+            FROM hashed GROUP BY 1, 2
+        ),
+        bk AS (
+            SELECT doc_id, lang,
+                   UNNEST(RANGE(0, {n_bands})) AS band,
+                   UNNEST([{bkey_sql}]) AS bkey
+            FROM mins
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang
+            FROM bk a JOIN bk b
+              ON a.lang = b.lang AND a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id % 5 = 4 AND b.doc_id % 5 <> 4
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+            FROM cand c
+            JOIN shingles x ON x.doc_id = c.doc_a AND x.lang = c.lang
+            JOIN shingles y ON y.doc_id = c.doc_b AND y.s = x.s AND y.lang = c.lang
+            GROUP BY 1, 2
+        ),
+        neardup AS (
+            SELECT DISTINCT i.doc_a FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.5
+        )
+        SELECT f.doc_id, f.lang, f.n_chars FROM fresh f
+        ANTI JOIN neardup nd ON f.doc_id = nd.doc_a
+        """
+    ).format(
+        shingle_cte=_SHINGLE_SQL_CTE,
+        minhash_min_sql=_MINHASH_MIN_SQL,
+        n_bands=N_MINHASH_BANDS,
+        bkey_sql=_MINHASH_BKEY_SQL,
+    ),
+    tags=("X1", "X2", "incremental", "minhash", "lsh"),
+)
+def x1_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest against a BANDED MINHASH index — the batch twin
+    of the streaming near-dup lane (streaming/neardup.py) and the scale
+    path of ``x1_incremental_ingest``: where that query probes the index
+    through the full inverted-shingle join (per-batch fan-out grows with
+    shingle hotspots), this one probes via N_MINHASH_BANDS constant-size
+    band keys per document — exactly the state the streaming lane keeps per
+    bucket, and exactly the persisted LSH index a production corpus keeps
+    warm between ingests.
+
+    Stages: (1) exact anti join on the content hash; (2) batch-side band
+    keys equi-join INDEX-side band keys on (lang, band, key) — never
+    index-vs-index, so per-batch probe cost is O(batch x bands) rows
+    against a hash-partitioned index; (3) candidates verified with EXACT
+    Jaccard >= 0.5 over the shingle index (banding affects only recall,
+    never emitted-pair precision — the same contract as
+    ``x2_minhash_banded``); (4) flagged batch docs anti-joined away.
+    Output: admitted batch docs, same shape as ``x1_incremental_ingest``
+    (at this SF the two admit the same set iff banding recalls every
+    >= 0.5 pair; the LSH variant may admit a superset on recall misses —
+    both are hash-checked independently)."""
+    docs = table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 5 == 4
+    fresh = docs.where(is_batch).alias("b").join(
+        docs.where(~is_batch).select(F.md5("text").alias("h")).distinct(),
+        F.md5(F.col("b.text")) == F.col("h"),
+        "left_anti",
+    )
+    sh = shingles(spark, sf_dir).localCheckpoint(eager=False)  # bands + verify
+    bk = _minhash_band_table(sh).localCheckpoint(eager=False)  # both join sides
+    cand = (
+        bk.where(is_batch)
+        .alias("sb")
+        .join(
+            bk.where(~is_batch).alias("si"),
+            (F.col("sb.lang") == F.col("si.lang"))
+            & (F.col("sb.band") == F.col("si.band"))
+            & (F.col("sb.bkey") == F.col("si.bkey")),
+        )
+        .select(
+            F.col("sb.doc_id").alias("doc_a"),
+            F.col("si.doc_id").alias("doc_b"),
+            F.col("sb.lang").alias("lang"),
+        )
+    )
+    flagged = exact_jaccard_verify(cand, sh).select("doc_a").distinct()
+    return fresh.join(
+        flagged, fresh["doc_id"] == flagged["doc_a"], "left_anti"
+    ).select("doc_id", "lang", "n_chars")
 
 
 @query("x2_minhash_lsh", oracle=None, tags=("X2", "lsh"))

@@ -88,6 +88,8 @@ DEFAULT = [
     "x4_pii_scrub",
     "x3_pq_codebooks",
     "x3_pq_adc_topk",
+    "x3_signlsh_topk",
+    "x1_minhash_ingest",
 ]
 
 
