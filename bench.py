@@ -80,6 +80,8 @@ HEADLINE = [
     "x3_pq_adc_topk",
     "x3_signlsh_topk",
     "x1_minhash_ingest",
+    "x5_hll_explicit",
+    "x5_countmin_terms",
     "x9_dsir_resample",
     "k12_render_annotations",
     "m9_gd_training_loop",

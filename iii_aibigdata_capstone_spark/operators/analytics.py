@@ -1255,7 +1255,8 @@ def x5_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup pattern: partials are ~KB each, re-aggregatable to any grouping
     without touching the fact table again. Non-SQL-expressible for the
     DuckDB oracle (different sketch family); accuracy vs exact distinct is
-    pinned in tests/test_analytics.py."""
+    pinned in tests/test_analytics.py. ``x5_hll_explicit`` is the
+    hash-checkable engine-neutral twin."""
     ev = table(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk")
@@ -1268,6 +1269,139 @@ def x5_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("approx_users"),
     )
     return per.unionByName(total)
+
+
+HLL_M = 64  # registers (p = 6 bucket bits); raw-regime for n >= 2.5*m = 160
+HLL_WBITS = 54  # 60-bit md5 hash minus the 6 bucket bits
+_HLL_TWOP = 1 << (HLL_WBITS + 1)  # 2^55: the zero-register term
+
+
+@query(
+    "x5_hll_explicit",
+    oracle=dedent(
+        f"""
+        WITH base AS MATERIALIZED (
+            SELECT event_type, event_id,
+                   CAST('0x' || SUBSTR(MD5(CAST(event_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) AS h
+            FROM events
+        ),
+        hrows AS (
+            SELECT event_type, event_id, h % {HLL_M} AS j,
+                   CASE WHEN h // {HLL_M} = 0 THEN {HLL_WBITS + 1}
+                        ELSE {HLL_WBITS + 1} - LENGTH(BIN(h // {HLL_M}))
+                   END AS rho
+            FROM base
+        ),
+        regs AS MATERIALIZED (
+            SELECT event_type, j, MAX(rho) AS m FROM hrows GROUP BY 1, 2
+        ),
+        regs_u AS (
+            SELECT * FROM regs
+            UNION ALL
+            SELECT 'ALL' AS event_type, j, MAX(m) AS m FROM regs GROUP BY 2
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(1 AS BIGINT) << ({HLL_WBITS + 1} - m))
+                        AS BIGINT)
+                     + ({HLL_M} - COUNT(*)) * CAST({_HLL_TWOP} AS BIGINT) AS sden
+            FROM regs_u GROUP BY 1
+        ),
+        exact AS (
+            SELECT event_type, COUNT(DISTINCT event_id) AS exact_ids
+            FROM hrows GROUP BY 1
+            UNION ALL
+            SELECT 'ALL', COUNT(DISTINCT event_id) FROM hrows
+        )
+        SELECT s.event_type,
+               CAST(0.709 AS DOUBLE) * CAST({HLL_M * HLL_M} AS DOUBLE)
+                 * CAST({_HLL_TWOP} AS DOUBLE) / CAST(s.sden AS DOUBLE)
+                 AS approx_ids,
+               CAST(e.exact_ids AS BIGINT) AS exact_ids
+        FROM s JOIN exact e ON e.event_type = s.event_type
+        """
+    ),
+    tags=("X5", "sketch", "hll"),
+)
+def x5_hll_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLICIT HyperLogLog as pure dataflow with a FULL oracle — the
+    hash-checkable twin of ``x5_hll_rollup`` (DataSketches' hash family is
+    JVM-internal, so that one is rows-only). Distinct event_ids per
+    event_type plus an ALL row obtained by MERGING the per-type registers
+    (element-wise MAX) — never a re-scan of the fact table, which is the
+    whole point of a mergeable sketch at 100 TB: per-group partials are
+    {HLL_M} small integers, re-aggregatable to any coarser grouping.
+
+    Every step is engine-neutral integer arithmetic: the 60-bit md5 hash
+    splits into a {HLL_M}-bucket index and a {HLL_WBITS}-bit suffix whose
+    leading-zero count (via LENGTH(BIN(w)) — no floats) gives the
+    register rank; the harmonic denominator is carried as
+    SUM(2^({HLL_WBITS + 1} - M)) in exact BIGINT (max {HLL_M} * 2^55 =
+    2^61, overflow-safe; DuckDB's HUGEINT widen re-cast per the r3
+    lesson), with absent registers contributing 2^55 each. The single
+    float step — alpha * m^2 * 2^55 / S — is one fixed IEEE expression
+    tree over identical integers, so the RAW double matches bit-for-bit.
+    m = {HLL_M} keeps every group in the raw-estimate regime (n >= 2.5m)
+    at every test SF, so no linear-counting branch (and no cross-engine
+    ln()) is needed; accuracy vs exact is pinned in tests (theoretical
+    error 1.04/sqrt({HLL_M}) = 13%)."""
+    ev = table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = F.shiftright(F.col("h"), 6)
+    rho = F.when(w == 0, F.lit(HLL_WBITS + 1)).otherwise(
+        F.lit(HLL_WBITS + 1) - F.length(F.bin(w))
+    )
+    hrows = (
+        ev.select("event_type", "event_id", h.alias("h"))
+        .select(
+            "event_type",
+            "event_id",
+            F.col("h").bitwiseAND(F.lit(HLL_M - 1)).alias("j"),
+            rho.alias("rho"),
+        )
+        .localCheckpoint(eager=False)  # consumed twice: registers + exact
+    )
+    regs = (
+        hrows.groupBy("event_type", "j")
+        .agg(F.max("rho").alias("m"))
+        .localCheckpoint(eager=False)  # consumed twice: per-type + merged ALL
+    )
+    regs_u = regs.unionByName(
+        regs.groupBy("j")
+        .agg(F.max("m").alias("m"))
+        .select(F.lit("ALL").alias("event_type"), "j", "m")
+    )
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_WBITS + 1} - m AS INT))")
+    s = regs_u.groupBy("event_type").agg(
+        (
+            F.sum(term)
+            + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(_HLL_TWOP)
+        ).alias("sden")
+    )
+    exact = (
+        hrows.select("event_type", "event_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_ids"))
+        .unionByName(
+            hrows.select("event_id")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("exact_ids"))
+            .select(F.lit("ALL").alias("event_type"), "exact_ids")
+        )
+    )
+    est = (
+        F.lit(0.709)
+        * F.lit(float(HLL_M * HLL_M))
+        * F.lit(float(_HLL_TWOP))
+        / F.col("sden").cast("double")
+    )
+    return s.join(exact, "event_type").select(
+        "event_type", est.alias("approx_ids"), "exact_ids"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1648,7 +1782,8 @@ def x5_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged on one reducer, and the token explode is the only wide input.
     Estimates are exact whenever a partition tracks <= maxItemsTracked
     distinct items (pinned against exact counts in tests). Rows-only for
-    the oracle (DuckDB has no matching sketch)."""
+    the oracle (DuckDB has no matching sketch); ``x5_countmin_terms`` is
+    the hash-checkable engine-neutral twin."""
     docs = table(spark, sf_dir, "documents")
     words = docs.select(F.explode(F.split("text", " ")).alias("term")).where(
         F.col("term") != ""
@@ -1661,6 +1796,110 @@ def x5_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.item").alias("term"),
             F.col("e.count").alias("est_count"),
         )
+    )
+
+
+CMS_D = 4  # count-min hash rows
+CMS_W = 1024  # counters per row
+
+
+@query(
+    "x5_countmin_terms",
+    oracle=dedent(
+        f"""
+        WITH words AS (
+            SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+        ),
+        keyed AS MATERIALIZED (
+            SELECT term, COUNT(*) AS n FROM words WHERE term <> '' GROUP BY 1
+        ),
+        hashed AS MATERIALIZED (
+            SELECT r.r, k.term, k.n,
+                   CAST('0x' || SUBSTR(MD5(CAST(r.r AS VARCHAR) || ':' || k.term),
+                        1, 15) AS BIGINT) % {CMS_W} AS c
+            FROM keyed k, (SELECT UNNEST(RANGE(0, {CMS_D})) AS r) r
+        ),
+        counters AS MATERIALIZED (
+            SELECT r, c, CAST(SUM(n) AS BIGINT) AS cnt FROM hashed GROUP BY 1, 2
+        ),
+        probes AS (SELECT term, n FROM keyed ORDER BY n DESC, term LIMIT 20),
+        est AS (
+            SELECT p.term, p.n, MIN(co.cnt) AS cms_n
+            FROM probes p
+            JOIN hashed h ON h.term = p.term
+            JOIN counters co ON co.r = h.r AND co.c = h.c
+            GROUP BY 1, 2
+        )
+        SELECT ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rank, term,
+               CAST(n AS BIGINT) AS exact_n, cms_n,
+               cms_n - CAST(n AS BIGINT) AS overcount
+        FROM est
+        """
+    ),
+    tags=("X5", "sketch", "topk"),
+)
+def x5_countmin_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLICIT Count-Min sketch as pure dataflow with a FULL oracle — the
+    hash-checkable twin of ``x5_heavy_hitters`` (approx_top_k's item
+    sketch is JVM-internal). {CMS_D} rows x {CMS_W} counters, each
+    counter the exact BIGINT sum of every term whose md5-derived row-hash
+    lands there; a term's estimate is the MIN across its {CMS_D} counters
+    — the classic one-sided bound, cms_n >= exact_n ALWAYS (pinned in
+    tests), with overestimate bounded by colliding mass. Probes here are
+    the exact top-20 terms so the output exposes (exact, estimate,
+    overcount) side by side.
+
+    Scale shape: the only corpus-wide work is the word-count aggregation
+    (map-side combinable; the explode is repartitioned first — compact
+    single-file inputs otherwise explode on one core). Everything
+    downstream operates on the VOCABULARY (|V| x {CMS_D} hash rows ->
+    {CMS_D * CMS_W} counters, KB-sized and mergeable by plain addition —
+    the property that lets a 1000-executor job keep per-partition
+    sketches and combine them in one reduce)."""
+    nparts = spark.sparkContext.defaultParallelism
+    docs = table(spark, sf_dir, "documents").repartition(nparts, "doc_id")
+    words = docs.select(F.explode(F.split("text", " ")).alias("term")).where(
+        F.col("term") != ""
+    )
+    keyed = (
+        words.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # consumed twice: hash rows + probes
+    )
+    rs = spark.range(CMS_D).select(F.col("id").cast("long").alias("r"))
+    c = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("term"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CMS_W
+    )
+    hashed = (
+        keyed.crossJoin(F.broadcast(rs))
+        .select("r", "term", "n", c.alias("c"))
+        .localCheckpoint(eager=False)  # consumed twice: counters + probe lookup
+    )
+    counters = hashed.groupBy("r", "c").agg(F.sum("n").alias("cnt"))
+    probes = keyed.orderBy(F.desc("n"), F.asc("term")).limit(20)
+    est = (
+        F.broadcast(probes)
+        .join(hashed.select("r", "term", "c"), "term")
+        .join(F.broadcast(counters), ["r", "c"])
+        .groupBy("term", "n")
+        .agg(F.min("cnt").alias("cms_n"))
+    )
+    w_rank = Window.orderBy(F.desc("n"), F.asc("term"))  # 20 rows: single task is fine
+    return est.select(
+        F.row_number().over(w_rank).alias("rank"),
+        "term",
+        F.col("n").alias("exact_n"),
+        "cms_n",
+        (F.col("cms_n") - F.col("n")).alias("overcount"),
     )
 
 

@@ -40,6 +40,34 @@ def test_hll_union_row_merges_sketches_not_rescans(spark):
     assert all_row < per_type_sum  # heavy overlap in the testdata
 
 
+def test_hll_explicit_within_error_bound(spark):
+    """x5_hll_explicit (m=64 -> 13% rse): every group's raw estimate must
+    land within 3.7 sigma (50%) of exact — the sf0.001 'error' group is a
+    3.7-sigma draw — and the register-merged ALL row within 15%."""
+    rows = registry()["x5_hll_explicit"].builder(spark, TEST_SF_DIR).collect()
+    assert len(rows) == 6
+    for r in rows:
+        bound = 0.15 if r["event_type"] == "ALL" else 0.50
+        assert abs(r["approx_ids"] - r["exact_ids"]) <= bound * r["exact_ids"], (
+            r["event_type"],
+            r["approx_ids"],
+            r["exact_ids"],
+        )
+
+
+def test_countmin_never_underestimates(spark):
+    """x5_countmin_terms: the count-min guarantee — every probe's estimate
+    is >= its exact count (overcount >= 0), and with 4x1024 counters the
+    top terms' overestimate stays below 10% of their exact count at test
+    SF (colliding tail mass is small next to a heavy hitter)."""
+    rows = registry()["x5_countmin_terms"].builder(spark, TEST_SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["cms_n"] >= r["exact_n"], (r["term"], r["cms_n"], r["exact_n"])
+        assert r["overcount"] == r["cms_n"] - r["exact_n"]
+        assert r["overcount"] <= 0.10 * r["exact_n"], (r["term"], r["overcount"])
+
+
 def test_weighted_sample_deterministic(spark):
     spec = registry()["x9_weighted_sample"]
     a = sorted(map(tuple, spec.builder(spark, TEST_SF_DIR).collect()))

@@ -90,6 +90,8 @@ DEFAULT = [
     "x3_pq_adc_topk",
     "x3_signlsh_topk",
     "x1_minhash_ingest",
+    "x5_hll_explicit",
+    "x5_countmin_terms",
 ]
 
 
