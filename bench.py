@@ -82,6 +82,7 @@ HEADLINE = [
     "x1_minhash_ingest",
     "x5_hll_explicit",
     "x5_countmin_terms",
+    "x5_hll_sliding_explicit",
     "x9_dsir_resample",
     "k12_render_annotations",
     "m9_gd_training_loop",

@@ -1225,7 +1225,8 @@ def x5_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned once no matter how many window lengths ride on the partials
     (a second window size is another explode fan-out, not another 100 TB
     scan; exact distinct cannot merge this way). Fan-out is explode over
-    3 rows per hourly sketch (~KB each), then a union-agg per window."""
+    3 rows per hourly sketch (~KB each), then a union-agg per window.
+    ``x5_hll_sliding_explicit`` is the hash-checkable engine-neutral twin."""
     ev = table(spark, sf_dir, "events")
     hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
@@ -1276,6 +1277,59 @@ HLL_WBITS = 54  # 60-bit md5 hash minus the 6 bucket bits
 _HLL_TWOP = 1 << (HLL_WBITS + 1)  # 2^55: the zero-register term
 
 
+def _hll_j_rho(id_col: str) -> tuple[F.Column, F.Column]:
+    """(bucket, rank) columns of the explicit-HLL hash split — the 60-bit
+    md5 of the id's string form: low 6 bits pick the register, the 54-bit
+    suffix's leading-zero count (+1) is the rank, derived integer-only via
+    LENGTH(BIN(w))."""
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = F.shiftright(h, 6)
+    rho = F.when(w == 0, F.lit(HLL_WBITS + 1)).otherwise(
+        F.lit(HLL_WBITS + 1) - F.length(F.bin(w))
+    )
+    return h.bitwiseAND(F.lit(HLL_M - 1)).alias("j"), rho.alias("rho")
+
+
+def _hll_sden(regs_u: DataFrame, group_col: str) -> DataFrame:
+    """Per-group harmonic denominator S = SUM(2^(55-M)) + zeros*2^55 over a
+    (group, j, m) register table — exact BIGINT (max 64*2^55 = 2^61)."""
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_WBITS + 1} - m AS INT))")
+    return regs_u.groupBy(group_col).agg(
+        (
+            F.sum(term) + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(_HLL_TWOP)
+        ).alias("sden")
+    )
+
+
+def _hll_est() -> F.Column:
+    """alpha * m^2 * 2^55 / S as one fixed IEEE expression tree — raw
+    double, bit-identical cross-engine on identical integer sden."""
+    return (
+        F.lit(0.709)
+        * F.lit(float(HLL_M * HLL_M))
+        * F.lit(float(_HLL_TWOP))
+        / F.col("sden").cast("double")
+    )
+
+
+# The same three steps as DuckDB SQL fragments (f-string-interpolated into
+# the hll oracles): rho CASE, register term, and the estimate projection.
+_HLL_RHO_SQL = (
+    f"CASE WHEN h // {HLL_M} = 0 THEN {HLL_WBITS + 1} "
+    f"ELSE {HLL_WBITS + 1} - LENGTH(BIN(h // {HLL_M})) END"
+)
+_HLL_SDEN_SQL = (
+    f"CAST(SUM(CAST(1 AS BIGINT) << ({HLL_WBITS + 1} - m)) AS BIGINT) "
+    f"+ ({HLL_M} - COUNT(*)) * CAST({_HLL_TWOP} AS BIGINT)"
+)
+_HLL_EST_SQL = (
+    f"CAST(0.709 AS DOUBLE) * CAST({HLL_M * HLL_M} AS DOUBLE) "
+    f"* CAST({_HLL_TWOP} AS DOUBLE) / CAST(sden AS DOUBLE)"
+)
+
+
 @query(
     "x5_hll_explicit",
     oracle=dedent(
@@ -1288,9 +1342,7 @@ _HLL_TWOP = 1 << (HLL_WBITS + 1)  # 2^55: the zero-register term
         ),
         hrows AS (
             SELECT event_type, event_id, h % {HLL_M} AS j,
-                   CASE WHEN h // {HLL_M} = 0 THEN {HLL_WBITS + 1}
-                        ELSE {HLL_WBITS + 1} - LENGTH(BIN(h // {HLL_M}))
-                   END AS rho
+                   {_HLL_RHO_SQL} AS rho
             FROM base
         ),
         regs AS MATERIALIZED (
@@ -1302,10 +1354,7 @@ _HLL_TWOP = 1 << (HLL_WBITS + 1)  # 2^55: the zero-register term
             SELECT 'ALL' AS event_type, j, MAX(m) AS m FROM regs GROUP BY 2
         ),
         s AS (
-            SELECT event_type,
-                   CAST(SUM(CAST(1 AS BIGINT) << ({HLL_WBITS + 1} - m))
-                        AS BIGINT)
-                     + ({HLL_M} - COUNT(*)) * CAST({_HLL_TWOP} AS BIGINT) AS sden
+            SELECT event_type, {_HLL_SDEN_SQL} AS sden
             FROM regs_u GROUP BY 1
         ),
         exact AS (
@@ -1315,9 +1364,7 @@ _HLL_TWOP = 1 << (HLL_WBITS + 1)  # 2^55: the zero-register term
             SELECT 'ALL', COUNT(DISTINCT event_id) FROM hrows
         )
         SELECT s.event_type,
-               CAST(0.709 AS DOUBLE) * CAST({HLL_M * HLL_M} AS DOUBLE)
-                 * CAST({_HLL_TWOP} AS DOUBLE) / CAST(s.sden AS DOUBLE)
-                 AS approx_ids,
+               {_HLL_EST_SQL} AS approx_ids,
                CAST(e.exact_ids AS BIGINT) AS exact_ids
         FROM s JOIN exact e ON e.event_type = s.event_type
         """
@@ -1347,23 +1394,10 @@ def x5_hll_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln()) is needed; accuracy vs exact is pinned in tests (theoretical
     error 1.04/sqrt({HLL_M}) = 13%)."""
     ev = table(spark, sf_dir, "events")
-    h = F.conv(
-        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    w = F.shiftright(F.col("h"), 6)
-    rho = F.when(w == 0, F.lit(HLL_WBITS + 1)).otherwise(
-        F.lit(HLL_WBITS + 1) - F.length(F.bin(w))
-    )
-    hrows = (
-        ev.select("event_type", "event_id", h.alias("h"))
-        .select(
-            "event_type",
-            "event_id",
-            F.col("h").bitwiseAND(F.lit(HLL_M - 1)).alias("j"),
-            rho.alias("rho"),
-        )
-        .localCheckpoint(eager=False)  # consumed twice: registers + exact
-    )
+    j, rho = _hll_j_rho("event_id")
+    hrows = ev.select("event_type", "event_id", j, rho).localCheckpoint(
+        eager=False
+    )  # consumed twice: registers + exact
     regs = (
         hrows.groupBy("event_type", "j")
         .agg(F.max("rho").alias("m"))
@@ -1374,13 +1408,7 @@ def x5_hll_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("m").alias("m"))
         .select(F.lit("ALL").alias("event_type"), "j", "m")
     )
-    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_WBITS + 1} - m AS INT))")
-    s = regs_u.groupBy("event_type").agg(
-        (
-            F.sum(term)
-            + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(_HLL_TWOP)
-        ).alias("sden")
-    )
+    s = _hll_sden(regs_u, "event_type")
     exact = (
         hrows.select("event_type", "event_id")
         .distinct()
@@ -1393,14 +1421,86 @@ def x5_hll_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit("ALL").alias("event_type"), "exact_ids")
         )
     )
-    est = (
-        F.lit(0.709)
-        * F.lit(float(HLL_M * HLL_M))
-        * F.lit(float(_HLL_TWOP))
-        / F.col("sden").cast("double")
-    )
     return s.join(exact, "event_type").select(
-        "event_type", est.alias("approx_ids"), "exact_ids"
+        "event_type", _hll_est().alias("approx_ids"), "exact_ids"
+    )
+
+
+@query(
+    "x5_hll_sliding_explicit",
+    oracle=dedent(
+        f"""
+        WITH base AS (
+            SELECT DATE_TRUNC('day', ts) AS d, event_id,
+                   CAST('0x' || SUBSTR(MD5(CAST(event_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) AS h
+            FROM events
+        ),
+        dayregs AS MATERIALIZED (
+            SELECT d, h % {HLL_M} AS j, MAX({_HLL_RHO_SQL}) AS m
+            FROM base GROUP BY 1, 2
+        ),
+        winregs AS (
+            SELECT win_end, j, MAX(m) AS m FROM (
+                SELECT UNNEST([d, d + INTERVAL 1 DAY, d + INTERVAL 2 DAY])
+                           AS win_end,
+                       j, m
+                FROM dayregs
+            ) GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT win_end, {_HLL_SDEN_SQL} AS sden
+            FROM winregs GROUP BY 1
+        )
+        SELECT CAST(EPOCH(win_end) AS BIGINT) AS win_end,
+               {_HLL_EST_SQL} AS approx_ids
+        FROM s
+        """
+    ),
+    tags=("X5", "sketch", "window", "hll"),
+)
+def x5_hll_sliding_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct counts from MERGED DAILY REGISTER PARTIALS,
+    fully hash-checkable — the engine-neutral twin of ``x5_hll_sliding``:
+    one pass builds {HLL_M} explicit-HLL registers per day, then every
+    3-day window ending at day D is the element-wise MAX of days
+    [D-2, D]'s registers. The fact table is scanned ONCE no matter how
+    many window lengths ride on the partials — the sketch property that
+    replaces a per-window 100 TB re-scan; the fan-out is 3 rows per
+    (day, register), KB-sized. Register merge is exact integer MAX, so
+    merge-equals-rescan holds BIT-EXACTLY (pinned in tests by rebuilding
+    windows directly from events and comparing estimates); window ends
+    are emitted as epoch seconds (the all-integer timestamp contract).
+    Day-partial cardinalities at test SF sit below the raw-estimate
+    regime, so ``approx_ids`` is the deterministic raw estimate — the
+    parity contract here is exact reproducibility of sketch state and
+    estimate, accuracy being ``x5_hll_explicit``'s department."""
+    ev = table(spark, sf_dir, "events")
+    j, rho = _hll_j_rho("event_id")
+    dayregs = (
+        ev.select(F.date_trunc("day", F.col("ts")).alias("d"), j, rho)
+        .groupBy("d", "j")
+        .agg(F.max("rho").alias("m"))
+    )
+    winregs = (
+        dayregs.select(
+            F.explode(
+                F.sequence(
+                    F.col("d"),
+                    F.col("d") + F.expr("INTERVAL 2 DAYS"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("win_end"),
+            "j",
+            "m",
+        )
+        .groupBy("win_end", "j")
+        .agg(F.max("m").alias("m"))
+    )
+    s = _hll_sden(winregs, "win_end")
+    return s.select(
+        F.col("win_end").cast("long").alias("win_end"),
+        _hll_est().alias("approx_ids"),
     )
 
 

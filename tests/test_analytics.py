@@ -55,6 +55,50 @@ def test_hll_explicit_within_error_bound(spark):
         )
 
 
+def test_hll_sliding_explicit_merge_equals_rescan(spark):
+    """x5_hll_sliding_explicit: merging daily register partials must give
+    BIT-IDENTICAL estimates to rebuilding each window's registers directly
+    from the event rows (explode each EVENT to its 3 windows, then one
+    max-aggregation) — the exactness of integer MAX-merge is the property
+    that makes sketch partials trustworthy at 100 TB, where the rescan
+    plan is unaffordable."""
+    from iii_aibigdata_capstone_spark.operators.analytics import (
+        _hll_est,
+        _hll_j_rho,
+        _hll_sden,
+    )
+
+    merged = {
+        r["win_end"]: r["approx_ids"]
+        for r in registry()["x5_hll_sliding_explicit"].builder(spark, TEST_SF_DIR).collect()
+    }
+    ev = table(spark, TEST_SF_DIR, "events")
+    j, rho = _hll_j_rho("event_id")
+    winregs = (
+        ev.select(F.date_trunc("day", F.col("ts")).alias("d"), j, rho)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("d"),
+                    F.col("d") + F.expr("INTERVAL 2 DAYS"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("win_end"),
+            "j",
+            "rho",
+        )
+        .groupBy("win_end", "j")
+        .agg(F.max("rho").alias("m"))
+    )
+    rescan = {
+        r["win_end"]: r["approx_ids"]
+        for r in _hll_sden(winregs, "win_end")
+        .select(F.col("win_end").cast("long").alias("win_end"), _hll_est().alias("approx_ids"))
+        .collect()
+    }
+    assert merged == rescan  # exact float equality — same integers, same tree
+
+
 def test_countmin_never_underestimates(spark):
     """x5_countmin_terms: the count-min guarantee — every probe's estimate
     is >= its exact count (overcount >= 0), and with 4x1024 counters the

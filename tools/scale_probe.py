@@ -92,6 +92,7 @@ DEFAULT = [
     "x1_minhash_ingest",
     "x5_hll_explicit",
     "x5_countmin_terms",
+    "x5_hll_sliding_explicit",
 ]
 
 
