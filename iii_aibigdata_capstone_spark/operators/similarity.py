@@ -35,6 +35,49 @@ _COS = (
 )
 
 
+def _rerank_top3_sql(cand_cte: str) -> str:
+    """Shared oracle tail of the ANN cascades: exact rounded-cosine top-3
+    per probe over a ``(query_id, neighbor_id)`` candidate CTE. ONE
+    definition — the ADC and sign-LSH lanes must rerank identically."""
+    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        rerank AS (
+            SELECT s.query_id, s.neighbor_id,
+                   ROUND({_COS}, 6) AS cosine
+            FROM {cand_cte} s
+            JOIN e a ON a.vec_id = s.query_id
+            JOIN e b ON b.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id) AS rn
+            FROM rerank
+        ) WHERE rn <= 3"""
+
+
+def _cosine_rerank_top3(cand: DataFrame, e_all: DataFrame) -> DataFrame:
+    """Exact rounded-cosine top-3 per probe over ``(query_id,
+    neighbor_id)`` candidate pairs — the Spark twin of
+    ``_rerank_top3_sql``, shared by the ADC and sign-LSH cascades.
+    Broadcasts only the probe vectors; the corpus stays on the shuffle
+    side."""
+    ev = with_norm(e_all).select("vec_id", "v", "norm")
+    a, b = ev.where(F.col("vec_id") < N_QUERIES).alias("a"), ev.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    rerank = (
+        cand.join(F.broadcast(a), F.col("a.vec_id") == F.col("query_id"))
+        .join(b, F.col("b.vec_id") == F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rerank.withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
 @query(
     "x3_cosine_topk",
     oracle=dedent(
@@ -1019,19 +1062,7 @@ def _pq_adc_oracle() -> str:
                 FROM adc
             ) WHERE rn <= {PQ_DET_SHORTLIST}
         ),
-        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        rerank AS (
-            SELECT s.query_id, s.neighbor_id,
-                   ROUND({_COS}, 6) AS cosine
-            FROM short s
-            JOIN e a ON a.vec_id = s.query_id
-            JOIN e b ON b.vec_id = s.neighbor_id
-        )
-        SELECT query_id, neighbor_id, cosine FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                         ORDER BY cosine DESC, neighbor_id) AS rn
-            FROM rerank
-        ) WHERE rn <= 3
+        {_rerank_top3_sql("short")}
         """
     )
 
@@ -1079,22 +1110,7 @@ def x3_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= PQ_DET_SHORTLIST)
         .select("query_id", "neighbor_id")
     )
-
-    ev = with_norm(e_all).select("vec_id", "v", "norm")
-    # broadcast only the probe vectors — the full corpus stays on the shuffle side
-    a, b = ev.where(F.col("vec_id") < N_QUERIES).alias("a"), ev.alias("b")
-    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
-    rerank = (
-        short.join(F.broadcast(a), F.col("a.vec_id") == F.col("query_id"))
-        .join(b, F.col("b.vec_id") == F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
-    )
-    w_top = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        rerank.withColumn("rn", F.row_number().over(w_top))
-        .where(F.col("rn") <= 3)
-        .select("query_id", "neighbor_id", "cosine")
-    )
+    return _cosine_rerank_top3(short, e_all)
 
 
 # --- deterministic sign-LSH (md5-derived hyperplanes, full oracle) -----------
@@ -1148,18 +1164,7 @@ def _signlsh_oracle() -> str:
             FROM probes q JOIN sigs c
               ON c.t = q.t AND c.sig = q.sig AND c.vec_id <> q.vec_id
         ),
-        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        rerank AS (
-            SELECT s.query_id, s.neighbor_id, ROUND({_COS}, 6) AS cosine
-            FROM cand s
-            JOIN e a ON a.vec_id = s.query_id
-            JOIN e b ON b.vec_id = s.neighbor_id
-        )
-        SELECT query_id, neighbor_id, cosine FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                         ORDER BY cosine DESC, neighbor_id) AS rn
-            FROM rerank
-        ) WHERE rn <= 3
+        {_rerank_top3_sql("cand")}
         """
     )
 
@@ -1280,20 +1285,6 @@ def x3_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine ~0.35) the operating point prunes ~55% of the corpus at ~80-90%
     recall@3 — an honest tradeoff the recall test pins; on real clustered
     embeddings the same family prunes orders of magnitude harder."""
-    cand = _signlsh_candidates(spark, sf_dir)
-
-    ev = with_norm(table(spark, sf_dir, "embeddings")).select("vec_id", "v", "norm")
-    # broadcast only the probe vectors — the full corpus stays on the shuffle side
-    a, b = ev.where(F.col("vec_id") < N_QUERIES).alias("a"), ev.alias("b")
-    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
-    rerank = (
-        cand.join(F.broadcast(a), F.col("a.vec_id") == F.col("query_id"))
-        .join(b, F.col("b.vec_id") == F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
-    )
-    w_top = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        rerank.withColumn("rn", F.row_number().over(w_top))
-        .where(F.col("rn") <= 3)
-        .select("query_id", "neighbor_id", "cosine")
+    return _cosine_rerank_top3(
+        _signlsh_candidates(spark, sf_dir), table(spark, sf_dir, "embeddings")
     )

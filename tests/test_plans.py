@@ -505,19 +505,18 @@ def test_no_scale_killers_in_any_registered_plan(spark):
     for name, spec in registry().items():
         text = audit(spec.builder(spark, TEST_SF_DIR)).text
         cart = len(re.findall(r"^\(\d+\) CartesianProduct", text, re.MULTILINE))
-        # Scans hosted in the `===== Subqueries =====` section are Spark's
-        # injected runtime-filter builds (bloom of the build-side join key:
-        # single-column, filter-pushed — a pruning aid, not a consumer
-        # re-scanning the corpus), so the triple-scan rule audits the main
-        # plan only. A WIDE subquery scan would be a real hidden pass,
-        # so those still count.
+        # Scans hosted under a runtime bloom-filter subquery (Spark's
+        # injected build of the join key's bloom: `bloom_filter_agg` in the
+        # subquery plan — single-column, filter-pushed) are a pruning aid,
+        # not a consumer re-scanning the corpus, so they are exempt from
+        # the triple-scan rule. Any OTHER subquery scan (a user-authored
+        # scalar subquery recomputing a global min/max/threshold is a real
+        # hidden fact-table pass) still counts.
         main, _, subq = text.partition("===== Subqueries =====")
         files = Counter(re.findall(r"/(\w+)\.parquet", main))
-        for block in re.split(r"\n(?=\(\d+\) )", subq):
-            if "Scan parquet" in block.split("\n", 1)[0]:
-                width = re.search(r"Output \[(\d+)\]", block)
-                if width and int(width.group(1)) > 1:
-                    files[re.search(r"/(\w+)\.parquet", block).group(1)] += 1
+        for sub in re.split(r"\n(?=Subquery:\d+ )", subq):
+            if "bloom_filter_agg" not in sub:
+                files.update(re.findall(r"/(\w+)\.parquet", sub))
         triple = {t: n for t, n in files.items() if n >= 3}
         if cart or (triple and name not in TRIPLE_SCAN_ALLOWED):
             offenders.append((name, cart, triple))
