@@ -83,6 +83,7 @@ HEADLINE = [
     "x5_hll_explicit",
     "x5_countmin_terms",
     "x5_hll_sliding_explicit",
+    "x9_source_quota",
     "x9_dsir_resample",
     "k12_render_annotations",
     "m9_gd_training_loop",

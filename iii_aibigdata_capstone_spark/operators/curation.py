@@ -587,3 +587,77 @@ def x9_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "logw",
         "gumbel_key",
     )
+
+
+SOURCE_QUOTA_K = 10  # kept documents per source
+
+
+@query(
+    "x9_source_quota",
+    oracle=dedent(
+        f"""
+        WITH f AS (
+            SELECT doc_id, source,
+                   LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+                   LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                   t -> t IN {STOPWORDS!r})) AS n_stop,
+                   LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_uniq,
+                   n_chars
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, source,
+                   CAST({QUALITY_LOGIT_SQL} AS BIGINT) AS logit_milli
+            FROM f
+        )
+        SELECT source, doc_id, logit_milli,
+               CAST(rank_in_source AS BIGINT) AS rank_in_source
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                         ORDER BY logit_milli DESC, doc_id)
+                          AS rank_in_source
+            FROM scored
+        ) WHERE rank_in_source <= {SOURCE_QUOTA_K}
+        """
+    ),
+    tags=("X9", "X4", "quota", "curation"),
+)
+def x9_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality quotas — the DOMAIN CAP stage of corpus curation
+    (no single crawl domain may dominate the training mix; within each
+    source, keep only the highest-quality documents): the best
+    {SOURCE_QUOTA_K} docs per source by the deterministic quality-model
+    logit (same weights as x4_quality_model_score, JVM-side Catalyst
+    arithmetic), doc_id tiebreak.
+
+    Scale shape: one pruned scan, the logit riding the projection, then a
+    rank <= K filter over a source-partitioned window — which Spark
+    rewrites to WindowGroupLimit, i.e. each input partition keeps its own
+    top-{SOURCE_QUOTA_K} per source BEFORE the shuffle, so the exchange
+    carries at most K rows per (partition, source), never a domain's full
+    document set (the property that survives a crawl where one domain is
+    a third of the corpus — the skew case domain caps exist for)."""
+    docs = table(spark, sf_dir, "documents")
+    # tokenization projected ONCE before multi-reference (the shingling
+    # discipline: inlined split() re-evaluates per sub-expression)
+    with_toks = docs.select(
+        "doc_id", "source", "n_chars", F.split(F.col("text"), " ").alias("toks")
+    )
+    m = QUALITY_MODEL
+    logit = (
+        F.lit(m["bias"])
+        + F.lit(m["n_tokens"]) * F.size(F.col("toks"))
+        + F.lit(m["n_stop"])
+        * F.size(F.filter(F.col("toks"), lambda x: x.isin(*STOPWORDS)))
+        + F.lit(m["n_uniq"]) * F.size(F.array_distinct(F.col("toks")))
+        + F.lit(m["n_chars"]) * F.col("n_chars")
+    )
+    scored = with_toks.select(
+        "doc_id", "source", logit.cast("long").alias("logit_milli")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("logit_milli"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank_in_source", F.row_number().over(w).cast("long"))
+        .where(F.col("rank_in_source") <= SOURCE_QUOTA_K)
+        .select("source", "doc_id", "logit_milli", "rank_in_source")
+    )

@@ -468,6 +468,19 @@ def test_rank_metrics_single_corpus_pass(spark):
     assert not b.read_widths, b.read_widths
 
 
+def test_source_quota_partial_topk_and_single_split(spark):
+    """x9_source_quota: the rank <= K filter must lower to WindowGroupLimit
+    (each input partition keeps its own per-source top-K BEFORE the
+    exchange — the shape that caps shuffle rows at K per (partition,
+    source) even when one domain dominates the corpus), and the
+    tokenization must be projected exactly once (the shingling
+    discipline)."""
+    a = audit(registry()["x9_source_quota"].builder(spark, TEST_SF_DIR))
+    assert "WindowGroupLimit" in a.text, a.text
+    assert a.text.count("split(text") == 1, a.text
+    assert a.python_map_operators == 0, a.text  # logit is Catalyst arithmetic
+
+
 def test_paragraph_split_parallelizes_before_explode(spark):
     """x2_paragraph_dedup's splitter (_paragraphs): the doc_id repartition
     must sit BELOW the posexplode (compact-file corpora read as one input

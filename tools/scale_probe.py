@@ -93,6 +93,7 @@ DEFAULT = [
     "x5_hll_explicit",
     "x5_countmin_terms",
     "x5_hll_sliding_explicit",
+    "x9_source_quota",
 ]
 
 
