@@ -192,6 +192,40 @@ def windowed_heavy_hitters(events: DataFrame, watermark: str = "1 hour") -> Data
     )
 
 
+def windowed_hll_registers(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Watermarked sliding-window EXPLICIT-HLL register maintenance — the
+    streaming form of ``x5_hll_explicit``'s sketch state (and the partial
+    side of ``x5_hll_sliding_explicit``): per (3-day window sliding by 1
+    day, register) state is ONE integer — the running MAX of the
+    md5-derived rank — merged incrementally by the state store across
+    micro-batches exactly as map-side combine merges it across partitions
+    in batch. Streaming allows one stateful operator per query, and the
+    register table IS that operator's output: deriving the estimate
+    (collapse registers per window) is a second aggregation, so it belongs
+    to the downstream consumer — the realistic handoff, where a streaming
+    job keeps sketch partials warm and reporting queries fold them with
+    ``_hll_sden``/``_hll_est`` (equality with the batch fold is pinned in
+    tests/test_streaming.py). State is O(windows x 64) small integers —
+    never per-id — which is the whole reason HLL belongs in the stream."""
+    from ..operators.analytics import _hll_j_rho
+
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    j, rho = _hll_j_rho("event_id")
+    return (
+        events.select("ts", j, rho)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "3 days", "1 day").alias("w"), F.col("j"))
+        .agg(F.max("rho").alias("m"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "j",
+            "m",
+        )
+    )
+
+
 def session_counts(events: DataFrame, gap: str = "12 hours", watermark: str = "1 day") -> DataFrame:
     """Watermarked session windows per user (stateful aggregation — state
     store sized by active sessions, pruned by the watermark)."""

@@ -145,6 +145,45 @@ def test_windowed_heavy_hitters_stream_matches_batch(spark, events_stream_dir):
     assert got == want and len(got) > 0
 
 
+def test_windowed_hll_registers_stream_matches_batch_and_folds(spark, events_stream_dir):
+    """Explicit-HLL register maintenance rides streaming windows: the
+    state store's incremental MAX must leave registers identical to the
+    batch run (sketch-state equality, not just estimate equality), and
+    folding the STREAMED registers with the batch helpers must give
+    bit-identical estimates to folding the batch registers — the
+    partials-handoff contract (streaming job keeps registers warm,
+    reporting queries derive estimates)."""
+    from iii_aibigdata_capstone_spark.operators.analytics import _hll_est, _hll_sden
+
+    ev_schema = table(spark, TEST_SF_DIR, "events").schema
+    stream = spark.readStream.schema(ev_schema).parquet(events_stream_dir)
+    _run_available_now(
+        P.windowed_hll_registers(stream)
+        .writeStream.format("memory")
+        .queryName("hllreg_stream")
+        .outputMode("complete")
+    )
+    streamed = spark.sql("SELECT * FROM hllreg_stream")
+    got = sorted(map(tuple, streamed.collect()))
+    batch_regs = P.windowed_hll_registers(table(spark, TEST_SF_DIR, "events"))
+    want = sorted(map(tuple, batch_regs.collect()))
+    assert got == want and len(got) > 0
+
+    def fold(regs):
+        return sorted(
+            map(
+                tuple,
+                _hll_sden(regs, "window_start")
+                .select("window_start", _hll_est().alias("approx_ids"))
+                .collect(),
+            )
+        )
+
+    folded = fold(streamed)
+    assert folded == fold(batch_regs)  # exact float equality
+    assert all(est > 0 for _, est in folded)
+
+
 def test_malformed_lines_yield_nulls_not_crash(spark):
     """P9: a malformed CSV line produces a null-padded row (the reference
     would throw inside the map closure and kill the batch)."""
