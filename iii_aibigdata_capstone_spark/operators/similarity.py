@@ -925,16 +925,34 @@ def _pq_quantized_sub(e: DataFrame) -> DataFrame:
 
 def _pq_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
     """Nearest-centroid code per (vector, subspace): broadcast-codebook
-    join -> exact integer distance aggregation -> lowest-(dist, j) pick.
-    Returns (vec_id, m, j, dist)."""
-    w_asg = Window.partitionBy("vec_id", "m").orderBy("dist", "j")
+    join -> ONE aggregation carrying all {PQ_DET_K} per-centroid distance
+    sums as conditional-SUM columns -> argmin via array_min over
+    lexicographic (dist, j) structs, all in the projection. One map-side-
+    combinable exchange total, where the original shape paid a second
+    shuffle PLUS a per-group sort (row_number window) for the pick —
+    per Lloyd iteration and per encode pass. Returns (vec_id, m, j,
+    dist)."""
+    sq = (F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))
+    dists = [
+        F.sum(F.when(F.col("j") == jj, sq).otherwise(F.lit(0))).alias(f"d{jj}")
+        for jj in range(PQ_DET_K)
+    ]
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    F.col(f"d{jj}").alias("dist"), F.lit(jj).cast("long").alias("j")
+                )
+                for jj in range(PQ_DET_K)
+            ]
+        )
+    )
     return (
         sub.join(F.broadcast(cb), ["m", "d"])
-        .groupBy("vec_id", "m", "j")
-        .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("dist"))
-        .withColumn("rn", F.row_number().over(w_asg))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "m", "j", "dist")
+        .groupBy("vec_id", "m")
+        .agg(*dists)
+        .select("vec_id", "m", best.alias("s"))
+        .select("vec_id", "m", F.col("s.j").alias("j"), F.col("s.dist").alias("dist"))
     )
 
 
