@@ -84,6 +84,7 @@ HEADLINE = [
     "x5_countmin_terms",
     "x5_hll_sliding_explicit",
     "x9_source_quota",
+    "x6_phash_neardup",
     "x9_dsir_resample",
     "k12_render_annotations",
     "m9_gd_training_loop",

@@ -245,3 +245,134 @@ def x6_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.mapInPandas(window_energy, schema=schema).withColumn(
         "silent", F.col("energy") < 400000
     )
+
+
+# --- perceptual-hash image near-dup (X6 x X2: multimodal dedup) -------------
+
+PHASH_BANDS = 4  # 14-bit Hamming-search bands over the 56-bit dHash
+PHASH_BAND_BITS = 14
+PHASH_HAM_T = 3  # pigeonhole: <= 3 flipped bits -> some band matches exactly
+
+
+def _phash_pixel_exprs(ord_fn: str) -> list[str]:
+    """The stub thumbnail: pixel i = code point of payload byte i (0 past
+    the end) — the first 64 bytes as an 8x8 grayscale crop. ``ord_fn`` is
+    the engine's name for char->code (Spark ``ascii``, DuckDB ``ord``);
+    everything downstream of the pixel projection is ONE shared SQL text."""
+    return [
+        f"CASE WHEN LENGTH(text) > {i} THEN {ord_fn}(SUBSTR(text, {i + 1}, 1)) "
+        f"ELSE 0 END AS p{i}"
+        for i in range(64)
+    ]
+
+
+def _dhash_expr() -> str:
+    """56-bit dHash over the p0..p63 pixel columns: bit (r*7+c) set iff
+    pixel(r,c) > pixel(r,c+1) — the gradient fingerprint that is invariant
+    to absolute brightness and flips only where adjacent bytes reorder."""
+    terms = []
+    for r in range(8):
+        for c in range(7):
+            a, b = r * 8 + c, r * 8 + c + 1
+            terms.append(
+                f"CASE WHEN p{a} > p{b} THEN {1 << (r * 7 + c)} ELSE 0 END"
+            )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+_PHASH_MASK = (1 << PHASH_BAND_BITS) - 1
+
+
+def _phash_oracle() -> str:
+    pixels = ",\n                   ".join(_phash_pixel_exprs("ORD"))
+    bvals = ", ".join(
+        f"(dhash >> {PHASH_BAND_BITS * k}) & {_PHASH_MASK}"
+        for k in range(PHASH_BANDS)
+    )
+    return dedent(
+        f"""
+        WITH px AS (
+            SELECT doc_id,
+                   {pixels}
+            FROM documents
+        ),
+        hashed AS MATERIALIZED (
+            SELECT doc_id, {_dhash_expr()} AS dhash FROM px
+        ),
+        bands AS (
+            SELECT doc_id,
+                   UNNEST(RANGE(0, {PHASH_BANDS})) AS band,
+                   UNNEST([{bvals}]) AS bval
+            FROM hashed
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(BIT_COUNT(XOR(ha.dhash, hb.dhash)) AS BIGINT) AS hamming
+        FROM cand c
+        JOIN hashed ha ON ha.doc_id = c.doc_a
+        JOIN hashed hb ON hb.doc_id = c.doc_b
+        WHERE BIT_COUNT(XOR(ha.dhash, hb.dhash)) <= {PHASH_HAM_T}
+        """
+    )
+
+
+@query("x6_phash_neardup", oracle=_phash_oracle(), tags=("X6", "X2", "phash", "dedup"))
+def x6_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash NEAR-DUP detection over binary payloads — the image
+    dedup lane of a multimodal corpus (dHash + multi-index Hamming
+    search), entirely JVM-side and fully oracle-checked. The stub
+    "decode + downscale" reads the payload's first 64 bytes as an 8x8
+    grayscale thumbnail (a real deployment swaps in cv2 decode + resize at
+    the same seam; every stage downstream of the pixel projection is
+    byte-layout-agnostic); the 56-bit dHash sets bit (r,c) iff
+    pixel(r,c) > pixel(r,c+1), so nearly-identical payloads differ in
+    O(edit) bits while unrelated payloads sit ~28 bits apart.
+
+    Search is the classic multi-index split: {PHASH_BANDS} bands of
+    {PHASH_BAND_BITS} bits; by pigeonhole ANY pair within Hamming
+    {PHASH_HAM_T} shares at least one exact band, so the banded equi-join
+    has GUARANTEED 100% recall at the emitted threshold (pinned against a
+    brute-force rebuild in tests) — candidates surface from a hash join on
+    (band, value), never a pairwise scan, and exact bit_count(XOR)
+    verification keeps precision exact. Per-doc state is ONE 64-bit
+    integer + {PHASH_BANDS} band keys; at corpus scale the band tables
+    are the persisted index and per-ingest probe cost is O(batch)."""
+    docs = table(spark, sf_dir, "documents")
+    hashed = (
+        docs.selectExpr("doc_id", *_phash_pixel_exprs("ascii"))
+        .selectExpr("doc_id", f"{_dhash_expr()} AS dhash")
+        .localCheckpoint(eager=False)  # consumed thrice: bands + both verify sides
+    )
+    stack_args = ", ".join(
+        f"{k}, shiftright(dhash, {PHASH_BAND_BITS * k}) & {_PHASH_MASK}"
+        for k in range(PHASH_BANDS)
+    )
+    bands = hashed.selectExpr(
+        "doc_id", f"stack({PHASH_BANDS}, {stack_args}) AS (band, bval)"
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ha = hashed.select(F.col("doc_id").alias("doc_a"), F.col("dhash").alias("ha"))
+    hb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("dhash").alias("hb"))
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= PHASH_HAM_T)
+    )

@@ -238,6 +238,42 @@ def test_signlsh_recall_and_pruning_vs_exact(spark):
     assert n_cand / brute < 0.6, f"candidates {n_cand}/{brute} — not pruning"
 
 
+def test_phash_neardup_banding_is_complete_and_exact(spark):
+    """x6_phash_neardup: the multi-index banded search must return EXACTLY
+    the pairs a brute-force all-pairs Hamming scan finds at threshold
+    {T} — completeness is the pigeonhole guarantee (<= {T} flipped bits
+    over 4 bands leaves one band untouched), precision is the exact
+    bit_count verify; both checked here against an independent numpy
+    rebuild of the dHashes."""
+    from itertools import combinations
+
+    from iii_aibigdata_capstone_spark.operators.multimodal import PHASH_HAM_T
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    rows = table_mod.table(spark, TEST_SF_DIR, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    hashes = {}
+    for r in rows:
+        px = [ord(r.text[i]) if i < len(r.text) else 0 for i in range(64)]
+        h = 0
+        for rr in range(8):
+            for c in range(7):
+                if px[rr * 8 + c] > px[rr * 8 + c + 1]:
+                    h |= 1 << (rr * 7 + c)
+        hashes[r.doc_id] = h
+    want = {
+        (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+        for a, b in combinations(sorted(hashes), 2)
+        if bin(hashes[a] ^ hashes[b]).count("1") <= PHASH_HAM_T
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in registry()["x6_phash_neardup"].builder(spark, TEST_SF_DIR).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_stratified_sample_deterministic_and_proportional(spark):
     from iii_aibigdata_capstone_spark.catalog import table
     from iii_aibigdata_capstone_spark.queries import registry

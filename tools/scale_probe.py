@@ -94,6 +94,7 @@ DEFAULT = [
     "x5_countmin_terms",
     "x5_hll_sliding_explicit",
     "x9_source_quota",
+    "x6_phash_neardup",
 ]
 
 
