@@ -85,6 +85,7 @@ HEADLINE = [
     "x5_hll_sliding_explicit",
     "x9_source_quota",
     "x6_phash_neardup",
+    "x5_hdr_quantiles",
     "x9_dsir_resample",
     "k12_render_annotations",
     "m9_gd_training_loop",

@@ -1138,12 +1138,105 @@ def x5_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     x5_group_quantiles (mergeable partials, no per-group sort; accuracy
     set by the relative-error knob). Rows-only: the sketch's picks differ
     from exact interpolation by design. Tests bound the error against the
-    exact form."""
+    exact form. ``x5_hdr_quantiles`` is the hash-checkable engine-neutral
+    twin."""
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.round(F.percentile_approx("value", F.lit(0.5), F.lit(1000)), 6).alias("p50_approx"),
         F.round(F.percentile_approx("value", F.lit(0.99), F.lit(1000)), 6).alias("p99_approx"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+HDR_SUB_BITS = 5  # mantissa bits kept per bucket -> relative error < 2^-5
+
+
+@query(
+    "x5_hdr_quantiles",
+    oracle=dedent(
+        f"""
+        WITH v AS (
+            SELECT o_orderpriority,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+            FROM orders
+        ),
+        b AS (
+            SELECT o_orderpriority, (v >> s) << s AS lo, COUNT(*) AS c
+            FROM (
+                SELECT o_orderpriority, v,
+                       GREATEST(LENGTH(BIN(v)) - {HDR_SUB_BITS + 1}, 0) AS s
+                FROM v
+            )
+            GROUP BY 1, 2
+        ),
+        c2 AS (
+            SELECT o_orderpriority, lo, c,
+                   SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY lo) AS cum,
+                   SUM(c) OVER (PARTITION BY o_orderpriority) AS n
+            FROM b
+        )
+        SELECT o_orderpriority,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN lo END) AS BIGINT)
+                   AS p50_cents,
+               CAST(MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN lo END) AS BIGINT)
+                   AS p90_cents,
+               CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN lo END) AS BIGINT)
+                   AS p99_cents
+        FROM c2 GROUP BY 1
+        """
+    ),
+    tags=("X5", "sketch", "quantile", "hdr"),
+)
+def x5_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-histogram quantiles with a FULL oracle — the hash-checkable
+    twin of ``x5_approx_quantiles`` (Greenwald-Khanna's picks are
+    merge-order-dependent; an HDR histogram is not): order totals in
+    exact cents drop into LOG-SCALE buckets — bucket = the value with all
+    bits below the top {HDR_SUB_BITS + 1} cleared (exponent from
+    LENGTH(BIN(v)), integer-only) — giving bounded RELATIVE error
+    2^-{HDR_SUB_BITS} (~3%) at every magnitude, the production
+    latency-histogram design. The sketch state is (bucket, count) pairs:
+    mergeable by plain addition across partitions, shards and time — the
+    map-side-combinable aggregation IS the sketch build, one exchange
+    total. Quantile read-out is a cumulative walk per group: p-th
+    quantile = the first bucket whose running count reaches the integer
+    rank target (ceil as pure integer arithmetic — no float q*n to
+    cross-engine-match), emitted as the bucket's lower bound in cents.
+    Accuracy vs exact quantiles is pinned in tests at the 2^-{HDR_SUB_BITS}
+    relative-error bound."""
+    v = table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    b = (
+        v.select(
+            "o_orderpriority",
+            "v",
+            F.greatest(
+                F.length(F.bin(F.col("v"))) - (HDR_SUB_BITS + 1), F.lit(0)
+            ).alias("s"),
+        )
+        .selectExpr("o_orderpriority", "shiftleft(shiftright(v, s), s) AS lo")
+        .groupBy("o_orderpriority", "lo")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_cum = Window.partitionBy("o_orderpriority").orderBy("lo")
+    w_all = Window.partitionBy("o_orderpriority")
+    c2 = b.select(
+        "o_orderpriority",
+        "lo",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    pick = lambda k_expr: F.min(  # noqa: E731 — local alias for the 3 read-outs
+        F.when(F.col("cum") >= F.expr(k_expr), F.col("lo"))
+    )
+    return c2.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n"),
+        pick("(n + 1) div 2").alias("p50_cents"),
+        pick("(9 * n + 9) div 10").alias("p90_cents"),
+        pick("(99 * n + 99) div 100").alias("p99_cents"),
     )
 
 

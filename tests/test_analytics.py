@@ -55,6 +55,38 @@ def test_hll_explicit_within_error_bound(spark):
         )
 
 
+def test_hdr_quantiles_within_relative_error(spark):
+    """x5_hdr_quantiles: each emitted bucket lower bound must satisfy the
+    HDR contract — lo <= exact discrete quantile < lo * (1 + 2^-5) + 1
+    (the bucket's width is at most lo/32 by construction), for every
+    group and every emitted percentile."""
+    import numpy as np
+
+    rows = registry()["x5_hdr_quantiles"].builder(spark, TEST_SF_DIR).collect()
+    assert len(rows) == 5
+    cents = {
+        g: np.sort(
+            np.array(
+                [
+                    int(np.floor(r.o_totalprice * 100 + 0.5))
+                    for r in table(spark, TEST_SF_DIR, "orders")
+                    .where(F.col("o_orderpriority") == g)
+                    .select("o_totalprice")
+                    .collect()
+                ]
+            )
+        )
+        for g in {r["o_orderpriority"] for r in rows}
+    }
+    for r in rows:
+        vals = cents[r["o_orderpriority"]]
+        assert r["n"] == len(vals)
+        for q, lo in ((0.5, r["p50_cents"]), (0.9, r["p90_cents"]), (0.99, r["p99_cents"])):
+            k = -(-int(q * 100) * len(vals) // 100)  # ceil(q*n) as integers
+            exact = int(vals[k - 1])  # k-th smallest (discrete quantile)
+            assert lo <= exact <= lo + lo // 32 + 1, (r["o_orderpriority"], q, lo, exact)
+
+
 def test_hll_sliding_explicit_merge_equals_rescan(spark):
     """x5_hll_sliding_explicit: merging daily register partials must give
     BIT-IDENTICAL estimates to rebuilding each window's registers directly

@@ -95,6 +95,7 @@ DEFAULT = [
     "x5_hll_sliding_explicit",
     "x9_source_quota",
     "x6_phash_neardup",
+    "x5_hdr_quantiles",
 ]
 
 
