@@ -1124,6 +1124,7 @@ def x5_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct count — the 100 TB-scale form of
     x5_count_distinct (mergeable sketch, no expansion shuffle). Rows-only
     check: DuckDB's approx sketch differs numerically by design.
+    ``x5_hll_explicit`` is the hash-checkable engine-neutral twin.
     """
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
