@@ -127,16 +127,13 @@ def binary_rank_metrics(scored: DataFrame, score_col: str, label_col: str) -> Da
 
 
 def _rank_metrics_oracle() -> str:
-    from ..operators.textual import QUALITY_LOGIT_SQL, STOPWORDS
+    from ..operators.textual import QUALITY_FEATURES_SQL, QUALITY_LOGIT_SQL
 
     return dedent(
         f"""
         WITH feat AS (
             SELECT lang,
-                   LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
-                   LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
-                                   t -> t IN {STOPWORDS!r})) AS n_stop,
-                   LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_uniq,
+                   {QUALITY_FEATURES_SQL},
                    n_chars
             FROM documents
         ),

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import table
 from ..registry import QuerySpec, make_registrar
-from .textual import QUALITY_LOGIT_SQL, QUALITY_MODEL, STOPWORDS
+from .textual import QUALITY_FEATURES_SQL, QUALITY_LOGIT_SQL, quality_logit_col
 
 SPECS: list[QuerySpec] = []
 query = make_registrar(SPECS)
@@ -111,10 +111,7 @@ def x9_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         WITH scored AS (
             SELECT doc_id, lang, text, n_chars,
-                   LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
-                   LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
-                                   t -> t IN {STOPWORDS!r})) AS n_stop,
-                   LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_uniq
+                   {QUALITY_FEATURES_SQL}
             FROM documents
         ),
         good AS (
@@ -184,14 +181,7 @@ def x9_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arithmetic, same weights as x4_quality_model_score), JVM-side here
     # because the linear head IS a Catalyst expression — the mapInPandas
     # seam in x4 is for models that aren't.
-    m = QUALITY_MODEL
-    logit = (
-        F.lit(m["bias"])
-        + F.lit(m["n_tokens"]) * F.size(toks)
-        + F.lit(m["n_stop"]) * F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
-        + F.lit(m["n_uniq"]) * F.size(F.array_distinct(toks))
-        + F.lit(m["n_chars"]) * F.col("n_chars")
-    )
+    logit = quality_logit_col(toks, F.col("n_chars"))
     scored = docs.select(
         "doc_id",
         "lang",
@@ -598,10 +588,7 @@ SOURCE_QUOTA_K = 10  # kept documents per source
         f"""
         WITH f AS (
             SELECT doc_id, source,
-                   LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
-                   LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
-                                   t -> t IN {STOPWORDS!r})) AS n_stop,
-                   LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_uniq,
+                   {QUALITY_FEATURES_SQL},
                    n_chars
             FROM documents
         ),
@@ -643,15 +630,7 @@ def x9_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_toks = docs.select(
         "doc_id", "source", "n_chars", F.split(F.col("text"), " ").alias("toks")
     )
-    m = QUALITY_MODEL
-    logit = (
-        F.lit(m["bias"])
-        + F.lit(m["n_tokens"]) * F.size(F.col("toks"))
-        + F.lit(m["n_stop"])
-        * F.size(F.filter(F.col("toks"), lambda x: x.isin(*STOPWORDS)))
-        + F.lit(m["n_uniq"]) * F.size(F.array_distinct(F.col("toks")))
-        + F.lit(m["n_chars"]) * F.col("n_chars")
-    )
+    logit = quality_logit_col(F.col("toks"), F.col("n_chars"))
     scored = with_toks.select(
         "doc_id", "source", logit.cast("long").alias("logit_milli")
     )

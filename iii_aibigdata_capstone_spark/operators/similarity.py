@@ -933,15 +933,20 @@ def _pq_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
     per Lloyd iteration and per encode pass. Returns (vec_id, m, j,
     dist)."""
     sq = (F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))
+    # no .otherwise(0): a centroid absent from the codebook (possible if a
+    # future variant empties an init bucket) must sum to NULL, not 0 — a
+    # zero would make the phantom centroid win every argmin. The NULL is
+    # then pushed past every real distance (real sums are < 2^46).
     dists = [
-        F.sum(F.when(F.col("j") == jj, sq).otherwise(F.lit(0))).alias(f"d{jj}")
+        F.sum(F.when(F.col("j") == jj, sq)).alias(f"d{jj}")
         for jj in range(PQ_DET_K)
     ]
     best = F.array_min(
         F.array(
             *[
                 F.struct(
-                    F.col(f"d{jj}").alias("dist"), F.lit(jj).cast("long").alias("j")
+                    F.coalesce(F.col(f"d{jj}"), F.lit(1 << 62)).alias("dist"),
+                    F.lit(jj).cast("long").alias("j"),
                 )
                 for jj in range(PQ_DET_K)
             ]

@@ -939,6 +939,32 @@ QUALITY_LOGIT_SQL = (
     f" + {QUALITY_MODEL['n_chars']} * n_chars"
 )
 
+# The model's FEATURE extraction as SQL text over a ``text`` column — the
+# same one-definition rule as the logit: every oracle that applies the
+# model derives (n_tokens, n_stop, n_uniq) from this fragment, so a
+# tokenization or stopword change cannot desynchronize the gates.
+QUALITY_FEATURES_SQL = (
+    "LEN(STRING_SPLIT(text, ' ')) AS n_tokens,\n"
+    "                   LEN(LIST_FILTER(STRING_SPLIT(text, ' '),\n"
+    f"                                   t -> t IN {STOPWORDS!r})) AS n_stop,\n"
+    "                   LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_uniq"
+)
+
+
+def quality_logit_col(toks, n_chars):
+    """The model's logit as a Catalyst expression over a pre-projected
+    token-array column — the JVM-side twin of ``QUALITY_LOGIT_SQL``, ONE
+    definition for every engine-side gate (corpus curation stage 1, the
+    per-source quota)."""
+    m = QUALITY_MODEL
+    return (
+        F.lit(m["bias"])
+        + F.lit(m["n_tokens"]) * F.size(toks)
+        + F.lit(m["n_stop"]) * F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+        + F.lit(m["n_uniq"]) * F.size(F.array_distinct(toks))
+        + F.lit(m["n_chars"]) * n_chars
+    )
+
 
 def score_documents(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Apply the quality model to any (doc_id, lang, text, n_chars)
@@ -1001,10 +1027,7 @@ def score_documents(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
         f"""
         WITH f AS (
             SELECT doc_id, lang,
-                   LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
-                   LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
-                                   t -> t IN {STOPWORDS!r})) AS n_stop,
-                   LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_uniq,
+                   {QUALITY_FEATURES_SQL},
                    n_chars
             FROM documents
         )
