@@ -38,6 +38,17 @@ def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
     return dot(a, b) / (norm_a * norm_b)
 
 
+def int_dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<bigint> columns in exact int64 — the
+    quantized-code path (SQ8/PQ): no float rounding can enter the
+    accumulation, so the result is engine-reproducible by construction."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def with_norm(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Project (vec_id, v: array<double>, norm) from an embeddings table —
     upcast and norm computed once, reused across every pairwise comparison.

@@ -2195,3 +2195,172 @@ def x4_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("nll"), 6).alias("min_nll"),
         F.round(F.max("nll"), 6).alias("max_nll"),
     )
+
+
+BLOOM_M = 16384  # filter bits (2^14); sized for the TEST-SF build cardinality
+BLOOM_K = 4  # hash functions
+BLOOM_SEG = "BUILDING"  # the dim-side predicate whose keys the filter carries
+
+
+def _bloom_p(key: F.Column, i: int) -> F.Column:
+    """Bit position of hash function ``i`` for ``key``: 60-bit md5 of
+    'i:key' mod BLOOM_M — the engine-neutral hash family (DuckDB twin:
+    CAST('0x' || SUBSTR(MD5(...), 1, 15) AS BIGINT) % BLOOM_M)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return h % BLOOM_M
+
+
+_BLOOM_P_SQL = [
+    f"CAST('0x' || SUBSTR(MD5('{i}:' || CAST(o_custkey AS VARCHAR)), 1, 15) "
+    f"AS BIGINT) % {BLOOM_M} AS p{i}"
+    for i in range(BLOOM_K)
+]
+_BLOOM_HIT_SQL = [
+    f"(COALESCE(w{i}.fw, 0) & (CAST(1 AS BIGINT) << (pr.p{i} % 63))) <> 0"
+    for i in range(BLOOM_K)
+]
+_BLOOM_JOIN_SQL = [
+    f"LEFT JOIN words w{i} ON w{i}.word = pr.p{i} // 63" for i in range(BLOOM_K)
+]
+
+
+@query(
+    "x5_bloom_semijoin",
+    oracle=dedent(
+        f"""
+        WITH build AS MATERIALIZED (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = '{BLOOM_SEG}'
+        ),
+        pos AS (
+            SELECT CAST('0x' || SUBSTR(MD5(CAST(i AS VARCHAR) || ':' ||
+                       CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT)
+                       % {BLOOM_M} AS p
+            FROM (SELECT c_custkey, UNNEST([0, 1, 2, 3]) AS i FROM build)
+        ),
+        words AS MATERIALIZED (
+            SELECT p // 63 AS word,
+                   BIT_OR(CAST(1 AS BIGINT) << (p % 63)) AS fw
+            FROM pos GROUP BY 1
+        ),
+        probe AS (
+            SELECT YEAR(o_orderdate) AS yr, o_custkey,
+                   {', '.join(_BLOOM_P_SQL)}
+            FROM orders
+        ),
+        h AS (
+            SELECT pr.yr,
+                   ({' AND '.join(_BLOOM_HIT_SQL)}) AS pass,
+                   (b.c_custkey IS NOT NULL) AS mem
+            FROM probe pr
+            {' '.join(_BLOOM_JOIN_SQL)}
+            LEFT JOIN build b ON b.c_custkey = pr.o_custkey
+        )
+        SELECT yr, CAST(COUNT(*) AS BIGINT) AS probed,
+               CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+                   AS bloom_pass,
+               CAST(SUM(CASE WHEN mem THEN 1 ELSE 0 END) AS BIGINT)
+                   AS exact_match,
+               CAST(SUM(CASE WHEN pass AND NOT mem THEN 1 ELSE 0 END) AS BIGINT)
+                   AS false_pos,
+               CAST(SUM(CASE WHEN mem AND NOT pass THEN 1 ELSE 0 END) AS BIGINT)
+                   AS false_neg,
+               CAST(COUNT(*) - SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+                   AS pruned
+        FROM h GROUP BY 1
+        """
+    ),
+    tags=("X5", "sketch", "bloom"),
+)
+def x5_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLICIT Bloom-filter semi-join with a FULL oracle — the
+    hash-checkable twin of the runtime bloom filters Spark itself injects
+    under joins (the ``bloom_filter_agg`` subqueries the plan sweep
+    exempts): build a {BLOOM_M}-bit / {BLOOM_K}-hash filter over the
+    custkeys of one market segment (the filtered dim side), probe every
+    orders row (the fact side), and report per order-year how many probe
+    rows the filter would prune before the real join ever shuffles —
+    alongside the exact semi-join truth, so false positives are measured,
+    and false_neg is computed (and must be 0: a Bloom filter's one hard
+    guarantee, pinned in tests).
+
+    Everything is engine-neutral integer arithmetic: bit positions are
+    60-bit md5 hashes mod {BLOOM_M}, the filter is {BLOOM_M}/63 ~ 261
+    BIGINT words (63 usable bits each, sign bit unused) built by one
+    map-side-combinable BIT_OR aggregation, and each probe is {BLOOM_K}
+    broadcast lookups + mask tests — no floats anywhere, so every count
+    hash-matches.
+
+    Scale shape: the filter is ~2 KB total — it broadcasts to every
+    executor and the probe stays MAP-ONLY (4 tiny broadcast joins + the
+    broadcast membership join; zero fact-side exchanges before the final
+    per-year aggregation). That is the 100 TB point of a bloom semi-join:
+    the fact table is pruned at scan-adjacent cost before any shuffle
+    happens. At the tested SFs the measured non-member pass rate tracks
+    the textbook (1 - e^(-kn/m))^k curve (~0 at sf0.01's n~300, ~7.5% at
+    sf0.1's n~3000); in production m scales with the build-side
+    cardinality estimate exactly as Spark's own
+    spark.sql.optimizer.runtime.bloomFilter.* sizing does."""
+    cust = table(spark, sf_dir, "customer")
+    build = (
+        cust.where(F.col("c_mktsegment") == BLOOM_SEG)
+        .select("c_custkey")
+        .localCheckpoint(eager=False)  # consumed twice: filter build + truth
+    )
+    pos = build.select(
+        F.explode(
+            F.array(*[_bloom_p(F.col("c_custkey"), i) for i in range(BLOOM_K)])
+        ).alias("p")
+    )
+    words = (
+        pos.groupBy(F.expr("p DIV 63").alias("word"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT))")
+            ).alias("fw")
+        )
+        .localCheckpoint(eager=False)  # consumed BLOOM_K times by the probe
+    )
+    probe = table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        "o_custkey",
+        *[_bloom_p(F.col("o_custkey"), i).alias(f"p{i}") for i in range(BLOOM_K)],
+    )
+    j = probe
+    hits = []
+    for i in range(BLOOM_K):
+        wi = words.select(
+            F.col("word").alias(f"word{i}"), F.col("fw").alias(f"fw{i}")
+        )
+        j = j.join(
+            F.broadcast(wi), F.expr(f"p{i} DIV 63") == F.col(f"word{i}"), "left"
+        )
+        hits.append(
+            F.expr(
+                f"(coalesce(fw{i}, CAST(0 AS BIGINT)) & "
+                f"shiftleft(CAST(1 AS BIGINT), CAST(p{i} % 63 AS INT))) != 0"
+            )
+        )
+    j = j.join(
+        F.broadcast(build), F.col("o_custkey") == F.col("c_custkey"), "left"
+    )
+    passed = hits[0]
+    for h in hits[1:]:
+        passed = passed & h
+    flags = j.select(
+        "yr",
+        passed.alias("pass"),
+        F.col("c_custkey").isNotNull().alias("mem"),
+    )
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return flags.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("probed"),
+        one(F.col("pass")).alias("bloom_pass"),
+        one(F.col("mem")).alias("exact_match"),
+        one(F.col("pass") & ~F.col("mem")).alias("false_pos"),
+        one(F.col("mem") & ~F.col("pass")).alias("false_neg"),
+        (F.count(F.lit(1)) - one(F.col("pass"))).alias("pruned"),
+    )

@@ -473,3 +473,23 @@ def test_paragraph_stride_guard_raises(spark, monkeypatch):
         # aggregate para_id itself: a bare count() would let column
         # pruning drop the guarded expression entirely
         dedup._paragraphs(spark, TEST_SF_DIR).select(F.sum("para_id")).collect()
+
+
+def test_bloom_semijoin_invariants(spark):
+    """x5_bloom_semijoin: (a) false_neg == 0 in every group — the Bloom
+    guarantee; (b) bloom_pass == exact_match + false_pos (the pass set is
+    exactly members plus measured false positives); (c) pruned + pass ==
+    probed; (d) the aggregate non-member pass rate stays under 10% — at
+    test-SF build cardinalities (n ~ 30-3000 keys in m = 16384 bits) the
+    (1 - e^(-kn/m))^k curve tops out ~7.5%."""
+    rows = registry()["x5_bloom_semijoin"].builder(spark, TEST_SF_DIR).collect()
+    assert rows
+    fp = nonmem = 0
+    for r in rows:
+        assert r.false_neg == 0, r
+        assert r.bloom_pass == r.exact_match + r.false_pos, r
+        assert r.pruned + r.bloom_pass == r.probed, r
+        fp += r.false_pos
+        nonmem += r.probed - r.exact_match
+    assert nonmem > 0  # the build-side predicate must actually filter
+    assert fp / nonmem <= 0.10, f"FPR {fp}/{nonmem}"

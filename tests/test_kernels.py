@@ -504,3 +504,40 @@ def test_mmr_rerank_matches_reference(spark):
         for r in registry()["x3_mmr_rerank"].builder(spark, TEST_SF_DIR).collect()
     ]
     assert sorted(got) == sorted(want)
+
+
+def test_sq8_recall_vs_exact(spark):
+    """x3_sq8_topk: global-scale int8 quantization must keep >= 85% of the
+    exact cosine top-3 (measured 28/30 at sf0.001 and sf0.1, 30/30 at
+    sf0.01) — the quantization error per component is <= scale/254, tiny
+    against this corpus's top-3 score gaps; and every returned qcos must
+    stay within 0.02 of the exact cosine for that pair (the bound implied
+    by 64 dims of half-step rounding on unit-ish vectors)."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from iii_aibigdata_capstone_spark.catalog import table
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    rows = table(spark, TEST_SF_DIR, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(M, axis=1)
+    out = registry()["x3_sq8_topk"].builder(spark, TEST_SF_DIR).collect()
+    got = defaultdict(set)
+    for r in out:
+        got[r.query_id].add(r.neighbor_id)
+        qi = np.where(ids == r.query_id)[0][0]
+        ni = np.where(ids == r.neighbor_id)[0][0]
+        exact_cos = float(M[qi] @ M[ni] / (norms[qi] * norms[ni]))
+        assert abs(r.qcos - exact_cos) <= 0.02, (r.query_id, r.neighbor_id)
+    hits = total = 0
+    for q in range(10):
+        qi = np.where(ids == q)[0][0]
+        cos = (M @ M[qi]) / (norms * norms[qi])
+        cos[qi] = -np.inf
+        exact = set(ids[np.lexsort((ids, -cos))[:3]].tolist())
+        hits += len(exact & got.get(q, set()))
+        total += 3
+    assert hits / total >= 0.85, f"SQ8 recall@3 = {hits}/{total}"
