@@ -92,6 +92,8 @@ HEADLINE = [
     "x2_paragraph_dedup",
     "m4_lloyd_iterations",
     "m8_rank_metrics",
+    "x5_bloom_semijoin",
+    "x2_prefix_filter_join",
 ]
 
 

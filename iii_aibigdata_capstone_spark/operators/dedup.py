@@ -1860,3 +1860,124 @@ def x2_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("kept_text"),
     )
+
+
+@query(
+    "x2_prefix_filter_join",
+    oracle=dedent(
+        f"""
+        WITH {_SHINGLE_SQL_CTE},
+        sized AS MATERIALIZED (
+            SELECT doc_id, lang, s,
+                   COUNT(*) OVER (PARTITION BY doc_id) AS n
+            FROM shingles
+        ),
+        df AS (
+            SELECT lang, s, COUNT(*) AS df FROM sized GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT sized.doc_id, sized.lang, sized.s, sized.n,
+                   ROW_NUMBER() OVER (PARTITION BY sized.doc_id
+                                      ORDER BY df.df, sized.s) AS rk
+            FROM sized JOIN df ON df.lang = sized.lang AND df.s = sized.s
+        ),
+        prefix AS MATERIALIZED (
+            SELECT * FROM ranked WHERE rk <= n - (n + 1) // 2 + 1
+        ),
+        cand AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            a.n AS na, b.n AS nb
+            FROM prefix a JOIN prefix b
+              ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, c.na, c.nb, COUNT(*) AS i
+            FROM cand c
+            JOIN sized sa ON sa.doc_id = c.doc_a
+            JOIN sized sb ON sb.doc_id = c.doc_b
+                         AND sb.s = sa.s AND sb.lang = sa.lang
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_a, doc_b,
+               ROUND(i * 1.0 / (na + nb - i), 6) AS jaccard
+        FROM inter
+        WHERE i * 1.0 / (na + nb - i) >= 0.5
+        """
+    ),
+    tags=("X2", "prefix-filter"),
+)
+def x2_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join via PREFIX FILTERING (AllPairs/PPJoin,
+    Bayardo et al. 2007 / Xiao et al. 2008) — the principled version of
+    ``x2_ngram_jaccard``'s "drop top-frequency shingles" remark, with a
+    guarantee instead of a heuristic: order every document's shingles by
+    ascending document frequency and generate candidates ONLY from each
+    doc's (|S| - ceil(t*|S|) + 1)-prefix of rarest shingles. PPJoin
+    Lemma 1: any pair with Jaccard >= t MUST share a prefix token under
+    ANY common total order, so recall is 100% by theorem — candidates
+    then get an exact intersection recount, making the output IDENTICAL
+    to the full inverted-index join (pinned in tests) while candidate
+    pairs shrink from "share any shingle" to "share a rare shingle".
+
+    The prefix length uses the integer identity ceil(t*n) = (n+1)//2 at
+    t = 0.5 — no float ceil crosses an engine boundary. The two engines
+    deliberately use DIFFERENT total orders (Spark: (df, xxhash64(s));
+    DuckDB: (df, s)) — the lemma holds for any order, both candidate sets
+    contain every true pair, and exact verification makes the OUTPUT
+    order-invariant; hash-green is evidence the recall theorem, not the
+    candidate set, carries the contract.
+
+    Scale shape: every stage is a keyed shuffle (df count on (lang, s),
+    per-doc rank window on doc_id, candidate equi-join on the prefix
+    shingle) — never all-pairs, and the candidate join key is by
+    construction a RARE token, so the inverted-index hot buckets that
+    force the heuristic in the plain join never form. This is how exact
+    (non-MinHash) dedup survives a web-scale corpus: prefix filtering is
+    the standard exact tier under the approximate LSH tier."""
+    w_doc = Window.partitionBy("doc_id")
+    sized = (
+        shingles(spark, sf_dir, n=3)
+        .select("doc_id", "lang", F.xxhash64(F.col("s")).alias("s"))
+        .withColumn("n", F.count(F.lit(1)).over(w_doc))
+        .localCheckpoint(eager=False)  # consumed by df, ranked and verify
+    )
+    df = sized.groupBy("lang", "s").agg(F.count(F.lit(1)).alias("df"))
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "s")
+    prefix = (
+        sized.join(df, ["lang", "s"])
+        .withColumn("rk", F.row_number().over(w_rank))
+        .where(F.col("rk") <= F.col("n") - F.expr("(n + 1) DIV 2") + 1)
+        .select("doc_id", "lang", "s", "n")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .distinct()
+    )
+    sa, sb = sized.alias("sa"), sized.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sb.s") == F.col("sa.s"))
+            & (F.col("sb.lang") == F.col("sa.lang")),
+        )
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return inter.where(jac >= 0.5).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )

@@ -493,3 +493,55 @@ def test_bloom_semijoin_invariants(spark):
         nonmem += r.probed - r.exact_match
     assert nonmem > 0  # the build-side predicate must actually filter
     assert fp / nonmem <= 0.10, f"FPR {fp}/{nonmem}"
+
+
+def test_prefix_filter_join_equals_full_join_and_prunes(spark):
+    """x2_prefix_filter_join: (a) output == x2_ngram_jaccard exactly —
+    PPJoin Lemma 1 guarantees 100% candidate recall at the threshold and
+    the verify stage recounts exactly, so prefix filtering must change
+    NOTHING but the candidate volume; (b) it actually prunes: distinct
+    prefix-candidate pairs < distinct share-any-shingle pairs."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from iii_aibigdata_capstone_spark.operators.dedup import shingles
+
+    new = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in registry()["x2_prefix_filter_join"].builder(spark, TEST_SF_DIR).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in registry()["x2_ngram_jaccard"].builder(spark, TEST_SF_DIR).collect()
+    }
+    assert new == full
+
+    sh = (
+        shingles(spark, TEST_SF_DIR, n=3)
+        .select("doc_id", "lang", F.xxhash64("s").alias("s"))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .localCheckpoint(eager=False)
+    )
+    pair = lambda a, b: (  # noqa: E731
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+        .count()
+    )
+    n_full = pair(sh.alias("a"), sh.alias("b"))
+    df = sh.groupBy("lang", "s").agg(F.count(F.lit(1)).alias("df"))
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "s")
+    prefix = (
+        sh.join(df, ["lang", "s"])
+        .withColumn("rk", F.row_number().over(w_rank))
+        .where(F.col("rk") <= F.col("n") - F.expr("(n + 1) DIV 2") + 1)
+        .select("doc_id", "lang", "s")
+        .localCheckpoint(eager=False)
+    )
+    n_prefix = pair(prefix.alias("a"), prefix.alias("b"))
+    assert 0 < n_prefix < n_full, (n_prefix, n_full)

@@ -501,6 +501,19 @@ def test_paragraph_split_parallelizes_before_explode(spark):
     assert text.count("split(text") == 1, text
 
 
+def test_bloom_probe_is_map_only(spark):
+    """x5_bloom_semijoin: the fact-side probe must stay MAP-ONLY — the
+    filter words and membership set arrive by broadcast (checkpointed,
+    hence ExistingRDD leaves) and the ONLY hash exchange in the lineage is
+    the final per-year aggregation; the orders scan reads exactly the two
+    consumed columns. A shuffle before the bloom test defeats the entire
+    point of a runtime filter at 100 TB."""
+    a = audit(registry()["x5_bloom_semijoin"].builder(spark, TEST_SF_DIR))
+    assert a.hash_exchanges == 1, a.text
+    assert a.broadcast_joins >= 5, a.text
+    assert a.read_widths and max(a.read_widths) <= 2, a.read_widths
+
+
 def test_no_scale_killers_in_any_registered_plan(spark):
     """Repo-wide plan hygiene (the r5 sweep, institutionalized): for EVERY
     registered query, the physical plan contains (a) no CartesianProduct

@@ -96,6 +96,8 @@ DEFAULT = [
     "x9_source_quota",
     "x6_phash_neardup",
     "x5_hdr_quantiles",
+    "x5_bloom_semijoin",
+    "x2_prefix_filter_join",
 ]
 
 
