@@ -2198,27 +2198,41 @@ def x4_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BLOOM_M = 16384  # filter bits (2^14); sized for the TEST-SF build cardinality
-BLOOM_K = 4  # hash functions
+BLOOM_K = 4  # hash functions = disjoint bit fields of ONE 60-bit digest
+BLOOM_FIELD = 15  # bits per field (60 / BLOOM_K); low 14 of each are used
 BLOOM_SEG = "BUILDING"  # the dim-side predicate whose keys the filter carries
 
 
-def _bloom_p(key: F.Column, i: int) -> F.Column:
-    """Bit position of hash function ``i`` for ``key``: 60-bit md5 of
-    'i:key' mod BLOOM_M — the engine-neutral hash family (DuckDB twin:
-    CAST('0x' || SUBSTR(MD5(...), 1, 15) AS BIGINT) % BLOOM_M)."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
-    return h % BLOOM_M
+def _bloom_h(key: F.Column) -> F.Column:
+    """The ONE per-key digest: 60-bit md5 of the key's string form. All
+    BLOOM_K bit positions are disjoint {BLOOM_FIELD}-bit fields of this
+    single value — one hash evaluation per row on the probe hot path, not
+    k (the standard one-digest/k-fields construction; md5 bits are
+    independent, and 2^{BLOOM_FIELD} is a multiple of BLOOM_M so each
+    field is uniform mod BLOOM_M)."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
 
 
-_BLOOM_P_SQL = [
-    f"CAST('0x' || SUBSTR(MD5('{i}:' || CAST(o_custkey AS VARCHAR)), 1, 15) "
-    f"AS BIGINT) % {BLOOM_M} AS p{i}"
-    for i in range(BLOOM_K)
-]
+def _bloom_field(i: int, h: str = "h") -> F.Column:
+    """Bit position i: field i of the digest column, masked to BLOOM_M."""
+    return F.shiftright(F.col(h), BLOOM_FIELD * i).bitwiseAND(F.lit(BLOOM_M - 1))
+
+
+# The same two steps as DuckDB SQL fragments — ONE definition each, shared
+# by the oracle's build and probe sides so a BLOOM_K / field-layout change
+# cannot desynchronize them (or the Spark twin).
+def _bloom_h_sql(key: str) -> str:
+    return (
+        f"CAST('0x' || SUBSTR(MD5(CAST({key} AS VARCHAR)), 1, 15) AS BIGINT)"
+    )
+
+
+def _bloom_field_sql(i: int, h: str = "h") -> str:
+    return f"(({h} >> {BLOOM_FIELD * i}) & {BLOOM_M - 1})"
+
+
 _BLOOM_HIT_SQL = [
     f"(COALESCE(w{i}.fw, 0) & (CAST(1 AS BIGINT) << (pr.p{i} % 63))) <> 0"
     for i in range(BLOOM_K)
@@ -2235,21 +2249,26 @@ _BLOOM_JOIN_SQL = [
         WITH build AS MATERIALIZED (
             SELECT c_custkey FROM customer WHERE c_mktsegment = '{BLOOM_SEG}'
         ),
+        bh AS (SELECT {_bloom_h_sql('c_custkey')} AS h FROM build),
         pos AS (
-            SELECT CAST('0x' || SUBSTR(MD5(CAST(i AS VARCHAR) || ':' ||
-                       CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT)
-                       % {BLOOM_M} AS p
-            FROM (SELECT c_custkey, UNNEST([0, 1, 2, 3]) AS i FROM build)
+            SELECT UNNEST([{', '.join(_bloom_field_sql(i) for i in range(BLOOM_K))}])
+                       AS p
+            FROM bh
         ),
         words AS MATERIALIZED (
             SELECT p // 63 AS word,
                    BIT_OR(CAST(1 AS BIGINT) << (p % 63)) AS fw
             FROM pos GROUP BY 1
         ),
-        probe AS (
+        ph AS (
             SELECT YEAR(o_orderdate) AS yr, o_custkey,
-                   {', '.join(_BLOOM_P_SQL)}
+                   {_bloom_h_sql('o_custkey')} AS h
             FROM orders
+        ),
+        probe AS (
+            SELECT yr, o_custkey,
+                   {', '.join(f'{_bloom_field_sql(i)} AS p{i}' for i in range(BLOOM_K))}
+            FROM ph
         ),
         h AS (
             SELECT pr.yr,
@@ -2279,7 +2298,7 @@ def x5_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXPLICIT Bloom-filter semi-join with a FULL oracle — the
     hash-checkable twin of the runtime bloom filters Spark itself injects
     under joins (the ``bloom_filter_agg`` subqueries the plan sweep
-    exempts): build a {BLOOM_M}-bit / {BLOOM_K}-hash filter over the
+    exempts): build a {BLOOM_M}-bit / {BLOOM_K}-position filter over the
     custkeys of one market segment (the filtered dim side), probe every
     orders row (the fact side), and report per order-year how many probe
     rows the filter would prune before the real join ever shuffles —
@@ -2287,22 +2306,25 @@ def x5_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     and false_neg is computed (and must be 0: a Bloom filter's one hard
     guarantee, pinned in tests).
 
-    Everything is engine-neutral integer arithmetic: bit positions are
-    60-bit md5 hashes mod {BLOOM_M}, the filter is {BLOOM_M}/63 ~ 261
-    BIGINT words (63 usable bits each, sign bit unused) built by one
-    map-side-combinable BIT_OR aggregation, and each probe is {BLOOM_K}
-    broadcast lookups + mask tests — no floats anywhere, so every count
-    hash-matches.
+    Everything is engine-neutral integer arithmetic: ONE 60-bit md5
+    digest per key yields all {BLOOM_K} bit positions as disjoint
+    {BLOOM_FIELD}-bit fields (one hash evaluation per probe row, not k);
+    the filter is {BLOOM_M}/63 ~ 261 BIGINT words (63 usable bits each,
+    sign bit unused) built by one map-side-combinable BIT_OR aggregation;
+    each probe is {BLOOM_K} broadcast lookups + mask tests — no floats
+    anywhere, so every count hash-matches, and the position/word/mask
+    formulas are single definitions shared by the Spark code and both
+    oracle sides.
 
     Scale shape: the filter is ~2 KB total — it broadcasts to every
     executor and the probe stays MAP-ONLY (4 tiny broadcast joins + the
     broadcast membership join; zero fact-side exchanges before the final
-    per-year aggregation). That is the 100 TB point of a bloom semi-join:
-    the fact table is pruned at scan-adjacent cost before any shuffle
-    happens. At the tested SFs the measured non-member pass rate tracks
-    the textbook (1 - e^(-kn/m))^k curve (~0 at sf0.01's n~300, ~7.5% at
-    sf0.1's n~3000); in production m scales with the build-side
-    cardinality estimate exactly as Spark's own
+    per-year aggregation — pinned by a plan test). That is the 100 TB
+    point of a bloom semi-join: the fact table is pruned at scan-adjacent
+    cost before any shuffle happens. At the tested SFs the measured
+    non-member pass rate tracks the textbook (1 - e^(-kn/m))^k curve
+    (~0 at sf0.01's n~300, ~7% at sf0.1's n~3000); in production m scales
+    with the build-side cardinality estimate exactly as Spark's own
     spark.sql.optimizer.runtime.bloomFilter.* sizing does."""
     cust = table(spark, sf_dir, "customer")
     build = (
@@ -2310,9 +2332,9 @@ def x5_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
         .localCheckpoint(eager=False)  # consumed twice: filter build + truth
     )
-    pos = build.select(
+    pos = build.select(_bloom_h(F.col("c_custkey")).alias("h")).select(
         F.explode(
-            F.array(*[_bloom_p(F.col("c_custkey"), i) for i in range(BLOOM_K)])
+            F.array(*[_bloom_field(i) for i in range(BLOOM_K)])
         ).alias("p")
     )
     words = (
@@ -2324,10 +2346,20 @@ def x5_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)  # consumed BLOOM_K times by the probe
     )
-    probe = table(spark, sf_dir, "orders").select(
-        F.year("o_orderdate").alias("yr"),
-        "o_custkey",
-        *[_bloom_p(F.col("o_custkey"), i).alias(f"p{i}") for i in range(BLOOM_K)],
+    # md5 once per probe row in its own projection; the per-position
+    # fields are cheap integer shifts over that one digest column
+    probe = (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.year("o_orderdate").alias("yr"),
+            "o_custkey",
+            _bloom_h(F.col("o_custkey")).alias("h"),
+        )
+        .select(
+            "yr",
+            "o_custkey",
+            *[_bloom_field(i).alias(f"p{i}") for i in range(BLOOM_K)],
+        )
     )
     j = probe
     hits = []

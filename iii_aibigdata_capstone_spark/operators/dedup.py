@@ -65,6 +65,42 @@ def shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     )
 
 
+def sized_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, lang, s, n)`` — hashed distinct shingles with the doc's
+    shingle count attached, checkpointed once. ONE definition shared by
+    the exact-Jaccard lanes (``x2_ngram_jaccard``'s full inverted index,
+    ``x2_prefix_filter_join``'s prefix filter) and their equality test, so
+    a hash or n-gram-width change cannot desynchronize the pinned pair.
+
+    Plan-shape choices (measured on x2_ngram_jaccard):
+    - join on a 64-bit hash of the shingle (8-byte fixed-width shuffle
+      keys instead of ~20-byte 3-grams; xxhash64 collisions ~n^2/2^64 are
+      negligible next to the 0.5 cutoff);
+    - attach |doc| shingle counts as a window count BEFORE any self-join
+      instead of joining a separate sizes aggregate afterwards;
+    - checkpoint: exchange reuse does NOT kick in for two self-join sides
+      (verified on the executed plan), so without the boundary the
+      explode+window pipeline runs once per consumer (2.3s -> 1.6s at
+      sf0.1)."""
+    w = Window.partitionBy("doc_id")
+    return (
+        shingles(spark, sf_dir, n=3)
+        .select("doc_id", "lang", F.xxhash64(F.col("s")).alias("s"))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .localCheckpoint(eager=False)
+    )
+
+
+def _emit_jaccard(inter: DataFrame) -> DataFrame:
+    """The shared tail of the exact-Jaccard lanes: jaccard from an
+    ``(doc_a, doc_b, na, nb, i)`` intersection-count frame, thresholded at
+    0.5, ROUND(..., 6) out."""
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return inter.where(jac >= 0.5).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
 @query(
     "x1_exact_dedup",
     oracle=dedent(
@@ -237,24 +273,8 @@ def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps this viable on a large corpus (common-shingle hotspots would be
     handled by dropping top-frequency shingles; not needed at this SF).
     """
-    # Three plan-shape choices for scale:
-    # - join on a 64-bit hash of the shingle (8-byte fixed-width shuffle
-    #   keys instead of ~20-byte 3-grams; xxhash64 collisions ~n^2/2^64 are
-    #   negligible next to the 0.5 cutoff);
-    # - attach |doc| shingle counts as a window count BEFORE the self-join
-    #   instead of joining a separate sizes aggregate afterwards — the
-    #   sizes joins disappear into the one shingle table;
-    # - materialize that shingle table once: exchange reuse does NOT kick
-    #   in for the two self-join sides here (verified on the executed
-    #   plan), so without the checkpoint the explode+window pipeline runs
-    #   twice (measured 2.3s -> 1.6s at sf0.1).
-    w = Window.partitionBy("doc_id")
-    sh = (
-        shingles(spark, sf_dir, n=3)
-        .select("doc_id", "lang", F.xxhash64(F.col("s")).alias("s"))
-        .withColumn("n", F.count(F.lit(1)).over(w))
-        .localCheckpoint(eager=False)
-    )
+    # Plan-shape rationale lives on the shared prelude: sized_shingles.
+    sh = sized_shingles(spark, sf_dir)
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(
@@ -271,10 +291,7 @@ def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
-    return inter.where(jac >= 0.5).select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
-    )
+    return _emit_jaccard(inter)
 
 
 N_MINHASH_SEEDS = 16
@@ -1934,13 +1951,7 @@ def x2_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     force the heuristic in the plain join never form. This is how exact
     (non-MinHash) dedup survives a web-scale corpus: prefix filtering is
     the standard exact tier under the approximate LSH tier."""
-    w_doc = Window.partitionBy("doc_id")
-    sized = (
-        shingles(spark, sf_dir, n=3)
-        .select("doc_id", "lang", F.xxhash64(F.col("s")).alias("s"))
-        .withColumn("n", F.count(F.lit(1)).over(w_doc))
-        .localCheckpoint(eager=False)  # consumed by df, ranked and verify
-    )
+    sized = sized_shingles(spark, sf_dir)  # consumed by df, ranked, verify
     df = sized.groupBy("lang", "s").agg(F.count(F.lit(1)).alias("df"))
     w_rank = Window.partitionBy("doc_id").orderBy("df", "s")
     prefix = (
@@ -1948,6 +1959,10 @@ def x2_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w_rank))
         .where(F.col("rk") <= F.col("n") - F.expr("(n + 1) DIV 2") + 1)
         .select("doc_id", "lang", "s", "n")
+        # both candidate self-join sides consume this; without the boundary
+        # the df join + rank window would execute twice (exchange reuse
+        # does not cover self-join sides — the sized_shingles lesson)
+        .localCheckpoint(eager=False)
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
@@ -1977,7 +1992,4 @@ def x2_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
-    return inter.where(jac >= 0.5).select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
-    )
+    return _emit_jaccard(inter)

@@ -1337,7 +1337,7 @@ SQ8_LEVELS = 127  # symmetric int8 range: codes in [-127, 127]
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                    LIST_DOT_PRODUCT(a.qv, b.qv) / (SQRT(a.qn) * SQRT(b.qn)) AS qcos
             FROM n a JOIN n b ON b.vec_id <> a.vec_id
-            WHERE a.vec_id < {N_QUERIES}
+            WHERE a.vec_id < {N_QUERIES} AND a.qn > 0 AND b.qn > 0
         )
         SELECT query_id, neighbor_id, qcos FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1390,8 +1390,11 @@ def x3_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "qv", int_dot(F.col("qv"), F.col("qv")).alias("qn"))
         .localCheckpoint(eager=False)  # consumed twice: probe + corpus side
     )
-    a = n.where(F.col("vec_id") < N_QUERIES).alias("a")
-    b = n.alias("b")
+    # qn = 0 (a vector whose every component quantizes to code 0) would
+    # make qcos NaN, and NaN sorts above all reals — exclude such vectors
+    # from both sides rather than crown them universal nearest neighbors
+    a = n.where((F.col("vec_id") < N_QUERIES) & (F.col("qn") > 0)).alias("a")
+    b = n.where(F.col("qn") > 0).alias("b")
     qcos = int_dot(F.col("a.qv"), F.col("b.qv")).cast("double") / (
         F.sqrt(F.col("a.qn").cast("double")) * F.sqrt(F.col("b.qn").cast("double"))
     )

@@ -504,7 +504,7 @@ def test_prefix_filter_join_equals_full_join_and_prunes(spark):
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
-    from iii_aibigdata_capstone_spark.operators.dedup import shingles
+    from iii_aibigdata_capstone_spark.operators.dedup import sized_shingles
 
     new = {
         (r.doc_a, r.doc_b): r.jaccard
@@ -516,12 +516,7 @@ def test_prefix_filter_join_equals_full_join_and_prunes(spark):
     }
     assert new == full
 
-    sh = (
-        shingles(spark, TEST_SF_DIR, n=3)
-        .select("doc_id", "lang", F.xxhash64("s").alias("s"))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
-        .localCheckpoint(eager=False)
-    )
+    sh = sized_shingles(spark, TEST_SF_DIR)
     pair = lambda a, b: (  # noqa: E731
         a.join(
             b,
