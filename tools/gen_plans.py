@@ -73,6 +73,21 @@ GALLERY = [
         ],
     ),
     (
+        "x5_bloom_semijoin",
+        "x5_bloom_semijoin",
+        "Explicit Bloom-filter semi-join: the ~2 KB filter (and the build-side "
+        "membership set) arrive by broadcast, so the fact-side probe is "
+        "MAP-ONLY — the single hash exchange in the plan is the final "
+        "per-year aggregation, and the orders scan reads exactly the two "
+        "consumed columns. The shape Spark's own runtime bloom filters "
+        "inject, made explicit and hash-checkable.",
+        [
+            ("exactly one hash exchange (the final aggregate)", lambda a: a.hash_exchanges == 1),
+            ("filter words + membership reach the probe by broadcast", lambda a: a.broadcast_joins >= 5),
+            ("orders scan pruned to 2 columns", lambda a: a.read_widths and max(a.read_widths) <= 2),
+        ],
+    ),
+    (
         "x4_decontaminate",
         "x4_decontaminate",
         "Benchmark decontamination: the tiny benchmark gram index broadcasts; "
