@@ -94,6 +94,7 @@ HEADLINE = [
     "m8_rank_metrics",
     "x5_bloom_semijoin",
     "x2_prefix_filter_join",
+    "x8_table_stats",
 ]
 
 

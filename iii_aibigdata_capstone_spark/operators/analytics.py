@@ -1303,14 +1303,14 @@ def _hll_sden(regs_u: DataFrame, group_col: str) -> DataFrame:
     )
 
 
-def _hll_est() -> F.Column:
+def _hll_est(sden_col: str = "sden") -> F.Column:
     """alpha * m^2 * 2^55 / S as one fixed IEEE expression tree — raw
     double, bit-identical cross-engine on identical integer sden."""
     return (
         F.lit(0.709)
         * F.lit(float(HLL_M * HLL_M))
         * F.lit(float(_HLL_TWOP))
-        / F.col("sden").cast("double")
+        / F.col(sden_col).cast("double")
     )
 
 
@@ -1324,10 +1324,17 @@ _HLL_SDEN_SQL = (
     f"CAST(SUM(CAST(1 AS BIGINT) << ({HLL_WBITS + 1} - m)) AS BIGINT) "
     f"+ ({HLL_M} - COUNT(*)) * CAST({_HLL_TWOP} AS BIGINT)"
 )
-_HLL_EST_SQL = (
-    f"CAST(0.709 AS DOUBLE) * CAST({HLL_M * HLL_M} AS DOUBLE) "
-    f"* CAST({_HLL_TWOP} AS DOUBLE) / CAST(sden AS DOUBLE)"
-)
+def _hll_est_sql(sden_col: str = "sden") -> str:
+    """The `_hll_est` IEEE tree as a DuckDB fragment over ``sden_col`` —
+    same literal order and association as the Spark column, so identical
+    integer denominators yield bit-identical raw doubles."""
+    return (
+        f"CAST(0.709 AS DOUBLE) * CAST({HLL_M * HLL_M} AS DOUBLE) "
+        f"* CAST({_HLL_TWOP} AS DOUBLE) / CAST({sden_col} AS DOUBLE)"
+    )
+
+
+_HLL_EST_SQL = _hll_est_sql()
 
 
 @query(
@@ -1501,6 +1508,308 @@ def x5_hll_sliding_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         F.col("win_end").cast("long").alias("win_end"),
         _hll_est().alias("approx_ids"),
+    )
+
+
+_SETOPS_EST_A = _hll_est_sql("sden_a")
+_SETOPS_EST_B = _hll_est_sql("sden_b")
+_SETOPS_EST_U = _hll_est_sql("sden_u")
+
+
+@query(
+    "x5_hll_setops",
+    oracle=dedent(
+        f"""
+        WITH seg_rows AS MATERIALIZED (
+            SELECT CASE WHEN YEAR(o_orderdate) = 1996 THEN 'A' ELSE 'B' END
+                       AS seg,
+                   o_custkey,
+                   CAST('0x' || SUBSTR(MD5(CAST(o_custkey AS VARCHAR)), 1, 15)
+                        AS BIGINT) AS h
+            FROM orders
+            WHERE YEAR(o_orderdate) IN (1996, 1997)
+        ),
+        jr AS (
+            SELECT seg, h % {HLL_M} AS j, {_HLL_RHO_SQL} AS rho FROM seg_rows
+        ),
+        regs AS MATERIALIZED (
+            SELECT seg, j, MAX(rho) AS m FROM jr GROUP BY 1, 2
+        ),
+        regs_u AS (
+            SELECT * FROM regs
+            UNION ALL
+            SELECT 'U' AS seg, j, MAX(m) AS m FROM regs GROUP BY 2
+        ),
+        s AS (
+            SELECT seg, {_HLL_SDEN_SQL} AS sden FROM regs_u GROUP BY 1
+        ),
+        sp AS (
+            SELECT MAX(CASE WHEN seg = 'A' THEN sden END) AS sden_a,
+                   MAX(CASE WHEN seg = 'B' THEN sden END) AS sden_b,
+                   MAX(CASE WHEN seg = 'U' THEN sden END) AS sden_u
+            FROM s
+        ),
+        flags AS (
+            SELECT o_custkey,
+                   MAX(CASE WHEN seg = 'A' THEN 1 ELSE 0 END) AS in_a,
+                   MAX(CASE WHEN seg = 'B' THEN 1 ELSE 0 END) AS in_b
+            FROM seg_rows GROUP BY 1
+        ),
+        ex AS (
+            SELECT CAST(SUM(in_a) AS BIGINT) AS exact_a,
+                   CAST(SUM(in_b) AS BIGINT) AS exact_b,
+                   CAST(COUNT(*) AS BIGINT) AS exact_u,
+                   CAST(SUM(in_a * in_b) AS BIGINT) AS exact_i
+            FROM flags
+        )
+        SELECT 'A' AS segment, {_SETOPS_EST_A} AS approx_keys,
+               exact_a AS exact_keys FROM sp, ex
+        UNION ALL
+        SELECT 'B', {_SETOPS_EST_B}, exact_b FROM sp, ex
+        UNION ALL
+        SELECT 'UNION', {_SETOPS_EST_U}, exact_u FROM sp, ex
+        UNION ALL
+        SELECT 'INTERSECT',
+               (({_SETOPS_EST_A}) + ({_SETOPS_EST_B})) - ({_SETOPS_EST_U}),
+               exact_i FROM sp, ex
+        """
+    ),
+    tags=("X5", "sketch", "hll", "setops"),
+)
+def x5_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA on explicit-HLL registers, fully hash-checkable:
+    segment A = customers ordering in 1996, B = in 1997. |A| and |B| come
+    from each segment's {HLL_M} registers, |A ∪ B| from their element-wise
+    MAX merge (never a combined re-scan — the mergeable-sketch property
+    that makes pre-computed per-partition/per-day partials composable at
+    100 TB), and |A ∩ B| by inclusion-exclusion est(A)+est(B)-est(U) — the
+    standard HLL intersection estimator (HLL supports union natively;
+    intersection only via I-E, with error scaling on the UNION's
+    cardinality — both facts pinned in tests against the exact counts
+    emitted alongside). One orders scan feeds both the register build and
+    the exact flags; every estimate is the shared `_hll_est` IEEE tree
+    over exact-integer denominators, so raw doubles — including the
+    three-term I-E expression — match the oracle bit-for-bit."""
+    ords = table(spark, sf_dir, "orders")
+    j, rho = _hll_j_rho("o_custkey")
+    rows = (
+        ords.where(F.year("o_orderdate").isin(1996, 1997))
+        .select(
+            F.when(F.year("o_orderdate") == 1996, "A").otherwise("B").alias("seg"),
+            "o_custkey",
+            j,
+            rho,
+        )
+        .localCheckpoint(eager=False)  # consumed twice: registers + exact flags
+    )
+    regs = (
+        rows.groupBy("seg", "j")
+        .agg(F.max("rho").alias("m"))
+        .localCheckpoint(eager=False)  # consumed twice: per-segment + merged U
+    )
+    regs_u = regs.unionByName(
+        regs.groupBy("j")
+        .agg(F.max("m").alias("m"))
+        .select(F.lit("U").alias("seg"), "j", "m")
+    )
+    sp = _hll_sden(regs_u, "seg").agg(
+        F.max(F.when(F.col("seg") == "A", F.col("sden"))).alias("sden_a"),
+        F.max(F.when(F.col("seg") == "B", F.col("sden"))).alias("sden_b"),
+        F.max(F.when(F.col("seg") == "U", F.col("sden"))).alias("sden_u"),
+    )
+    ex = (
+        rows.groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("seg") == "A", 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("seg") == "B", 1).otherwise(0)).alias("in_b"),
+        )
+        .agg(
+            F.sum("in_a").alias("exact_a"),
+            F.sum("in_b").alias("exact_b"),
+            F.count(F.lit(1)).alias("exact_u"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("exact_i"),
+        )
+    )
+    est_a, est_b, est_u = _hll_est("sden_a"), _hll_est("sden_b"), _hll_est("sden_u")
+    return (
+        sp.crossJoin(ex)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("A").alias("segment"),
+                        est_a.alias("approx_keys"),
+                        F.col("exact_a").alias("exact_keys"),
+                    ),
+                    F.struct(
+                        F.lit("B").alias("segment"),
+                        est_b.alias("approx_keys"),
+                        F.col("exact_b").alias("exact_keys"),
+                    ),
+                    F.struct(
+                        F.lit("UNION").alias("segment"),
+                        est_u.alias("approx_keys"),
+                        F.col("exact_u").alias("exact_keys"),
+                    ),
+                    F.struct(
+                        F.lit("INTERSECT").alias("segment"),
+                        ((est_a + est_b) - est_u).alias("approx_keys"),
+                        F.col("exact_i").alias("exact_keys"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+
+
+@query(
+    "x8_table_stats",
+    oracle=dedent(
+        f"""
+        WITH stacked AS MATERIALIZED (
+            SELECT 'o_custkey' AS col_name, CAST(o_custkey AS VARCHAR) AS canon,
+                   CAST(o_custkey AS DOUBLE) AS nval, CAST(NULL AS VARCHAR) AS sval
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice',
+                   CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR),
+                   o_totalprice, NULL
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderdate',
+                   CAST(CAST(EPOCH(o_orderdate) AS BIGINT) AS VARCHAR),
+                   CAST(CAST(EPOCH(o_orderdate) AS BIGINT) AS DOUBLE), NULL
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', o_orderstatus, NULL, o_orderstatus FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', o_orderpriority, NULL, o_orderpriority
+            FROM orders
+        ),
+        hrows AS (
+            SELECT col_name, CAST('0x' || SUBSTR(MD5(canon), 1, 15) AS BIGINT) AS h
+            FROM stacked WHERE canon IS NOT NULL
+        ),
+        jr AS (SELECT col_name, h % {HLL_M} AS j, {_HLL_RHO_SQL} AS rho FROM hrows),
+        regs AS (SELECT col_name, j, MAX(rho) AS m FROM jr GROUP BY 1, 2),
+        s AS (SELECT col_name, {_HLL_SDEN_SQL} AS sden FROM regs GROUP BY 1),
+        stats AS (
+            SELECT col_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(canon) AS BIGINT) AS n_null,
+                   CAST(COUNT(DISTINCT canon) AS BIGINT) AS ndv_exact,
+                   MIN(nval) AS min_num, MAX(nval) AS max_num,
+                   MIN(sval) AS min_str, MAX(sval) AS max_str,
+                   CASE WHEN COUNT(sval) > 0
+                        THEN CAST(SUM(LENGTH(sval)) AS DOUBLE)
+                             / CAST(COUNT(sval) AS DOUBLE)
+                   END AS avg_len
+            FROM stacked GROUP BY 1
+        )
+        SELECT st.col_name, n_rows, n_null, ndv_exact,
+               {_HLL_EST_SQL} AS ndv_hll,
+               min_num, max_num, min_str, max_str, avg_len
+        FROM stats st JOIN s ON s.col_name = st.col_name
+        """
+    ),
+    tags=("X8", "stats", "hll", "layout"),
+)
+def x8_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style one-pass column statistics — the optimizer-stats
+    collection (`ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`) every
+    100 TB warehouse runs before CBO join reordering can work. One orders
+    scan is stacked into (column, value) rows via a 5-wide explode (the
+    fan-out is map-local; exchanges downstream carry only per-column
+    partials and {HLL_M}-register sketches), then per column: row/null
+    counts, typed min/max (numeric as DOUBLE — dates as epoch seconds —
+    strings lexicographic), mean string length, exact NDV, and the
+    explicit-HLL NDV estimate. Exact NDV (COUNT DISTINCT) is the
+    test-scale ground truth; at 100 TB it is the column whose shuffle you
+    refuse to pay — `ndv_hll` from the shared 64-register sketch is the
+    at-scale path, its error pinned in tests for the columns in the
+    raw-estimate regime (n >= 2.5m). The two low-cardinality string
+    columns (3 and 5 NDV) report the deterministic raw estimate, which is
+    FAR OFF at tiny n by design: a production ANALYZE would switch to
+    linear counting there, but that branch needs ln(), which is not
+    bit-reproducible cross-engine — determinism is this lane's contract,
+    and tiny-NDV columns are exactly where exact COUNT DISTINCT is cheap
+    anyway. Values are
+    canonicalized engine-neutrally before hashing (ints/strings verbatim,
+    money as FLOOR(v*100+0.5) cents, timestamps as epoch seconds) so the
+    md5-derived registers — and hence the raw-double estimate — match the
+    oracle bit-for-bit; doubles never pass through a string cast (Spark
+    and DuckDB format them differently)."""
+    ords = table(spark, sf_dir, "orders")
+
+    def ent(name: str, canon: F.Column, nval: F.Column, sval: F.Column) -> F.Column:
+        return F.struct(
+            F.lit(name).alias("col_name"),
+            canon.alias("canon"),
+            nval.alias("nval"),
+            sval.alias("sval"),
+        )
+
+    null_s = F.lit(None).cast("string")
+    null_d = F.lit(None).cast("double")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+    # parquet o_orderdate is TIMESTAMP_NTZ: hop via LTZ (session TZ is UTC,
+    # so the naive value is read as UTC — exactly DuckDB's EPOCH semantics)
+    epochs = F.col("o_orderdate").cast("timestamp_ltz").cast("long")
+    entries = F.array(
+        ent(
+            "o_custkey",
+            F.col("o_custkey").cast("string"),
+            F.col("o_custkey").cast("double"),
+            null_s,
+        ),
+        ent("o_totalprice", cents.cast("string"), F.col("o_totalprice"), null_s),
+        ent("o_orderdate", epochs.cast("string"), epochs.cast("double"), null_s),
+        ent("o_orderstatus", F.col("o_orderstatus"), null_d, F.col("o_orderstatus")),
+        ent(
+            "o_orderpriority",
+            F.col("o_orderpriority"),
+            null_d,
+            F.col("o_orderpriority"),
+        ),
+    )
+    j, rho = _hll_j_rho("canon")
+    stacked = (
+        ords.select(F.explode(entries).alias("e"))
+        .select("e.*")
+        .select("col_name", "canon", "nval", "sval", j, rho)
+        .localCheckpoint(eager=False)  # consumed twice: stats + registers
+    )
+    stats = stacked.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("canon")).alias("n_null"),
+        F.countDistinct("canon").alias("ndv_exact"),
+        F.min("nval").alias("min_num"),
+        F.max("nval").alias("max_num"),
+        F.min("sval").alias("min_str"),
+        F.max("sval").alias("max_str"),
+        F.when(
+            F.count("sval") > 0,
+            F.sum(F.length("sval")).cast("double") / F.count("sval").cast("double"),
+        ).alias("avg_len"),
+    )
+    regs = (
+        stacked.where(F.col("canon").isNotNull())
+        .groupBy("col_name", "j")
+        .agg(F.max("rho").alias("m"))
+    )
+    s = _hll_sden(regs, "col_name")
+    return stats.join(s, "col_name").select(
+        "col_name",
+        "n_rows",
+        "n_null",
+        "ndv_exact",
+        _hll_est().alias("ndv_hll"),
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
+        "avg_len",
     )
 
 

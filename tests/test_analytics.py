@@ -540,3 +540,80 @@ def test_prefix_filter_join_equals_full_join_and_prunes(spark):
     )
     n_prefix = pair(prefix.alias("a"), prefix.alias("b"))
     assert 0 < n_prefix < n_full, (n_prefix, n_full)
+
+
+def test_hll_setops_identities_and_accuracy(spark):
+    """x5_hll_setops: (1) the emitted INTERSECT estimate IS the
+    inclusion-exclusion of the emitted A/B/UNION estimates, bit-for-bit
+    (same sdens, same IEEE tree — Python's own float add/sub reproduces
+    it); (2) the exact counts satisfy integer inclusion-exclusion; (3)
+    each direct estimate lands within 25% of exact (13% theoretical rse
+    at m=64; test SF sits just below the raw regime), and the I-E
+    intersection within half the UNION's cardinality — its error scales
+    on the union, the documented weakness of HLL intersections."""
+    rows = {
+        r["segment"]: r
+        for r in registry()["x5_hll_setops"].builder(spark, TEST_SF_DIR).collect()
+    }
+    assert set(rows) == {"A", "B", "UNION", "INTERSECT"}
+    a, b, u, i = rows["A"], rows["B"], rows["UNION"], rows["INTERSECT"]
+    assert i["approx_keys"] == (a["approx_keys"] + b["approx_keys"]) - u["approx_keys"]
+    assert u["exact_keys"] == a["exact_keys"] + b["exact_keys"] - i["exact_keys"]
+    for r in (a, b, u):
+        assert abs(r["approx_keys"] - r["exact_keys"]) <= 0.25 * r["exact_keys"], r
+    assert abs(i["approx_keys"] - i["exact_keys"]) <= 0.5 * u["exact_keys"], (i, u)
+
+
+def test_table_stats_ground_truth(spark):
+    """x8_table_stats vs independently recomputed ground truth: row/null
+    counts, typed min/max, exact NDV, and mean string length must agree
+    with direct per-column aggregates; ndv_hll must land within 30% of
+    exact for the raw-regime columns (custkey/orderdate/totalprice at
+    every test SF), while the 3- and 5-NDV string columns expose the
+    documented no-linear-counting behavior (raw estimate ~46-48
+    regardless of exact NDV — deterministic, pinned only as positive)."""
+    stats = {
+        r["col_name"]: r
+        for r in registry()["x8_table_stats"].builder(spark, TEST_SF_DIR).collect()
+    }
+    ords = table(spark, TEST_SF_DIR, "orders")
+    n = ords.count()
+    truth = ords.agg(
+        F.countDistinct("o_custkey").alias("ck_ndv"),
+        F.min("o_custkey").cast("double").alias("ck_min"),
+        F.max("o_custkey").cast("double").alias("ck_max"),
+        F.countDistinct("o_orderstatus").alias("st_ndv"),
+        F.min("o_orderstatus").alias("st_min"),
+        F.max("o_orderstatus").alias("st_max"),
+        F.avg(F.length("o_orderpriority")).alias("pr_len"),
+        F.countDistinct(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))).alias(
+            "tp_ndv"
+        ),
+    ).collect()[0]
+    assert set(stats) == {
+        "o_custkey",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderstatus",
+        "o_orderpriority",
+    }
+    for r in stats.values():
+        assert r["n_rows"] == n and r["n_null"] == 0, r
+        assert r["ndv_hll"] > 0, r
+    ck, st, pr, tp = (
+        stats["o_custkey"],
+        stats["o_orderstatus"],
+        stats["o_orderpriority"],
+        stats["o_totalprice"],
+    )
+    assert ck["ndv_exact"] == truth["ck_ndv"]
+    assert (ck["min_num"], ck["max_num"]) == (truth["ck_min"], truth["ck_max"])
+    assert ck["min_str"] is None and ck["max_str"] is None and ck["avg_len"] is None
+    assert st["ndv_exact"] == truth["st_ndv"]
+    assert (st["min_str"], st["max_str"]) == (truth["st_min"], truth["st_max"])
+    assert st["min_num"] is None and st["max_num"] is None
+    assert abs(pr["avg_len"] - truth["pr_len"]) < 1e-12
+    assert tp["ndv_exact"] == truth["tp_ndv"]  # cents canonicalization is injective here
+    for col in ("o_custkey", "o_orderdate", "o_totalprice"):
+        r = stats[col]
+        assert abs(r["ndv_hll"] - r["ndv_exact"]) <= 0.30 * r["ndv_exact"], r

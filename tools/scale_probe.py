@@ -98,6 +98,7 @@ DEFAULT = [
     "x5_hdr_quantiles",
     "x5_bloom_semijoin",
     "x2_prefix_filter_join",
+    "x8_table_stats",
 ]
 
 
