@@ -95,6 +95,7 @@ HEADLINE = [
     "x5_bloom_semijoin",
     "x2_prefix_filter_join",
     "x8_table_stats",
+    "x5_bootstrap_ci",
 ]
 
 

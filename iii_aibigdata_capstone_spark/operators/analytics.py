@@ -22,6 +22,7 @@ the DuckDB oracle agree bit-for-bit (content-addressed, reshard-stable);
 
 from __future__ import annotations
 
+import math
 from textwrap import dedent
 
 import pyspark.sql.functions as F
@@ -1811,6 +1812,131 @@ def x8_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_str",
         "avg_len",
     )
+
+
+BOOT_B = 16  # bootstrap replicas
+BOOT_FIELD = 15  # bits of uniform per replica; 4 disjoint fields per digest
+BOOT_DIGESTS = BOOT_B // 4  # one 60-bit md5 digest yields 4 replica uniforms
+# Poisson(1) inverse-CDF thresholds on a 15-bit uniform (w = #thresholds
+# exceeded, capped at 5; CDF mass beyond 5 is 6e-4) — ONE definition feeds
+# both engines' CASE ladders so a B / field-layout / cap change cannot
+# desynchronize them.
+BOOT_T = []
+_acc, _term = 0.0, math.exp(-1.0)
+for _k in range(5):
+    _acc += _term
+    BOOT_T.append(int(_acc * (1 << BOOT_FIELD)))
+    _term /= _k + 1
+
+
+def _boot_w_ladder(u: str) -> str:
+    """The Poisson(1) CASE ladder over a 15-bit uniform expression —
+    IDENTICAL text in both engines (only the shift syntax inside ``u``
+    differs), generated from the single BOOT_T list."""
+    arms = " ".join(f"WHEN {u} < {BOOT_T[k]} THEN {k}" for k in range(5))
+    return f"CASE {arms} ELSE 5 END"
+
+
+def _boot_sql(tbl, digest, shift, wrap_open, wrap_close, lo, hi):
+    """The WHOLE bootstrap query as generated SQL, shared by both engines
+    (x2_simhash lesson: 50+ generated expression columns cost seconds of
+    py4j driver time as Column objects but nothing as one SQL string).
+    Engine-specific bits are injected: digest(d) (conv vs '0x' cast),
+    shift(d, i) (shiftright() vs >>), the sort wrapper, and the 0- vs
+    1-based rank indices. Everything else — the threshold ladder, the
+    exact-integer partial sums, the mean divisions — is literally the
+    same text, so the two engines cannot drift."""
+    digests = ", ".join(f"{digest(d)} AS h{d}" for d in range(BOOT_DIGESTS))
+    wcols = ", ".join(
+        f"{_boot_w_ladder(shift(*divmod(b, 4)))} AS w{b}" for b in range(BOOT_B)
+    )
+    aggs = ", ".join(
+        f"CAST(SUM(w{b} * cents) AS BIGINT) AS swx{b}, "
+        f"CAST(SUM(w{b}) AS BIGINT) AS sw{b}"
+        for b in range(BOOT_B)
+    )
+    means = ", ".join(
+        f"CAST(swx{b} AS DOUBLE) / CAST(sw{b} AS DOUBLE)" for b in range(BOOT_B)
+    )
+    return f"""
+        WITH base AS (
+            SELECT o_orderpriority,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                   {digests}
+            FROM {tbl}
+        ),
+        w AS (SELECT o_orderpriority, cents, {wcols} FROM base),
+        a AS (
+            SELECT o_orderpriority,
+                   CAST(SUM(cents) AS BIGINT) AS sx,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   {aggs}
+            FROM w GROUP BY 1
+        ),
+        m AS (
+            SELECT o_orderpriority, n,
+                   CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+                   {wrap_open}{means}{wrap_close} AS arr
+            FROM a
+        )
+        SELECT o_orderpriority, n AS n_orders, mean_cents,
+               arr[{lo}] AS ci_lo_cents, arr[{hi}] AS ci_hi_cents
+        FROM m
+    """
+
+
+_BOOT_MASK = (1 << BOOT_FIELD) - 1
+_BOOT_ORACLE_SQL = _boot_sql(
+    "orders",
+    lambda d: (
+        "CAST('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR) || "
+        f"'#{d}'), 1, 15) AS BIGINT)"
+    ),
+    lambda d, i: f"((h{d} >> {BOOT_FIELD * i}) & {_BOOT_MASK})",
+    "LIST_SORT([",
+    "])",
+    2,
+    BOOT_B - 1,
+)
+_BOOT_SPARK_SQL = _boot_sql(
+    "_boot_orders",
+    lambda d: (
+        "CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), "
+        f"'#{d}')), 1, 15), 16, 10) AS BIGINT)"
+    ),
+    lambda d, i: f"(shiftright(h{d}, {BOOT_FIELD * i}) & {_BOOT_MASK})",
+    "sort_array(array(",
+    "))",
+    1,
+    BOOT_B - 2,
+)
+
+
+@query(
+    "x5_bootstrap_ci",
+    oracle=_BOOT_ORACLE_SQL,
+    tags=("X5", "stats", "bootstrap"),
+)
+def x5_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-PASS multiplier bootstrap (Poisson(1) weights — the streaming
+    bootstrap of Chamandy et al., the shape that replaces B resampled
+    data copies at 100 TB): per order-priority group, {BOOT_B} replica
+    means of the order value and the rank-based central interval of
+    their distribution (2nd smallest / 2nd largest ~ 87.5% CI at
+    B={BOOT_B}). Every replica weight derives from md5(o_orderkey # d):
+    one digest yields 4 disjoint {BOOT_FIELD}-bit uniforms (the Bloom
+    lane's one-digest/k-fields economy — {BOOT_DIGESTS} hashes per row,
+    not {BOOT_B}), pushed through the shared integer threshold ladder.
+    The whole computation is ONE map-side-combinable aggregation
+    carrying 2x{BOOT_B}+2 exact-integer partials (weighted cent sums and
+    weight sums — never a float accumulation, the r1 summation-order
+    lesson), so the single exchange is {2 * BOOT_B + 2} small columns
+    per group and every emitted double is one division (or a rank pick
+    from a sorted array) over identical integers — bit-equal
+    cross-engine. Both engines run the SAME generated SQL text modulo
+    digest/shift/sort syntax (see `_boot_sql`)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("_boot_orders")
+    return spark.sql(_BOOT_SPARK_SQL)
 
 
 # ---------------------------------------------------------------------------

@@ -617,3 +617,23 @@ def test_table_stats_ground_truth(spark):
     for col in ("o_custkey", "o_orderdate", "o_totalprice"):
         r = stats[col]
         assert abs(r["ndv_hll"] - r["ndv_exact"]) <= 0.30 * r["ndv_exact"], r
+
+
+def test_bootstrap_ci_brackets_mean_and_is_calibrated(spark):
+    """x5_bootstrap_ci: for every group the sample mean lies inside the
+    replica-rank CI, the CI is properly ordered, and its width sits in
+    the plausible +-2-standard-error band for n~300 order values (3-25%
+    of the mean — a degenerate all-equal-weights bug would give 0%, a
+    broken weight ladder far more). Deterministic: two runs bit-equal."""
+    spec = registry()["x5_bootstrap_ci"]
+    rows = spec.builder(spark, TEST_SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(
+        map(tuple, spec.builder(spark, TEST_SF_DIR).collect())
+    )
+    n_total = sum(r["n_orders"] for r in rows)
+    assert n_total == table(spark, TEST_SF_DIR, "orders").count()
+    for r in rows:
+        assert r["ci_lo_cents"] < r["ci_hi_cents"], r
+        assert r["ci_lo_cents"] <= r["mean_cents"] <= r["ci_hi_cents"], r
+        width = (r["ci_hi_cents"] - r["ci_lo_cents"]) / r["mean_cents"]
+        assert 0.03 < width < 0.25, (r["o_orderpriority"], width)
