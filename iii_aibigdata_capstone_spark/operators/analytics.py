@@ -29,6 +29,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import table, tables
+from ..functions.money import cents_col, cents_sql
 from ..registry import QuerySpec, make_registrar
 
 SPECS: list[QuerySpec] = []
@@ -1674,7 +1675,7 @@ def x5_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM orders
             UNION ALL
             SELECT 'o_totalprice',
-                   CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR),
+                   CAST({cents_sql()} AS VARCHAR),
                    o_totalprice, NULL
             FROM orders
             UNION ALL
@@ -1753,7 +1754,7 @@ def x8_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     null_s = F.lit(None).cast("string")
     null_d = F.lit(None).cast("double")
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+    cents = cents_col()
     # parquet o_orderdate is TIMESTAMP_NTZ: hop via LTZ (session TZ is UTC,
     # so the naive value is read as UTC — exactly DuckDB's EPOCH semantics)
     epochs = F.col("o_orderdate").cast("timestamp_ltz").cast("long")
@@ -1833,8 +1834,8 @@ def _boot_w_ladder(u: str) -> str:
     """The Poisson(1) CASE ladder over a 15-bit uniform expression —
     IDENTICAL text in both engines (only the shift syntax inside ``u``
     differs), generated from the single BOOT_T list."""
-    arms = " ".join(f"WHEN {u} < {BOOT_T[k]} THEN {k}" for k in range(5))
-    return f"CASE {arms} ELSE 5 END"
+    arms = " ".join(f"WHEN {u} < {BOOT_T[k]} THEN {k}" for k in range(len(BOOT_T)))
+    return f"CASE {arms} ELSE {len(BOOT_T)} END"
 
 
 def _boot_sql(tbl, digest, shift, wrap_open, wrap_close, lo, hi):
@@ -1855,8 +1856,15 @@ def _boot_sql(tbl, digest, shift, wrap_open, wrap_close, lo, hi):
         f"CAST(SUM(w{b}) AS BIGINT) AS sw{b}"
         for b in range(BOOT_B)
     )
+    # NULLIF guards the degenerate replica (all weights 0, P = e^-n per
+    # group): Spark's non-ANSI Divide yields NULL on a zero divisor while
+    # DuckDB's IEEE division yields Inf — and the two engines would then
+    # sort the poisoned mean to OPPOSITE ends. With NULLIF both produce
+    # NULL, and both sort wrappers place NULLs first (Spark sort_array's
+    # documented order; DuckDB told so explicitly below).
     means = ", ".join(
-        f"CAST(swx{b} AS DOUBLE) / CAST(sw{b} AS DOUBLE)" for b in range(BOOT_B)
+        f"CAST(swx{b} AS DOUBLE) / CAST(NULLIF(sw{b}, 0) AS DOUBLE)"
+        for b in range(BOOT_B)
     )
     return f"""
         WITH base AS (
@@ -1894,7 +1902,7 @@ _BOOT_ORACLE_SQL = _boot_sql(
     ),
     lambda d, i: f"((h{d} >> {BOOT_FIELD * i}) & {_BOOT_MASK})",
     "LIST_SORT([",
-    "])",
+    "], 'ASC', 'NULLS FIRST')",
     2,
     BOOT_B - 1,
 )
@@ -1934,7 +1942,11 @@ def x5_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     per group and every emitted double is one division (or a rank pick
     from a sorted array) over identical integers — bit-equal
     cross-engine. Both engines run the SAME generated SQL text modulo
-    digest/shift/sort syntax (see `_boot_sql`)."""
+    digest/shift/sort syntax (see `_boot_sql`). A degenerate replica
+    (every weight 0 — probability e^-n per group, real only for tiny
+    groups) yields a NULL mean that sorts FIRST in both engines (NULLIF
+    guard — see `_boot_sql`), so even then the engines agree; its rank
+    slot widens the CI downward, a conservative failure mode."""
     table(spark, sf_dir, "orders").createOrReplaceTempView("_boot_orders")
     return spark.sql(_BOOT_SPARK_SQL)
 

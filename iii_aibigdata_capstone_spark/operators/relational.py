@@ -23,6 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import table
+from ..functions.money import cents_col, cents_sql
 from ..registry import QuerySpec, make_registrar
 
 SPECS: list[QuerySpec] = []
@@ -1157,8 +1158,7 @@ HDR_SUB_BITS = 5  # mantissa bits kept per bucket -> relative error < 2^-5
     oracle=dedent(
         f"""
         WITH v AS (
-            SELECT o_orderpriority,
-                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+            SELECT o_orderpriority, {cents_sql()} AS v
             FROM orders
         ),
         b AS (
@@ -1207,8 +1207,7 @@ def x5_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Accuracy vs exact quantiles is pinned in tests at the 2^-{HDR_SUB_BITS}
     relative-error bound."""
     v = table(spark, sf_dir, "orders").select(
-        "o_orderpriority",
-        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        "o_orderpriority", cents_col().alias("v")
     )
     b = (
         v.select(

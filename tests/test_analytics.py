@@ -586,9 +586,7 @@ def test_table_stats_ground_truth(spark):
         F.min("o_orderstatus").alias("st_min"),
         F.max("o_orderstatus").alias("st_max"),
         F.avg(F.length("o_orderpriority")).alias("pr_len"),
-        F.countDistinct(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))).alias(
-            "tp_ndv"
-        ),
+        F.countDistinct("o_totalprice").alias("tp_ndv"),
     ).collect()[0]
     assert set(stats) == {
         "o_custkey",
@@ -613,7 +611,10 @@ def test_table_stats_ground_truth(spark):
     assert (st["min_str"], st["max_str"]) == (truth["st_min"], truth["st_max"])
     assert st["min_num"] is None and st["max_num"] is None
     assert abs(pr["avg_len"] - truth["pr_len"]) < 1e-12
-    assert tp["ndv_exact"] == truth["tp_ndv"]  # cents canonicalization is injective here
+    # injectivity of the cents canonicalization: NDV over canon must equal
+    # NDV over the RAW doubles (a collapsing canonicalization would show
+    # fewer) — truth_raw is computed on o_totalprice itself, not on cents
+    assert tp["ndv_exact"] == truth["tp_ndv"]
     for col in ("o_custkey", "o_orderdate", "o_totalprice"):
         r = stats[col]
         assert abs(r["ndv_hll"] - r["ndv_exact"]) <= 0.30 * r["ndv_exact"], r
@@ -622,9 +623,11 @@ def test_table_stats_ground_truth(spark):
 def test_bootstrap_ci_brackets_mean_and_is_calibrated(spark):
     """x5_bootstrap_ci: for every group the sample mean lies inside the
     replica-rank CI, the CI is properly ordered, and its width sits in
-    the plausible +-2-standard-error band for n~300 order values (3-25%
-    of the mean — a degenerate all-equal-weights bug would give 0%, a
-    broken weight ladder far more). Deterministic: two runs bit-equal."""
+    the plausible band around the +-2-standard-error scale, which shrinks
+    as 1/sqrt(n) — the bounds scale with each group's size so the test
+    holds at any SPARK_GRAFT_TEST_SF_DIR (order-value CV ~0.6 at every
+    SF; a degenerate all-equal-weights bug would give width 0, a broken
+    ladder far more). Deterministic: two runs bit-equal."""
     spec = registry()["x5_bootstrap_ci"]
     rows = spec.builder(spark, TEST_SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(
@@ -636,4 +639,5 @@ def test_bootstrap_ci_brackets_mean_and_is_calibrated(spark):
         assert r["ci_lo_cents"] < r["ci_hi_cents"], r
         assert r["ci_lo_cents"] <= r["mean_cents"] <= r["ci_hi_cents"], r
         width = (r["ci_hi_cents"] - r["ci_lo_cents"]) / r["mean_cents"]
-        assert 0.03 < width < 0.25, (r["o_orderpriority"], width)
+        rn = r["n_orders"] ** 0.5
+        assert 0.5 / rn < width < 6.0 / rn, (r["o_orderpriority"], width, r["n_orders"])

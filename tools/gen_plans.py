@@ -88,6 +88,21 @@ GALLERY = [
         ],
     ),
     (
+        "x5_bootstrap_ci",
+        "x5_bootstrap_ci",
+        "One-pass multiplier bootstrap: 16 Poisson-weighted replica means "
+        "per group ride a SINGLE map-side-combinable aggregation (34 "
+        "exact-integer partial columns), so the only exchange in the plan "
+        "is the 5-group hash aggregate — no resampled data copies, no "
+        "Python, the whole weight ladder and CI pick inside whole-stage "
+        "codegen.",
+        [
+            ("exactly one hash exchange (the group aggregate)", lambda a: a.hash_exchanges == 1),
+            ("orders scan pruned to the 3 consumed columns", lambda a: a.read_widths and max(a.read_widths) <= 3),
+            ("no Python operators anywhere", lambda a: a.python_map_operators == 0),
+        ],
+    ),
+    (
         "x4_decontaminate",
         "x4_decontaminate",
         "Benchmark decontamination: the tiny benchmark gram index broadcasts; "
