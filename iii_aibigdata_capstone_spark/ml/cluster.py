@@ -141,24 +141,41 @@ _LLOYD_HASH_DUCK = (
 )
 
 
+LLOYD_FP = 1_000_000  # centroid fixed-point scale (micro-units)
+
+
 def _lloyd_oracle() -> str:
     """Unrolled Lloyd's iterations as MATERIALIZED CTEs (the M9/PageRank
     recipe). Init: per hash-bucket argmin-by-md5 pixel (lexicographic
     struct MIN — deterministic under the astronomically-unlikely 60-bit
-    hash collision). Each iteration: CASE-cascade assignment against the
-    1-row centroid table, 15 conditional AVGs, COALESCE to the previous
-    centroid if a cluster empties. Only float-summation order diverges
-    from Spark (the AVGs); assignments are argmin over distances spread
-    ~1e3 apart, so a ~1e-13 centroid wobble never flips one."""
+    hash collision), with the GLOBAL argmin pixel as COALESCE fallback
+    for an empty bucket (the global struct min equals the min over the
+    bucket argmins, so no extra scan). Centroids are carried as exact
+    fixed-point BIGINT micro-units — per-cluster mean = floor(sum/count
+    + 0.5) over exact integer channel sums, the x3_pq_codebooks trick —
+    so no accumulation-order-dependent float AVG ever enters the hashed
+    output; the only doubles are one fixed division f/10^6 per use,
+    bit-identical across engines. COALESCE keeps an emptied cluster's
+    previous fixed-point centroid."""
     ks = range(LLOYD_K)
+    fp_d = f"CAST({LLOYD_FP} AS DOUBLE)"
     dists = ",\n                   ".join(f"{_lloyd_dist_sql(j)} AS d{j}" for j in ks)
-    avgs = ", ".join(
-        f"AVG(CASE WHEN cl = {j} THEN {ch} END) AS a{ch}{j}"
+    cdub = ", ".join(
+        f"CAST(f{ch}{j} AS DOUBLE) / {fp_d} AS c{ch}{j}"
         for j in ks
         for ch in ("r", "g", "b")
     )
+    sums = ", ".join(
+        f"CAST(SUM(CASE WHEN cl = {j} THEN p{ch} END) AS BIGINT) AS s{ch}{j}"
+        for j in ks
+        for ch in ("r", "g", "b")
+    )
+    cnts = ", ".join(
+        f"CAST(COUNT(CASE WHEN cl = {j} THEN 1 END) AS BIGINT) AS n{j}" for j in ks
+    )
     keep = ", ".join(
-        f"COALESCE(a{ch}{j}, c{ch}{j}) AS c{ch}{j}"
+        f"COALESCE(CAST(FLOOR(CAST(s{ch}{j} AS DOUBLE) / CAST(n{j} AS DOUBLE)"
+        f" + 0.5) AS BIGINT), f{ch}{j}) AS f{ch}{j}"
         for j in ks
         for ch in ("r", "g", "b")
     )
@@ -166,35 +183,51 @@ def _lloyd_oracle() -> str:
     for k in range(1, LLOYD_ITERS + 1):
         steps.append(
             f""",
+        cd{k - 1} AS MATERIALIZED (
+            SELECT {cdub} FROM c{k - 1}
+        ),
         d{k} AS MATERIALIZED (
             SELECT px.*, {dists}
-            FROM px CROSS JOIN c{k - 1}
+            FROM px CROSS JOIN cd{k - 1}
         ),
         a{k} AS MATERIALIZED (
-            SELECT {_lloyd_cl_sql()} AS cl, r, g, b FROM d{k}
+            SELECT {_lloyd_cl_sql()} AS cl, pr, pg, pb FROM d{k}
         ),
         c{k} AS MATERIALIZED (
             SELECT {keep}
-            FROM (SELECT {avgs} FROM a{k}) CROSS JOIN c{k - 1}
+            FROM (SELECT {sums}, {cnts} FROM a{k}) CROSS JOIN c{k - 1}
         )"""
         )
     init_max = ", ".join(
-        f"MAX(CASE WHEN bucket = {j} THEN m.{ch} END) AS c{ch}{j}"
+        f"MAX(CASE WHEN bucket = {j} THEN m END) AS m{j}" for j in ks
+    )
+    init_fp = ", ".join(
+        f"CAST(FLOOR(COALESCE(struct_extract(m{j}, '{ch}'),"
+        f" struct_extract(mg, '{ch}')) * {LLOYD_FP} + 0.5) AS BIGINT) AS f{ch}{j}"
         for j in ks
         for ch in ("r", "g", "b")
     )
     cent_rows = "\n            UNION ALL ".join(
-        f"SELECT {j} AS cluster, cr{j} AS cr, cg{j} AS cg, cb{j} AS cb"
+        f"SELECT {j} AS cluster,"
+        f" CAST(fr{j} AS DOUBLE) / {fp_d} AS cr,"
+        f" CAST(fg{j} AS DOUBLE) / {fp_d} AS cg,"
+        f" CAST(fb{j} AS DOUBLE) / {fp_d} AS cb"
         f" FROM c{LLOYD_ITERS}"
         for j in ks
     )
     return f"""
         WITH px AS MATERIALIZED (
-            SELECT vec_id, CAST(i AS BIGINT) AS pix_idx,
-                   CAST(embedding[3 * i + 1] AS DOUBLE) * 128 + 128 AS r,
-                   CAST(embedding[3 * i + 2] AS DOUBLE) * 128 + 128 AS g,
-                   CAST(embedding[3 * i + 3] AS DOUBLE) * 128 + 128 AS b
-            FROM embeddings, UNNEST(RANGE(0, LEN(embedding) // 3)) AS t(i)
+            SELECT *,
+                   CAST(FLOOR(r * {LLOYD_FP} + 0.5) AS BIGINT) AS pr,
+                   CAST(FLOOR(g * {LLOYD_FP} + 0.5) AS BIGINT) AS pg,
+                   CAST(FLOOR(b * {LLOYD_FP} + 0.5) AS BIGINT) AS pb
+            FROM (
+                SELECT vec_id, CAST(i AS BIGINT) AS pix_idx,
+                       CAST(embedding[3 * i + 1] AS DOUBLE) * 128 + 128 AS r,
+                       CAST(embedding[3 * i + 2] AS DOUBLE) * 128 + 128 AS g,
+                       CAST(embedding[3 * i + 3] AS DOUBLE) * 128 + 128 AS b
+                FROM embeddings, UNNEST(RANGE(0, LEN(embedding) // 3)) AS t(i)
+            )
         ),
         i0 AS MATERIALIZED (
             SELECT hh % {LLOYD_K} AS bucket,
@@ -203,12 +236,18 @@ def _lloyd_oracle() -> str:
             FROM (SELECT px.*, {_LLOYD_HASH_DUCK} AS hh FROM px)
             GROUP BY hh % {LLOYD_K}
         ),
+        c0p AS MATERIALIZED (
+            SELECT MIN(m) AS mg, {init_max} FROM i0
+        ),
         c0 AS MATERIALIZED (
-            SELECT {init_max} FROM i0
+            SELECT {init_fp} FROM c0p
         ){"".join(steps)},
+        cdfin AS MATERIALIZED (
+            SELECT {cdub} FROM c{LLOYD_ITERS}
+        ),
         dfin AS MATERIALIZED (
             SELECT px.*, {dists}
-            FROM px CROSS JOIN c{LLOYD_ITERS}
+            FROM px CROSS JOIN cdfin
         ),
         hist AS MATERIALIZED (
             SELECT cl, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -222,8 +261,7 @@ def _lloyd_oracle() -> str:
                CAST(h.cnt AS DOUBLE)
                    / CAST(SUM(h.cnt) OVER () AS DOUBLE) AS share,
                h.cnt = MAX(h.cnt) OVER () AS is_dominant,
-               ROUND(c.cr, 6) AS cr, ROUND(c.cg, 6) AS cg,
-               ROUND(c.cb, 6) AS cb
+               c.cr AS cr, c.cg AS cg, c.cb AS cb
         FROM hist h JOIN cent c ON h.cl = c.cluster
         """
 
@@ -243,14 +281,37 @@ def m4_lloyd_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations is one broadcast of the 1-row centroid table + a
     CASE-cascade argmin assignment (lowest-index tie-break — shared SQL
     text with the oracle, identical IEEE trees) + ONE map-side-combined
-    aggregation (15 conditional AVGs), with COALESCE keeping an emptied
-    cluster's previous centroid — zero driver actions in the loop, the
-    m9/PageRank shape. The A3-A5 chain (histogram, share, dominant flag)
-    sits on the final assignment; output carries round-6 centroids.
+    aggregation (15 conditional integer sums + 5 counts), with COALESCE
+    keeping an emptied cluster's previous centroid — zero driver actions
+    in the loop, the m9/PageRank shape. Centroids are carried as exact
+    fixed-point BIGINT micro-units (mean = floor(sum/count + 0.5) over
+    exact int sums, the x3_pq_codebooks trick), so the hashed output
+    never depends on float accumulation order; init guards an empty md5
+    bucket with the global argmin pixel (ADVICE r5). The A3-A5 chain
+    (histogram, share, dominant flag) sits on the final assignment;
+    output carries RAW f/10^6 centroid doubles (one fixed division —
+    bit-identical cross-engine, the r4 float playbook).
     ``m4_kmeans_dominant`` keeps the seeded-MLlib variant for parity with
     real MLlib pipelines."""
-    px = pixel_rows(spark, sf_dir).localCheckpoint(eager=False)
     chans = [(j, ch) for j in range(LLOYD_K) for ch in ("r", "g", "b")]
+    fp = F.lit(float(LLOYD_FP))
+    px = (
+        pixel_rows(spark, sf_dir)
+        .select(
+            "vec_id",
+            "pix_idx",
+            "r",
+            "g",
+            "b",
+            *[
+                F.floor(F.col(ch) * LLOYD_FP + F.lit(0.5))
+                .cast("long")
+                .alias(f"p{ch}")
+                for ch in ("r", "g", "b")
+            ],
+        )
+        .localCheckpoint(eager=False)
+    )
 
     init_rows = (
         px.withColumn("hh", F.expr(_LLOYD_HASH_SPARK))
@@ -260,10 +321,29 @@ def m4_lloyd_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = init_rows.agg(
         *[
-            F.max(F.when(F.col("bucket") == j, F.col(f"m.{ch}"))).alias(f"c{ch}{j}")
+            F.max(F.when(F.col("bucket") == j, F.col(f"m.{ch}"))).alias(f"i{ch}{j}")
+            for j, ch in chans
+        ],
+        F.min("m").alias("mg"),
+    ).select(
+        *[
+            F.floor(
+                F.coalesce(F.col(f"i{ch}{j}"), F.col(f"mg.{ch}")) * LLOYD_FP
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias(f"f{ch}{j}")
             for j, ch in chans
         ]
     )
+
+    def cdoubles(cfp: DataFrame) -> DataFrame:
+        return cfp.select(
+            *[
+                (F.col(f"f{ch}{j}").cast("double") / fp).alias(f"c{ch}{j}")
+                for j, ch in chans
+            ]
+        )
 
     def assign(frame: DataFrame) -> DataFrame:
         d = frame
@@ -272,20 +352,29 @@ def m4_lloyd_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         return d.withColumn("cl", F.expr(_lloyd_cl_sql()))
 
     for _ in range(LLOYD_ITERS):
-        a = assign(px.crossJoin(F.broadcast(c)))
-        means = a.agg(
+        a = assign(px.crossJoin(F.broadcast(cdoubles(c))))
+        sums = a.agg(
             *[
-                F.avg(F.when(F.col("cl") == j, F.col(ch))).alias(f"a{ch}{j}")
+                F.sum(F.when(F.col("cl") == j, F.col(f"p{ch}"))).alias(f"s{ch}{j}")
                 for j, ch in chans
-            ]
+            ],
+            *[
+                F.count(F.when(F.col("cl") == j, F.lit(1))).alias(f"n{j}")
+                for j in range(LLOYD_K)
+            ],
         )
         c = (
-            means.crossJoin(F.broadcast(c))
+            sums.crossJoin(F.broadcast(c))
             .select(
                 *[
-                    F.coalesce(F.col(f"a{ch}{j}"), F.col(f"c{ch}{j}")).alias(
-                        f"c{ch}{j}"
-                    )
+                    F.coalesce(
+                        F.floor(
+                            F.col(f"s{ch}{j}").cast("double")
+                            / F.col(f"n{j}").cast("double")
+                            + F.lit(0.5)
+                        ).cast("long"),
+                        F.col(f"f{ch}{j}"),
+                    ).alias(f"f{ch}{j}")
                     for j, ch in chans
                 ]
             )
@@ -293,16 +382,16 @@ def m4_lloyd_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     hist = (
-        assign(px.crossJoin(F.broadcast(c)))
+        assign(px.crossJoin(F.broadcast(cdoubles(c))))
         .groupBy("cl")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     cents = [
         c.select(
             F.lit(j).cast("long").alias("cluster"),
-            F.col(f"cr{j}").alias("cr"),
-            F.col(f"cg{j}").alias("cg"),
-            F.col(f"cb{j}").alias("cb"),
+            (F.col(f"fr{j}").cast("double") / fp).alias("cr"),
+            (F.col(f"fg{j}").cast("double") / fp).alias("cg"),
+            (F.col(f"fb{j}").cast("double") / fp).alias("cb"),
         )
         for j in range(LLOYD_K)
     ]
@@ -316,9 +405,9 @@ def m4_lloyd_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         (F.col("cnt").cast("double") / total.cast("double")).alias("share"),
         (F.col("cnt") == dominant).alias("is_dominant"),
-        F.round("cr", 6).alias("cr"),
-        F.round("cg", 6).alias("cg"),
-        F.round("cb", 6).alias("cb"),
+        "cr",
+        "cg",
+        "cb",
     )
 
 

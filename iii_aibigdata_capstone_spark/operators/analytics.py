@@ -1869,7 +1869,7 @@ def _boot_sql(tbl, digest, shift, wrap_open, wrap_close, lo, hi):
     return f"""
         WITH base AS (
             SELECT o_orderpriority,
-                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                   {cents_sql()} AS cents,
                    {digests}
             FROM {tbl}
         ),

@@ -4,6 +4,7 @@ persistence roundtrip, evaluator."""
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pyspark.sql.functions as F
@@ -177,13 +178,21 @@ def test_rf_export_matches_frozen_literal(spark):
     the canonical fit (sf0.01 training slice, seed 42) — the fit is
     reproducible (verified bit-identical across local[8]/local[32]), so
     drift here means the model definition or data derivation changed and
-    tools/gen_rf_trees.py must be re-run."""
+    tools/gen_rf_trees.py must be re-run. The canonical dir resolves via
+    the same env-var convention as the rest of the suite (the literal is
+    only defined for the sf0.01 slice, so a machine without it skips
+    rather than errors)."""
     from iii_aibigdata_capstone_spark.ml.rf_apply import (
         QUARTER_RF_TREES,
         export_rf_trees,
     )
 
-    model = fit_quarter_model(spark, "/root/testdata/sf0.01")
+    canonical = os.environ.get(
+        "SPARK_GRAFT_RF_TRAIN_DIR", "/root/testdata/sf0.01"
+    )
+    if not os.path.isdir(canonical):
+        pytest.skip(f"canonical RF training dir absent: {canonical}")
+    model = fit_quarter_model(spark, canonical)
     assert export_rf_trees(model.stages[-1]) == QUARTER_RF_TREES
 
 

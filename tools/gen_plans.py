@@ -221,6 +221,99 @@ GALLERY = [
         ],
     ),
     (
+        "x3_pq_codebooks",
+        "x3_pq_codebooks",
+        "Deterministic PQ training: the 4 Lloyd iterations are eager-"
+        "materialized checkpoint stages (broadcast 1024-row codebook join, "
+        "ONE map-side-combinable integer-distance aggregation per "
+        "iteration), so the visible plan fragment is the final codebook "
+        "read off the checkpoint boundary — no parquet re-scan, no Python, "
+        "no shuffle in the emit path. The per-iteration shape is asserted "
+        "on x3_pq_adc_topk below, whose encode pass runs the same "
+        "_pq_assign aggregation un-truncated.",
+        [
+            (
+                "emit path reads the checkpointed codebook, not parquet",
+                lambda a: ".parquet" not in a.text,
+            ),
+            ("no Python operators", lambda a: a.python_map_operators == 0),
+        ],
+    ),
+    (
+        "x3_pq_adc_topk",
+        "x3_pq_adc_topk",
+        "PQ search cascade: the trained codebook (checkpointed by the "
+        "trainer, session-cached since r6) and the per-probe distance "
+        "table both attach by BROADCAST, the encode pass is one map-side-"
+        "combinable integer aggregation, the ADC prune ranks exact int64 "
+        "sums, and only the 200-deep shortlist survivors pay the exact "
+        "cosine re-rank — full floats never shuffle.",
+        [
+            ("codebook + probe tables broadcast", lambda a: a.broadcast_joins >= 2),
+            ("no CartesianProduct", lambda a: "CartesianProduct" not in a.text),
+            ("no Python operators", lambda a: a.python_map_operators == 0),
+        ],
+    ),
+    (
+        "x2_paragraph_dedup (at-scale shape: auto-broadcast off)",
+        "x2_paragraph_dedup",
+        "Paragraph-grain near-dup: documents repartition on doc_id BEFORE "
+        "the paragraph explode (the compact single-file scan would "
+        "otherwise run the whole O(rows x paragraphs) stage on one core), "
+        "the paragraph table is checkpointed once and feeds signatures, "
+        "band keys and the exact verify, and candidates come from band "
+        "equi-joins only.",
+        [
+            (
+                "raw documents scanned at most once",
+                lambda a: a.text.count("documents.parquet") <= 1,
+            ),
+            ("no CartesianProduct", lambda a: "CartesianProduct" not in a.text),
+            (
+                "no BroadcastNestedLoopJoin",
+                lambda a: "BroadcastNestedLoopJoin" not in a.text,
+            ),
+        ],
+    ),
+    (
+        "x8_table_stats",
+        "x8_table_stats",
+        "ANALYZE-TABLE shape: ONE orders scan fans out map-locally into the "
+        "5 per-column stat branches (row/null counts, typed min/max, mean "
+        "length, exact + HLL NDV), so the table is read once no matter how "
+        "many columns are profiled — the at-scale contract for a stats "
+        "collector.",
+        [
+            (
+                "orders scanned at most once",
+                lambda a: a.text.count("orders.parquet") <= 1,
+            ),
+            ("no Python operators", lambda a: a.python_map_operators == 0),
+        ],
+    ),
+    (
+        "m4_lloyd_iterations",
+        "m4_lloyd_iterations",
+        "Deterministic Lloyd's as dataflow: each iteration is a broadcast "
+        "of the 1-row fixed-point centroid table (BroadcastNestedLoopJoin "
+        "on a 1-row side — bounded by construction) + CASE-cascade argmin "
+        "+ ONE map-side-combined integer aggregation, eager-materialized "
+        "at checkpoint boundaries; the visible fragment is the final "
+        "assignment/histogram pass over the checkpointed pixel table. "
+        "Zero driver actions in the loop, no Python anywhere.",
+        [
+            (
+                "centroids attach by broadcast",
+                lambda a: "BroadcastNestedLoopJoin" in a.text or a.broadcast_joins >= 1,
+            ),
+            ("no Python operators", lambda a: a.python_map_operators == 0),
+            (
+                "pixel table comes off the checkpoint, not parquet",
+                lambda a: ".parquet" not in a.text,
+            ),
+        ],
+    ),
+    (
         "x9_shard_manifest",
         "x9_shard_manifest",
         "Deterministic training-shard manifest: ONE window = shuffle into "

@@ -16,7 +16,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+# Canonical training dir — same env var the export-equality test honors.
+# Deliberately NOT SPARK_GRAFT_SF_DIR: that one points bench at sf0.1, and
+# inheriting it here would silently retrain the frozen literal off-slice.
+SF_DIR = os.environ.get("SPARK_GRAFT_RF_TRAIN_DIR", "/root/testdata/sf0.01")
 MODULE = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "iii_aibigdata_capstone_spark",
