@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ..catalog import table, tables
 from ..functions.money import cents_col, cents_sql
 from ..registry import QuerySpec, make_registrar
+from .textual import QUALITY_FEATURES_SQL, STOPWORDS
 
 SPECS: list[QuerySpec] = []
 query = make_registrar(SPECS)
@@ -1812,6 +1813,120 @@ def x8_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_str",
         "max_str",
         "avg_len",
+    )
+
+
+# --- X8: one-pass Pearson correlation matrix over the quality features ------
+
+CORR_FEATS = ("n_tokens", "n_stop", "n_uniq", "n_chars")
+_CORR_PAIRS = [
+    (i, j) for i in range(len(CORR_FEATS)) for j in range(i + 1, len(CORR_FEATS))
+]
+
+
+def _corr_moments_sql() -> str:
+    """The single moments row (n, 4 feature sums, 10 product sums) over a
+    feature CTE named ``f`` — ONE generated aggregate list shared by both
+    engines. All moments are EXACT integer sums (features are small
+    ints). Integer headroom: the downstream n*Sxy terms stay under 2^63
+    to about n ~ 10^7 docs of this shape; past that the partials move to
+    DECIMAL(38,0) (exact, associative) with the same tree."""
+    k = len(CORR_FEATS)
+    sums = ", ".join(f"CAST(SUM(f{i}) AS BIGINT) AS s{i}" for i in range(k))
+    prods = ", ".join(
+        f"CAST(SUM(f{i} * f{j}) AS BIGINT) AS s{i}_{j}"
+        for i in range(k)
+        for j in range(i, k)
+    )
+    return f"SELECT CAST(COUNT(*) AS BIGINT) AS n, {sums}, {prods} FROM f"
+
+
+def _corr_expr_sql(i: int, j: int) -> str:
+    """corr(i,j) = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2)(n*Syy - Sy^2))
+    as ONE text both engines evaluate over identical exact integers — a
+    fixed IEEE tree, raw-double hash-green. NULLIF guards a zero-variance
+    feature (Spark's non-ANSI divide would yield NULL where DuckDB yields
+    Inf — the bootstrap lesson)."""
+    return (
+        f"CAST(n * s{i}_{j} - s{i} * s{j} AS DOUBLE)"
+        f" / NULLIF(SQRT(CAST(n * s{i}_{i} - s{i} * s{i} AS DOUBLE)"
+        f" * CAST(n * s{j}_{j} - s{j} * s{j} AS DOUBLE)), CAST(0 AS DOUBLE))"
+    )
+
+
+def _corr_oracle() -> str:
+    """DuckDB side: feature CTE + moments row (both MATERIALIZED — the
+    emit references ``s`` six times and inlining would re-run the scan
+    per pair, the exact flaw the Spark side avoids with inline-over-one-
+    row), then the 6 upper-triangle emits."""
+    emits = "\n        UNION ALL ".join(
+        f"SELECT '{CORR_FEATS[i]}' AS feat_a, '{CORR_FEATS[j]}' AS feat_b, n,\n"
+        f"               {_corr_expr_sql(i, j)} AS corr\n"
+        f"        FROM s"
+        for i, j in _CORR_PAIRS
+    )
+    return f"""
+        WITH f AS MATERIALIZED (
+            SELECT CAST(n_tokens AS BIGINT) AS f0, CAST(n_stop AS BIGINT) AS f1,
+                   CAST(n_uniq AS BIGINT) AS f2, CAST(n_chars AS BIGINT) AS f3
+            FROM (SELECT {QUALITY_FEATURES_SQL}, n_chars FROM documents)
+        ),
+        s AS MATERIALIZED (
+            {_corr_moments_sql()}
+        )
+        {emits}
+        """
+
+
+@query("x8_corr_matrix", oracle=_corr_oracle(), tags=("X8", "stats"))
+def x8_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-family companion to x8_table_stats: the Pearson correlation
+    matrix of the 4 quality features (token/stopword/distinct-token/char
+    counts — the x4 quality model's inputs) in ONE documents scan. All 15
+    moment sums (n, 4 feature sums, 10 product sums) ride a single
+    map-side-combinable aggregation — one exchange of one 15-column row —
+    and the 6 upper-triangle correlations are each one fixed IEEE
+    expression over those exact integers, so the doubles hash bit-equal
+    cross-engine. This is how a feature-engineering pass decides which
+    quality signals are redundant before fitting anything: at 100 TB the
+    plan is scan + partial moments + 15-number reduce, the cheapest
+    possible shape (a corr() call per pair would re-scan per pair).
+    Token array is pre-projected in its own SELECT before the three
+    size() consumers (CollapseProject won't inline the multi-referenced
+    split, keeping it computed once — the r5 shingling lesson)."""
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    docs.select("text", "n_chars").createOrReplaceTempView("_corr_docs")
+    moments = spark.sql(
+        f"""
+        WITH f AS (
+            SELECT CAST(size(t) AS BIGINT) AS f0,
+                   CAST(size(filter(t, x -> x IN {STOPWORDS!r})) AS BIGINT) AS f1,
+                   CAST(size(array_distinct(t)) AS BIGINT) AS f2,
+                   CAST(n_chars AS BIGINT) AS f3
+            FROM (SELECT split(text, ' ') AS t, n_chars FROM _corr_docs)
+        )
+        {_corr_moments_sql()}
+        """
+    )
+    # emit the 6 pairs by INLINE over the single moments row — a UNION of
+    # six SELECTs would inline the moments CTE six times (6 scans, 6
+    # aggregations; measured before this shape)
+    return moments.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(CORR_FEATS[i]).alias("feat_a"),
+                        F.lit(CORR_FEATS[j]).alias("feat_b"),
+                        F.col("n"),
+                        F.expr(_corr_expr_sql(i, j)).alias("corr"),
+                    )
+                    for i, j in _CORR_PAIRS
+                ]
+            )
+        )
     )
 
 

@@ -557,6 +557,156 @@ def x4_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df_tbl.join(top, "term")
 
 
+# --- X4: BM25 ranked retrieval (more-like-this search) ----------------------
+
+BM25_PROBES = 5  # probe documents (doc_id < BM25_PROBES are the queries)
+BM25_TOPK = 5  # results per probe
+# k1 = 1.2, b = 0.75 (the classic Okapi constants), folded into the shared
+# text below as 2.2 (= k1+1) and 0.25 (= 1-b). Every constant is CAST to
+# DOUBLE explicitly — DuckDB parses bare decimal literals as DECIMAL and
+# the arithmetic would diverge from Spark's double tree (the PageRank
+# lesson).
+_BM25_IDF_SQL = (
+    "LN((CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+    " / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE))"
+)
+_BM25_AVGDL_SQL = "CAST(total AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+# Per-term contribution quantized to exact micro-units: the per-(query,
+# doc) score is a SUM over shared terms, and summing raw doubles is
+# accumulation-order dependent across engines — so each contribution is
+# floored to BIGINT micro-units first and the sum is exact integer
+# arithmetic (the x3_pq/x5 fixed-point discipline). LN itself matches
+# bit-for-bit cross-engine on this data (the x4_tfidf precedent).
+_BM25_CONTRIB_SQL = (
+    "CAST(FLOOR(idf * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))"
+    " / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)"
+    " * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)"
+    " * (CAST(dl AS DOUBLE) / avgdl))))"
+    " * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+
+@query(
+    "x4_bm25_search",
+    oracle=dedent(
+        f"""
+        WITH tf AS MATERIALIZED (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+                  FROM documents)
+            WHERE term <> '' GROUP BY 1, 2
+        ),
+        tfdl AS MATERIALIZED (
+            SELECT doc_id, term, tf,
+                   CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
+            FROM tf
+        ),
+        g AS MATERIALIZED (
+            SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(SUM(tf) AS BIGINT) AS total
+            FROM tf
+        ),
+        dfreq AS MATERIALIZED (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ),
+        pterm AS MATERIALIZED (
+            SELECT p.doc_id AS query_id, p.term,
+                   {_BM25_IDF_SQL} AS idf, {_BM25_AVGDL_SQL} AS avgdl
+            FROM tfdl p JOIN dfreq d USING (term) CROSS JOIN g
+            WHERE p.doc_id < {BM25_PROBES}
+        ),
+        scores AS MATERIALIZED (
+            SELECT pt.query_id, t.doc_id,
+                   CAST(SUM({_BM25_CONTRIB_SQL}) AS BIGINT) AS score_micro,
+                   CAST(COUNT(*) AS BIGINT) AS shared_terms
+            FROM pterm pt
+            JOIN tfdl t ON t.term = pt.term AND t.doc_id <> pt.query_id
+            GROUP BY 1, 2
+        )
+        SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id,
+               score_micro, shared_terms
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score_micro DESC, doc_id) AS rn
+              FROM scores)
+        WHERE rn <= {BM25_TOPK}
+        """
+    ),
+    tags=("X4", "search"),
+)
+def x4_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval, more-like-this flavored: each of the first
+    {BM25_PROBES} documents is a query (its distinct terms are the query
+    terms) and the corpus is ranked by Okapi BM25 (k1=1.2, b=0.75),
+    emitting the top {BM25_TOPK} per probe. The IR lane the X4 family was
+    missing: TF-IDF scores terms, postings builds the index — this is the
+    ranked SEARCH over it.
+
+    Determinism: per-term contributions are floored to exact BIGINT
+    micro-units before the per-(query, doc) sum, so no float accumulation
+    order ever reaches the hashed output; idf/avgdl are each one fixed
+    IEEE tree over exact integers (shared text with the oracle).
+
+    Scale shape: the term-frequency table is built once (one documents
+    scan, checkpointed — three consumers: corpus stats, df, candidates);
+    probe terms with their idf ride a ~{BM25_PROBES}x50-row BROADCAST, so
+    candidate generation is a map-side join against the corpus postings —
+    the corpus never shuffles for the probe join; the only corpus-keyed
+    exchanges are the tf aggregation, the per-doc dl window, and the
+    (query, doc) score aggregation; top-k lowers to WindowGroupLimit.
+    At 100 TB the same plan serves any o(corpus)-sized query batch."""
+    par = spark.sparkContext.defaultParallelism
+    docs = table(spark, sf_dir, "documents").repartition(par, "doc_id")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    w_doc = Window.partitionBy("doc_id")
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("dl", F.sum("tf").over(w_doc))
+        .localCheckpoint(eager=False)  # consumed 3x: stats, df, candidates
+    )
+    g = tf.agg(
+        F.countDistinct("doc_id").alias("n_docs"), F.sum("tf").alias("total")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    pterm = (
+        tf.where(F.col("doc_id") < BM25_PROBES)
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "query_id",
+            "term",
+            F.expr(_BM25_IDF_SQL).alias("idf"),
+            F.expr(_BM25_AVGDL_SQL).alias("avgdl"),
+        )
+    )
+    scores = (
+        tf.join(F.broadcast(pterm), "term")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(F.expr(_BM25_CONTRIB_SQL)).alias("score_micro"),
+            F.count(F.lit(1)).alias("shared_terms"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    return (
+        scores.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= BM25_TOPK)
+        .select(
+            "query_id",
+            F.col("rn").cast("long").alias("rank"),
+            "doc_id",
+            "score_micro",
+            "shared_terms",
+        )
+    )
+
+
 def _bpe_merge_step(syms: F.Column, left: str, right: str) -> F.Column:
     """Greedy left-to-right merge of adjacent (left, right) symbol pairs in
     one array — a pure Catalyst ``aggregate`` fold, no UDF: append each

@@ -293,6 +293,54 @@ def click_purchase_join(
 # ---------------------------------------------------------------------------
 
 
+def curation_dim_join(docs: DataFrame, dim: DataFrame) -> DataFrame:
+    """J1 (dl_k_to_ss.py:370-395) as the curation stream-static shape:
+    enrich documents with the per-source curation dimension by BROADCAST
+    left join on ``source`` (the dimension is small — one row per corpus
+    source — so the fact/stream side never shuffles for the join), then
+    gate: a doc is ``kept`` iff its source is known, not blocked, and the
+    doc meets the source's minimum length. Unknown sources fail CLOSED
+    (kept = false) — a curation gate must not admit data whose policy row
+    is missing. ONE definition shared by the batch lane and the streaming
+    lane's per-batch apply, so the stream==batch equality contract is
+    structural.
+
+    Dimension schema: (source, tier, min_chars)."""
+    gate = (
+        F.col("tier").isNotNull()
+        & (F.col("tier") != F.lit("blocked"))
+        & (F.col("n_chars") >= F.col("min_chars"))
+    )
+    return docs.join(F.broadcast(dim), "source", "left").select(
+        *[F.col(c) for c in docs.columns],
+        "tier",
+        "min_chars",
+        F.coalesce(gate, F.lit(False)).alias("kept"),
+    )
+
+
+def curation_dim_stream(
+    stream_docs: DataFrame,
+    load_dim: Callable[[], DataFrame],
+    on_batch: Callable[[DataFrame, int], None],
+):
+    """Stream-static curation join with a REFRESHING dimension (the
+    slowly-changing-dimension deployment shape): the static side is
+    re-loaded via ``load_dim()`` inside ``foreachBatch``, so a dimension
+    swap (quota tightened, source blocked) takes effect at the next
+    micro-batch boundary. A dimension embedded in the streaming plan
+    would not reliably see the swap — Spark re-evaluates the static side
+    per micro-batch, but file-source listings and broadcast results may
+    be reused — whereas a fresh ``spark.read`` per batch is guaranteed
+    current. At scale the per-batch cost is one small-dim read +
+    broadcast, amortized over the micro-batch's rows."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        on_batch(curation_dim_join(batch, load_dim()), batch_id)
+
+    return stream_docs.writeStream.foreachBatch(handle)
+
+
 def kafka_sink(df: DataFrame, servers: str, topic: str, checkpoint: str):
     """S7 (ml_k_to_ss.py:37-54): Kafka sink. The reference hand-rolls one
     producer per partition per batch; Spark's sink pools producers and the

@@ -684,3 +684,102 @@ def test_bootstrap_ci_brackets_mean_and_is_calibrated(spark):
         width = (r["ci_hi_cents"] - r["ci_lo_cents"]) / r["mean_cents"]
         rn = r["n_orders"] ** 0.5
         assert 0.5 / rn < width < 6.0 / rn, (r["o_orderpriority"], width, r["n_orders"])
+
+
+def test_bm25_search_equals_brute_force(spark):
+    """x4_bm25_search must reproduce a transparent python brute force of
+    the same fixed-point Okapi BM25 (k1=1.2, b=0.75, micro-unit floored
+    contributions) EXACTLY — same top-5 docs, ranks, integer scores, and
+    shared-term counts per probe. Exactness holds because every float
+    step is one fixed IEEE tree over exact integers (ln/div agree
+    bit-for-bit across JVM/CPython libm on this data — the x4_tfidf
+    precedent)."""
+    import math
+    from collections import Counter
+
+    from iii_aibigdata_capstone_spark.operators.textual import (
+        BM25_PROBES,
+        BM25_TOPK,
+    )
+
+    docs = {
+        r.doc_id: [t for t in r.text.split(" ") if t]
+        for r in table(spark, TEST_SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    tf = {d: Counter(ts) for d, ts in docs.items() if ts}
+    dl = {d: sum(c.values()) for d, c in tf.items()}
+    n = len(tf)
+    avgdl = sum(dl.values()) / n
+    df = Counter()
+    for c in tf.values():
+        for t in c:
+            df[t] += 1
+
+    def score(q, d):
+        s = nsh = 0
+        for t in tf[q]:
+            if t in tf[d]:
+                idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                f = tf[d][t]
+                c = idf * ((f * 2.2) / (f + 1.2 * (0.25 + 0.75 * (dl[d] / avgdl))))
+                s += math.floor(c * 1_000_000 + 0.5)
+                nsh += 1
+        return s, nsh
+
+    want = []
+    for q in range(BM25_PROBES):
+        scored = [
+            (sc, d)
+            for d in tf
+            if d != q
+            for sc in [score(q, d)]
+            if sc[1] > 0
+        ]
+        scored.sort(key=lambda x: (-x[0][0], x[1]))
+        for rk, ((sm, sh), d) in enumerate(scored[:BM25_TOPK], 1):
+            want.append((q, rk, d, sm, sh))
+    got = [
+        (r.query_id, r.rank, r.doc_id, r.score_micro, r.shared_terms)
+        for r in registry()["x4_bm25_search"].builder(spark, TEST_SF_DIR).collect()
+    ]
+    assert sorted(got) == sorted(want)
+
+
+def test_corr_matrix_matches_numpy(spark):
+    """x8_corr_matrix: the one-pass exact-integer-moment correlations must
+    agree with numpy.corrcoef over the same features to ~1e-12 (numpy
+    sums centered floats, the engine expands the uncentered moments —
+    algebraically equal, so only accumulation error separates them), and
+    every correlation lies in [-1, 1]."""
+    import numpy as np
+
+    from iii_aibigdata_capstone_spark.operators.textual import STOPWORDS
+
+    stop = set(STOPWORDS)
+    feats = []
+    for r in (
+        table(spark, TEST_SF_DIR, "documents")
+        .select("text", "n_chars")
+        .collect()
+    ):
+        toks = r.text.split(" ")
+        feats.append(
+            (
+                len(toks),
+                sum(t in stop for t in toks),
+                len(set(toks)),
+                r.n_chars,
+            )
+        )
+    m = np.corrcoef(np.array(feats, dtype=float).T)
+    names = ["n_tokens", "n_stop", "n_uniq", "n_chars"]
+    idx = {nm: i for i, nm in enumerate(names)}
+    rows = registry()["x8_corr_matrix"].builder(spark, TEST_SF_DIR).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert -1.0 <= r.corr <= 1.0
+        want = m[idx[r.feat_a], idx[r.feat_b]]
+        assert abs(r.corr - want) < 1e-12, (r.feat_a, r.feat_b, r.corr, want)
+        assert r.n == len(feats)

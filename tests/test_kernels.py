@@ -541,3 +541,51 @@ def test_sq8_recall_vs_exact(spark):
         hits += len(exact & got.get(q, set()))
         total += 3
     assert hits / total >= 0.85, f"SQ8 recall@3 = {hits}/{total}"
+
+
+def test_power_iteration_bit_equal_to_int64_simulation(spark):
+    """x3_power_iteration is EXACT arithmetic end to end, so an int64
+    numpy simulation of the same algorithm (quantize, matvec, floor-div
+    rescale, max-abs renorm) must reproduce the emitted vector
+    bit-for-bit — any drift means a float crept into the carried state.
+    Also pins the power-iteration guarantee: the Rayleigh quotient of the
+    final direction strictly improves on the all-ones start."""
+    from iii_aibigdata_capstone_spark.catalog import table
+    from iii_aibigdata_capstone_spark.operators.similarity import (
+        POWER_DIM,
+        POWER_ITERS,
+        PQ_DET_SCALE,
+    )
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    rows = table(spark, TEST_SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    X = np.array(
+        [list(r.embedding) for r in sorted(rows, key=lambda r: r.vec_id)],
+        dtype=float,
+    )
+    Q = np.floor(X * PQ_DET_SCALE + 0.5).astype(np.int64)
+    v = np.full(POWER_DIM, PQ_DET_SCALE, dtype=np.int64)
+    for _ in range(POWER_ITERS):
+        s = Q @ v
+        dot = np.floor(s.astype(float) / PQ_DET_SCALE + 0.5).astype(np.int64)
+        y = Q.T @ dot
+        m = np.abs(y).max()
+        v = np.floor(y.astype(float) / float(m) * PQ_DET_SCALE + 0.5).astype(
+            np.int64
+        )
+
+    got = {
+        r.d: r.v_fp
+        for r in registry()["x3_power_iteration"].builder(spark, TEST_SF_DIR).collect()
+    }
+    assert len(got) == POWER_DIM
+    gv = np.array([got[d] for d in range(POWER_DIM)], dtype=np.int64)
+    assert (gv == v).all(), f"{int((gv != v).sum())} components diverge"
+
+    def rayleigh(u):
+        u = u / np.linalg.norm(u)
+        return float(np.linalg.norm(X @ u))
+
+    assert rayleigh(gv.astype(float)) > rayleigh(np.ones(POWER_DIM)) + 0.1

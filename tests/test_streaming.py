@@ -587,6 +587,89 @@ def test_composed_streaming_curation_pipeline_equals_batch(spark):
     assert set(want.values()) == {"quality_fail", "dup", "kept"}
 
 
+def test_stream_static_dim_join_equals_batch_across_mid_stream_swap(spark):
+    """J1 stream-static curation join against a MUTATING dimension
+    (VERDICT r5 item 6): stream documents through curation_dim_stream with
+    a per-source quality/quota dimension that is SWAPPED between
+    micro-batches (tier changes, a source gets blocked, a source row is
+    DROPPED), and pin each micro-batch's output exactly equal to the batch
+    lane (curation_dim_join) run on that batch's rows with the dimension
+    version active at that batch. The foreachBatch re-load is what makes
+    the swap land at the batch boundary; the dropped source exercises the
+    fail-closed gate."""
+    docs = table(spark, TEST_SF_DIR, "documents").select(
+        "doc_id", "source", "lang", "text", "n_chars"
+    )
+    sources = sorted(r.source for r in docs.select("source").distinct().collect())
+    assert len(sources) >= 2, "need >=2 sources to make the swap observable"
+
+    def dim_rows(version):
+        rows = []
+        for i, s in enumerate(sources):
+            if version == 2 and i == len(sources) - 1:
+                continue  # v2 DROPS the last source -> its docs must gate closed
+            tier = "blocked" if i == (0 if version == 1 else 1) % len(sources) else (
+                "standard" if version == 1 else "premium"
+            )
+            rows.append((s, tier, 100 if version == 1 else 250))
+        return spark.createDataFrame(
+            rows, "source string, tier string, min_chars long"
+        )
+
+    dim_dir = tempfile.mkdtemp(prefix="curation_dim_")
+    dim_rows(1).coalesce(1).write.mode("overwrite").parquet(dim_dir)
+
+    src_dir = tempfile.mkdtemp(prefix="dimjoin_docs_")
+    for part in range(2):
+        docs.where(F.col("doc_id") % 2 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    batches: dict[int, list] = {}
+
+    def on_batch(joined, batch_id):
+        batches[batch_id] = joined.collect()
+        if batch_id == 0:  # swap the dimension after the first micro-batch
+            dim_rows(2).coalesce(1).write.mode("overwrite").parquet(dim_dir)
+
+    q = (
+        P.curation_dim_stream(
+            spark.readStream.schema(
+                "doc_id long, source string, lang string, text string, n_chars long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir),
+            lambda: spark.read.parquet(dim_dir),
+            on_batch,
+        )
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dimjoin_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish within 120s"
+    q.stop()
+
+    assert sorted(batches) == [0, 1], f"expected 2 micro-batches, got {sorted(batches)}"
+    for batch_id, got in batches.items():
+        ids = [r.doc_id for r in got]
+        assert ids, f"batch {batch_id} empty"
+        expected = P.curation_dim_join(
+            docs.where(F.col("doc_id").isin(ids)), dim_rows(1 if batch_id == 0 else 2)
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+    # the swap must be OBSERVABLE: some doc kept under v1's policy would
+    # not be kept under v2's (tighter min_chars / dropped source)
+    v1_all = {
+        (r.doc_id, r.kept)
+        for r in P.curation_dim_join(docs, dim_rows(1)).collect()
+    }
+    v2_all = {
+        (r.doc_id, r.kept)
+        for r in P.curation_dim_join(docs, dim_rows(2)).collect()
+    }
+    assert v1_all != v2_all, "dimension swap produced no observable change"
+
+
 def test_streaming_pii_scrub_equals_batch(spark):
     """scrub_documents (the PII redaction stage) is stateless, so the SAME
     transform must run unchanged on a readStream and produce exactly the

@@ -314,6 +314,57 @@ GALLERY = [
         ],
     ),
     (
+        "x4_bm25_search",
+        "x4_bm25_search",
+        "BM25 more-like-this search: the probe-term table (terms + idf + "
+        "avgdl, ~250 rows) arrives by BROADCAST, so candidate generation "
+        "is a map-side join against the checkpointed corpus postings — "
+        "the corpus never shuffles for the probe join; scores aggregate "
+        "on (query, doc) and the top-k lowers to a windowed rank over "
+        "that small result.",
+        [
+            ("probe terms broadcast to the postings", lambda a: a.broadcast_joins >= 1),
+            ("no CartesianProduct", lambda a: "CartesianProduct" not in a.text),
+            ("no Python operators", lambda a: a.python_map_operators == 0),
+        ],
+    ),
+    (
+        "x8_corr_matrix",
+        "x8_corr_matrix",
+        "One-pass correlation matrix: ONE documents scan feeds a single "
+        "map-side-combinable aggregation carrying all 15 moment sums; the "
+        "6 upper-triangle correlations are emitted by INLINE over the "
+        "one-row result (a UNION of per-pair SELECTs would re-run the "
+        "scan per pair — measured 6 scans before this shape).",
+        [
+            (
+                "documents scanned exactly once",
+                lambda a: a.text.count("documents.parquet") == 1,
+            ),
+            ("no join in the plan", lambda a: "Join" not in a.text),
+            ("no Python operators", lambda a: a.python_map_operators == 0),
+        ],
+    ),
+    (
+        "x3_power_iteration",
+        "x3_power_iteration",
+        "Matrix-free power iteration: the component table is checkpointed "
+        "once and each unrolled iteration is two keyed matvec "
+        "aggregations with the 64-row direction vector arriving by "
+        "broadcast — the Gram matrix never materializes. The visible "
+        "fragment is the final renormalization off the checkpoint "
+        "boundary; the per-iteration shape is the same two-aggregation "
+        "pattern the un-truncated first iteration shows.",
+        [
+            (
+                "no parquet re-scan in the emit path",
+                lambda a: ".parquet" not in a.text,
+            ),
+            ("no CartesianProduct", lambda a: "CartesianProduct" not in a.text),
+            ("no Python operators", lambda a: a.python_map_operators == 0),
+        ],
+    ),
+    (
         "x9_shard_manifest",
         "x9_shard_manifest",
         "Deterministic training-shard manifest: ONE window = shuffle into "

@@ -100,6 +100,9 @@ DEFAULT = [
     "x2_prefix_filter_join",
     "x8_table_stats",
     "x5_bootstrap_ci",
+    "x8_corr_matrix",
+    "x4_bm25_search",
+    "x3_power_iteration",
 ]
 
 
