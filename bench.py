@@ -99,6 +99,8 @@ HEADLINE = [
     "x8_corr_matrix",
     "x4_bm25_search",
     "x3_power_iteration",
+    "x6_vad_segments",
+    "x6_scene_cuts",
 ]
 
 

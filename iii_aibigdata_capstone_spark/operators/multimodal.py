@@ -21,7 +21,7 @@ from textwrap import dedent
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import table
 from ..decoders import image_decoder
@@ -178,22 +178,28 @@ def x6_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VAD_SILENCE = 400_000  # energy threshold shared by the energy + VAD lanes
+# ONE definition of the per-window energy derivation (DuckDB side) shared
+# by the x6_audio_energy oracle and the x6_vad_segments oracle — the
+# single-definition discipline that keeps a frame-size or threshold change
+# from desynchronizing the two lanes.
+_AUDIO_WINS_SQL = """
+            SELECT doc_id, CAST(w AS INT) AS win_idx,
+                   CAST(LIST_SUM(LIST_TRANSFORM(
+                            LIST_TRANSFORM(RANGE(1, 65),
+                                           i -> ASCII(SUBSTR(text, CAST(w * 64 + i AS INT), 1))),
+                            c -> c * c)) AS BIGINT) AS energy,
+                   CAST(LIST_MAX(LIST_TRANSFORM(RANGE(1, 65),
+                            i -> ASCII(SUBSTR(text, CAST(w * 64 + i AS INT), 1)))) AS INT) AS peak
+            FROM documents, UNNEST(RANGE(0, LEN(text) // 64)) AS t(w)"""
+
+
 @query(
     "x6_audio_energy",
     oracle=dedent(
-        """
-        SELECT doc_id, CAST(w AS INT) AS win_idx,
-               CAST(LIST_SUM(LIST_TRANSFORM(
-                        LIST_TRANSFORM(RANGE(1, 65),
-                                       i -> ASCII(SUBSTR(text, CAST(w * 64 + i AS INT), 1))),
-                        c -> c * c)) AS BIGINT) AS energy,
-               CAST(LIST_MAX(LIST_TRANSFORM(RANGE(1, 65),
-                        i -> ASCII(SUBSTR(text, CAST(w * 64 + i AS INT), 1)))) AS INT) AS peak,
-               LIST_SUM(LIST_TRANSFORM(
-                        LIST_TRANSFORM(RANGE(1, 65),
-                                       i -> ASCII(SUBSTR(text, CAST(w * 64 + i AS INT), 1))),
-                        c -> c * c)) < 400000 AS silent
-        FROM documents, UNNEST(RANGE(0, LEN(text) // 64)) AS t(w)
+        f"""
+        SELECT doc_id, win_idx, energy, peak, energy < {VAD_SILENCE} AS silent
+        FROM ({_AUDIO_WINS_SQL})
         """
     ),
     tags=("X6", "udf", "audio"),
@@ -243,7 +249,70 @@ def x6_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "doc_id long, win_idx int, energy long, peak int"
     return b.mapInPandas(window_energy, schema=schema).withColumn(
-        "silent", F.col("energy") < 400000
+        "silent", F.col("energy") < VAD_SILENCE
+    )
+
+
+@query(
+    "x6_vad_segments",
+    oracle=dedent(
+        f"""
+        WITH wins AS MATERIALIZED ({_AUDIO_WINS_SQL}
+        ),
+        active AS MATERIALIZED (
+            SELECT * FROM wins WHERE energy >= {VAD_SILENCE}
+        ),
+        flagged AS MATERIALIZED (
+            SELECT *, CASE WHEN win_idx - LAG(win_idx) OVER (
+                               PARTITION BY doc_id ORDER BY win_idx) = 1
+                           THEN 0 ELSE 1 END AS is_start
+            FROM active
+        ),
+        segs AS (
+            SELECT *, CAST(SUM(is_start) OVER (PARTITION BY doc_id
+                           ORDER BY win_idx) AS BIGINT) AS seg_idx
+            FROM flagged
+        )
+        SELECT doc_id, seg_idx, CAST(MIN(win_idx) AS INT) AS start_win,
+               CAST(MAX(win_idx) AS INT) AS end_win,
+               CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(energy) AS BIGINT) AS total_energy,
+               CAST(MAX(peak) AS INT) AS max_peak
+        FROM segs GROUP BY 1, 2
+        """
+    ),
+    tags=("X6", "udf", "audio"),
+)
+def x6_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation on top of the audio windowing lane: the
+    non-silent windows (energy >= {VAD_SILENCE}) collapse into maximal
+    consecutive runs per document — classic gaps-and-islands (boundary
+    flag where the previous active window is not adjacent, running SUM
+    for the segment id), emitting per segment its window span, length,
+    total energy and peak. This is the step that turns raw loudness
+    features into the speech/music segments a curation pipeline actually
+    keeps or drops. All outputs are exact integers. The windowed kernel
+    is the same mapInPandas pass x6_audio_energy runs (decoder seam
+    unchanged); everything after it is pure Catalyst, and the segment
+    group-by reuses the window stage's doc_id hash partitioning (doc_id
+    is a prefix of the grouping key — no second exchange)."""
+    wins = x6_audio_energy(spark, sf_dir).where(~F.col("silent"))
+    w = Window.partitionBy("doc_id").orderBy("win_idx")
+    flagged = wins.withColumn(
+        "is_start",
+        F.when(F.col("win_idx") - F.lag("win_idx").over(w) == 1, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    segs = flagged.withColumn(
+        "seg_idx", F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return segs.groupBy("doc_id", "seg_idx").agg(
+        F.min("win_idx").alias("start_win"),
+        F.max("win_idx").alias("end_win"),
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("energy").alias("total_energy"),
+        F.max("peak").alias("max_peak"),
     )
 
 
@@ -375,4 +444,116 @@ def x6_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hb, "doc_b")
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= PHASH_HAM_T)
+    )
+
+
+SCENE_FRAME = 32  # bytes per video 'frame'
+SCENE_CUT_T = 20  # Hamming cut threshold over the 31-bit gradient signature
+# (consecutive near-random frames measure ~15.6 mean distance; >= 20 marks
+# the ~13% strongest discontinuities as shot boundaries — deterministic,
+# and non-trivial on this corpus)
+
+
+@query(
+    "x6_scene_cuts",
+    oracle=dedent(
+        f"""
+        WITH frames AS MATERIALIZED (
+            SELECT doc_id, CAST(f AS INT) AS frame_idx,
+                   CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, {SCENE_FRAME}),
+                        i -> CASE WHEN ASCII(SUBSTR(text, CAST(f * {SCENE_FRAME} + i + 1 AS INT), 1))
+                                     > ASCII(SUBSTR(text, CAST(f * {SCENE_FRAME} + i AS INT), 1))
+                                  THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END)) AS BIGINT) AS sig
+            FROM documents, UNNEST(RANGE(0, LEN(text) // {SCENE_FRAME})) AS t(f)
+        ),
+        flagged AS MATERIALIZED (
+            SELECT doc_id, frame_idx,
+                   CASE WHEN bit_count(xor(sig, LAG(sig) OVER (
+                                 PARTITION BY doc_id ORDER BY frame_idx)))
+                             < {SCENE_CUT_T}
+                        THEN 0 ELSE 1 END AS is_cut
+            FROM frames
+        ),
+        scenes AS (
+            SELECT doc_id, frame_idx,
+                   CAST(SUM(is_cut) OVER (PARTITION BY doc_id
+                        ORDER BY frame_idx) AS BIGINT) AS scene_idx
+            FROM flagged
+        )
+        SELECT doc_id, scene_idx, CAST(MIN(frame_idx) AS INT) AS start_frame,
+               CAST(MAX(frame_idx) AS INT) AS end_frame,
+               CAST(COUNT(*) AS BIGINT) AS n_frames
+        FROM scenes GROUP BY 1, 2
+        """
+    ),
+    tags=("X6", "udf", "video"),
+)
+def x6_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over video-shaped payloads: every
+    {SCENE_FRAME}-byte frame gets a 31-bit GRADIENT-SIGN signature (bit i
+    set iff byte i+1 > byte i — the dHash idea along the frame), and a
+    scene cut fires where consecutive frames' signatures differ by >=
+    {SCENE_CUT_T} of 31 bits; frames then collapse into scenes by the
+    gaps-and-islands running sum, emitting each scene's frame span. This
+    is the frame-sample lane's missing downstream: sampling decides WHICH
+    frames to keep, scene detection decides where content CHANGES (the
+    unit a video curation pipeline dedups and captions at).
+
+    The signature kernel is one vectorized mapInPandas over the opaque
+    binary payload (numpy uint8 reshape + adjacent compare; a real codec
+    plugs in at the decoder seam and only the frame-extraction line
+    changes); everything downstream is pure Catalyst window/aggregate
+    with the scene group-by reusing the window's doc_id partitioning.
+    The first frame of a doc is a cut by definition (LAG is NULL -> the
+    comparison is NULL -> CASE falls to the cut arm, deliberately, in
+    both engines). All outputs exact integers; the oracle re-derives the
+    frames from the ASCII text (byte == character code, asserted by the
+    frame-sample lane)."""
+    b = binary_documents(spark, sf_dir).select("doc_id", "payload")
+
+    def frame_sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        weights = (np.int64(1) << np.arange(SCENE_FRAME - 1, dtype=np.int64))
+        for pdf in batches:
+            out_doc: list[int] = []
+            out_idx: list[int] = []
+            out_sig: list[int] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = len(arr) // SCENE_FRAME
+                if not n:
+                    continue
+                frames = arr[: n * SCENE_FRAME].reshape(n, SCENE_FRAME)
+                grad = frames[:, 1:] > frames[:, :-1]
+                sigs = (grad * weights).sum(axis=1)
+                out_doc.extend([int(doc_id)] * n)
+                out_idx.extend(range(n))
+                out_sig.extend(int(s) for s in sigs)
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "frame_idx": out_idx, "sig": out_sig}
+            )
+
+    frames = b.repartition(
+        max(spark.sparkContext.defaultParallelism, 8)
+    ).mapInPandas(frame_sigs, schema="doc_id long, frame_idx int, sig long")
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    flagged = frames.withColumn(
+        "is_cut",
+        F.when(
+            F.bit_count(
+                F.expr("sig").bitwiseXOR(F.lag("sig").over(w))
+            )
+            < SCENE_CUT_T,
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    scenes = flagged.withColumn(
+        "scene_idx",
+        F.sum("is_cut").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return scenes.groupBy("doc_id", "scene_idx").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.max("frame_idx").alias("end_frame"),
+        F.count(F.lit(1)).alias("n_frames"),
     )

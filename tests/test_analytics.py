@@ -783,3 +783,72 @@ def test_corr_matrix_matches_numpy(spark):
         want = m[idx[r.feat_a], idx[r.feat_b]]
         assert abs(r.corr - want) < 1e-12, (r.feat_a, r.feat_b, r.corr, want)
         assert r.n == len(feats)
+
+
+def test_vad_segments_are_maximal_active_runs(spark):
+    """x6_vad_segments invariants against the energy lane it composes:
+    the segments partition exactly the non-silent windows, each segment is
+    one contiguous run (n_windows == end-start+1), runs are MAXIMAL (the
+    windows adjacent to each segment are silent or absent), and the
+    per-segment energy/peak aggregates match recomputation."""
+    from iii_aibigdata_capstone_spark.operators.multimodal import (
+        x6_audio_energy,
+        x6_vad_segments,
+    )
+
+    wins = {}
+    for r in x6_audio_energy(spark, TEST_SF_DIR).collect():
+        wins[(r.doc_id, r.win_idx)] = (r.energy, r.peak, r.silent)
+    active = {k for k, v in wins.items() if not v[2]}
+    covered = set()
+    for s in x6_vad_segments(spark, TEST_SF_DIR).collect():
+        assert s.n_windows == s.end_win - s.start_win + 1
+        seg = {(s.doc_id, w) for w in range(s.start_win, s.end_win + 1)}
+        assert seg <= active, (s.doc_id, s.seg_idx)
+        assert not (seg & covered), "segments overlap"
+        covered |= seg
+        for edge in (s.start_win - 1, s.end_win + 1):
+            assert (s.doc_id, edge) not in active, "segment not maximal"
+        assert s.total_energy == sum(wins[k][0] for k in seg)
+        assert s.max_peak == max(wins[k][1] for k in seg)
+    assert covered == active, "segments must cover every non-silent window"
+
+
+def test_scene_cuts_equal_numpy_brute_force(spark):
+    """x6_scene_cuts must reproduce a transparent numpy implementation of
+    the same algorithm (32-byte frames, 31-bit gradient-sign signatures,
+    cut at Hamming >= 20, islands by running cut count) exactly — scene
+    spans, counts, and the partition property (scenes tile each doc's
+    frames in order, first frame always starts scene 1)."""
+    import numpy as np
+
+    from iii_aibigdata_capstone_spark.operators.multimodal import (
+        SCENE_CUT_T,
+        SCENE_FRAME,
+        x6_scene_cuts,
+    )
+
+    want = []
+    for r in table(spark, TEST_SF_DIR, "documents").select("doc_id", "text").collect():
+        arr = np.frombuffer(r.text.encode(), dtype=np.uint8)
+        n = len(arr) // SCENE_FRAME
+        if not n:
+            continue
+        frames = arr[: n * SCENE_FRAME].reshape(n, SCENE_FRAME)
+        grad = frames[:, 1:] > frames[:, :-1]
+        w = np.int64(1) << np.arange(SCENE_FRAME - 1, dtype=np.int64)
+        sigs = (grad * w).sum(axis=1)
+        scene, start = 0, 0
+        for i in range(n):
+            cut = i == 0 or bin(int(sigs[i] ^ sigs[i - 1])).count("1") >= SCENE_CUT_T
+            if cut:
+                if i > 0:
+                    want.append((r.doc_id, scene, start, i - 1, i - start))
+                scene += 1
+                start = i
+        want.append((r.doc_id, scene, start, n - 1, n - start))
+    got = [
+        (s.doc_id, s.scene_idx, s.start_frame, s.end_frame, s.n_frames)
+        for s in x6_scene_cuts(spark, TEST_SF_DIR).collect()
+    ]
+    assert sorted(got) == sorted(want)

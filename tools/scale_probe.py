@@ -103,6 +103,8 @@ DEFAULT = [
     "x8_corr_matrix",
     "x4_bm25_search",
     "x3_power_iteration",
+    "x6_vad_segments",
+    "x6_scene_cuts",
 ]
 
 
