@@ -24,6 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import table
+from ..functions.money import cents_sql
 from ..registry import QuerySpec, make_registrar
 
 SPECS: list[QuerySpec] = []
@@ -650,5 +651,187 @@ def x5_interval_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),
             F.round(F.sum("value"), 2).alias("purchase_value"),
+        )
+    )
+
+
+# --- Dyadic EWMA + rolling z-score anomaly lanes -------------------------
+#
+# Both lanes canonicalize events.value to exact integer cents (the
+# functions/money.py floor-half-up discipline; value is exact to 2
+# decimals in this schema) so every windowed moment is EXACT BIGINT
+# arithmetic — float accumulation order never reaches the hashed output.
+# The only float ops in either lane are one fixed IEEE expression tree
+# over identical integers (divide / sqrt, both correctly rounded by IEEE
+# 754), the x4_bm25/x5_hll determinism recipe.
+
+EWMA_K = 16  # lags carried (incl. current); truncation error <= 2^-16
+# Integer weights 2^(K-1-k): current row 2^15 ... lag 15 weight 1.  The
+# normalized weighted mean equals the alpha=1/2 EWMA restricted to the
+# last K observations, renormalized over the lags actually present.
+EWMA_WEIGHTS = [1 << (EWMA_K - 1 - k) for k in range(EWMA_K)]
+
+ZSCORE_WIN = 20  # trailing window (rows), current row excluded
+ZSCORE_MIN_N = 10  # minimum trailing observations before flagging
+ZSCORE_Z2 = 9  # z^2 threshold (|z| > 3)
+
+
+def _ewma_body(tbl: str) -> str:
+    """The ENTIRE ts_ewma query as ONE engine-neutral SQL text (LAG /
+    CASE / CAST only — valid verbatim in Spark SQL and DuckDB), so the
+    oracle and the Spark twin cannot drift, and the Spark side skips the
+    ~2 s of per-build py4j Column calls a 30-term tree costs (the
+    x2_simhash r3 lesson).  Inline OVER (not a named WINDOW clause —
+    Spark SQL portability); Catalyst collapses the identical window specs
+    into one Window node."""
+    win = "(PARTITION BY user_id ORDER BY user_id, event_id)"
+    lags = ",\n                   ".join(
+        f"LAG(c, {k}) OVER {win} AS c{k}" for k in range(1, EWMA_K)
+    )
+    num = " + ".join(
+        [f"{EWMA_WEIGHTS[0]} * c"]
+        + [
+            f"CASE WHEN c{k} IS NOT NULL THEN {EWMA_WEIGHTS[k]} * c{k} ELSE 0 END"
+            for k in range(1, EWMA_K)
+        ]
+    )
+    den = " + ".join(
+        [f"{EWMA_WEIGHTS[0]}"]
+        + [
+            f"CASE WHEN c{k} IS NOT NULL THEN {EWMA_WEIGHTS[k]} ELSE 0 END"
+            for k in range(1, EWMA_K)
+        ]
+    )
+    return dedent(
+        f"""
+        WITH e AS (
+            SELECT user_id, event_id, {cents_sql("value")} AS c
+            FROM {tbl}
+        ),
+        l AS (
+            SELECT user_id, event_id, c,
+                   {lags}
+            FROM e
+        )
+        SELECT user_id, event_id,
+               CAST({num} AS BIGINT) AS ewma_num,
+               CAST({den} AS BIGINT) AS ewma_den,
+               CAST(({num}) AS DOUBLE) / CAST(({den}) AS DOUBLE)
+                   / CAST(100 AS DOUBLE) AS ewma
+        FROM l
+        """
+    )
+
+
+@query("ts_ewma", oracle=_ewma_body("events"), tags=("X5", "timeseries", "ewma"))
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha = 1/2) of each user's
+    event values, as ONE pass of window LAGs — the smoothing primitive
+    behind rate limiting, trend detection, and metric dashboards.
+
+    Determinism design: a recursive EWMA (s_n = a*x_n + (1-a)*s_{n-1})
+    carries a float accumulation whose error depends on evaluation order;
+    instead the dyadic alpha makes every weight an exact power of two, so
+    the K-lag truncated EWMA is a ratio of two EXACT BIGINT sums
+    (num = sum w_k * cents_k, den = sum of weights present, w_k =
+    2^(K-1-k)).  Truncation at K=16 lags differs from the infinite
+    recursion by < 2^-16 of the oldest mass — and, unlike the recursion,
+    is exactly reproducible on any engine.  The emitted ``ewma`` double
+    is one fixed IEEE tree (int/int/100) over those integers.
+
+    Scale shape: ONE hash exchange on user_id; all 15 LAGs ride the same
+    window sort.  Max num magnitude = max_cents * (2^16 - 1) ~ 3.2e9 —
+    no overflow headroom concerns at any corpus size (window width is
+    fixed, not data-dependent).  Ordering contract: (user_id, event_id)
+    — event ids are unique and time-ordered within a user in this schema,
+    making the frame deterministic under ties (reference consumes frames
+    in arrival order, qp/dl_k_to_ss.py micro-batch loop)."""
+    ev = table(spark, sf_dir, "events")
+    ev.select("user_id", "event_id", "value").createOrReplaceTempView("_ewma_events")
+    return spark.sql(_ewma_body("_ewma_events"))
+
+
+def _zscore_oracle() -> str:
+    return dedent(
+        f"""
+        WITH e AS (
+            SELECT user_id, event_id, {cents_sql("value")} AS c
+            FROM events
+        ),
+        w AS (
+            SELECT user_id, event_id, c,
+                   CAST(COUNT(c) OVER win AS BIGINT) AS n,
+                   CAST(SUM(c) OVER win AS BIGINT) AS s,
+                   CAST(SUM(c * c) OVER win AS BIGINT) AS ss
+            FROM e WINDOW win AS (PARTITION BY user_id ORDER BY user_id, event_id
+                                  ROWS BETWEEN {ZSCORE_WIN} PRECEDING AND 1 PRECEDING)
+        )
+        SELECT user_id, event_id, c AS cents, n,
+               c * n - s AS dev,
+               n * ss - s * s AS var2,
+               CAST(c * n - s AS DOUBLE) / SQRT(CAST(n * ss - s * s AS DOUBLE)) AS z
+        FROM w
+        WHERE n >= {ZSCORE_MIN_N}
+          AND (c * n - s) * (c * n - s) > {ZSCORE_Z2} * (n * ss - s * s)
+        """
+    )
+
+
+@query(
+    "ts_rolling_zscore",
+    oracle=_zscore_oracle(),
+    tags=("X5", "timeseries", "anomaly"),
+)
+def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: flag events whose value deviates
+    more than 3 population standard deviations from the trailing window of
+    the SAME user's previous {ZSCORE_WIN} events — the out-of-distribution
+    gate of metrics monitoring and fraud triage (the reference's only
+    outlier logic is a fixed score threshold, qp/dl_k_to_ss.py P7; this is
+    its adaptive per-entity generalization).
+
+    Exact-integer design: with x, n, s=SUM, ss=SUMSQ all BIGINT over
+    cents, z^2 > 9 is EXACTLY (x*n - s)^2 > 9*(n*ss - s^2) — the anomaly
+    DECISION is pure integer arithmetic, immune to float summation order,
+    and the emitted z is one fixed IEEE tree (divide + correctly-rounded
+    sqrt) over those same integers.  Magnitude audit: cents <= ~5e4, so
+    dev^2 <= (5e4 * 20)^2 = 1e12 and 9*var2 <= 2e14 — five decades of
+    BIGINT headroom, independent of corpus size (the window is fixed
+    width, so magnitudes do NOT grow with scale; only user count does).
+
+    Scale shape: one hash exchange on user_id, one window sort shared by
+    all three running moments, then a stateless filter.  No skew concern:
+    the window is per-user and bounded.  Current row EXCLUDED from its
+    own baseline (1 PRECEDING) — a spike must not mask itself."""
+    ev = table(spark, sf_dir, "events")
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    base = ev.select("user_id", "event_id", c.alias("c"))
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("user_id", "event_id")
+        .rowsBetween(-ZSCORE_WIN, -1)
+    )
+    stats = base.select(
+        "user_id",
+        "event_id",
+        "c",
+        F.count("c").over(win).alias("n"),
+        F.sum("c").over(win).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(win).alias("ss"),
+    )
+    dev = F.col("c") * F.col("n") - F.col("s")
+    var2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return (
+        stats.where(
+            (F.col("n") >= ZSCORE_MIN_N) & (dev * dev > F.lit(ZSCORE_Z2) * var2)
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.col("c").alias("cents"),
+            "n",
+            dev.alias("dev"),
+            var2.alias("var2"),
+            (dev.cast("double") / F.sqrt(var2.cast("double"))).alias("z"),
         )
     )

@@ -589,3 +589,81 @@ def test_power_iteration_bit_equal_to_int64_simulation(spark):
         return float(np.linalg.norm(X @ u))
 
     assert rayleigh(gv.astype(float)) > rayleigh(np.ones(POWER_DIM)) + 0.1
+
+
+def test_ewma_exact_vs_python_brute_force(spark):
+    """ts_ewma: num/den must equal a transparent python fold over the last
+    K cents with dyadic weights, and the emitted double must be exactly
+    num/den/100 (one IEEE tree — determinism is the lane's contract)."""
+    import duckdb
+
+    from iii_aibigdata_capstone_spark.operators.timeseries import (
+        EWMA_K,
+        EWMA_WEIGHTS,
+    )
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    rows = registry()["ts_ewma"].builder(spark, TEST_SF_DIR).collect()
+    con = duckdb.connect()
+    raw = con.execute(
+        "SELECT user_id, event_id, CAST(FLOOR(value*100+0.5) AS BIGINT) "
+        f"FROM '{TEST_SF_DIR}/events.parquet' ORDER BY user_id, event_id"
+    ).fetchall()
+    con.close()
+    hist: dict[int, list[tuple[int, int]]] = {}
+    expect = {}
+    for user, eid, c in raw:
+        h = hist.setdefault(user, [])
+        h.append((eid, c))
+        lags = h[-EWMA_K:][::-1]  # newest first
+        num = sum(EWMA_WEIGHTS[k] * cv for k, (_, cv) in enumerate(lags))
+        den = sum(EWMA_WEIGHTS[k] for k in range(len(lags)))
+        expect[(user, eid)] = (num, den)
+    assert len(rows) == len(expect)
+    for r in rows:
+        num, den = expect[(r.user_id, r.event_id)]
+        assert (r.ewma_num, r.ewma_den) == (num, den), (r.user_id, r.event_id)
+        assert r.ewma == num / den / 100  # exact IEEE reproduction
+
+
+def test_rolling_zscore_exact_vs_python_brute_force(spark):
+    """ts_rolling_zscore: the flagged set and every integer column must
+    match a transparent python window scan; dev^2 > 9*var2 holds for all
+    emitted rows (the integer decision rule) and no eligible row was
+    missed."""
+    import duckdb
+
+    from iii_aibigdata_capstone_spark.operators.timeseries import (
+        ZSCORE_MIN_N,
+        ZSCORE_WIN,
+        ZSCORE_Z2,
+    )
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    rows = registry()["ts_rolling_zscore"].builder(spark, TEST_SF_DIR).collect()
+    got = {(r.user_id, r.event_id): r for r in rows}
+    con = duckdb.connect()
+    raw = con.execute(
+        "SELECT user_id, event_id, CAST(FLOOR(value*100+0.5) AS BIGINT) "
+        f"FROM '{TEST_SF_DIR}/events.parquet' ORDER BY user_id, event_id"
+    ).fetchall()
+    con.close()
+    hist: dict[int, list[int]] = {}
+    n_flagged = 0
+    for user, eid, c in raw:
+        h = hist.setdefault(user, [])
+        win = h[-ZSCORE_WIN:]
+        n, s, ss = len(win), sum(win), sum(v * v for v in win)
+        h.append(c)
+        if n < ZSCORE_MIN_N:
+            assert (user, eid) not in got
+            continue
+        dev, var2 = c * n - s, n * ss - s * s
+        if dev * dev > ZSCORE_Z2 * var2:
+            n_flagged += 1
+            r = got[(user, eid)]
+            assert (r.cents, r.n, r.dev, r.var2) == (c, n, dev, var2)
+        else:
+            assert (user, eid) not in got
+    assert n_flagged == len(rows)
+    assert n_flagged > 0, "threshold produced an empty lane at this SF"
