@@ -101,6 +101,7 @@ HEADLINE = [
     "x3_power_iteration",
     "x6_vad_segments",
     "x6_scene_cuts",
+    "x10_kcore",
 ]
 
 

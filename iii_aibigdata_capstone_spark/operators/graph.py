@@ -18,6 +18,8 @@ power-iteration reference in tests/test_kernels.py.
 
 from __future__ import annotations
 
+from textwrap import dedent
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -256,3 +258,198 @@ def x10_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge_count = und.agg(F.count(F.lit(1)).alias("n_edges"))
     tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
     return tri.crossJoin(F.broadcast(edge_count)).select("n_edges", "n_triangles")
+
+
+# --- k-core + link prediction over the thinned purchase graph ------------
+#
+# Both lanes share one bipartite projection: distinct (customer, supplier)
+# edges restricted to high-quantity lineitems (l_quantity >= 45) — the
+# thinning keeps per-node degrees in the single digits so peeling and
+# wedge enumeration have real dynamics at test SF (the full purchase graph
+# is near-complete: k=4 keeps 99.9% of nodes; see the round-1 saturation
+# gotcha on co-occurrence projections).
+
+KCORE_K = 4  # minimum within-core degree
+KCORE_ROUNDS = 6  # unrolled peel rounds; fixpoint measured at 2 on this
+# corpus at every SF — peeling is IDEMPOTENT once converged, so extra
+# unrolled rounds are no-ops and the fixed unroll stays correct if the
+# cascade ever deepens (pytest pins query == peel-to-fixpoint brute force)
+AA_TOP = 40  # emitted link predictions
+AA_MICRO = 1_000_000  # Adamic-Adar contribution fixed-point scale
+
+
+def quantity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct high-quantity (customer, supplier) purchase edges — the
+    shared bipartite projection of the k-core and Adamic-Adar lanes.
+    Supplier ids offset into their own range (purchase_edges discipline)."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.select("l_orderkey", "l_suppkey")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + F.lit(1_000_000)).alias("sup"),
+        )
+        .distinct()
+    )
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        rounds.append(
+            f""",
+        a{r} AS MATERIALIZED (
+            SELECT u.a AS node FROM und u
+            JOIN a{r - 1} x ON u.a = x.node
+            JOIN a{r - 1} y ON u.b = y.node
+            GROUP BY u.a HAVING COUNT(*) >= {KCORE_K})"""
+        )
+    return dedent(
+        f"""
+        WITH de AS MATERIALIZED (
+            SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 1000000 AS sup
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_quantity >= 45),
+        und AS MATERIALIZED (
+            SELECT cust AS a, sup AS b FROM de UNION SELECT sup, cust FROM de),
+        a0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM und){"".join(rounds)}
+        SELECT u.a AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+        FROM und u
+        JOIN a{KCORE_ROUNDS} x ON u.a = x.node
+        JOIN a{KCORE_ROUNDS} y ON u.b = y.node
+        GROUP BY u.a
+        """
+    )
+
+
+@query("x10_kcore", oracle=_kcore_oracle(), tags=("X10", "graph", "iterative"))
+def x10_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k={KCORE_K}) by iterative peeling: repeatedly
+    drop nodes whose degree among SURVIVING nodes is < k; what remains is
+    the maximal subgraph where everyone keeps >= k neighbors — the
+    classic density filter for fraud rings, community seeds, and graph
+    sparsification (SURVEY X10 family; the unrolled-iteration discipline
+    of x10_pagerank / m9_gd_training_loop).
+
+    Per round: two semi-equi-joins of the edge list against the alive
+    set (both endpoints must survive) and one map-side-combinable degree
+    count — keyed shuffles only, no driver actions; lineage flattened per
+    round with localCheckpoint like PageRank.  Fixpoint is round 2 on
+    this corpus (measured at sf0.001/0.01/0.1); peeling is idempotent at
+    the fixpoint, so the fixed {KCORE_ROUNDS}-round unroll (mirrored
+    exactly by the oracle's CTE chain) is insensitive to the cascade
+    depth until it exceeds the unroll — the pytest brute force peels to
+    TRUE fixpoint and pins equality, so a deeper cascade would fail
+    loudly, not silently.  Output: surviving nodes with their
+    within-core degree (>= k by construction — the test asserts the
+    invariant)."""
+    de = quantity_edges(spark, sf_dir)
+    und = (
+        de.select(F.col("cust").alias("a"), F.col("sup").alias("b"))
+        .union(de.select(F.col("sup"), F.col("cust")))
+        .distinct()
+        .localCheckpoint(eager=False)  # consumed every round + final degree
+    )
+    alive = und.select(F.col("a").alias("node")).distinct()
+    for _ in range(KCORE_ROUNDS):
+        alive = (
+            und.join(alive.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(alive.withColumnRenamed("node", "b"), "b", "left_semi")
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= KCORE_K)
+            .select(F.col("a").alias("node"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        und.join(alive.withColumnRenamed("node", "a"), "a", "left_semi")
+        .join(alive.withColumnRenamed("node", "b"), "b", "left_semi")
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+        .select(F.col("a").alias("node"), "core_deg")
+    )
+
+
+def _adamic_adar_oracle() -> str:
+    return dedent(
+        f"""
+        WITH de AS MATERIALIZED (
+            SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 1000000 AS sup
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_quantity >= 45),
+        deg AS MATERIALIZED (
+            SELECT cust, CAST(COUNT(*) AS BIGINT) AS d FROM de GROUP BY cust),
+        wedge AS (
+            SELECT a.sup AS sup_a, b.sup AS sup_b, g.d
+            FROM de a JOIN de b ON a.cust = b.cust AND a.sup < b.sup
+            JOIN deg g ON g.cust = a.cust),
+        scored AS (
+            SELECT sup_a, sup_b,
+                   CAST(SUM(CAST(FLOOR(CAST({AA_MICRO} AS DOUBLE)
+                                       / LN(CAST(d AS DOUBLE))) AS BIGINT))
+                        AS BIGINT) AS aa_micro,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM wedge GROUP BY sup_a, sup_b)
+        SELECT sup_a, sup_b, aa_micro, n_common
+        FROM scored ORDER BY aa_micro DESC, sup_a, sup_b LIMIT {AA_TOP}
+        """
+    )
+
+
+@query(
+    "x10_adamic_adar",
+    oracle=_adamic_adar_oracle(),
+    tags=("X10", "graph", "link-prediction"),
+)
+def x10_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the bipartite purchase graph:
+    score candidate supplier pairs by sum(1/ln(deg(z))) over their common
+    customers z — common neighbors, down-weighted when the neighbor is a
+    promiscuous hub.  The top-{AA_TOP} scored pairs are the predicted
+    links (recommendation / entity-resolution primitive, X10 family).
+
+    Determinism: each customer's contribution is floored to integer
+    micro-units BEFORE the per-pair sum (the x4_bm25 recipe) — LN over
+    identical doubles is bit-identical cross-engine, and the sum is then
+    exact BIGINT in any accumulation order.  deg(z) >= 2 for every
+    wedge-generating customer, so LN never sees 1 (guard-free by
+    construction).  Ties at the cutoff are impossible to mis-order: the
+    sort key (score, sup_a, sup_b) is total.
+
+    Scale shape: candidate pairs come ONLY from wedge enumeration — a
+    self-equi-join of the edge list on the customer key (never supplier x
+    supplier), so work is sum_z deg(z)^2, linear in customers at fixed
+    degree (measured 943 -> 17.5k -> 189k wedges across 3 decades of SF,
+    max degree 8 -> 20).  At 100 TB the 1/ln down-weighting pairs with a
+    hub cap (skip deg(z) > ~10^3 customers: their per-pair contribution
+    is < 0.15 the median's and they alone would dominate wedge count) —
+    not applied here because the measured degree ceiling is 20.  The
+    global top-k lowers to TakeOrderedAndProject (orderBy().limit(), the
+    DSIR lesson — never an unpartitioned row_number window)."""
+    de = quantity_edges(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # consumed 3x: both wedge sides + degree
+    deg = de.groupBy("cust").agg(F.count(F.lit(1)).alias("d"))
+    a, b = de.alias("a"), de.alias("b")
+    wedge = a.join(
+        b, (F.col("a.cust") == F.col("b.cust")) & (F.col("a.sup") < F.col("b.sup"))
+    ).select(
+        F.col("a.cust").alias("cust"),
+        F.col("a.sup").alias("sup_a"),
+        F.col("b.sup").alias("sup_b"),
+    )
+    contrib = F.floor(
+        F.lit(AA_MICRO).cast("double") / F.log(F.col("d").cast("double"))
+    ).cast("long")
+    return (
+        wedge.join(deg, "cust")
+        .groupBy("sup_a", "sup_b")
+        .agg(
+            F.sum(contrib).alias("aa_micro"),
+            F.count(F.lit(1)).alias("n_common"),
+        )
+        .orderBy(F.desc("aa_micro"), "sup_a", "sup_b")
+        .limit(AA_TOP)
+    )

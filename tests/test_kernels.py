@@ -667,3 +667,85 @@ def test_rolling_zscore_exact_vs_python_brute_force(spark):
             assert (user, eid) not in got
     assert n_flagged == len(rows)
     assert n_flagged > 0, "threshold produced an empty lane at this SF"
+
+
+def _thinned_purchase_edges():
+    """(cust, sup) distinct high-quantity purchase edges straight from
+    parquet — the transparent local mirror of graph.quantity_edges."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT DISTINCT o.o_custkey, l.l_suppkey + 1000000 "
+        f"FROM '{TEST_SF_DIR}/lineitem.parquet' l "
+        f"JOIN '{TEST_SF_DIR}/orders.parquet' o ON l.l_orderkey = o.o_orderkey "
+        "WHERE l.l_quantity >= 45"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def test_kcore_matches_peel_to_fixpoint(spark):
+    """x10_kcore: the fixed-unroll distributed peel must equal a python
+    peel run to TRUE fixpoint (so a cascade deeper than the unroll fails
+    loudly), every survivor keeps core_deg >= K, and the core is maximal
+    (no dropped node had >= K surviving neighbors)."""
+    from iii_aibigdata_capstone_spark.operators.graph import KCORE_K, KCORE_ROUNDS
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    adj: dict[int, set[int]] = {}
+    for c, s in _thinned_purchase_edges():
+        adj.setdefault(c, set()).add(s)
+        adj.setdefault(s, set()).add(c)
+    alive = set(adj)
+    rounds = 0
+    while True:
+        keep = {n for n in alive if sum(1 for m in adj[n] if m in alive) >= KCORE_K}
+        if keep == alive:
+            break
+        alive = keep
+        rounds += 1
+    assert rounds <= KCORE_ROUNDS, f"cascade depth {rounds} exceeds unroll"
+    expect = {n: sum(1 for m in adj[n] if m in alive) for n in alive}
+    rows = registry()["x10_kcore"].builder(spark, TEST_SF_DIR).collect()
+    got = {r.node: r.core_deg for r in rows}
+    assert got == expect
+    assert all(d >= KCORE_K for d in got.values())
+    for n in set(adj) - alive:  # maximality: dropped nodes can't rejoin
+        assert sum(1 for m in adj[n] if m in alive) < KCORE_K
+
+
+def test_adamic_adar_matches_brute_force(spark):
+    """x10_adamic_adar: exact integer equality (pairs, scores, common
+    counts, order) with a transparent python enumeration — same floored
+    micro-unit contributions, same total sort key."""
+    import math
+
+    from iii_aibigdata_capstone_spark.operators.graph import AA_MICRO, AA_TOP
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    by_cust: dict[int, list[int]] = {}
+    for c, s in _thinned_purchase_edges():
+        by_cust.setdefault(c, []).append(s)
+    scores: dict[tuple[int, int], int] = {}
+    common: dict[tuple[int, int], int] = {}
+    for c, sups in by_cust.items():
+        d = len(sups)
+        if d < 2:
+            continue
+        contrib = math.floor(float(AA_MICRO) / math.log(float(d)))
+        sups = sorted(sups)
+        for i in range(len(sups)):
+            for j in range(i + 1, len(sups)):
+                k = (sups[i], sups[j])
+                scores[k] = scores.get(k, 0) + contrib
+                common[k] = common.get(k, 0) + 1
+    expect = sorted(
+        ((v, k[0], k[1]) for k, v in scores.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:AA_TOP]
+    rows = registry()["x10_adamic_adar"].builder(spark, TEST_SF_DIR).collect()
+    got = [(r.aa_micro, r.sup_a, r.sup_b) for r in rows]
+    assert got == expect
+    for r in rows:
+        assert r.n_common == common[(r.sup_a, r.sup_b)]

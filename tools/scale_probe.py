@@ -105,6 +105,7 @@ DEFAULT = [
     "x3_power_iteration",
     "x6_vad_segments",
     "x6_scene_cuts",
+    "x10_kcore",
 ]
 
 
