@@ -765,3 +765,63 @@ def test_session_fn_empty_batch_rearms_timeout():
     st2 = FakeState(None)
     assert list(_session_fn((7,), iter([]), st2)) == []
     assert st2.updated is None and st2.timeout is None
+
+
+def test_streaming_zscore_equals_batch(spark):
+    """Streaming rolling z-score: with per-key in-order arrival (ordered
+    micro-batch chunks), the emitted anomaly set — every integer column —
+    must equal the batch ts_rolling_zscore lane exactly; state carries
+    only the trailing window (bounded), no timeouts involved."""
+    import tempfile
+
+    from iii_aibigdata_capstone_spark.queries import registry
+    from iii_aibigdata_capstone_spark.streaming.zscore import streaming_zscore
+
+    ev = (
+        table(spark, TEST_SF_DIR, "events")
+        .select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id", "value"
+        )
+        .where(F.col("user_id") < 40)
+    )
+    rows = ev.orderBy("ts", "event_id").collect()
+    assert rows, "no events"
+
+    d = tempfile.mkdtemp(prefix="zsc_src_")
+    third = len(rows) // 3 or 1
+    for chunk in (rows[:third], rows[third : 2 * third], rows[2 * third :]):
+        if chunk:
+            spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+
+    got_rows = []
+    q = (
+        streaming_zscore(
+            spark.readStream.schema(
+                "user_id long, ts timestamp, event_id long, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        .writeStream.foreachBatch(lambda df, _id: got_rows.extend(df.collect()))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="zsc_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not finish"
+    q.stop()
+    got = {(r.user_id, r.event_id, r.cents, r.n, r.dev, r.var2) for r in got_rows}
+
+    want = {
+        (r.user_id, r.event_id, r.cents, r.n, r.dev, r.var2)
+        for r in registry()["ts_rolling_zscore"].builder(spark, TEST_SF_DIR).collect()
+        if r.user_id < 40
+    }
+    assert want, "batch lane empty at this SF — test has no teeth"
+    assert got == want, (
+        len(got),
+        len(want),
+        list(got - want)[:3],
+        list(want - got)[:3],
+    )
