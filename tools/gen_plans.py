@@ -10,6 +10,7 @@ holding). Run after changing operator plan shapes:
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -374,6 +375,61 @@ GALLERY = [
         [
             ("exactly one hash exchange", lambda a: a.hash_exchanges == 1),
             ("no join in the plan", lambda a: "Join" not in a.text),
+        ],
+    ),
+    (
+        "ts_ewma",
+        "ts_ewma",
+        "Dyadic EWMA: all 15 LAGs plus the 30-term weighted reassembly ride "
+        "ONE Window node over ONE user_id exchange — Catalyst collapses the "
+        "identical inline window specs of the generated SQL; the scan reads "
+        "only the 3 consumed columns.",
+        [
+            ("exactly one hash exchange", lambda a: a.hash_exchanges == 1),
+            (
+                "exactly one Window node",
+                lambda a: len(re.findall(r"^\(\d+\) Window", a.text, re.M)) == 1,
+            ),
+            ("no Python operators", lambda a: a.python_map_operators == 0),
+            (
+                "scan reads exactly 3 columns",
+                lambda a: a.read_widths == [3],
+            ),
+        ],
+    ),
+    (
+        "x10_kcore",
+        "x10_kcore",
+        "k-core peel, final emit path (the per-round lineage is truncated "
+        "by the localCheckpoint that flattens each peel iteration — the "
+        "PageRank discipline): two semi-equi-joins of the checkpointed "
+        "edge list against the surviving set, then one map-side-combinable "
+        "degree count. Each peel round upstream is the same two-semi-join "
+        "+ aggregate shape.",
+        [
+            ("semi joins are equi (no cartesian)", lambda a: "CartesianProduct" not in a.text),
+            (
+                "emit path reads the checkpoint, not parquet",
+                lambda a: ".parquet" not in a.text,
+            ),
+            ("no Python operators", lambda a: a.python_map_operators == 0),
+        ],
+    ),
+    (
+        "x10_adamic_adar",
+        "x10_adamic_adar",
+        "Link prediction: candidate pairs come ONLY from the wedge "
+        "self-equi-join on the customer key (never supplier x supplier), "
+        "contributions are pre-floored integers so the pair aggregation is "
+        "map-side combinable, and the global top-40 lowers to "
+        "TakeOrderedAndProject — no unpartitioned window, no full sort.",
+        [
+            ("no CartesianProduct", lambda a: "CartesianProduct" not in a.text),
+            (
+                "global top-k is TakeOrderedAndProject",
+                lambda a: "TakeOrderedAndProject" in a.text,
+            ),
+            ("no Python operators", lambda a: a.python_map_operators == 0),
         ],
     ),
 ]
