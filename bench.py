@@ -102,6 +102,7 @@ HEADLINE = [
     "x6_vad_segments",
     "x6_scene_cuts",
     "x10_kcore",
+    "x10_bfs_levels",
 ]
 
 

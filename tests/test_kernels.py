@@ -715,6 +715,41 @@ def test_kcore_matches_peel_to_fixpoint(spark):
         assert sum(1 for m in adj[n] if m in alive) < KCORE_K
 
 
+def test_bfs_levels_match_exhaustive_bfs(spark):
+    """x10_bfs_levels: the fixed-unroll distributed BFS must equal a
+    python multi-source BFS run to TRUE exhaustion (so a graph deeper
+    than the unroll fails loudly), the wave count must fit the unroll
+    with slack, and level-0 rows must be exactly the seed set."""
+    from iii_aibigdata_capstone_spark.operators.graph import (
+        BFS_ROUNDS,
+        BFS_SEED_MOD,
+    )
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    adj: dict[int, set[int]] = {}
+    for c, s in _thinned_purchase_edges():
+        adj.setdefault(c, set()).add(s)
+        adj.setdefault(s, set()).add(c)
+    seeds = {
+        n for n in adj if n >= 1_000_000 and (n - 1_000_000) % BFS_SEED_MOD == 0
+    }
+    assert seeds, "seed predicate selects nothing at this SF"
+    lvl = {n: 0 for n in seeds}
+    frontier, depth = seeds, 0
+    while frontier:
+        depth += 1
+        nxt = {v for u in frontier for v in adj[u] if v not in lvl}
+        for v in nxt:
+            lvl[v] = depth
+        frontier = nxt
+    assert depth - 1 <= BFS_ROUNDS, f"eccentricity {depth - 1} exceeds unroll"
+    rows = registry()["x10_bfs_levels"].builder(spark, TEST_SF_DIR).collect()
+    got = {r.node: r.lvl for r in rows}
+    assert len(rows) == len(got), "duplicate node emitted"
+    assert got == lvl
+    assert {n for n, v in got.items() if v == 0} == seeds
+
+
 def test_adamic_adar_matches_brute_force(spark):
     """x10_adamic_adar: exact integer equality (pairs, scores, common
     counts, order) with a transparent python enumeration — same floored

@@ -106,6 +106,7 @@ DEFAULT = [
     "x6_vad_segments",
     "x6_scene_cuts",
     "x10_kcore",
+    "x10_bfs_levels",
 ]
 
 
