@@ -103,6 +103,7 @@ HEADLINE = [
     "x6_scene_cuts",
     "x10_kcore",
     "x10_bfs_levels",
+    "x10_hyperball",
 ]
 
 

