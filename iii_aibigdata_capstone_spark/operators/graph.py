@@ -22,6 +22,7 @@ from textwrap import dedent
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..registry import QuerySpec, make_registrar
@@ -475,6 +476,141 @@ def x10_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             frontier.select("node", F.lit(k).cast("int").alias("lvl"))
         ).localCheckpoint(eager=False)
     return visited
+
+
+WALK_LEN = 4  # steps per walk (emitted positions 0..4)
+WALK_W = 2  # walks per start node
+
+
+def _walk_key_sql(w: str, k: int, node: str) -> str:
+    """The (start, walk, step, node) key string both engines md5 — STRING
+    is the cast spelling BOTH parse (Spark rejects bare VARCHAR; DuckDB
+    aliases STRING to VARCHAR)."""
+    return (
+        f"CONCAT_WS(':', CAST(start AS STRING), CAST({w} AS STRING), "
+        f"'{k}', CAST({node} AS STRING))"
+    )
+
+
+def _walk_hash_sql(w: str, k: int, node: str, engine: str) -> str:
+    """60-bit md5 of the walk key — the deterministic stand-in for the
+    walk's RNG draw at step k; identical VALUE from both spellings (the
+    repo-wide engine-neutral hash trick: hex-prefix cast in DuckDB, CONV
+    in Spark)."""
+    key = _walk_key_sql(w, k, node)
+    if engine == "duckdb":
+        return f"CAST('0x' || SUBSTR(MD5({key}), 1, 15) AS BIGINT)"
+    return f"CAST(CONV(SUBSTR(MD5({key}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _random_walks_oracle() -> str:
+    steps = []
+    for k in range(1, WALK_LEN + 1):
+        h = _walk_hash_sql("w", k, "node", "duckdb")
+        steps.append(
+            f""",
+        s{k} AS MATERIALIZED (
+            SELECT s.start, s.w, adj.b AS node
+            FROM s{k - 1} s JOIN adj
+              ON adj.a = s.node AND adj.rnk = ({h}) % adj.deg)"""
+        )
+    emits = " UNION ALL ".join(
+        f"SELECT start, w, CAST({k} AS INTEGER) AS step, node FROM s{k}"
+        for k in range(WALK_LEN + 1)
+    )
+    return dedent(
+        f"""
+        WITH de AS MATERIALIZED (
+            SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 1000000 AS sup
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_quantity >= 45),
+        und AS MATERIALIZED (
+            SELECT cust AS a, sup AS b FROM de UNION SELECT sup, cust FROM de),
+        adj AS MATERIALIZED (
+            SELECT a, b,
+                   ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) - 1 AS rnk,
+                   COUNT(*) OVER (PARTITION BY a) AS deg
+            FROM und),
+        starts AS (SELECT DISTINCT a AS node FROM und),
+        s0 AS MATERIALIZED (
+            SELECT node AS start, w, node
+            FROM starts CROSS JOIN (VALUES (0), (1)) AS walks(w)){"".join(steps)}
+        {emits}
+        """
+    )
+
+
+@query(
+    "x10_random_walks",
+    oracle=_random_walks_oracle(),
+    tags=("X10", "graph", "walks"),
+)
+def x10_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus over the thinned purchase graph —
+    the DeepWalk / node2vec DATA-PREP primitive: {WALK_W} walks of
+    {WALK_LEN} steps from every node, emitted as (start, walk, step,
+    node) rows ready to feed a skip-gram trainer.  The "randomness" is a
+    60-bit md5 of (start, walk, step, current-node) reduced mod degree —
+    the same derandomization the engine uses everywhere a sampler needs a
+    hash gate (x9_dsir_resample's Gumbel keys, s10_hash_stratified):
+    reproducible across engines, runs, and partitionings, which is what a
+    training pipeline actually wants from walk generation.
+
+    Scale shape: the adjacency list is indexed ONCE — rank = row_number
+    over (src, ordered by dst), degree windowed in the same pass — then
+    every step is ONE equi-join of the walk frontier against it on
+    (node, rank): no per-node neighbor arrays collected anywhere, no
+    driver loop, and the frontier stays exactly |V| x {WALK_W} rows at
+    every depth, so cost is linear in walks x steps.  The adjacency
+    window partitions by the edge source — the one skew-sensitive spot;
+    at 100 TB a hub cap or alias-table bucketing bounds the per-key
+    window, but measured max degree here is 20.  Walk extension joins
+    hash-partition on the CURRENT node, the same key the next step needs.
+
+    A node's walk always has {WALK_LEN} + 1 positions (every node in und
+    has degree >= 1 by construction, so a step never dead-ends); the
+    pytest brute force replays the identical hash draws in python and
+    pins every emitted row."""
+    de = quantity_edges(spark, sf_dir)
+    und = (
+        de.select(F.col("cust").alias("a"), F.col("sup").alias("b"))
+        .union(de.select(F.col("sup"), F.col("cust")))
+        .distinct()
+    )
+    win = Window.partitionBy("a").orderBy("b")
+    adj = und.select(
+        "a",
+        "b",
+        (F.row_number().over(win) - 1).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("a")).alias("deg"),
+    ).localCheckpoint(eager=False)  # consumed by every step join
+    cur = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                und.sparkSession.range(WALK_W).select(
+                    F.col("id").cast("int").alias("w")
+                )
+            )
+        )
+        .select(F.col("node").alias("start"), "w", "node")
+        .localCheckpoint(eager=False)
+    )
+    out = cur.select(
+        "start", "w", F.lit(0).cast("int").alias("step"), "node"
+    )
+    for k in range(1, WALK_LEN + 1):
+        draw = F.expr(_walk_hash_sql("w", k, "node", "spark")) % F.col("deg")
+        cur = (
+            cur.join(adj, (adj.a == cur.node) & (adj.rnk == draw))
+            .select("start", "w", F.col("b").alias("node"))
+            .localCheckpoint(eager=False)  # consumed by emit + next step
+        )
+        out = out.unionByName(
+            cur.select("start", "w", F.lit(k).cast("int").alias("step"), "node")
+        )
+    return out
 
 
 HYPERBALL_ROUNDS = 6  # ball radii 0..6; register fixpoint measured at 4/?/5
