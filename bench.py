@@ -104,6 +104,8 @@ HEADLINE = [
     "x10_kcore",
     "x10_bfs_levels",
     "x10_hyperball",
+    "x10_random_walks",
+    "x10_adamic_adar",
 ]
 
 

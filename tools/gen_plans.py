@@ -432,6 +432,59 @@ GALLERY = [
             ("no Python operators", lambda a: a.python_map_operators == 0),
         ],
     ),
+    (
+        "x10_bfs_levels",
+        "x10_bfs_levels",
+        "Multi-source BFS, final emit path (each wave's lineage is cut by a "
+        "localCheckpoint): the emitted level table is a union of the "
+        "checkpointed per-wave frontiers — no join, no window, no re-scan of "
+        "parquet; all graph work happened inside the per-wave "
+        "semi-join/anti-join rounds upstream of the checkpoints.",
+        [
+            ("no CartesianProduct", lambda a: "CartesianProduct" not in a.text),
+            (
+                "emit path reads the checkpoints, not parquet",
+                lambda a: ".parquet" not in a.text,
+            ),
+            ("no Python operators", lambda a: a.python_map_operators == 0),
+        ],
+    ),
+    (
+        "x10_hyperball",
+        "x10_hyperball",
+        "HyperBall, final emit path (per-radius lineage cut by "
+        "localCheckpoint): the harmonic-centrality reassembly is pure "
+        "projection over the checkpointed top-radius register table — 16 "
+        "packed registers per node, exact-BIGINT denominator, one fixed "
+        "IEEE tree floored to micro-units per node BEFORE the global sum. "
+        "No join, no parquet re-scan on the emit path.",
+        [
+            ("no CartesianProduct", lambda a: "CartesianProduct" not in a.text),
+            (
+                "emit path reads the checkpoints, not parquet",
+                lambda a: ".parquet" not in a.text,
+            ),
+            ("no Python operators", lambda a: a.python_map_operators == 0),
+        ],
+    ),
+    (
+        "x10_random_walks",
+        "x10_random_walks",
+        "Hash-derandomized random walks, final emit path (per-step lineage "
+        "cut by localCheckpoint): the emitted corpus is a union of the "
+        "checkpointed per-step frontiers, each produced upstream by ONE "
+        "equi-join of the |V|x{W} frontier against the rank-indexed "
+        "adjacency on (node, md5-draw mod degree) — never a neighbor-array "
+        "collect, never a cartesian.",
+        [
+            ("no CartesianProduct", lambda a: "CartesianProduct" not in a.text),
+            (
+                "emit path reads the checkpoints, not parquet",
+                lambda a: ".parquet" not in a.text,
+            ),
+            ("no Python operators", lambda a: a.python_map_operators == 0),
+        ],
+    ),
 ]
 
 

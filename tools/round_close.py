@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Round-close drift guard: re-derive every count the repo's self-description
+claims and exit non-zero if any artifact disagrees with the live registry.
+
+    python tools/round_close.py
+
+Checks (all pure-python, no SparkSession):
+  1. README.md Status block quotes the live registry counts
+     (N registered queries / M hash-checked oracles).
+  2. PARITY.md contains a row for every registered query (and its trailing
+     generation stamp matches the registry size).
+  3. bench.py HEADLINE names all resolve in the registry.
+  4. tools/scale_probe.py DEFAULT names all resolve (plus 'flagship').
+  5. tools/gen_plans.py GALLERY keys all resolve, and PLANS.md contains a
+     section for each (PLANS regenerated after gallery edits).
+  6. Every bench HEADLINE query also appears in the scale-probe DEFAULT
+     list (the two lists drifted apart in r6/r7 — VERDICT r7 item 1).
+
+Run this before the end-of-round commit; CI-style usage:
+    python tools/round_close.py && git commit ...
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from iii_aibigdata_capstone_spark.queries import registry  # noqa: E402
+
+
+def main() -> int:
+    specs = registry()
+    n_queries = len(specs)
+    n_oracles = sum(1 for s in specs.values() if s.oracle is not None)
+    errors: list[str] = []
+
+    # 1. README status counts
+    readme = open(os.path.join(REPO, "README.md")).read()
+    if f"**{n_queries} registered queries**" not in readme:
+        errors.append(
+            f"README.md does not quote '**{n_queries} registered queries**' "
+            "(stale Status block)"
+        )
+    if f"**{n_oracles} hash-checked" not in readme:
+        errors.append(
+            f"README.md does not quote '**{n_oracles} hash-checked' "
+            "(stale Status block)"
+        )
+
+    # 2. PARITY rows
+    parity = open(os.path.join(REPO, "PARITY.md")).read()
+    missing = [n for n in specs if f"| `{n}`" not in parity]
+    if missing:
+        errors.append(
+            f"PARITY.md missing {len(missing)} registry rows "
+            f"(run tools/gen_parity.py): {missing[:5]}..."
+        )
+    stamp = re.search(r"(\d+) queries", parity)
+    if stamp and int(stamp.group(1)) != n_queries:
+        errors.append(
+            f"PARITY.md stamp says {stamp.group(1)} queries, registry has "
+            f"{n_queries} (run tools/gen_parity.py)"
+        )
+
+    # 3/4. bench HEADLINE + probe DEFAULT resolve
+    import bench  # noqa: E402
+
+    bad = [n for n in bench.HEADLINE if n not in specs]
+    if bad:
+        errors.append(f"bench.py HEADLINE names not in registry: {bad}")
+    import scale_probe  # noqa: E402
+
+    bad = [n for n in scale_probe.DEFAULT if n not in specs and n != "flagship"]
+    if bad:
+        errors.append(f"scale_probe.py DEFAULT names not in registry: {bad}")
+
+    # 5. gen_plans gallery resolves and PLANS.md regenerated after edits
+    import gen_plans  # noqa: E402
+
+    plans = open(os.path.join(REPO, "PLANS.md")).read()
+    for title, key, _notes, _claims in gen_plans.GALLERY:
+        if key is not None and key not in specs:  # None = flagship
+            errors.append(f"gen_plans.py GALLERY key not in registry: {key}")
+        if f"## {title}" not in plans:
+            errors.append(
+                f"PLANS.md has no section '## {title}' (run tools/gen_plans.py)"
+            )
+
+    # 6. Every HEADLINE query whose latest benched time exceeds 1 s — or that
+    # is new enough to have no benched time yet — must be in probe DEFAULT
+    # (the sync rule: both lists cover every heavy lane).
+    import json
+
+    bench_full = os.path.join(REPO, "BENCH_FULL.json")
+    times = {}
+    if os.path.exists(bench_full):
+        times = json.load(open(bench_full)).get("queries", {})
+    drift = [
+        n
+        for n in bench.HEADLINE
+        if n not in scale_probe.DEFAULT and times.get(n, 9.9) > 1.0
+    ]
+    if drift:
+        errors.append(
+            "bench HEADLINE queries over 1 s (or un-benched) absent from "
+            f"scale_probe DEFAULT: {drift}"
+        )
+
+    if errors:
+        print(f"round_close: {len(errors)} drift(s) detected:")
+        for e in errors:
+            print(f"  - {e}")
+        return 1
+    print(
+        f"round_close: OK — {n_queries} queries / {n_oracles} oracles; "
+        "README, PARITY, PLANS, HEADLINE, DEFAULT all agree"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -108,6 +108,9 @@ DEFAULT = [
     "x10_kcore",
     "x10_bfs_levels",
     "x10_hyperball",
+    "x10_random_walks",
+    "x10_adamic_adar",
+    "ts_ewma",
 ]
 
 
