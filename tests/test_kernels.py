@@ -852,3 +852,42 @@ def test_adamic_adar_matches_brute_force(spark):
     assert got == expect
     for r in rows:
         assert r.n_common == common[(r.sup_a, r.sup_b)]
+
+
+def test_random_walks_match_python_replay(spark):
+    """x10_random_walks: every emitted (start, walk, step, node) row must
+    equal a transparent python replay of the identical md5 draws — same
+    rank-indexed adjacency (neighbors ordered ascending), same 60-bit
+    md5(start:w:k:node) reduced mod degree — and the corpus must be
+    exactly |V| x WALK_W walks of WALK_LEN + 1 positions each (no
+    dead-ends: every node in the undirected projection has degree >= 1)."""
+    import hashlib
+
+    from iii_aibigdata_capstone_spark.operators.graph import WALK_LEN, WALK_W
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    nbr_sets: dict[int, set[int]] = {}
+    for c, s in _thinned_purchase_edges():
+        nbr_sets.setdefault(c, set()).add(s)
+        nbr_sets.setdefault(s, set()).add(c)
+    adj = {n: sorted(nbrs) for n, nbrs in nbr_sets.items()}
+
+    def draw(start: int, w: int, k: int, node: int) -> int:
+        key = f"{start}:{w}:{k}:{node}"
+        return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+
+    expect = set()
+    for start in adj:
+        for w in range(WALK_W):
+            node = start
+            expect.add((start, w, 0, node))
+            for k in range(1, WALK_LEN + 1):
+                nbrs = adj[node]
+                node = nbrs[draw(start, w, k, node) % len(nbrs)]
+                expect.add((start, w, k, node))
+
+    rows = registry()["x10_random_walks"].builder(spark, TEST_SF_DIR).collect()
+    got = {(r.start, r.w, r.step, r.node) for r in rows}
+    assert len(rows) == len(got), "duplicate (start, w, step) row emitted"
+    assert got == expect
+    assert len(rows) == len(adj) * WALK_W * (WALK_LEN + 1)
