@@ -301,7 +301,15 @@ GALLERY = [
         "+ ONE map-side-combined integer aggregation, eager-materialized "
         "at checkpoint boundaries; the visible fragment is the final "
         "assignment/histogram pass over the checkpointed pixel table. "
-        "Zero driver actions in the loop, no Python anywhere.",
+        "Zero driver actions in the loop, no Python anywhere. "
+        "MEASURED FLOOR (r8, 12-run standalone decay at sf0.1): steady "
+        "state 4.6-4.8 s — the r5->r6 +1.2 s is the determinism trade "
+        "(exact fixed-point BIGINT centroids so the hashed output never "
+        "depends on float accumulation order), NOT a plan regression: "
+        "assign+update were already fused into one map-side-combinable "
+        "aggregation per iteration, and the remaining cost is the "
+        "inherently sequential init + 6 iteration + final passes "
+        "(8 jobs) over the pixel table. Accepted as the new floor.",
         [
             (
                 "centroids attach by broadcast",
