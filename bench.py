@@ -106,6 +106,7 @@ HEADLINE = [
     "x10_hyperball",
     "x10_random_walks",
     "x10_adamic_adar",
+    "x10_community_lpa",
 ]
 
 

@@ -886,3 +886,168 @@ def x10_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("aa_micro"), "sup_a", "sup_b")
         .limit(AA_TOP)
     )
+
+
+# --- X10: deterministic community detection (seeded label propagation) -----
+
+COMM_SEED_MOD = 41  # seeds = nodes whose 60-bit md5 % 41 == 0 (~2.4%)
+COMM_ROUNDS = 8  # unrolled min-propagation rounds; true fixpoint measured
+# at 4/4/5 at sf0.001/0.01/0.1 (the pytest runs python propagation to TRUE
+# fixpoint and asserts it lands within the unroll, the kcore/bfs loud-fail
+# discipline), so the fixed unroll carries >= 3 idle rounds of slack.
+COMM_SHIFT = 1 << 40  # packed state = dist * 2^40 + seed id (ids < 2^40)
+COMM_UNREACHED = 1 << 20  # sentinel distance for nodes with no seed in
+# their component: init packs (2^20, own id), propagated candidates are
+# always >= (2^20 + 1, ...), so an unreached node deterministically keeps
+# itself as a singleton community. 2^20 * 2^40 = 2^60 < 2^63: no overflow.
+
+
+def _h60_sql(expr: str, engine: str) -> str:
+    """The repo-wide engine-neutral 60-bit hash: md5 hex prefix as BIGINT
+    (Spark CONV vs DuckDB '0x' cast — identical VALUE both sides)."""
+    if engine == "duckdb":
+        return f"CAST('0x' || SUBSTR(MD5({expr}), 1, 15) AS BIGINT)"
+    return f"CAST(CONV(SUBSTR(MD5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _comm_seed_pred_sql(engine: str) -> str:
+    return f"{_h60_sql('CAST(node AS STRING)', engine)} % {COMM_SEED_MOD} = 0"
+
+
+def _community_oracle() -> str:
+    sent_base = COMM_UNREACHED * COMM_SHIFT
+    rounds = []
+    for k in range(1, COMM_ROUNDS + 1):
+        rounds.append(
+            f""",
+        s{k} AS MATERIALIZED (
+            SELECT node, MIN(p) AS p FROM (
+                SELECT node, p FROM s{k - 1}
+                UNION ALL
+                SELECT u.b AS node, s.p + {COMM_SHIFT} AS p
+                FROM und u JOIN s{k - 1} s ON u.a = s.node
+                WHERE s.p < {sent_base}
+            ) GROUP BY node)"""
+        )
+    return dedent(
+        f"""
+        WITH de AS MATERIALIZED (
+            SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 1000000 AS sup
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_quantity >= 45),
+        und AS MATERIALIZED (
+            SELECT cust AS a, sup AS b FROM de UNION SELECT sup, cust FROM de),
+        s0 AS MATERIALIZED (
+            SELECT node,
+                   CASE WHEN {_comm_seed_pred_sql("duckdb")}
+                        THEN node ELSE {sent_base} + node END AS p
+            FROM (SELECT DISTINCT a AS node FROM und)){"".join(rounds)}
+        SELECT node, community,
+               CASE WHEN rawd >= {COMM_UNREACHED}
+                    THEN CAST(-1 AS INTEGER) ELSE CAST(rawd AS INTEGER)
+               END AS dist,
+               CAST(COUNT(*) OVER (PARTITION BY community) AS BIGINT)
+                   AS comm_size
+        FROM (SELECT node, p % {COMM_SHIFT} AS community,
+                     p // {COMM_SHIFT} AS rawd
+              FROM s{COMM_ROUNDS})
+        """
+    )
+
+
+@query(
+    "x10_community_lpa",
+    oracle=_community_oracle(),
+    tags=("X10", "graph", "iterative", "community"),
+)
+def x10_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic community detection over the thinned purchase graph
+    by SEEDED min-label propagation (BFS-Voronoi partitioning — the
+    closing member of the X10 iteration-archetype family beside PageRank
+    / k-core / BFS / HyperBall): ~2.4% of nodes are hash-picked seeds
+    (60-bit md5 % {COMM_SEED_MOD} == 0), and every node adopts the
+    lexicographically smallest (hop distance, seed id) it can reach,
+    packed into ONE BIGINT (dist * 2^40 + seed) so the whole per-round
+    merge is a single map-side-combinable MIN — the same monotone-merge
+    trick as HyperBall's MAX registers, which is what makes a TRUE
+    fixpoint exist for the pytest python replay to pin (classic
+    mode-based LPA oscillates on bipartite graphs and has no such pin).
+
+    Per round: one equi-join of the edge list against the labeled state
+    (candidates = neighbor state + 2^40) and one MIN per node — keyed
+    shuffles only, zero driver actions; lineage cut per round. Nodes in
+    seedless components keep a sentinel state (2^20, own id) that no
+    propagated candidate (always >= 2^20 + 1 hops) can beat, so they
+    deterministically emit as singleton communities with dist = -1 —
+    no special-casing in the loop. Fixpoint measured at round 4/4/5
+    across test SFs vs the {COMM_ROUNDS}-round unroll; idle rounds are
+    no-ops under the idempotent MIN (the k-core argument). The oracle
+    mirrors the unroll as MATERIALIZED CTEs over the identical packed
+    integers — no float anywhere.
+
+    At 100 TB: each round ships |E| candidate rows through one hash
+    exchange on the destination key (the LPA/GraphX lower bound); a
+    delta-frontier variant (ship only improved states, the BFS shape)
+    bounds late-round traffic, and hash-seeding density (1/{COMM_SEED_MOD})
+    controls region granularity without any global coordination. Output:
+    (node, community, dist, comm_size) — the partition map plus the size
+    histogram input in one pass."""
+    de = quantity_edges(spark, sf_dir)
+    sent_base = F.lit(COMM_UNREACHED * COMM_SHIFT).cast("long")
+    und = (
+        de.select(F.col("cust").alias("a"), F.col("sup").alias("b"))
+        .union(de.select(F.col("sup"), F.col("cust")))
+        .distinct()
+        .localCheckpoint(eager=False)  # consumed by every round
+    )
+    state = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .select(
+            "node",
+            F.when(
+                F.expr(_comm_seed_pred_sql("spark")), F.col("node")
+            )
+            .otherwise(sent_base + F.col("node"))
+            .cast("long")
+            .alias("p"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(COMM_ROUNDS):
+        cand = (
+            und.join(
+                state.where(F.col("p") < sent_base).withColumnRenamed(
+                    "node", "a"
+                ),
+                "a",
+            )
+            .select(
+                F.col("b").alias("node"),
+                (F.col("p") + F.lit(COMM_SHIFT)).alias("p"),
+            )
+        )
+        state = (
+            state.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("p").alias("p"))
+            .localCheckpoint(eager=False)
+        )
+    unpacked = state.select(
+        "node",
+        (F.col("p") % F.lit(COMM_SHIFT)).alias("community"),
+        # integer DIV, not float /: p reaches 2^60, past double's exact range
+        F.expr(f"p DIV {COMM_SHIFT}").alias("rawd"),
+    )
+    return unpacked.select(
+        "node",
+        "community",
+        F.when(F.col("rawd") >= COMM_UNREACHED, F.lit(-1))
+        .otherwise(F.col("rawd"))
+        .cast("int")
+        .alias("dist"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("community"))
+        .cast("long")
+        .alias("comm_size"),
+    )

@@ -891,3 +891,70 @@ def test_random_walks_match_python_replay(spark):
     assert len(rows) == len(got), "duplicate (start, w, step) row emitted"
     assert got == expect
     assert len(rows) == len(adj) * WALK_W * (WALK_LEN + 1)
+
+
+def test_community_lpa_matches_fixpoint_propagation(spark):
+    """x10_community_lpa: the fixed-unroll distributed min-propagation
+    must equal a python propagation run to TRUE fixpoint (loud-fail if
+    the graph needs more rounds than the unroll), seeds must label
+    themselves at dist 0, every community must contain its seed, and
+    unreached nodes must emit as dist=-1 singletons labeled by
+    themselves."""
+    import hashlib
+
+    from iii_aibigdata_capstone_spark.operators.graph import (
+        COMM_ROUNDS,
+        COMM_SEED_MOD,
+        COMM_SHIFT,
+        COMM_UNREACHED,
+    )
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    adj: dict[int, set[int]] = {}
+    for c, s in _thinned_purchase_edges():
+        adj.setdefault(c, set()).add(s)
+        adj.setdefault(s, set()).add(c)
+
+    def h60(n: int) -> int:
+        return int(hashlib.md5(str(n).encode()).hexdigest()[:15], 16)
+
+    seeds = {n for n in adj if h60(n) % COMM_SEED_MOD == 0}
+    assert seeds, "seed predicate selects nothing at this SF"
+    sent_base = COMM_UNREACHED * COMM_SHIFT
+    p = {n: (n if n in seeds else sent_base + n) for n in adj}
+    rounds = 0
+    while True:
+        new = dict(p)
+        for u, pu in p.items():
+            if pu >= sent_base:
+                continue
+            cand = pu + COMM_SHIFT
+            for v in adj[u]:
+                if cand < new[v]:
+                    new[v] = cand
+        if new == p:
+            break
+        p, rounds = new, rounds + 1
+    assert rounds <= COMM_ROUNDS, f"fixpoint depth {rounds} exceeds unroll"
+
+    expect = {}
+    for n, pn in p.items():
+        community, rawd = pn % COMM_SHIFT, pn // COMM_SHIFT
+        expect[n] = (community, -1 if rawd >= COMM_UNREACHED else rawd)
+    sizes: dict[int, int] = {}
+    for community, _ in expect.values():
+        sizes[community] = sizes.get(community, 0) + 1
+
+    rows = registry()["x10_community_lpa"].builder(spark, TEST_SF_DIR).collect()
+    got = {r.node: (r.community, r.dist) for r in rows}
+    assert len(rows) == len(got), "duplicate node emitted"
+    assert got == expect
+    for r in rows:
+        assert r.comm_size == sizes[r.community]
+    for s in seeds:
+        assert got[s] == (s, 0)
+    for n, (community, dist) in got.items():
+        if dist == -1:
+            assert community == n and sizes[community] == 1
+        else:
+            assert got[community] == (community, 0)

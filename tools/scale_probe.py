@@ -111,6 +111,7 @@ DEFAULT = [
     "x10_random_walks",
     "x10_adamic_adar",
     "ts_ewma",
+    "x10_community_lpa",
 ]
 
 
