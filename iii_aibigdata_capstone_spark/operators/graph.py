@@ -892,9 +892,9 @@ def x10_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COMM_SEED_MOD = 41  # seeds = nodes whose 60-bit md5 % 41 == 0 (~2.4%)
 COMM_ROUNDS = 8  # unrolled min-propagation rounds; true fixpoint measured
-# at 4/4/5 at sf0.001/0.01/0.1 (the pytest runs python propagation to TRUE
+# at 4/3/3 at sf0.001/0.01/0.1 (the pytest runs python propagation to TRUE
 # fixpoint and asserts it lands within the unroll, the kcore/bfs loud-fail
-# discipline), so the fixed unroll carries >= 3 idle rounds of slack.
+# discipline), so the fixed unroll carries >= 4 idle rounds of slack.
 COMM_SHIFT = 1 << 40  # packed state = dist * 2^40 + seed id (ids < 2^40)
 COMM_UNREACHED = 1 << 20  # sentinel distance for nodes with no seed in
 # their component: init packs (2^20, own id), propagated candidates are
@@ -979,7 +979,7 @@ def x10_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     seedless components keep a sentinel state (2^20, own id) that no
     propagated candidate (always >= 2^20 + 1 hops) can beat, so they
     deterministically emit as singleton communities with dist = -1 —
-    no special-casing in the loop. Fixpoint measured at round 4/4/5
+    no special-casing in the loop. Fixpoint measured at round 4/3/3
     across test SFs vs the {COMM_ROUNDS}-round unroll; idle rounds are
     no-ops under the idempotent MIN (the k-core argument). The oracle
     mirrors the unroll as MATERIALIZED CTEs over the identical packed
