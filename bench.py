@@ -107,6 +107,7 @@ HEADLINE = [
     "x10_random_walks",
     "x10_adamic_adar",
     "x10_community_lpa",
+    "x10_walk_pairs",
 ]
 
 

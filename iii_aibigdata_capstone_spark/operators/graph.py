@@ -503,7 +503,10 @@ def _walk_hash_sql(w: str, k: int, node: str, engine: str) -> str:
     return f"CAST(CONV(SUBSTR(MD5({key}), 1, 15), 16, 10) AS BIGINT)"
 
 
-def _random_walks_oracle() -> str:
+def _walks_cte_chain() -> str:
+    """The shared walk-corpus CTE chain (graph -> rank-indexed adjacency
+    -> unrolled hash-draw steps -> `walks` emit union) — the common prefix
+    of the x10_random_walks and x10_walk_pairs oracles."""
     steps = []
     for k in range(1, WALK_LEN + 1):
         h = _walk_hash_sql("w", k, "node", "duckdb")
@@ -518,9 +521,7 @@ def _random_walks_oracle() -> str:
         f"SELECT start, w, CAST({k} AS INTEGER) AS step, node FROM s{k}"
         for k in range(WALK_LEN + 1)
     )
-    return dedent(
-        f"""
-        WITH de AS MATERIALIZED (
+    return f"""WITH de AS MATERIALIZED (
             SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 1000000 AS sup
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             WHERE l.l_quantity >= 45),
@@ -534,8 +535,15 @@ def _random_walks_oracle() -> str:
         starts AS (SELECT DISTINCT a AS node FROM und),
         s0 AS MATERIALIZED (
             SELECT node AS start, w, node
-            FROM starts CROSS JOIN (VALUES (0), (1)) AS walks(w)){"".join(steps)}
-        {emits}
+            FROM starts CROSS JOIN (VALUES (0), (1)) AS walks(w)){"".join(steps)},
+        walks AS MATERIALIZED ({emits})"""
+
+
+def _random_walks_oracle() -> str:
+    return dedent(
+        f"""
+        {_walks_cte_chain()}
+        SELECT start, w, step, node FROM walks
         """
     )
 
@@ -1050,4 +1058,198 @@ def x10_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("community"))
         .cast("long")
         .alias("comm_size"),
+    )
+
+
+# --- X10: skip-gram training pairs from the walk corpus ---------------------
+
+WP_WIN = 2  # skip-gram window: contexts within +-2 positions of the center
+WP_NEG = 2  # hash-derandomized negative samples per positive pair
+WP_SCALE = 1000  # integer weight = floor(1000 * deg^0.75 + 0.5)
+WP_DEG_CAP = 4096  # POWER(deg, 0.75) differs cross-engine only at the ulp
+# level (measured: 426/4096 degree values differ between Java Math.pow and
+# DuckDB's C pow), which flips floor(1000*x + 0.5) only within ~1e-12 of a
+# half-integer boundary; the closest boundary over deg 1..4096 is 3.5e-4
+# away (pytest asserts this exhaustively), so weights are deterministic on
+# the guarded domain. A degree past the cap raises rather than silently
+# risking a boundary (the PARA_ID_STRIDE discipline); measured max degree
+# is 20 at sf0.1.
+WP_BAND = 1 << 16  # draw/interval band width for the banded containment join
+
+
+def _wp_weight_sql(engine: str) -> str:
+    """Integer unigram^0.75 weight of a node given its degree column."""
+    w = f"CAST(FLOOR({WP_SCALE} * POWER(CAST(deg AS DOUBLE), 0.75) + 0.5) AS BIGINT)"
+    if engine == "duckdb":
+        return w  # oracle runs on the same guarded domain the builder checks
+    return (
+        f"CASE WHEN deg > {WP_DEG_CAP} THEN CAST(RAISE_ERROR(CONCAT("
+        f"'degree exceeds WP_DEG_CAP ({WP_DEG_CAP}); extend the pow "
+        f"boundary guard: node=', CAST(node AS STRING))) AS BIGINT) "
+        f"ELSE {w} END"
+    )
+
+
+def _wp_draw_key_sql(r: str) -> str:
+    return (
+        f"CONCAT_WS(':', CAST(start AS STRING), CAST(walk AS STRING), "
+        f"CAST(ci AS STRING), CAST(cj AS STRING), CAST({r} AS STRING))"
+    )
+
+
+def _walk_pairs_oracle() -> str:
+    h = _h60_sql(_wp_draw_key_sql("r"), "duckdb")
+    return dedent(
+        f"""
+        {_walks_cte_chain()},
+        dg AS MATERIALIZED (
+            SELECT a AS node, COUNT(*) AS deg FROM und GROUP BY a),
+        wt AS MATERIALIZED (
+            SELECT node, {_wp_weight_sql("duckdb")} AS wgt FROM dg),
+        cum AS MATERIALIZED (
+            SELECT node, wgt,
+                   SUM(wgt) OVER (ORDER BY node
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS hi
+            FROM wt),
+        iv AS MATERIALIZED (
+            SELECT node, CAST(hi - wgt AS BIGINT) AS lo,
+                   CAST(hi AS BIGINT) AS hi FROM cum),
+        tot AS (SELECT CAST(MAX(hi) AS BIGINT) AS t FROM iv),
+        ivb AS MATERIALIZED (
+            SELECT node, lo, hi,
+                   UNNEST(RANGE(lo // {WP_BAND}, (hi - 1) // {WP_BAND} + 1))
+                       AS band
+            FROM iv),
+        pos AS MATERIALIZED (
+            SELECT a.start, a.w AS walk, a.step AS ci, b.step AS cj,
+                   a.node AS center, b.node AS context
+            FROM walks a JOIN walks b
+              ON a.start = b.start AND a.w = b.w
+             AND ABS(a.step - b.step) BETWEEN 1 AND {WP_WIN}),
+        draws AS MATERIALIZED (
+            SELECT p.center, ({h}) % tot.t AS d
+            FROM pos p
+            CROSS JOIN tot
+            CROSS JOIN (VALUES (0), (1)) AS negs(r)),
+        neg AS MATERIALIZED (
+            SELECT draws.center, ivb.node AS other
+            FROM draws JOIN ivb
+              ON ivb.band = draws.d // {WP_BAND}
+             AND draws.d >= ivb.lo AND draws.d < ivb.hi)
+        SELECT center, context AS other, CAST(1 AS INTEGER) AS label FROM pos
+        UNION ALL
+        SELECT center, other, CAST(0 AS INTEGER) AS label FROM neg
+        """
+    )
+
+
+@query(
+    "x10_walk_pairs",
+    oracle=_walk_pairs_oracle(),
+    tags=("X10", "graph", "walks", "training-prep"),
+)
+def x10_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training pairs from the random-walk corpus — the step
+    that turns x10_random_walks into the node2vec/DeepWalk data-prep
+    product end to end: positives are all (center, context) co-occurrences
+    within a +-{WP_WIN}-position window of each walk, and every positive
+    draws {WP_NEG} hash-derandomized negative samples from the
+    degree^0.75 unigram table (the word2vec noise distribution).
+
+    Determinism: negative draws are 60-bit md5 of (start, walk, center
+    position, context position, slot) reduced mod the total integer
+    weight; weights are floor({WP_SCALE} * deg^0.75 + 0.5) — POWER differs
+    cross-engine by ulps, but the pytest proves exhaustively that no
+    degree <= {WP_DEG_CAP} lands within 1e-4 of a floor boundary (a
+    RAISE_ERROR guard trips on degrees past the proven domain; measured
+    max is 20). Accidental draws that hit the pair's own center/context
+    are kept as-is (no rejection resampling — count-stable, and the noise
+    distribution is what matters to the trainer).
+
+    Scale shape: positives come from a self-equi-join of the corpus on
+    the walk key ((start, walk): <= {WALK_LEN} + 1 rows per key — bounded
+    groups, never cross-walk); negatives resolve through a BANDED interval
+    containment join (draw band = d DIV 2^16 equi-joins interval bands
+    expanded via sequence — the x5_interval_join_banded recipe), never a
+    broadcast nested loop over the node table. The weight-table cumsum is
+    the one single-task window — it is |V|-sized (dim-table class); at
+    100 TB it becomes the standard two-phase partial-sum + offset scan.
+    Output: raw (center, other, label) rows, the trainer's input."""
+    walks = x10_random_walks(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # consumed by both self-join sides
+    de = quantity_edges(spark, sf_dir)
+    und = (
+        de.select(F.col("cust").alias("a"), F.col("sup").alias("b"))
+        .union(de.select(F.col("sup"), F.col("cust")))
+        .distinct()
+    )
+    dg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    wt = dg.select("node", F.expr(_wp_weight_sql("spark")).alias("wgt"))
+    cum = wt.select(
+        "node",
+        "wgt",
+        F.sum("wgt")
+        .over(
+            Window.orderBy("node").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("hi"),
+    )
+    iv = cum.select(
+        "node",
+        (F.col("hi") - F.col("wgt")).cast("long").alias("lo"),
+        F.col("hi").cast("long").alias("hi"),
+    ).localCheckpoint(eager=False)  # consumed by bands + total
+    tot = iv.agg(F.max("hi").cast("long").alias("t"))
+    ivb = iv.select(
+        "node",
+        "lo",
+        "hi",
+        F.explode(
+            F.expr(f"sequence(lo DIV {WP_BAND}, (hi - 1) DIV {WP_BAND})")
+        ).alias("band"),
+    )
+    a, b = walks.alias("a"), walks.alias("b")
+    pos = a.join(
+        b,
+        (F.col("a.start") == F.col("b.start"))
+        & (F.col("a.w") == F.col("b.w"))
+        & F.abs(F.col("a.step") - F.col("b.step")).between(1, WP_WIN),
+    ).select(
+        F.col("a.start").alias("start"),
+        F.col("a.w").alias("walk"),
+        F.col("a.step").alias("ci"),
+        F.col("b.step").alias("cj"),
+        F.col("a.node").alias("center"),
+        F.col("b.node").alias("context"),
+    ).localCheckpoint(eager=False)  # consumed by emit + negative draws
+    negs = F.broadcast(
+        spark.range(WP_NEG).select(F.col("id").cast("int").alias("r"))
+    )
+    draws = (
+        pos.crossJoin(negs)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "center",
+            (F.expr(_h60_sql(_wp_draw_key_sql("r"), "spark")) % F.col("t"))
+            .alias("d"),
+        )
+    )
+    neg = draws.join(
+        ivb,
+        (ivb.band == F.expr(f"d DIV {WP_BAND}"))
+        & (F.col("d") >= F.col("lo"))
+        & (F.col("d") < F.col("hi")),
+    ).select("center", F.col("node").alias("other"))
+    return pos.select(
+        "center",
+        F.col("context").alias("other"),
+        F.lit(1).cast("int").alias("label"),
+    ).unionByName(
+        neg.select("center", "other", F.lit(0).cast("int").alias("label"))
     )

@@ -958,3 +958,91 @@ def test_community_lpa_matches_fixpoint_propagation(spark):
             assert community == n and sizes[community] == 1
         else:
             assert got[community] == (community, 0)
+
+
+def test_walk_pairs_weight_floor_is_boundary_safe():
+    """x10_walk_pairs weight determinism proof: POWER(deg, 0.75) differs
+    between Java Math.pow and C pow by ulps, so floor(1000*x + 0.5) is
+    deterministic only if no guarded degree lands near a half-integer
+    boundary. Assert exhaustively over the full guarded domain that every
+    degree keeps >= 1e-4 distance (ulp noise is ~1e-12 relative)."""
+    from iii_aibigdata_capstone_spark.operators.graph import (
+        WP_DEG_CAP,
+        WP_SCALE,
+    )
+
+    worst = min(
+        abs(((WP_SCALE * float(d) ** 0.75) % 1.0) - 0.5)
+        for d in range(1, WP_DEG_CAP + 1)
+    )
+    assert worst > 1e-4, f"floor boundary margin {worst} too small"
+
+
+def test_walk_pairs_match_python_replay(spark):
+    """x10_walk_pairs: the full composed product — walk corpus replay ->
+    window-2 skip-gram positives -> degree^0.75 cumulative table ->
+    banded-interval negative draws — must equal a transparent python
+    replay row-for-row (multiset equality: raw training rows repeat)."""
+    import hashlib
+    from collections import Counter
+
+    from iii_aibigdata_capstone_spark.operators.graph import (
+        WALK_LEN,
+        WALK_W,
+        WP_NEG,
+        WP_SCALE,
+        WP_WIN,
+    )
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    nbr_sets: dict[int, set[int]] = {}
+    for c, s in _thinned_purchase_edges():
+        nbr_sets.setdefault(c, set()).add(s)
+        nbr_sets.setdefault(s, set()).add(c)
+    adj = {n: sorted(nbrs) for n, nbrs in nbr_sets.items()}
+
+    def h60(key: str) -> int:
+        return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+
+    # replay the walk corpus (same draws as the walks test)
+    corpus: dict[tuple[int, int], list[int]] = {}
+    for start in adj:
+        for w in range(WALK_W):
+            seq, node = [start], start
+            for k in range(1, WALK_LEN + 1):
+                nbrs = adj[node]
+                node = nbrs[h60(f"{start}:{w}:{k}:{node}") % len(nbrs)]
+                seq.append(node)
+            corpus[(start, w)] = seq
+
+    # degree^0.75 cumulative intervals, nodes ascending
+    wgt = {
+        n: int((WP_SCALE * len(adj[n]) ** 0.75) + 0.5) for n in adj
+    }  # floor(x + 0.5) == int(x + 0.5) for positive x
+    lo, iv = 0, []
+    for n in sorted(adj):
+        iv.append((lo, lo + wgt[n], n))
+        lo += wgt[n]
+    total = lo
+
+    def pick(d: int) -> int:
+        for a, b, n in iv:
+            if a <= d < b:
+                return n
+        raise AssertionError(f"draw {d} outside [0, {total})")
+
+    expect: Counter = Counter()
+    for (start, w), seq in corpus.items():
+        for i in range(len(seq)):
+            for j in range(len(seq)):
+                if i != j and abs(i - j) <= WP_WIN:
+                    expect[(seq[i], seq[j], 1)] += 1
+                    for r in range(WP_NEG):
+                        d = h60(f"{start}:{w}:{i}:{j}:{r}") % total
+                        expect[(seq[i], pick(d), 0)] += 1
+
+    rows = registry()["x10_walk_pairs"].builder(spark, TEST_SF_DIR).collect()
+    got = Counter((r.center, r.other, r.label) for r in rows)
+    assert got == expect
+    n_pos = sum(c for (_, _, lab), c in expect.items() if lab == 1)
+    assert sum(got.values()) == n_pos * (1 + WP_NEG)

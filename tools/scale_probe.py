@@ -112,6 +112,7 @@ DEFAULT = [
     "x10_adamic_adar",
     "ts_ewma",
     "x10_community_lpa",
+    "x10_walk_pairs",
 ]
 
 
