@@ -825,3 +825,65 @@ def test_streaming_zscore_equals_batch(spark):
         list(got - want)[:3],
         list(want - got)[:3],
     )
+
+
+def test_streaming_ewma_equals_batch(spark):
+    """Streaming dyadic EWMA: with per-key in-order arrival (ordered
+    micro-batch chunks), every emitted row — exact integer num/den AND
+    the bit-level float ewma — must equal the batch ts_ewma lane; state
+    carries only the trailing EWMA_K - 1 cents (bounded), no timeouts."""
+    import tempfile
+
+    from iii_aibigdata_capstone_spark.queries import registry
+    from iii_aibigdata_capstone_spark.streaming.ewma import streaming_ewma
+
+    ev = (
+        table(spark, TEST_SF_DIR, "events")
+        .select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id", "value"
+        )
+        .where(F.col("user_id") < 40)
+    )
+    rows = ev.orderBy("ts", "event_id").collect()
+    assert rows, "no events"
+
+    d = tempfile.mkdtemp(prefix="ewma_src_")
+    third = len(rows) // 3 or 1
+    for chunk in (rows[:third], rows[third : 2 * third], rows[2 * third :]):
+        if chunk:
+            spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+
+    got_rows = []
+    q = (
+        streaming_ewma(
+            spark.readStream.schema(
+                "user_id long, ts timestamp, event_id long, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        .writeStream.foreachBatch(lambda df, _id: got_rows.extend(df.collect()))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ewma_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not finish"
+    q.stop()
+    got = {
+        (r.user_id, r.event_id, r.ewma_num, r.ewma_den, r.ewma) for r in got_rows
+    }
+
+    want = {
+        (r.user_id, r.event_id, r.ewma_num, r.ewma_den, r.ewma)
+        for r in registry()["ts_ewma"].builder(spark, TEST_SF_DIR).collect()
+        if r.user_id < 40
+    }
+    assert want, "batch lane empty at this SF — test has no teeth"
+    assert got == want, (
+        len(got),
+        len(want),
+        list(got - want)[:3],
+        list(want - got)[:3],
+    )
