@@ -161,13 +161,21 @@ def _collect_specs() -> list[QuerySpec]:
     # the round of the last green record ascending, so the driver's
     # budget re-verifies the queries it has not checked for the longest
     # instead of re-reading last round's fifty forever (stale-green risk
-    # replaces never-checked risk once everything is covered). Module
-    # order breaks remaining ties stably.
+    # replaces never-checked risk once everything is covered). The
+    # oracle-less penalty applies only WITHIN the unverified group
+    # (hash-green evidence first while coverage is incomplete); inside
+    # the verified group staleness alone decides, otherwise rows-only
+    # lanes verified in r1/r2 would wait behind every hash lane forever
+    # (VERDICT r7 item 10). Module order breaks remaining ties stably.
     specs.sort(
         key=lambda spec: (
             spec.name in _DRIVER_HASH_VERIFIED
             or (spec.oracle is None and spec.name in _DRIVER_ROWS_ONLY),
-            spec.oracle is None,
+            spec.oracle is None
+            and not (
+                spec.name in _DRIVER_HASH_VERIFIED
+                or spec.name in _DRIVER_ROWS_ONLY
+            ),
             _DRIVER_LAST_GREEN.get(spec.name, 0),
         )
     )
