@@ -295,6 +295,18 @@ def quantity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
+def undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized (a, b) edge list of the thinned purchase graph — the
+    ONE undirected projection every X10 iterative lane (k-core, BFS,
+    walks, HyperBall, community LPA, walk pairs) runs on; a change to the
+    thinning or symmetrization lands in all of them at once."""
+    de = quantity_edges(spark, sf_dir)
+    return (
+        de.select(F.col("cust").alias("a"), F.col("sup").alias("b"))
+        .union(de.select(F.col("sup"), F.col("cust")))
+        .distinct()
+    )
+
 
 def _kcore_oracle() -> str:
     rounds = []
@@ -346,11 +358,8 @@ def x10_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     loudly, not silently.  Output: surviving nodes with their
     within-core degree (>= k by construction — the test asserts the
     invariant)."""
-    de = quantity_edges(spark, sf_dir)
     und = (
-        de.select(F.col("cust").alias("a"), F.col("sup").alias("b"))
-        .union(de.select(F.col("sup"), F.col("cust")))
-        .distinct()
+        undirected_edges(spark, sf_dir)
         .localCheckpoint(eager=False)  # consumed every round + final degree
     )
     alive = und.select(F.col("a").alias("node")).distinct()
@@ -445,11 +454,8 @@ def x10_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     reached node — this corpus is fully connected from the seeds at all
     SFs, and the test asserts reach == the brute force's reach either
     way."""
-    de = quantity_edges(spark, sf_dir)
     und = (
-        de.select(F.col("cust").alias("a"), F.col("sup").alias("b"))
-        .union(de.select(F.col("sup"), F.col("cust")))
-        .distinct()
+        undirected_edges(spark, sf_dir)
         .localCheckpoint(eager=False)  # consumed by every wave
     )
     seeds = (
@@ -482,6 +488,14 @@ WALK_LEN = 4  # steps per walk (emitted positions 0..4)
 WALK_W = 2  # walks per start node
 
 
+def _h60_sql(expr: str, engine: str) -> str:
+    """The repo-wide engine-neutral 60-bit hash: md5 hex prefix as BIGINT
+    (Spark CONV vs DuckDB '0x' cast — identical VALUE both sides)."""
+    if engine == "duckdb":
+        return f"CAST('0x' || SUBSTR(MD5({expr}), 1, 15) AS BIGINT)"
+    return f"CAST(CONV(SUBSTR(MD5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
 def _walk_key_sql(w: str, k: int, node: str) -> str:
     """The (start, walk, step, node) key string both engines md5 — STRING
     is the cast spelling BOTH parse (Spark rejects bare VARCHAR; DuckDB
@@ -497,10 +511,7 @@ def _walk_hash_sql(w: str, k: int, node: str, engine: str) -> str:
     walk's RNG draw at step k; identical VALUE from both spellings (the
     repo-wide engine-neutral hash trick: hex-prefix cast in DuckDB, CONV
     in Spark)."""
-    key = _walk_key_sql(w, k, node)
-    if engine == "duckdb":
-        return f"CAST('0x' || SUBSTR(MD5({key}), 1, 15) AS BIGINT)"
-    return f"CAST(CONV(SUBSTR(MD5({key}), 1, 15), 16, 10) AS BIGINT)"
+    return _h60_sql(_walk_key_sql(w, k, node), engine)
 
 
 def _walks_cte_chain() -> str:
@@ -535,7 +546,7 @@ def _walks_cte_chain() -> str:
         starts AS (SELECT DISTINCT a AS node FROM und),
         s0 AS MATERIALIZED (
             SELECT node AS start, w, node
-            FROM starts CROSS JOIN (VALUES (0), (1)) AS walks(w)){"".join(steps)},
+            FROM starts CROSS JOIN (VALUES {", ".join(f"({w})" for w in range(WALK_W))}) AS walks(w)){"".join(steps)},
         walks AS MATERIALIZED ({emits})"""
 
 
@@ -579,12 +590,7 @@ def x10_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     has degree >= 1 by construction, so a step never dead-ends); the
     pytest brute force replays the identical hash draws in python and
     pins every emitted row."""
-    de = quantity_edges(spark, sf_dir)
-    und = (
-        de.select(F.col("cust").alias("a"), F.col("sup").alias("b"))
-        .union(de.select(F.col("sup"), F.col("cust")))
-        .distinct()
-    )
+    und = undirected_edges(spark, sf_dir)
     win = Window.partitionBy("a").orderBy("b")
     adj = und.select(
         "a",
@@ -747,11 +753,8 @@ def x10_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     radius <= 5 at every test SF; saturated radii repeat the converged
     row (idempotent MAX) and the pytest replica — which simulates the
     identical register algebra round by round — pins them too."""
-    de = quantity_edges(spark, sf_dir)
     und = (
-        de.select(F.col("cust").alias("a"), F.col("sup").alias("b"))
-        .union(de.select(F.col("sup"), F.col("cust")))
-        .distinct()
+        undirected_edges(spark, sf_dir)
         .localCheckpoint(eager=False)  # consumed by every radius round
     )
     h = F.conv(
@@ -910,14 +913,6 @@ COMM_UNREACHED = 1 << 20  # sentinel distance for nodes with no seed in
 # itself as a singleton community. 2^20 * 2^40 = 2^60 < 2^63: no overflow.
 
 
-def _h60_sql(expr: str, engine: str) -> str:
-    """The repo-wide engine-neutral 60-bit hash: md5 hex prefix as BIGINT
-    (Spark CONV vs DuckDB '0x' cast — identical VALUE both sides)."""
-    if engine == "duckdb":
-        return f"CAST('0x' || SUBSTR(MD5({expr}), 1, 15) AS BIGINT)"
-    return f"CAST(CONV(SUBSTR(MD5({expr}), 1, 15), 16, 10) AS BIGINT)"
-
-
 def _comm_seed_pred_sql(engine: str) -> str:
     return f"{_h60_sql('CAST(node AS STRING)', engine)} % {COMM_SEED_MOD} = 0"
 
@@ -1000,12 +995,9 @@ def x10_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     controls region granularity without any global coordination. Output:
     (node, community, dist, comm_size) — the partition map plus the size
     histogram input in one pass."""
-    de = quantity_edges(spark, sf_dir)
     sent_base = F.lit(COMM_UNREACHED * COMM_SHIFT).cast("long")
     und = (
-        de.select(F.col("cust").alias("a"), F.col("sup").alias("b"))
-        .union(de.select(F.col("sup"), F.col("cust")))
-        .distinct()
+        undirected_edges(spark, sf_dir)
         .localCheckpoint(eager=False)  # consumed by every round
     )
     state = (
@@ -1131,7 +1123,7 @@ def _walk_pairs_oracle() -> str:
             SELECT p.center, ({h}) % tot.t AS d
             FROM pos p
             CROSS JOIN tot
-            CROSS JOIN (VALUES (0), (1)) AS negs(r)),
+            CROSS JOIN (VALUES {", ".join(f"({r})" for r in range(WP_NEG))}) AS negs(r)),
         neg AS MATERIALIZED (
             SELECT draws.center, ivb.node AS other
             FROM draws JOIN ivb
@@ -1179,12 +1171,7 @@ def x10_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     walks = x10_random_walks(spark, sf_dir).localCheckpoint(
         eager=False
     )  # consumed by both self-join sides
-    de = quantity_edges(spark, sf_dir)
-    und = (
-        de.select(F.col("cust").alias("a"), F.col("sup").alias("b"))
-        .union(de.select(F.col("sup"), F.col("cust")))
-        .distinct()
-    )
+    und = undirected_edges(spark, sf_dir)
     dg = und.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )

@@ -15,10 +15,12 @@ batch window LAG reassembly — plus the same fixed IEEE tree
 ``num / den / 100`` double (two correctly-rounded divisions over
 identical integers: bit-equal cross-twin, the x5_hll recipe).
 
-Ordering contract (shared with streaming/zscore.py): events are
-processed in (ts, event_id) order within a micro-batch and in arrival
-order across batches, so the emitted rows equal the batch twin exactly
-when per-key arrival respects event order — pinned by
+Ordering contract: events are processed in event_id order within a
+micro-batch — the EXACT key of the batch twin's window frame (ORDER BY
+user_id, event_id; event ids are unique and time-ordered per user in
+this schema) — and in arrival order across batches, so the emitted rows
+equal the batch twin exactly when per-key arrival respects event order —
+pinned by
 tests/test_stateful.py::test_streaming_ewma_equals_batch under chunked
 arrival.  A cross-batch late event is smoothed against the state as-of
 arrival (honest streaming semantics; it perturbs subsequent smoothing
@@ -51,10 +53,12 @@ def _ewma_fn(
     if not frames:
         return
     batch = pd.concat(frames, ignore_index=True)
-    ts_ns = batch["ts"].astype("int64").to_numpy()
     eids = batch["event_id"].to_numpy()
     cents = batch["cents"].to_numpy()
-    order = sorted(range(len(batch)), key=lambda i: (ts_ns[i], eids[i]))
+    # the batch twin's window frame is ORDER BY user_id, event_id — sort
+    # by event_id alone (total within a user) so the two lanes agree even
+    # if a regenerated dataset had ts/event_id inversions
+    order = sorted(range(len(batch)), key=lambda i: int(eids[i]))
 
     # state = previous cents, newest LAST (so vals[-k] is lag k)
     vals: list[int] = list(state.get[0]) if state.exists else []

@@ -481,7 +481,7 @@ GALLERY = [
         "Hash-derandomized random walks, final emit path (per-step lineage "
         "cut by localCheckpoint): the emitted corpus is a union of the "
         "checkpointed per-step frontiers, each produced upstream by ONE "
-        "equi-join of the |V|x{W} frontier against the rank-indexed "
+        "equi-join of the |V| x walks-per-node frontier against the rank-indexed "
         "adjacency on (node, md5-draw mod degree) — never a neighbor-array "
         "collect, never a cartesian.",
         [

@@ -13,8 +13,10 @@ Checks (all pure-python, no SparkSession):
   4. tools/scale_probe.py DEFAULT names all resolve (plus 'flagship').
   5. tools/gen_plans.py GALLERY keys all resolve, and PLANS.md contains a
      section for each (PLANS regenerated after gallery edits).
-  6. Every bench HEADLINE query also appears in the scale-probe DEFAULT
-     list (the two lists drifted apart in r6/r7 — VERDICT r7 item 1).
+  6. Every bench HEADLINE query whose latest benched time exceeds 1 s —
+     or that is too new to have a benched time — also appears in the
+     scale-probe DEFAULT list (sub-second lanes are exempt; the two lists
+     drifted apart on the heavy lanes in r6/r7 — VERDICT r7 item 1).
 
 Run this before the end-of-round commit; CI-style usage:
     python tools/round_close.py && git commit ...
@@ -60,11 +62,16 @@ def main() -> int:
             f"PARITY.md missing {len(missing)} registry rows "
             f"(run tools/gen_parity.py): {missing[:5]}..."
         )
-    stamp = re.search(r"(\d+) queries", parity)
-    if stamp and int(stamp.group(1)) != n_queries:
+    stamp = re.search(r"registry of (\d+) queries / (\d+) oracles", parity)
+    if stamp is None:
         errors.append(
-            f"PARITY.md stamp says {stamp.group(1)} queries, registry has "
-            f"{n_queries} (run tools/gen_parity.py)"
+            "PARITY.md has no generation stamp (run tools/gen_parity.py — "
+            "a stamp-less file predates the count guard)"
+        )
+    elif (int(stamp.group(1)), int(stamp.group(2))) != (n_queries, n_oracles):
+        errors.append(
+            f"PARITY.md stamp says {stamp.group(1)}/{stamp.group(2)}, "
+            f"registry has {n_queries}/{n_oracles} (run tools/gen_parity.py)"
         )
 
     # 3/4. bench HEADLINE + probe DEFAULT resolve
