@@ -9,7 +9,12 @@ bottleneck) that would NOT survive a 100x scale-up. Output: one JSON line
 per query with the three timings and the fitted alpha over the top decade
 (sf0.01 -> sf0.1, where fixed costs matter least).
 
-Usage: python tools/scale_probe.py [--gate] [--out FILE] [query ...]
+Usage: python tools/scale_probe.py [--gate] [--out FILE] [--sf1] [query ...]
+
+``--sf1`` adds a fourth decade from the replication-generated perf slice
+(tools/gen_sf1.py; $SPARK_GRAFT_SF1_DIR, default /root/repo/_testdata/sf1)
+and fits alpha over sf0.1 -> sf1 instead — the least-fixed-cost decade
+available. Requires the slice to exist.
 
 ``--gate`` is the per-round regression gate: exit 1 if any probed query
 fits alpha > GATE_ALPHA (1.3) — i.e. a shape change made some operator
@@ -123,6 +128,20 @@ def main() -> None:
     if "--out" in args:
         out_path = args[args.index("--out") + 1]
         args = [a for i, a in enumerate(args) if a != "--out" and args[i - 1] != "--out"]
+    sfs = list(SFS)
+    sf_dirs = {sf: f"/root/testdata/sf{sf}" for sf in SFS}
+    if "--sf1" in args:
+        sf1_dir = os.environ.get(
+            "SPARK_GRAFT_SF1_DIR", "/root/repo/_testdata/sf1"
+        )
+        if not os.path.isdir(sf1_dir):
+            raise SystemExit(
+                f"--sf1: {sf1_dir} missing — run tools/gen_sf1.py first"
+            )
+        sfs.append(1.0)
+        sf_dirs[1.0] = sf1_dir
+        args = [a for a in args if a != "--sf1"]
+    top = (sfs[-1], sfs[-2])  # alpha fits the least-fixed-cost decade
     names = [a for a in args if not a.startswith("--")] or DEFAULT
     spark = get_spark(app_name="iii-capstone-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -150,14 +169,16 @@ def main() -> None:
     for name in names:
         builder = flagship if name == "flagship" else specs[name].builder
         times = {}
-        for sf in SFS:
-            times[sf] = round(run(builder, f"/root/testdata/sf{sf}"), 3)
-        alpha = math.log(max(times[0.1], 1e-3) / max(times[0.01], 1e-3)) / math.log(10)
+        for sf in sfs:
+            times[sf] = round(run(builder, sf_dirs[sf]), 3)
+        alpha = math.log(
+            max(times[top[0]], 1e-3) / max(times[top[1]], 1e-3)
+        ) / math.log(top[0] / top[1])
         rec = {
             "query": name,
-            "sec": {str(sf): times[sf] for sf in SFS},
+            "sec": {str(sf): times[sf] for sf in sfs},
             "alpha_top_decade": round(alpha, 3),
-            "gated": times[0.1] >= GATE_MIN_SEC,
+            "gated": times[top[0]] >= GATE_MIN_SEC,
         }
         records.append(rec)
         print(json.dumps(rec))
