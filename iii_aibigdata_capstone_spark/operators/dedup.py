@@ -1993,3 +1993,158 @@ def x2_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("i"))
     )
     return _emit_jaccard(inter)
+
+
+# --- X4/X2: content-defined chunking + chunk-level dedup --------------------
+
+CDC_MOD = 16  # expected chunk length in tokens: boundary after any token
+# whose 60-bit md5 % 16 == 0, so boundaries depend ONLY on local content —
+# the CDC property (FastCDC/gear-hash family, token granularity): inserting
+# or deleting text perturbs the chunking only inside the touched chunk,
+# while fixed-width chunking shifts EVERY downstream boundary. The pytest
+# asserts the property directly (insert a token -> only one chunk key
+# changes, suffix chunk keys identical).
+CDC_PACK = 1 << 20  # first-occurrence pack = doc_id * 2^20 + chunk_idx;
+# chunk_idx < tokens-per-doc (~10^2 here, < 2^20 for any document the
+# PARA_ID_STRIDE analysis admits), doc_id < 2^43 -> pack fits BIGINT.
+
+
+def _cdc_h60(expr: str, engine: str) -> str:
+    if engine == "duckdb":
+        return f"CAST('0x' || SUBSTR(MD5({expr}), 1, 15) AS BIGINT)"
+    return f"CAST(CONV(SUBSTR(MD5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _cdc_chunks_sql(engine: str, docs_rel: str) -> str:
+    """The chunk table as ONE SQL text per engine (same CTE skeleton; only
+    the posexplode and ordered-string-agg spellings differ — Spark zips
+    with posexplode(), DuckDB zips parallel UNNESTs; Spark orders the agg
+    via array_sort(collect_list(struct(...))), DuckDB via STRING_AGG
+    ORDER BY)."""
+    if engine == "duckdb":
+        explode = (
+            "SELECT doc_id, UNNEST(l) AS tok, "
+            "UNNEST(RANGE(0, LEN(l))) AS pos FROM lists"
+        )
+        joined = "STRING_AGG(tok, ' ' ORDER BY pos)"
+    else:
+        explode = "SELECT doc_id, posexplode(l) AS (pos, tok) FROM lists"
+        joined = (
+            "array_join(transform(array_sort(collect_list(struct(pos, tok)))"
+            ", x -> x.tok), ' ')"
+        )
+    h_tok = _cdc_h60("tok", engine)
+    h_chunk = _cdc_h60(joined, engine)
+    return f"""
+        WITH lists AS (
+            SELECT doc_id, SPLIT(text, ' ') AS l FROM {docs_rel}
+        ),
+        toks AS ({explode}),
+        b AS (
+            SELECT doc_id, pos, tok,
+                   CASE WHEN {h_tok} % {CDC_MOD} = 0 THEN 1 ELSE 0 END AS bnd
+            FROM toks
+        ),
+        c AS (
+            SELECT doc_id, pos, tok,
+                   CAST(COALESCE(SUM(bnd) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS chunk_idx
+            FROM b
+        )
+        SELECT doc_id, chunk_idx,
+               {h_chunk} AS chunk_key,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(MIN(pos) AS BIGINT) AS start_pos
+        FROM c GROUP BY doc_id, chunk_idx
+    """
+
+
+@query(
+    "x4_cdc_chunks",
+    oracle=_cdc_chunks_sql("duckdb", "documents"),
+    tags=("X4", "X1", "chunking"),
+)
+def x4_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (token-granular gear-hash CDC): a chunk
+    boundary falls after every token whose 60-bit md5 % {CDC_MOD} == 0,
+    so chunk extents are functions of LOCAL content only — an edit
+    perturbs one chunk and every other chunk key in the corpus survives
+    (asserted by the pytest's insertion-shift property test). This is the
+    chunk-granularity dedup primitive of pretraining pipelines: exact
+    dedup catches identical documents, CDC chunk dedup catches the
+    boilerplate/quotation/mirror REGIONS inside otherwise-distinct
+    documents, robust to surrounding edits (where fixed-stride chunking
+    desynchronizes after the first insertion).
+
+    Scale shape: pre-explode repartition on doc_id (single-file parquet
+    gotcha), one per-doc window cumsum for chunk ids riding the same
+    doc_id partitioning, one groupBy (doc_id, chunk_idx) whose ordered
+    reassembly is engine-side (array_sort(collect_list) — bounded by the
+    ~{CDC_MOD}-token expected chunk length, no skew: the boundary hash is
+    uniform). Emits (doc_id, chunk_idx, chunk_key, n_tokens, start_pos) —
+    chunk_key is the 60-bit content address downstream dedup joins on."""
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    docs.createOrReplaceTempView("_cdc_docs")
+    return spark.sql(_cdc_chunks_sql("spark", "_cdc_docs"))
+
+
+def _cdc_dedup_sql(engine: str, docs_rel: str) -> str:
+    chunks = _cdc_chunks_sql(engine, docs_rel)
+    return f"""
+        WITH chunks AS ({chunks}),
+        occ AS (
+            SELECT doc_id, chunk_idx, chunk_key, n_tokens,
+                   MIN(doc_id * {CDC_PACK} + chunk_idx) OVER (
+                       PARTITION BY chunk_key
+                   ) AS first_pack
+            FROM chunks
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN doc_id * {CDC_PACK} + chunk_idx
+                             <> first_pack THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_chunks,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN doc_id * {CDC_PACK} + chunk_idx
+                             <> first_pack THEN n_tokens ELSE 0 END)
+                    AS BIGINT) AS dup_tokens,
+               CAST((1000000 * SUM(CASE WHEN doc_id * {CDC_PACK} + chunk_idx
+                                        <> first_pack THEN n_tokens ELSE 0
+                                   END)) {"//" if engine == "duckdb" else "DIV"}
+                    SUM(n_tokens) AS BIGINT) AS dup_share_micro
+        FROM occ GROUP BY doc_id
+    """
+
+
+@query(
+    "x2_cdc_dedup",
+    oracle=_cdc_dedup_sql("duckdb", "documents"),
+    tags=("X2", "X1", "dedup", "chunking"),
+)
+def x2_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup audit over the CDC chunk table: a chunk
+    occurrence is DUPLICATE iff an identical chunk key occurs earlier in
+    corpus order (first-occurrence-keeps, the x1 exact-dedup discipline,
+    decided by one MIN window over the packed (doc_id, chunk_idx) — no
+    self-join). Emits the per-document novelty profile: chunk and token
+    counts, duplicated-token count, and dup_share_micro — the integer
+    micro-share of a document's tokens that are boilerplate already seen
+    elsewhere (the signal pretraining curation thresholds on; pure
+    integer division, no float anywhere in the lane).
+
+    Scale shape: the chunk table's groupBy partitioning feeds a window
+    keyed on chunk_key (one exchange — hash of a 60-bit int, uniform by
+    construction) and a final doc_id aggregation (map-side combinable).
+    Chunk-key skew is bounded: a pathological chunk repeated across the
+    corpus concentrates ONE key's window at min-reduce cost, not a join
+    fan-out — the window computes a single MIN, so the hot key costs
+    O(occurrences), never O(occurrences^2)."""
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    docs.createOrReplaceTempView("_cdc_docs")
+    return spark.sql(_cdc_dedup_sql("spark", "_cdc_docs"))

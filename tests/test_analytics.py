@@ -852,3 +852,124 @@ def test_scene_cuts_equal_numpy_brute_force(spark):
         for s in x6_scene_cuts(spark, TEST_SF_DIR).collect()
     ]
     assert sorted(got) == sorted(want)
+
+
+def _cdc_chunk_py(tokens):
+    """Transparent replica of the CDC chunker: boundary after any token
+    whose 60-bit md5 % CDC_MOD == 0; returns list of (chunk_idx, tokens)."""
+    import hashlib
+
+    from iii_aibigdata_capstone_spark.operators.dedup import CDC_MOD
+
+    chunks, cur = [], []
+    for t in tokens:
+        cur.append(t)
+        h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        if h % CDC_MOD == 0:
+            chunks.append(cur)
+            cur = []
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
+def test_cdc_chunks_match_python_replay(spark):
+    """x4_cdc_chunks: every (doc_id, chunk_idx, chunk_key, n_tokens,
+    start_pos) row equals a transparent python replay of the boundary
+    rule, and chunks tile each document exactly."""
+    import hashlib
+
+    rows = registry()["x4_cdc_chunks"].builder(spark, TEST_SF_DIR).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in table(spark, TEST_SF_DIR, "documents").collect()
+    }
+    expect = {}
+    for doc_id, text in docs.items():
+        pos = 0
+        for ci, chunk in enumerate(_cdc_chunk_py(text.split(" "))):
+            joined = " ".join(chunk)
+            key = int(hashlib.md5(joined.encode()).hexdigest()[:15], 16)
+            expect[(doc_id, ci)] = (key, len(chunk), pos)
+            pos += len(chunk)
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_key, r.n_tokens, r.start_pos)
+        for r in rows
+    }
+    assert len(rows) == len(got), "duplicate chunk row"
+    assert got == expect
+    # tiling: per-doc token counts reassemble the document
+    from collections import Counter
+
+    per_doc = Counter()
+    for (doc_id, _), (_, n, _) in got.items():
+        per_doc[doc_id] += n
+    assert per_doc == {d: len(t.split(" ")) for d, t in docs.items()}
+
+
+def test_cdc_insertion_shift_property():
+    """THE content-defined property: inserting a token early in a
+    document changes only the chunk containing the insertion point —
+    every chunk after it keeps an IDENTICAL key (fixed-stride chunking
+    would shift and rewrite every downstream chunk)."""
+    base = [f"tok{i}za" for i in range(200)]
+    chunks_a = _cdc_chunk_py(base)
+    assert len(chunks_a) >= 4, "corpus-free fixture must chunk"
+    edited = base[:5] + ["INSERTED"] + base[5:]
+    chunks_b = _cdc_chunk_py(edited)
+    keys_a = [" ".join(c) for c in chunks_a]
+    keys_b = [" ".join(c) for c in chunks_b]
+    # strip the identical suffix; what remains must be only the edited
+    # chunk region (the inserted token can split one chunk into two)
+    tail_a, tail_b = keys_a[:], keys_b[:]
+    while tail_a and tail_b and tail_a[-1] == tail_b[-1]:
+        tail_a.pop(), tail_b.pop()
+    assert len(tail_a) <= 1 and len(tail_b) <= 2, (
+        "edit perturbed more than the touched chunk region: "
+        f"{len(tail_a)}/{len(tail_b)} leading chunks differ"
+    )
+
+
+def test_cdc_dedup_matches_python_replay(spark):
+    """x2_cdc_dedup: per-doc novelty profile equals a python replay of
+    first-occurrence-keeps over the replayed chunk table; dup_share_micro
+    is the exact integer micro-share."""
+    import hashlib
+
+    docs = sorted(
+        (r.doc_id, r.text)
+        for r in table(spark, TEST_SF_DIR, "documents").collect()
+    )
+    first_seen = set()
+    expect = {}
+    for doc_id, text in docs:  # ascending doc_id = corpus order
+        chunks = _cdc_chunk_py(text.split(" "))
+        n_dup = dup_tok = total = 0
+        for ci, chunk in enumerate(chunks):
+            joined = " ".join(chunk)
+            key = int(hashlib.md5(joined.encode()).hexdigest()[:15], 16)
+            total += len(chunk)
+            if key in first_seen:
+                n_dup += 1
+                dup_tok += len(chunk)
+            else:
+                first_seen.add(key)
+        expect[doc_id] = (
+            len(chunks),
+            n_dup,
+            total,
+            dup_tok,
+            (1_000_000 * dup_tok) // total,
+        )
+    rows = registry()["x2_cdc_dedup"].builder(spark, TEST_SF_DIR).collect()
+    got = {
+        r.doc_id: (
+            r.n_chunks,
+            r.n_dup_chunks,
+            r.total_tokens,
+            r.dup_tokens,
+            r.dup_share_micro,
+        )
+        for r in rows
+    }
+    assert got == expect
