@@ -1168,9 +1168,10 @@ def x10_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one single-task window — it is |V|-sized (dim-table class); at
     100 TB it becomes the standard two-phase partial-sum + offset scan.
     Output: raw (center, other, label) rows, the trainer's input."""
-    walks = x10_random_walks(spark, sf_dir).localCheckpoint(
-        eager=False
-    )  # consumed by both self-join sides
+    # no extra checkpoint: the corpus is a union of the walk builder's
+    # per-step checkpointed RDDs, so both self-join sides re-read those
+    # cached RDDs — re-materializing the union would only add a job
+    walks = x10_random_walks(spark, sf_dir)
     und = undirected_edges(spark, sf_dir)
     dg = und.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
