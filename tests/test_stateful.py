@@ -887,3 +887,66 @@ def test_streaming_ewma_equals_batch(spark):
         list(got - want)[:3],
         list(want - got)[:3],
     )
+
+
+def test_streaming_ewma_state_survives_restart(spark):
+    """Streaming EWMA restart: a NEW query resuming from the checkpoint
+    must continue each user's trailing window where the first query left
+    it — the union of both queries' emissions equals the batch lane
+    exactly (integers and the bit-level float), with no re-emission."""
+    import tempfile
+
+    from iii_aibigdata_capstone_spark.queries import registry
+    from iii_aibigdata_capstone_spark.streaming.ewma import streaming_ewma
+
+    ev = (
+        table(spark, TEST_SF_DIR, "events")
+        .select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id", "value"
+        )
+        .where(F.col("user_id") < 25)
+    )
+    rows = ev.orderBy("event_id").collect()
+    assert rows, "no events"
+    cut = rows[len(rows) // 2].event_id  # global event_id split preserves
+    # per-user order (ids are ts-ordered within a user)
+
+    src = tempfile.mkdtemp(prefix="ewma_rst_src_")
+    chk = tempfile.mkdtemp(prefix="ewma_rst_chk_")
+
+    def run() -> list:
+        got = []
+        q = (
+            streaming_ewma(
+                spark.readStream.schema(
+                    "user_id long, ts timestamp, event_id long, value double"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), "stream did not finish"
+        q.stop()
+        return got
+
+    ev.where(F.col("event_id") < cut).coalesce(1).write.mode("append").parquet(src)
+    first = run()
+    ev.where(F.col("event_id") >= cut).coalesce(1).write.mode("append").parquet(src)
+    second = run()
+
+    k = lambda r: (r.user_id, r.event_id, r.ewma_num, r.ewma_den, r.ewma)
+    first_keys = {k(r) for r in first}
+    second_keys = {k(r) for r in second}
+    assert not ({e[:2] for e in first_keys} & {e[:2] for e in second_keys}), (
+        "events emitted before the restart must not re-emit after it"
+    )
+    want = {
+        k(r)
+        for r in registry()["ts_ewma"].builder(spark, TEST_SF_DIR).collect()
+        if r.user_id < 25
+    }
+    assert first_keys | second_keys == want
