@@ -493,6 +493,37 @@ GALLERY = [
             ("no Python operators", lambda a: a.python_map_operators == 0),
         ],
     ),
+    (
+        "x4_cdc_chunks",
+        "x4_cdc_chunks",
+        "Content-defined chunking: ONE window cumsum assigns chunk ids "
+        "riding the doc_id partitioning, ONE groupBy reassembles chunks "
+        "engine-side (array_sort(collect_list), bounded by the ~16-token "
+        "expected chunk) — pure Catalyst, the scan reads only doc_id+text.",
+        [
+            (
+                "exactly one Window node",
+                lambda a: len(re.findall(r"^\(\d+\) Window", a.text, re.M)) == 1,
+            ),
+            ("no join in the plan", lambda a: "Join" not in a.text),
+            ("no Python operators", lambda a: a.python_map_operators == 0),
+            ("scan reads exactly 2 columns", lambda a: a.read_widths == [2]),
+        ],
+    ),
+    (
+        "x2_cdc_dedup",
+        "x2_cdc_dedup",
+        "Chunk-level dedup: first-occurrence-keeps decided by ONE MIN "
+        "window over the packed (doc_id, chunk_idx) per chunk_key — no "
+        "self-join anywhere, so a hot boilerplate chunk costs "
+        "O(occurrences), never O(occurrences^2); final doc aggregation is "
+        "map-side combinable integer sums.",
+        [
+            ("no join in the plan", lambda a: "Join" not in a.text),
+            ("no Python operators", lambda a: a.python_map_operators == 0),
+            ("single scan of documents", lambda a: a.text.count("documents.parquet") <= 1),
+        ],
+    ),
 ]
 
 
