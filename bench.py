@@ -108,6 +108,7 @@ HEADLINE = [
     "x10_adamic_adar",
     "x10_community_lpa",
     "x10_walk_pairs",
+    "x10_modularity",
 ]
 
 

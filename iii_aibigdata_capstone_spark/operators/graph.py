@@ -917,7 +917,10 @@ def _comm_seed_pred_sql(engine: str) -> str:
     return f"{_h60_sql('CAST(node AS STRING)', engine)} % {COMM_SEED_MOD} = 0"
 
 
-def _community_oracle() -> str:
+def _community_cte_chain() -> str:
+    """The shared seeded-propagation CTE chain (graph -> packed init ->
+    unrolled MIN rounds) — the common prefix of the x10_community_lpa and
+    x10_modularity oracles; ends at s{COMM_ROUNDS}."""
     sent_base = COMM_UNREACHED * COMM_SHIFT
     rounds = []
     for k in range(1, COMM_ROUNDS + 1):
@@ -932,9 +935,7 @@ def _community_oracle() -> str:
                 WHERE s.p < {sent_base}
             ) GROUP BY node)"""
         )
-    return dedent(
-        f"""
-        WITH de AS MATERIALIZED (
+    return f"""WITH de AS MATERIALIZED (
             SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 1000000 AS sup
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             WHERE l.l_quantity >= 45),
@@ -944,7 +945,13 @@ def _community_oracle() -> str:
             SELECT node,
                    CASE WHEN {_comm_seed_pred_sql("duckdb")}
                         THEN node ELSE {sent_base} + node END AS p
-            FROM (SELECT DISTINCT a AS node FROM und)){"".join(rounds)}
+            FROM (SELECT DISTINCT a AS node FROM und)){"".join(rounds)}"""
+
+
+def _community_oracle() -> str:
+    return dedent(
+        f"""
+        {_community_cte_chain()}
         SELECT node, community,
                CASE WHEN rawd >= {COMM_UNREACHED}
                     THEN CAST(-1 AS INTEGER) ELSE CAST(rawd AS INTEGER)
@@ -1240,4 +1247,108 @@ def x10_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("int").alias("label"),
     ).unionByName(
         neg.select("center", "other", F.lit(0).cast("int").alias("label"))
+    )
+
+
+def _modularity_oracle() -> str:
+    m2d = "CAST(m2 AS DOUBLE)"
+    q = (
+        f"CAST(e2 AS DOUBLE) / {m2d} - (CAST(d_sum AS DOUBLE) / {m2d}) "
+        f"* (CAST(d_sum AS DOUBLE) / {m2d})"
+    )
+    return dedent(
+        f"""
+        {_community_cte_chain()},
+        labels AS MATERIALIZED (
+            SELECT node, p % {COMM_SHIFT} AS community FROM s{COMM_ROUNDS}),
+        lab_e AS MATERIALIZED (
+            SELECT u.a AS a, la.community AS ca, lb.community AS cb
+            FROM und u
+            JOIN labels la ON u.a = la.node
+            JOIN labels lb ON u.b = lb.node),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM lab_e),
+        stats AS MATERIALIZED (
+            SELECT ca AS community,
+                   CAST(COUNT(*) AS BIGINT) AS d_sum,
+                   CAST(COUNT(DISTINCT a) AS BIGINT) AS n_nodes,
+                   CAST(SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT)
+                       AS e2
+            FROM lab_e GROUP BY ca)
+        SELECT community, n_nodes, e2, d_sum,
+               {q} AS q_contrib,
+               CAST(FLOOR(1000000 * ({q})) AS BIGINT) AS q_micro
+        FROM stats CROSS JOIN m
+        """
+    )
+
+
+@query(
+    "x10_modularity",
+    oracle=_modularity_oracle(),
+    tags=("X10", "graph", "community", "evaluation"),
+)
+def x10_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the seeded-LPA partition — the standard
+    community-quality metric, closing the detect -> evaluate pair the way
+    m8_rank_metrics evaluates the quality model: per community c,
+    Q_c = e_c/m - (d_c/2m)^2 over the undirected purchase graph (computed
+    in the doubled convention: und is symmetric, so COUNT(*) = 2m, the
+    intra count = 2*e_c, and the formula divides through consistently).
+
+    Determinism: e2, d_sum, n_nodes, m2 are exact BIGINTs from ONE
+    aggregation over the label-joined edge list (intra flag, degree sum,
+    and node count share the same GROUP BY — no second pass); q_contrib is
+    one fixed IEEE tree (two divides, one multiply, one subtract) over
+    those integers — bit-identical cross-engine — and q_micro floors that
+    identical double, so even the floor is safe without a boundary
+    argument. Community-wise contributions are NOT summed into the hash
+    (float accumulation order); the exact global Q lives in SUM(q_micro),
+    which the pytest checks against python.
+
+    Scale shape: two hash joins attach labels to the edge list (keyed on
+    the node ids — the same keys every graph lane shuffles on), then one
+    map-side-combinable aggregation on the community key; m2 is a 1-row
+    aggregate broadcast back via bounded cross join. Label skew = the
+    largest community's edge share, inherited from the detection lane —
+    at 100 TB the mitigation is the LPA seeding density itself
+    (1/{COMM_SEED_MOD} controls region granularity)."""
+    labels = (
+        x10_community_lpa(spark, sf_dir)
+        .select("node", "community")
+        .localCheckpoint(eager=False)  # consumed by both endpoint joins
+    )
+    und = undirected_edges(spark, sf_dir)
+    la = labels.withColumnRenamed("node", "a").withColumnRenamed(
+        "community", "ca"
+    )
+    lb = labels.withColumnRenamed("node", "b").withColumnRenamed(
+        "community", "cb"
+    )
+    lab_e = (
+        und.join(la, "a")
+        .join(lb, "b")
+        .select("a", "ca", "cb")
+        .localCheckpoint(eager=False)  # consumed by m2 + stats
+    )
+    m2df = lab_e.agg(F.count(F.lit(1)).cast("long").alias("m2"))
+    stats = lab_e.groupBy(F.col("ca").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("d_sum"),
+        F.countDistinct("a").cast("long").alias("n_nodes"),
+        F.sum(F.when(F.col("ca") == F.col("cb"), 1).otherwise(0))
+        .cast("long")
+        .alias("e2"),
+    )
+    m2d = F.col("m2").cast("double")
+    q = (
+        F.col("e2").cast("double") / m2d
+        - (F.col("d_sum").cast("double") / m2d)
+        * (F.col("d_sum").cast("double") / m2d)
+    )
+    return stats.crossJoin(F.broadcast(m2df)).select(
+        "community",
+        "n_nodes",
+        "e2",
+        "d_sum",
+        q.alias("q_contrib"),
+        F.floor(F.lit(1_000_000) * q).cast("long").alias("q_micro"),
     )

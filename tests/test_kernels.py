@@ -1046,3 +1046,65 @@ def test_walk_pairs_match_python_replay(spark):
     assert got == expect
     n_pos = sum(c for (_, _, lab), c in expect.items() if lab == 1)
     assert sum(got.values()) == n_pos * (1 + WP_NEG)
+
+
+def test_modularity_matches_python(spark):
+    """x10_modularity: exact integer equality of (n_nodes, e2, d_sum) per
+    community with a python computation from the replayed LPA labels, the
+    float q_contrib within 1e-15, the global Q = SUM(q_micro)/1e6 equal to
+    python's exact-int version, and every contribution in [-1, 1]."""
+    import hashlib
+
+    from iii_aibigdata_capstone_spark.operators.graph import (
+        COMM_ROUNDS,
+        COMM_SEED_MOD,
+        COMM_SHIFT,
+        COMM_UNREACHED,
+    )
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    adj: dict[int, set[int]] = {}
+    for c, s in _thinned_purchase_edges():
+        adj.setdefault(c, set()).add(s)
+        adj.setdefault(s, set()).add(c)
+
+    def h60(n: int) -> int:
+        return int(hashlib.md5(str(n).encode()).hexdigest()[:15], 16)
+
+    seeds = {n for n in adj if h60(n) % COMM_SEED_MOD == 0}
+    sent = COMM_UNREACHED * COMM_SHIFT
+    p = {n: (n if n in seeds else sent + n) for n in adj}
+    for _ in range(COMM_ROUNDS):
+        new = dict(p)
+        for u, pu in p.items():
+            if pu >= sent:
+                continue
+            cand = pu + COMM_SHIFT
+            for v in adj[u]:
+                if cand < new[v]:
+                    new[v] = cand
+        p = new
+    lab = {n: pn % COMM_SHIFT for n, pn in p.items()}
+
+    m2 = sum(len(v) for v in adj.values())  # doubled edge count
+    stats: dict[int, list[int]] = {}  # community -> [d_sum, e2, n_nodes]
+    for u, nbrs in adj.items():
+        st = stats.setdefault(lab[u], [0, 0, 0])
+        st[0] += len(nbrs)
+        st[1] += sum(1 for v in nbrs if lab[v] == lab[u])
+        st[2] += 1
+
+    rows = registry()["x10_modularity"].builder(spark, TEST_SF_DIR).collect()
+    got = {r.community: (r.d_sum, r.e2, r.n_nodes) for r in rows}
+    assert got == {c: tuple(v) for c, v in stats.items()}
+    q_sum_micro = 0
+    import math
+
+    for r in rows:
+        expect_q = r.e2 / m2 - (r.d_sum / m2) * (r.d_sum / m2)
+        assert abs(r.q_contrib - expect_q) < 1e-15
+        assert -1.0 <= r.q_contrib <= 1.0
+        assert r.q_micro == math.floor(1_000_000 * expect_q)
+        q_sum_micro += r.q_micro
+    # sane global modularity: clustered better than random, not degenerate
+    assert 0 < q_sum_micro / 1e6 < 1, q_sum_micro

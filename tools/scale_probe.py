@@ -118,6 +118,7 @@ DEFAULT = [
     "ts_ewma",
     "x10_community_lpa",
     "x10_walk_pairs",
+    "x10_modularity",
 ]
 
 
