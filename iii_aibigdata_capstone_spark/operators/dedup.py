@@ -2009,10 +2009,9 @@ CDC_PACK = 1 << 20  # first-occurrence pack = doc_id * 2^20 + chunk_idx;
 # PARA_ID_STRIDE analysis admits), doc_id < 2^43 -> pack fits BIGINT.
 
 
-def _cdc_h60(expr: str, engine: str) -> str:
-    if engine == "duckdb":
-        return f"CAST('0x' || SUBSTR(MD5({expr}), 1, 15) AS BIGINT)"
-    return f"CAST(CONV(SUBSTR(MD5({expr}), 1, 15), 16, 10) AS BIGINT)"
+# the ONE engine-neutral 60-bit hash spelling, shared with the graph
+# family (review r8: no second copy of the primitive)
+from .graph import _h60_sql as _cdc_h60  # noqa: E402
 
 
 def _cdc_chunks_sql(engine: str, docs_rel: str) -> str:

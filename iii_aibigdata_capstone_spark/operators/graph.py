@@ -1267,17 +1267,19 @@ def _modularity_oracle() -> str:
             JOIN labels la ON u.a = la.node
             JOIN labels lb ON u.b = lb.node),
         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM lab_e),
+        sizes AS MATERIALIZED (
+            SELECT community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+            FROM labels GROUP BY community),
         stats AS MATERIALIZED (
             SELECT ca AS community,
                    CAST(COUNT(*) AS BIGINT) AS d_sum,
-                   CAST(COUNT(DISTINCT a) AS BIGINT) AS n_nodes,
                    CAST(SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT)
                        AS e2
             FROM lab_e GROUP BY ca)
-        SELECT community, n_nodes, e2, d_sum,
+        SELECT s.community, z.n_nodes, e2, d_sum,
                {q} AS q_contrib,
                CAST(FLOOR(1000000 * ({q})) AS BIGINT) AS q_micro
-        FROM stats CROSS JOIN m
+        FROM stats s JOIN sizes z ON s.community = z.community CROSS JOIN m
         """
     )
 
@@ -1295,9 +1297,11 @@ def x10_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the doubled convention: und is symmetric, so COUNT(*) = 2m, the
     intra count = 2*e_c, and the formula divides through consistently).
 
-    Determinism: e2, d_sum, n_nodes, m2 are exact BIGINTs from ONE
-    aggregation over the label-joined edge list (intra flag, degree sum,
-    and node count share the same GROUP BY — no second pass); q_contrib is
+    Determinism: e2, d_sum, m2 are exact BIGINTs from ONE map-side-
+    combinable aggregation over the label-joined edge list (intra flag
+    and degree sum share the GROUP BY; no COUNT DISTINCT — community
+    sizes come from the |V|-sized label table, a separate cheap
+    aggregate, review r8); q_contrib is
     one fixed IEEE tree (two divides, one multiply, one subtract) over
     those integers — bit-identical cross-engine — and q_micro floors that
     identical double, so even the floor is safe without a boundary
@@ -1315,7 +1319,7 @@ def x10_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = (
         x10_community_lpa(spark, sf_dir)
         .select("node", "community")
-        .localCheckpoint(eager=False)  # consumed by both endpoint joins
+        .localCheckpoint(eager=False)  # consumed by both endpoint joins + sizes
     )
     und = undirected_edges(spark, sf_dir)
     la = labels.withColumnRenamed("node", "a").withColumnRenamed(
@@ -1331,13 +1335,15 @@ def x10_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # consumed by m2 + stats
     )
     m2df = lab_e.agg(F.count(F.lit(1)).cast("long").alias("m2"))
+    sizes = labels.groupBy("community").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
     stats = lab_e.groupBy(F.col("ca").alias("community")).agg(
         F.count(F.lit(1)).cast("long").alias("d_sum"),
-        F.countDistinct("a").cast("long").alias("n_nodes"),
         F.sum(F.when(F.col("ca") == F.col("cb"), 1).otherwise(0))
         .cast("long")
         .alias("e2"),
-    )
+    ).join(sizes, "community")
     m2d = F.col("m2").cast("double")
     q = (
         F.col("e2").cast("double") / m2d

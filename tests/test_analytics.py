@@ -919,14 +919,18 @@ def test_cdc_insertion_shift_property():
     chunks_b = _cdc_chunk_py(edited)
     keys_a = [" ".join(c) for c in chunks_a]
     keys_b = [" ".join(c) for c in chunks_b]
-    # strip the identical suffix; what remains must be only the edited
-    # chunk region (the inserted token can split one chunk into two)
+    # strip the identical prefix AND suffix; the differing middle must be
+    # only the edited chunk region (the inserted token can split one
+    # chunk into two) — prefix-stripping keeps the bound independent of
+    # where the first boundary happens to fall in the fixture (review r8)
     tail_a, tail_b = keys_a[:], keys_b[:]
     while tail_a and tail_b and tail_a[-1] == tail_b[-1]:
         tail_a.pop(), tail_b.pop()
+    while tail_a and tail_b and tail_a[0] == tail_b[0]:
+        tail_a.pop(0), tail_b.pop(0)
     assert len(tail_a) <= 1 and len(tail_b) <= 2, (
         "edit perturbed more than the touched chunk region: "
-        f"{len(tail_a)}/{len(tail_b)} leading chunks differ"
+        f"{len(tail_a)}/{len(tail_b)} middle chunks differ"
     )
 
 

@@ -521,7 +521,7 @@ GALLERY = [
         [
             ("no join in the plan", lambda a: "Join" not in a.text),
             ("no Python operators", lambda a: a.python_map_operators == 0),
-            ("single scan of documents", lambda a: a.text.count("documents.parquet") <= 1),
+            ("single scan of documents", lambda a: a.text.count("documents.parquet") == 1),
         ],
     ),
 ]

@@ -88,8 +88,18 @@ TEMPLATES = {
         "list_transform(str_split(text, ' '), x -> 'r{i}' || x), ' ') END) "
         "AS BIGINT) AS n_chars FROM src"
     ),
+    # replica i rotates the 64-dim vector by 6*i positions: verbatim copies
+    # would give every vector 10 bit-identical twins (exact/cluster stages
+    # collapse them = 10x undershoot; LSH buckets concentrate them = up to
+    # 100x pair overshoot — the same failure modes the document salting
+    # prevents); rotations of near-random vectors are ~orthogonal to the
+    # original and to each other, so each replica behaves like an
+    # independent corpus while norms and value distribution are preserved.
     "embeddings": (
-        "SELECT vec_id + {i} * {S_VEC} AS vec_id, embedding, label FROM src"
+        "SELECT vec_id + {i} * {S_VEC} AS vec_id, "
+        "CASE WHEN {i} = 0 THEN embedding "
+        "ELSE embedding[{i} * 6 + 1:] || embedding[1:{i} * 6] END "
+        "AS embedding, label FROM src"
     ),
 }
 
