@@ -950,3 +950,82 @@ def test_streaming_ewma_state_survives_restart(spark):
         if r.user_id < 25
     }
     assert first_keys | second_keys == want
+
+
+def test_streaming_countmin_equals_python_and_is_chunking_invariant(spark):
+    """Streaming Count-Min: after draining the documents corpus in
+    micro-batch chunks, each sketch row's final counter array must equal
+    a transparent python replay of the batch hashing (exact integers),
+    and a different chunking must give BIT-IDENTICAL counters (addition
+    is order-insensitive — the property that makes frequency-sketch
+    partials trustworthy). Estimates derived from the emitted counters
+    must never underestimate (the count-min bound)."""
+    import hashlib
+    import tempfile
+    from collections import Counter
+
+    from iii_aibigdata_capstone_spark.operators.analytics import CMS_D, CMS_W
+    from iii_aibigdata_capstone_spark.streaming.countmin import (
+        streaming_countmin,
+    )
+
+    docs = table(spark, TEST_SF_DIR, "documents").select("doc_id", "text")
+    rows = docs.orderBy("doc_id").collect()
+    assert rows
+
+    # transparent python replay of the batch lane's hashing
+    term_counts: Counter = Counter()
+    for r in rows:
+        for t in r.text.split(" "):
+            if t:
+                term_counts[t] += 1
+    expect = [[0] * CMS_W for _ in range(CMS_D)]
+    for t, n in term_counts.items():
+        for r in range(CMS_D):
+            c = int(hashlib.md5(f"{r}:{t}".encode()).hexdigest()[:15], 16) % CMS_W
+            expect[r][c] += n
+
+    def drain(n_chunks: int) -> dict[int, list[int]]:
+        src = tempfile.mkdtemp(prefix=f"cms_src{n_chunks}_")
+        per_batch: list[tuple[int, list]] = []
+        step = len(rows) // n_chunks or 1
+        for i in range(0, len(rows), step):
+            spark.createDataFrame(rows[i : i + step], docs.schema).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+        q = (
+            streaming_countmin(
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            .writeStream.foreachBatch(
+                lambda df, bid: per_batch.append((bid, df.collect()))
+            )
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="cms_ck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), "stream did not finish"
+        q.stop()
+        final: dict[int, list[int]] = {}
+        for _bid, batch_rows in sorted(per_batch):  # latest emission wins
+            for row in batch_rows:
+                final[row.r] = list(row.counters)
+        return final
+
+    got3 = drain(3)
+    assert set(got3) == set(range(CMS_D))
+    assert [got3[r] for r in range(CMS_D)] == expect
+    got5 = drain(5)  # different chunking — addition is order-insensitive
+    assert got5 == got3
+
+    # count-min one-sidedness of estimates read off the emitted counters
+    for t, n in term_counts.most_common(20):
+        est = min(
+            got3[r][
+                int(hashlib.md5(f"{r}:{t}".encode()).hexdigest()[:15], 16) % CMS_W
+            ]
+            for r in range(CMS_D)
+        )
+        assert est >= n, (t, est, n)
