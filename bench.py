@@ -119,6 +119,12 @@ BENCH_NOTES = (
     " 1.14x r4) with the intended plan unchanged (banded equi-join, one"
     " size-gated AQE broadcast, no cartesian); the bench's best-of-4 simply"
     " sampled a still-warming JIT window."
+    " r8: two runs on near-identical code measured common-81 at 1.04x and"
+    " 1.12x r7 — the diffuse end-of-round drift sits on UNTOUCHED lanes"
+    " (m4_lloyd benched 5.70s vs its r8 12-run standalone floor of"
+    " 4.6-4.8s recorded in PLANS.md), i.e. shared-JVM load, not plan"
+    " regressions; per-query deltas inside ~12% remain noise until a"
+    " standalone decay says otherwise."
 )
 
 
