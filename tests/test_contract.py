@@ -46,3 +46,82 @@ def test_temp_view_queries_are_idempotent(spark):
         a = sorted(map(tuple, qs[name](spark, "/root/testdata/sf0.001").collect()))
         b = sorted(map(tuple, qs[name](spark, "/root/testdata/sf0.001").collect()))
         assert a == b and len(a) > 0
+
+
+def _sf1_dir():
+    import os
+
+    d = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/_testdata/sf1")
+    return d if os.path.isdir(d) else None
+
+
+def test_sf1_unroll_slack_guards():
+    """When the perf-probe sf1 slice exists (tools/gen_sf1.py), re-assert
+    the fixed-unroll slack arguments one decade up: BFS seed-set
+    eccentricity and community-LPA fixpoint depth must still fit their
+    8-round unrolls (the probe times a TRUNCATED run otherwise, silently).
+    Pure-python replay over the thinned purchase graph — no Spark."""
+    import hashlib
+
+    import duckdb
+    import pytest
+
+    sf1 = _sf1_dir()
+    if sf1 is None:
+        pytest.skip("sf1 perf slice not generated")
+    from iii_aibigdata_capstone_spark.operators.graph import (
+        BFS_ROUNDS,
+        BFS_SEED_MOD,
+        COMM_ROUNDS,
+        COMM_SEED_MOD,
+        COMM_SHIFT,
+        COMM_UNREACHED,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT DISTINCT o.o_custkey, l.l_suppkey + 1000000 "
+        f"FROM '{sf1}/lineitem.parquet' l "
+        f"JOIN '{sf1}/orders.parquet' o ON l.l_orderkey = o.o_orderkey "
+        "WHERE l.l_quantity >= 45"
+    ).fetchall()
+    con.close()
+    adj: dict[int, set[int]] = {}
+    for c, s in rows:
+        adj.setdefault(c, set()).add(s)
+        adj.setdefault(s, set()).add(c)
+
+    seeds = {
+        n for n in adj if n >= 1_000_000 and (n - 1_000_000) % BFS_SEED_MOD == 0
+    }
+    assert seeds
+    lvl = dict.fromkeys(seeds, 0)
+    frontier, depth = set(seeds), 0
+    while frontier:
+        depth += 1
+        nxt = {v for u in frontier for v in adj[u] if v not in lvl}
+        for v in nxt:
+            lvl[v] = depth
+        frontier = nxt
+    assert depth - 1 <= BFS_ROUNDS, f"sf1 eccentricity {depth - 1} exceeds unroll"
+
+    def h60(n: int) -> int:
+        return int(hashlib.md5(str(n).encode()).hexdigest()[:15], 16)
+
+    cseeds = {n for n in adj if h60(n) % COMM_SEED_MOD == 0}
+    sent = COMM_UNREACHED * COMM_SHIFT
+    p = {n: (n if n in cseeds else sent + n) for n in adj}
+    rounds = 0
+    while True:
+        new = dict(p)
+        for u, pu in p.items():
+            if pu >= sent:
+                continue
+            cand = pu + COMM_SHIFT
+            for v in adj[u]:
+                if cand < new[v]:
+                    new[v] = cand
+        if new == p:
+            break
+        p, rounds = new, rounds + 1
+    assert rounds <= COMM_ROUNDS, f"sf1 LPA fixpoint {rounds} exceeds unroll"
