@@ -2465,6 +2465,25 @@ CMS_D = 4  # count-min hash rows
 CMS_W = 1024  # counters per row
 
 
+def cms_hash_col(r_col, term_col):
+    """The counter index of ``term`` in sketch row ``r``: 60-bit md5 of
+    "r:term" mod CMS_W — ONE spelling shared by the batch lane and
+    streaming/countmin.py, so the batch==stream twin property cannot
+    drift (review r8)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(r_col.cast("string"), F.lit(":"), term_col)),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CMS_W
+    )
+
+
 @query(
     "x5_countmin_terms",
     oracle=dedent(
@@ -2529,18 +2548,7 @@ def x5_countmin_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # consumed twice: hash rows + probes
     )
     rs = spark.range(CMS_D).select(F.col("id").cast("long").alias("r"))
-    c = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("term"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % CMS_W
-    )
+    c = cms_hash_col(F.col("r"), F.col("term"))
     hashed = (
         keyed.crossJoin(F.broadcast(rs))
         .select("r", "term", "n", c.alias("c"))

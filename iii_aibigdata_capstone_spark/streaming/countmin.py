@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..operators.analytics import CMS_D, CMS_W
+from ..operators.analytics import CMS_D, CMS_W, cms_hash_col
 
 OUTPUT_SCHEMA = "r long, counters array<long>"
 STATE_SCHEMA = "counters array<long>"
@@ -73,20 +73,7 @@ def streaming_countmin(docs: DataFrame) -> DataFrame:
     terms = docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("term")
     ).where(F.col("term") != "")
-    c = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.col("r").cast("string"), F.lit(":"), F.col("term"))
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % CMS_W
-    )
+    c = cms_hash_col(F.col("r"), F.col("term"))
     return (
         terms.crossJoin(rs)  # stream-static: 4 static rows per term
         .select("r", c.alias("c"))

@@ -61,10 +61,10 @@ def test_sf1_unroll_slack_guards():
     eccentricity and community-LPA fixpoint depth must still fit their
     8-round unrolls (the probe times a TRUNCATED run otherwise, silently).
     Pure-python replay over the thinned purchase graph — no Spark."""
-    import hashlib
-
     import duckdb
     import pytest
+
+    from .graph_replay import build_adjacency, h60, python_bfs, python_lpa_fixpoint
 
     sf1 = _sf1_dir()
     if sf1 is None:
@@ -86,42 +86,17 @@ def test_sf1_unroll_slack_guards():
         "WHERE l.l_quantity >= 45"
     ).fetchall()
     con.close()
-    adj: dict[int, set[int]] = {}
-    for c, s in rows:
-        adj.setdefault(c, set()).add(s)
-        adj.setdefault(s, set()).add(c)
+    adj = build_adjacency(rows)
 
     seeds = {
         n for n in adj if n >= 1_000_000 and (n - 1_000_000) % BFS_SEED_MOD == 0
     }
     assert seeds
-    lvl = dict.fromkeys(seeds, 0)
-    frontier, depth = set(seeds), 0
-    while frontier:
-        depth += 1
-        nxt = {v for u in frontier for v in adj[u] if v not in lvl}
-        for v in nxt:
-            lvl[v] = depth
-        frontier = nxt
+    _lvl, depth = python_bfs(adj, seeds)
     assert depth - 1 <= BFS_ROUNDS, f"sf1 eccentricity {depth - 1} exceeds unroll"
 
-    def h60(n: int) -> int:
-        return int(hashlib.md5(str(n).encode()).hexdigest()[:15], 16)
-
-    cseeds = {n for n in adj if h60(n) % COMM_SEED_MOD == 0}
-    sent = COMM_UNREACHED * COMM_SHIFT
-    p = {n: (n if n in cseeds else sent + n) for n in adj}
-    rounds = 0
-    while True:
-        new = dict(p)
-        for u, pu in p.items():
-            if pu >= sent:
-                continue
-            cand = pu + COMM_SHIFT
-            for v in adj[u]:
-                if cand < new[v]:
-                    new[v] = cand
-        if new == p:
-            break
-        p, rounds = new, rounds + 1
+    cseeds = {n for n in adj if h60(str(n)) % COMM_SEED_MOD == 0}
+    _p, rounds = python_lpa_fixpoint(
+        adj, cseeds, COMM_SHIFT, COMM_UNREACHED * COMM_SHIFT
+    )
     assert rounds <= COMM_ROUNDS, f"sf1 LPA fixpoint {rounds} exceeds unroll"

@@ -726,22 +726,14 @@ def test_bfs_levels_match_exhaustive_bfs(spark):
     )
     from iii_aibigdata_capstone_spark.queries import registry
 
-    adj: dict[int, set[int]] = {}
-    for c, s in _thinned_purchase_edges():
-        adj.setdefault(c, set()).add(s)
-        adj.setdefault(s, set()).add(c)
+    from .graph_replay import build_adjacency, python_bfs
+
+    adj = build_adjacency(_thinned_purchase_edges())
     seeds = {
         n for n in adj if n >= 1_000_000 and (n - 1_000_000) % BFS_SEED_MOD == 0
     }
     assert seeds, "seed predicate selects nothing at this SF"
-    lvl = {n: 0 for n in seeds}
-    frontier, depth = seeds, 0
-    while frontier:
-        depth += 1
-        nxt = {v for u in frontier for v in adj[u] if v not in lvl}
-        for v in nxt:
-            lvl[v] = depth
-        frontier = nxt
+    lvl, depth = python_bfs(adj, seeds)
     assert depth - 1 <= BFS_ROUNDS, f"eccentricity {depth - 1} exceeds unroll"
     rows = registry()["x10_bfs_levels"].builder(spark, TEST_SF_DIR).collect()
     got = {r.node: r.lvl for r in rows}
@@ -900,8 +892,6 @@ def test_community_lpa_matches_fixpoint_propagation(spark):
     themselves at dist 0, every community must contain its seed, and
     unreached nodes must emit as dist=-1 singletons labeled by
     themselves."""
-    import hashlib
-
     from iii_aibigdata_capstone_spark.operators.graph import (
         COMM_ROUNDS,
         COMM_SEED_MOD,
@@ -910,31 +900,13 @@ def test_community_lpa_matches_fixpoint_propagation(spark):
     )
     from iii_aibigdata_capstone_spark.queries import registry
 
-    adj: dict[int, set[int]] = {}
-    for c, s in _thinned_purchase_edges():
-        adj.setdefault(c, set()).add(s)
-        adj.setdefault(s, set()).add(c)
+    from .graph_replay import build_adjacency, h60, python_lpa_fixpoint
 
-    def h60(n: int) -> int:
-        return int(hashlib.md5(str(n).encode()).hexdigest()[:15], 16)
-
-    seeds = {n for n in adj if h60(n) % COMM_SEED_MOD == 0}
+    adj = build_adjacency(_thinned_purchase_edges())
+    seeds = {n for n in adj if h60(str(n)) % COMM_SEED_MOD == 0}
     assert seeds, "seed predicate selects nothing at this SF"
     sent_base = COMM_UNREACHED * COMM_SHIFT
-    p = {n: (n if n in seeds else sent_base + n) for n in adj}
-    rounds = 0
-    while True:
-        new = dict(p)
-        for u, pu in p.items():
-            if pu >= sent_base:
-                continue
-            cand = pu + COMM_SHIFT
-            for v in adj[u]:
-                if cand < new[v]:
-                    new[v] = cand
-        if new == p:
-            break
-        p, rounds = new, rounds + 1
+    p, rounds = python_lpa_fixpoint(adj, seeds, COMM_SHIFT, sent_base)
     assert rounds <= COMM_ROUNDS, f"fixpoint depth {rounds} exceeds unroll"
 
     expect = {}
@@ -1053,8 +1025,6 @@ def test_modularity_matches_python(spark):
     community with a python computation from the replayed LPA labels, the
     float q_contrib within 1e-15, the global Q = SUM(q_micro)/1e6 equal to
     python's exact-int version, and every contribution in [-1, 1]."""
-    import hashlib
-
     from iii_aibigdata_capstone_spark.operators.graph import (
         COMM_ROUNDS,
         COMM_SEED_MOD,
@@ -1063,27 +1033,14 @@ def test_modularity_matches_python(spark):
     )
     from iii_aibigdata_capstone_spark.queries import registry
 
-    adj: dict[int, set[int]] = {}
-    for c, s in _thinned_purchase_edges():
-        adj.setdefault(c, set()).add(s)
-        adj.setdefault(s, set()).add(c)
+    from .graph_replay import build_adjacency, h60, python_lpa_fixpoint
 
-    def h60(n: int) -> int:
-        return int(hashlib.md5(str(n).encode()).hexdigest()[:15], 16)
-
-    seeds = {n for n in adj if h60(n) % COMM_SEED_MOD == 0}
+    adj = build_adjacency(_thinned_purchase_edges())
+    seeds = {n for n in adj if h60(str(n)) % COMM_SEED_MOD == 0}
     sent = COMM_UNREACHED * COMM_SHIFT
-    p = {n: (n if n in seeds else sent + n) for n in adj}
-    for _ in range(COMM_ROUNDS):
-        new = dict(p)
-        for u, pu in p.items():
-            if pu >= sent:
-                continue
-            cand = pu + COMM_SHIFT
-            for v in adj[u]:
-                if cand < new[v]:
-                    new[v] = cand
-        p = new
+    p, _rounds = python_lpa_fixpoint(
+        adj, seeds, COMM_SHIFT, sent, max_rounds=COMM_ROUNDS
+    )
     lab = {n: pn % COMM_SHIFT for n, pn in p.items()}
 
     m2 = sum(len(v) for v in adj.values())  # doubled edge count
