@@ -1029,3 +1029,89 @@ def test_streaming_countmin_equals_python_and_is_chunking_invariant(spark):
             for r in range(CMS_D)
         )
         assert est >= n, (t, est, n)
+
+
+def test_streaming_spacesaving_matches_replay_and_guarantees(spark):
+    """Streaming sharded SpaceSaving: after draining the documents corpus
+    in micro-batch chunks, every shard's summary must equal a python
+    replay of the identical chunking through the SHARED apply function
+    (one copy of the eviction rule), and the classic guarantees must hold
+    per shard: est >= true >= est - err for every kept term, and every
+    term with true count > shard_total / SS_CAP is present."""
+    import hashlib
+    import tempfile
+    from collections import Counter
+
+    from iii_aibigdata_capstone_spark.streaming.spacesaving import (
+        SS_CAP,
+        SS_SHARDS,
+        apply_spacesaving,
+        streaming_spacesaving,
+    )
+
+    docs = table(spark, TEST_SF_DIR, "documents").select("doc_id", "text")
+    rows = docs.orderBy("doc_id").collect()
+    assert rows
+
+    def shard_of(t: str) -> int:
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % SS_SHARDS
+
+    n_chunks = 3
+    step = len(rows) // n_chunks or 1
+    chunks = [rows[i : i + step] for i in range(0, len(rows), step)]
+
+    # python replay of the same chunking through the SHARED kernel
+    replay: dict[int, dict] = {s: {} for s in range(SS_SHARDS)}
+    true_counts: dict[int, Counter] = {s: Counter() for s in range(SS_SHARDS)}
+    for chunk in chunks:
+        per_shard: dict[int, Counter] = {s: Counter() for s in range(SS_SHARDS)}
+        for r in chunk:
+            for t in r.text.split(" "):
+                if t:
+                    s = shard_of(t)
+                    per_shard[s][t] += 1
+                    true_counts[s][t] += 1
+        for s, cnt in per_shard.items():
+            if cnt:
+                apply_spacesaving(replay[s], sorted(cnt.items()), SS_CAP)
+
+    src = tempfile.mkdtemp(prefix="ss_src_")
+    for chunk in chunks:
+        spark.createDataFrame(chunk, docs.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    per_batch: list[tuple[int, list]] = []
+    q = (
+        streaming_spacesaving(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        .writeStream.foreachBatch(
+            lambda df, bid: per_batch.append((bid, df.collect()))
+        )
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ss_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not finish"
+    q.stop()
+    final: dict[int, dict] = {}
+    for _bid, batch_rows in sorted(per_batch):  # latest emission wins
+        for row in batch_rows:
+            final[row.shard] = {
+                t: (c, e)
+                for t, c, e in zip(row.terms, row.counts, row.errs)
+            }
+    assert set(final) == set(range(SS_SHARDS))
+    assert final == replay
+
+    for s, summary in final.items():
+        total = sum(true_counts[s].values())
+        for t, (est, err) in summary.items():
+            true = true_counts[s][t]
+            assert est >= true >= est - err, (s, t, est, err, true)
+        threshold = total / SS_CAP
+        for t, true in true_counts[s].items():
+            if true > threshold:
+                assert t in summary, (s, t, true, threshold)
