@@ -2007,6 +2007,25 @@ CDC_MOD = 16  # expected chunk length in tokens: boundary after any token
 CDC_PACK = 1 << 20  # first-occurrence pack = doc_id * 2^20 + chunk_idx;
 # chunk_idx < tokens-per-doc (~10^2 here, < 2^20 for any document the
 # PARA_ID_STRIDE analysis admits), doc_id < 2^43 -> pack fits BIGINT.
+CDC_DOC_CAP = 1 << 43  # doc_id domain the pack proof covers
+
+
+def _cdc_pack_sql(engine: str) -> str:
+    """The guarded first-occurrence pack (WP_DEG_CAP discipline): a
+    document past either packing bound RAISES in BOTH engines instead of
+    silently corrupting the dedup adjudication — the oracle cannot catch
+    an overflow because both engines would compute the identical wrong
+    pack. The guard must wrap the pack expression itself (it is consumed
+    by the MIN window and the dup SUMs, so column pruning cannot drop
+    it)."""
+    raise_fn = "ERROR" if engine == "duckdb" else "RAISE_ERROR"
+    return (
+        f"CASE WHEN chunk_idx >= {CDC_PACK} OR doc_id >= {CDC_DOC_CAP} "
+        f"THEN CAST({raise_fn}(CONCAT('CDC pack overflow: doc_id=', "
+        f"CAST(doc_id AS STRING), ' chunk_idx=', "
+        f"CAST(chunk_idx AS STRING))) AS BIGINT) "
+        f"ELSE doc_id * {CDC_PACK} + chunk_idx END"
+    )
 
 
 # the ONE engine-neutral 60-bit hash spelling, shared with the graph
@@ -2095,24 +2114,25 @@ def _cdc_dedup_sql(engine: str, docs_rel: str) -> str:
     chunks = _cdc_chunks_sql(engine, docs_rel)
     return f"""
         WITH chunks AS ({chunks}),
-        occ AS (
+        packed AS (
             SELECT doc_id, chunk_idx, chunk_key, n_tokens,
-                   MIN(doc_id * {CDC_PACK} + chunk_idx) OVER (
-                       PARTITION BY chunk_key
-                   ) AS first_pack
+                   {_cdc_pack_sql(engine)} AS pack
             FROM chunks
+        ),
+        occ AS (
+            SELECT doc_id, chunk_idx, chunk_key, n_tokens, pack,
+                   MIN(pack) OVER (PARTITION BY chunk_key) AS first_pack
+            FROM packed
         )
         SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_chunks,
-               CAST(SUM(CASE WHEN doc_id * {CDC_PACK} + chunk_idx
-                             <> first_pack THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_dup_chunks,
+               CAST(SUM(CASE WHEN pack <> first_pack THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_chunks,
                CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-               CAST(SUM(CASE WHEN doc_id * {CDC_PACK} + chunk_idx
-                             <> first_pack THEN n_tokens ELSE 0 END)
-                    AS BIGINT) AS dup_tokens,
-               CAST((1000000 * SUM(CASE WHEN doc_id * {CDC_PACK} + chunk_idx
-                                        <> first_pack THEN n_tokens ELSE 0
+               CAST(SUM(CASE WHEN pack <> first_pack THEN n_tokens ELSE 0
+                        END) AS BIGINT) AS dup_tokens,
+               CAST((1000000 * SUM(CASE WHEN pack <> first_pack
+                                        THEN n_tokens ELSE 0
                                    END)) {"//" if engine == "duckdb" else "DIV"}
                     SUM(n_tokens) AS BIGINT) AS dup_share_micro
         FROM occ GROUP BY doc_id

@@ -66,8 +66,12 @@ def apply_spacesaving(
 
 
 def _neg(t: str) -> tuple[int, ...]:
-    """Reverse-lexicographic key so (count asc, term desc) is a min()."""
-    return tuple(-b for b in t.encode())
+    """Reverse-lexicographic key so (count asc, term desc) is a min().
+    The trailing sentinel (larger than any negated byte, which are all
+    <= 0) makes a proper prefix compare AFTER its extensions — without
+    it min() would pick 'ab' over 'abc', i.e. the lexicographically
+    SMALLER of the two, contradicting the documented term-desc order."""
+    return tuple(-b for b in t.encode()) + (1,)
 
 
 def _ss_fn(

@@ -977,3 +977,44 @@ def test_cdc_dedup_matches_python_replay(spark):
         for r in rows
     }
     assert got == expect
+
+
+def test_cdc_pack_guard_trips_in_both_engines(spark):
+    """The CDC pack overflow guard (WP_DEG_CAP discipline) RAISES in both
+    engines past either bound — the oracle cannot catch an overflow (both
+    engines compute the identical wrong pack), so the guard is the only
+    defense — and stays silent on the in-domain corner."""
+    import duckdb
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from iii_aibigdata_capstone_spark.operators.dedup import (
+        CDC_DOC_CAP,
+        CDC_PACK,
+        _cdc_pack_sql,
+    )
+
+    def spark_pack(doc_id, chunk_idx):
+        return spark.sql(
+            f"SELECT MAX({_cdc_pack_sql('spark')}) AS p FROM VALUES "
+            f"(CAST({doc_id} AS BIGINT), CAST({chunk_idx} AS BIGINT)) "
+            "AS t(doc_id, chunk_idx)"
+        ).collect()[0].p
+
+    def duck_pack(doc_id, chunk_idx):
+        return duckdb.sql(
+            f"SELECT MAX({_cdc_pack_sql('duckdb')}) AS p FROM (SELECT "
+            f"CAST({doc_id} AS BIGINT) AS doc_id, "
+            f"CAST({chunk_idx} AS BIGINT) AS chunk_idx)"
+        ).fetchone()[0]
+
+    # in-domain corner: identical pack, no raise
+    ok = (CDC_DOC_CAP - 1) * CDC_PACK + (CDC_PACK - 1)
+    assert spark_pack(CDC_DOC_CAP - 1, CDC_PACK - 1) == ok
+    assert duck_pack(CDC_DOC_CAP - 1, CDC_PACK - 1) == ok
+    # either bound exceeded -> loud failure, both engines
+    for doc_id, chunk_idx in [(CDC_DOC_CAP, 0), (0, CDC_PACK)]:
+        with pytest.raises(PySparkException, match="CDC pack overflow"):
+            spark_pack(doc_id, chunk_idx)
+        with pytest.raises(duckdb.Error, match="CDC pack overflow"):
+            duck_pack(doc_id, chunk_idx)

@@ -101,6 +101,11 @@ def main() -> int:
     # 6. Every HEADLINE query whose latest benched time exceeds 1 s — or that
     # is new enough to have no benched time yet — must be in probe DEFAULT
     # (the sync rule: both lists cover every heavy lane).
+    # NOTE: this reads the COMMITTED BENCH_FULL.json, not a live run, so a
+    # query that regresses above 1 s (or lands exactly at 1.0 s) is only
+    # caught on the round-close AFTER the file refreshes — run `python
+    # bench.py` first in the round-close sequence so the threshold reads
+    # current timings (one-round lag otherwise; accepted, documented).
     import json
 
     bench_full = os.path.join(REPO, "BENCH_FULL.json")
