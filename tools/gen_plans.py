@@ -524,6 +524,83 @@ GALLERY = [
             ("single scan of documents", lambda a: a.text.count("documents.parquet") == 1),
         ],
     ),
+    (
+        "x10_community_lpa",
+        "x10_community_lpa",
+        "Seeded min-label propagation, final emit path (per-round lineage "
+        "cut by localCheckpoint — the PageRank discipline): the emitted "
+        "partition map is pure projection + ONE community-keyed window "
+        "count over the checkpointed fixpoint state; each round upstream "
+        "is one edge equi-join + a map-side-combinable MIN on the packed "
+        "(dist, seed) BIGINT. No parquet re-scan, no join, no Python on "
+        "the emit path.",
+        [
+            ("no CartesianProduct", lambda a: "CartesianProduct" not in a.text),
+            (
+                "emit path reads the checkpoint, not parquet",
+                lambda a: ".parquet" not in a.text,
+            ),
+            (
+                "exactly one hash exchange (the community window)",
+                lambda a: a.hash_exchanges == 1,
+            ),
+            ("no Python operators", lambda a: a.python_map_operators == 0),
+        ],
+    ),
+    (
+        "x10_walk_pairs",
+        "x10_walk_pairs",
+        "Skip-gram pairs + banded negative sampling, emit path (the walk "
+        "corpus and the positive-pair table are checkpointed; the weight "
+        "cumsum interval table too): positives self-equi-join the corpus "
+        "on the walk key (bounded groups), negative draws resolve via the "
+        "BANDED interval-containment equi-join — the only nested-loop "
+        "broadcasts in the plan are the 2-row slot table and the 1-row "
+        "total weight; the node table is never nested-looped.",
+        [
+            ("no CartesianProduct", lambda a: "CartesianProduct" not in a.text),
+            (
+                "emit path reads the checkpoints, not parquet",
+                lambda a: ".parquet" not in a.text,
+            ),
+            (
+                # formatted explain prints each op twice (numbered header +
+                # detail) — count numbered nodes, the audit discipline
+                "only the 2-row slot / 1-row total reach by nested loop",
+                lambda a: len(
+                    re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", a.text, re.M)
+                ) <= 2,
+            ),
+            (
+                "the band interval join is an equi join",
+                lambda a: a.broadcast_joins + a.sort_merge_joins >= 2,
+            ),
+            ("no Python operators", lambda a: a.python_map_operators == 0),
+        ],
+    ),
+    (
+        "x10_modularity",
+        "x10_modularity",
+        "Newman Q of the LPA partition, emit path (labels and the "
+        "label-joined edge list are checkpointed): e2/d_sum come from ONE "
+        "map-side-combinable aggregation on the community key — no "
+        "COUNT DISTINCT, so no Expand in the plan; community sizes "
+        "aggregate the |V|-sized label table separately; the 1-row 2m "
+        "total returns by bounded broadcast. No parquet re-scan on the "
+        "emit path.",
+        [
+            ("no CartesianProduct", lambda a: "CartesianProduct" not in a.text),
+            (
+                "emit path reads the checkpoints, not parquet",
+                lambda a: ".parquet" not in a.text,
+            ),
+            (
+                "no Expand (edge agg avoids COUNT DISTINCT)",
+                lambda a: "Expand" not in a.text,
+            ),
+            ("no Python operators", lambda a: a.python_map_operators == 0),
+        ],
+    ),
 ]
 
 
