@@ -123,6 +123,7 @@ HEADLINE = [
     "x10_community_lpa",
     "x10_walk_pairs",
     "x10_modularity",
+    "x9_rag_pipeline",
 ]
 
 # The two non-registry entries, timed by the last chunk.

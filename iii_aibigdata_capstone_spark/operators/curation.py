@@ -640,3 +640,286 @@ def x9_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank_in_source") <= SOURCE_QUOTA_K)
         .select("source", "doc_id", "logit_milli", "rank_in_source")
     )
+
+
+# --- X9: composed retrieval product (RAG pipeline) ---------------------------
+
+RAG_PROBES = 5  # doc_id/vec_id < RAG_PROBES are the pipeline's queries
+RAG_LANE_K = 10  # per-lane shortlist depth feeding the fusion
+RAG_TOPK = 5  # fused results served per query
+RRF_K = 60  # the classic reciprocal-rank-fusion damping constant
+RRF_SCALE = 1_000_000  # rrf term = RRF_SCALE DIV (RRF_K + rank) — exact ints
+
+
+def _rag_oracle() -> str:
+    from .textual import _BM25_AVGDL_SQL, _BM25_CONTRIB_SQL, _BM25_IDF_SQL
+    from .similarity import N_CENTROIDS
+
+    return dedent(
+        f"""
+        WITH chunks AS MATERIALIZED (
+            SELECT d.doc_id, k AS chunk_id,
+                   SUBSTR(d.text, CAST(k * 150 + 1 AS BIGINT), 200) AS ctext
+            FROM documents d,
+                 UNNEST(RANGE(0, CAST(FLOOR((LENGTH(d.text) - 1) / 150)
+                                      AS BIGINT) + 1)) AS t(k)
+            WHERE LENGTH(d.text) > 0
+        ),
+        tf0 AS MATERIALIZED (
+            SELECT doc_id, chunk_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, chunk_id,
+                         UNNEST(STRING_SPLIT(ctext, ' ')) AS term
+                  FROM chunks)
+            WHERE term <> '' GROUP BY 1, 2, 3
+        ),
+        tf AS MATERIALIZED (
+            SELECT doc_id, chunk_id, term, tf,
+                   CAST(SUM(tf) OVER (PARTITION BY doc_id, chunk_id)
+                        AS BIGINT) AS dl
+            FROM tf0
+        ),
+        g AS MATERIALIZED (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) AS total
+            FROM (SELECT doc_id, chunk_id, MAX(dl) AS dl
+                  FROM tf GROUP BY 1, 2)
+        ),
+        dfreq AS MATERIALIZED (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ),
+        pterm AS MATERIALIZED (
+            SELECT q.query_id, q.term,
+                   {_BM25_IDF_SQL} AS idf, {_BM25_AVGDL_SQL} AS avgdl
+            FROM (SELECT DISTINCT doc_id AS query_id, term FROM tf
+                  WHERE doc_id < {RAG_PROBES}) q
+            JOIN dfreq USING (term) CROSS JOIN g
+        ),
+        cscore AS MATERIALIZED (
+            SELECT pt.query_id, t.doc_id, t.chunk_id,
+                   CAST(SUM({_BM25_CONTRIB_SQL}) AS BIGINT) AS score_micro
+            FROM pterm pt
+            JOIN tf t ON t.term = pt.term AND t.doc_id <> pt.query_id
+            GROUP BY 1, 2, 3
+        ),
+        bm25 AS MATERIALIZED (
+            SELECT query_id, doc_id, br FROM (
+                SELECT query_id, doc_id,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY doc_score DESC, doc_id) AS BIGINT) AS br
+                FROM (SELECT query_id, doc_id,
+                             MAX(score_micro) AS doc_score
+                      FROM cscore GROUP BY 1, 2)
+            ) WHERE br <= {RAG_LANE_K}
+        ),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        centroids AS (SELECT vec_id AS cid, v AS cv FROM e
+                      WHERE vec_id < {N_CENTROIDS}),
+        ranked AS MATERIALIZED (
+            SELECT e.vec_id, e.v, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY LIST_DISTANCE(e.v, c.cv), c.cid) AS rn
+            FROM e CROSS JOIN centroids c
+        ),
+        assigned AS (SELECT vec_id, v, cid FROM ranked WHERE rn = 1),
+        probes AS (SELECT vec_id, v, cid FROM ranked
+                   WHERE rn <= 2 AND vec_id < {RAG_PROBES}),
+        dscored AS MATERIALIZED (
+            SELECT DISTINCT p.vec_id AS query_id, b.vec_id AS doc_id,
+                   ROUND(LIST_DOT_PRODUCT(p.v, b.v)
+                         / (SQRT(LIST_DOT_PRODUCT(p.v, p.v))
+                            * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) AS cosine
+            FROM probes p JOIN assigned b
+              ON p.cid = b.cid AND b.vec_id <> p.vec_id
+        ),
+        dense AS MATERIALIZED (
+            SELECT query_id, doc_id, cr FROM (
+                SELECT query_id, doc_id,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, doc_id) AS BIGINT) AS cr
+                FROM dscored
+            ) WHERE cr <= {RAG_LANE_K}
+        ),
+        fused AS MATERIALIZED (
+            SELECT COALESCE(b.query_id, d.query_id) AS query_id,
+                   COALESCE(b.doc_id, d.doc_id) AS doc_id,
+                   CAST(COALESCE(b.br, 0) AS BIGINT) AS bm25_rank,
+                   CAST(COALESCE(d.cr, 0) AS BIGINT) AS cos_rank,
+                   CAST(CASE WHEN b.br IS NULL THEN 0
+                             ELSE {RRF_SCALE} // ({RRF_K} + b.br) END
+                      + CASE WHEN d.cr IS NULL THEN 0
+                             ELSE {RRF_SCALE} // ({RRF_K} + d.cr) END
+                        AS BIGINT) AS rrf_micro
+            FROM bm25 b FULL OUTER JOIN dense d
+              ON b.query_id = d.query_id AND b.doc_id = d.doc_id
+        ),
+        topk AS (
+            SELECT query_id, doc_id, bm25_rank, cos_rank, rrf_micro, rank
+            FROM (
+                SELECT *, CAST(ROW_NUMBER() OVER (
+                        PARTITION BY query_id
+                        ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank
+                FROM fused
+            ) WHERE rank <= {RAG_TOPK}
+        )
+        SELECT t.query_id, t.rank, t.doc_id, t.rrf_micro,
+               t.bm25_rank, t.cos_rank, dm.source, dm.lang
+        FROM topk t JOIN documents dm ON dm.doc_id = t.doc_id
+        """
+    )
+
+
+@query(
+    "x9_rag_pipeline",
+    oracle=_rag_oracle(),
+    tags=("X9", "X3", "X4", "pipeline", "search"),
+)
+def x9_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed retrieval product, end to end in one dataflow — the
+    x1_fuzzy_dedup_pipeline of the search family. Five stages, each an
+    already-oracled lane, composed without extra scans:
+
+    1. CHUNK (x9_doc_chunking recipe): 200-char windows every 150 chars.
+    2. SPARSE RETRIEVAL: Okapi BM25 at CHUNK granularity (shared
+       idf/avgdl/contribution SQL with x4_bm25_search; a chunk plays the
+       role of a BM25 document, hence the n_docs/dl column names), then
+       MAX-pooled per document — the standard long-document trick: a doc
+       ranks by its best-matching passage, which whole-doc BM25 dilutes.
+       Query q's terms are the distinct terms across its own chunks.
+    3. DENSE RETRIEVAL: IVF nprobe=2 shortlist + exact rounded-cosine
+       ranking over the document embeddings (ivf_multiprobe_ranks, the
+       x3_ivf_multiprobe core, widened to the lane depth K={RAG_LANE_K}).
+    4. FUSION: reciprocal-rank fusion of the two lanes,
+       rrf = {RRF_SCALE} DIV ({RRF_K} + rank) summed over lanes — integer
+       division on integer ranks, so the fused score is EXACT (no float
+       accumulation reaches the hash; the fixed-point discipline), with
+       absent-lane ranks emitted as 0.
+    5. SERVING JOIN (J1 shape): the per-query top-{RAG_TOPK} table —
+       bounded at queries x {RAG_TOPK} rows — broadcasts against the
+       document metadata table, so the dim side never shuffles (the
+       batch analog of the stream-static lookup join).
+
+    Scale shape: the chunk tf table is built from ONE documents scan and
+    checkpointed (4 consumers: corpus stats, chunk-df, probe terms,
+    candidates); probe terms ride a bounded broadcast so candidate
+    generation never shuffles the corpus postings for the join; each
+    lane's top-k is a keyed window (WindowGroupLimit pre-trim); fusion
+    joins two <= queries x {RAG_LANE_K} rank lists. At 100 TB the only
+    corpus-sized exchanges are the tf aggregation, the per-chunk dl
+    window, and the per-(query, chunk) score aggregation — everything
+    downstream is bounded by the query batch."""
+    from .similarity import ivf_multiprobe_ranks
+    from .textual import _BM25_AVGDL_SQL, _BM25_CONTRIB_SQL, _BM25_IDF_SQL
+
+    par = spark.sparkContext.defaultParallelism
+    docs = table(spark, sf_dir, "documents")
+    # stage 1: chunk (pre-explode repartition: compact-file corpus gotcha)
+    nz = docs.where(F.length("text") > 0).repartition(par, "doc_id")
+    kcol = F.explode(
+        F.sequence(F.lit(0).cast("long"), F.floor((F.length("text") - 1) / 150))
+    ).alias("chunk_id")
+    ctext = F.substring(
+        F.col("text"), (F.col("chunk_id") * 150 + 1).cast("int"), 200
+    )
+    chunks = nz.select("doc_id", "text", kcol).select(
+        "doc_id", "chunk_id", ctext.alias("ctext")
+    )
+    # stage 2: chunk-granular BM25
+    toks = chunks.select(
+        "doc_id", "chunk_id", F.explode(F.split("ctext", " ")).alias("term")
+    ).where(F.col("term") != "")
+    w_chunk = Window.partitionBy("doc_id", "chunk_id")
+    tf = (
+        toks.groupBy("doc_id", "chunk_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("dl", F.sum("tf").over(w_chunk))
+        .localCheckpoint(eager=False)  # consumed 4x: stats, df, probes, cands
+    )
+    g = (
+        tf.groupBy("doc_id", "chunk_id")
+        .agg(F.max("dl").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),  # BM25 "docs" = chunks here
+            F.sum("dl").alias("total"),
+        )
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    pterm = (
+        tf.where(F.col("doc_id") < RAG_PROBES)
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .distinct()
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "query_id",
+            "term",
+            F.expr(_BM25_IDF_SQL).alias("idf"),
+            F.expr(_BM25_AVGDL_SQL).alias("avgdl"),
+        )
+    )
+    cscore = (
+        tf.join(F.broadcast(pterm), "term")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id", "chunk_id")
+        .agg(F.sum(F.expr(_BM25_CONTRIB_SQL)).alias("score_micro"))
+    )
+    w_bm = Window.partitionBy("query_id").orderBy(
+        F.desc("doc_score"), F.asc("doc_id")
+    )
+    bm25 = (
+        cscore.groupBy("query_id", "doc_id")
+        .agg(F.max("score_micro").alias("doc_score"))
+        .withColumn("br", F.row_number().over(w_bm).cast("long"))
+        .where(F.col("br") <= RAG_LANE_K)
+        .select("query_id", "doc_id", "br")
+    )
+    # stage 3: dense lane (the x3_ivf_multiprobe core, lane-depth ranks)
+    dense = ivf_multiprobe_ranks(spark, sf_dir, RAG_PROBES, RAG_LANE_K).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("cr"),
+    )
+    # stage 4: reciprocal-rank fusion — exact integer arithmetic
+    b, d = bm25.alias("b"), dense.alias("d")
+    fused = b.join(
+        d,
+        (F.col("b.query_id") == F.col("d.query_id"))
+        & (F.col("b.doc_id") == F.col("d.doc_id")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("b.query_id"), F.col("d.query_id")).alias("query_id"),
+        F.coalesce(F.col("b.doc_id"), F.col("d.doc_id")).alias("doc_id"),
+        F.coalesce(F.col("br"), F.lit(0)).cast("long").alias("bm25_rank"),
+        F.coalesce(F.col("cr"), F.lit(0)).cast("long").alias("cos_rank"),
+        (
+            F.when(
+                F.col("br").isNull(), F.lit(0).cast("long")
+            ).otherwise(F.expr(f"{RRF_SCALE} DIV ({RRF_K} + br)"))
+            + F.when(
+                F.col("cr").isNull(), F.lit(0).cast("long")
+            ).otherwise(F.expr(f"{RRF_SCALE} DIV ({RRF_K} + cr)"))
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+    )
+    w_fuse = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), F.asc("doc_id")
+    )
+    topk = (
+        fused.withColumn("rank", F.row_number().over(w_fuse).cast("long"))
+        .where(F.col("rank") <= RAG_TOPK)
+    )
+    # stage 5: serving join — the bounded top-k side broadcasts (J1 shape)
+    dim = docs.select("doc_id", "source", "lang")
+    return F.broadcast(topk).join(dim, "doc_id").select(
+        "query_id",
+        "rank",
+        "doc_id",
+        "rrf_micro",
+        "bm25_rank",
+        "cos_rank",
+        "source",
+        "lang",
+    )

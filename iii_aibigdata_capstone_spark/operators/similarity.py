@@ -343,6 +343,18 @@ def x3_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     a neighbor falls just across a cell boundary. Probe fan-out multiplies
     only the query side, so cost grows with nprobe x queries, never with
     the corpus."""
+    return ivf_multiprobe_ranks(spark, sf_dir, N_QUERIES, 3).select(
+        "query_id", "neighbor_id", "cosine"
+    )
+
+
+def ivf_multiprobe_ranks(
+    spark: SparkSession, sf_dir: str, n_queries: int, k: int
+) -> DataFrame:
+    """The reusable core of ``x3_ivf_multiprobe``: IVF nprobe=2 shortlist
+    + exact rounded-cosine ranking, emitting ``(query_id, neighbor_id,
+    cosine, rank)`` for the top-``k`` per probe — shared by the standalone
+    lane (k=3) and the x9 RAG pipeline's dense retrieval stage (k=10)."""
     e = with_norm(table(spark, sf_dir, "embeddings")).select("vec_id", "v", "norm")
     centroids = e.where(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
@@ -364,7 +376,7 @@ def x3_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = ranked.where(F.col("rn") == 1).select("vec_id", "v", "norm", "cid")
     probes = ranked.where(
-        (F.col("rn") <= 2) & (F.col("vec_id") < N_QUERIES)
+        (F.col("rn") <= 2) & (F.col("vec_id") < n_queries)
     ).select("vec_id", "v", "norm", "cid")
     p, b = probes.alias("p"), assigned.alias("b")
     cos = dot(F.col("p.v"), F.col("b.v")) / (F.col("p.norm") * F.col("b.norm"))
@@ -383,9 +395,9 @@ def x3_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 3)
-        .select("query_id", "neighbor_id", "cosine")
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 

@@ -1018,3 +1018,41 @@ def test_cdc_pack_guard_trips_in_both_engines(spark):
             spark_pack(doc_id, chunk_idx)
         with pytest.raises(duckdb.Error, match="CDC pack overflow"):
             duck_pack(doc_id, chunk_idx)
+
+
+def test_rag_pipeline_structural_contract(spark):
+    """x9_rag_pipeline: the fused serving table's internal arithmetic and
+    lane contracts — rrf_micro is EXACTLY the integer RRF of the emitted
+    lane ranks, ranks are contiguous 1..TOPK per query with descending
+    rrf (doc_id tiebreak), every probe query is served, the query doc
+    never retrieves itself, and the serving join's metadata matches the
+    documents table. (Cross-engine values are pinned by the full oracle;
+    this pins the semantics the oracle shares with the builder.)"""
+    from iii_aibigdata_capstone_spark.operators.curation import (
+        RAG_PROBES,
+        RAG_TOPK,
+        RRF_K,
+        RRF_SCALE,
+    )
+
+    rows = registry()["x9_rag_pipeline"].builder(spark, TEST_SF_DIR).collect()
+    meta = {
+        r.doc_id: (r.source, r.lang)
+        for r in table(spark, TEST_SF_DIR, "documents").collect()
+    }
+    assert {r.query_id for r in rows} == set(range(RAG_PROBES))
+    by_q = {}
+    for r in rows:
+        assert r.doc_id != r.query_id  # both lanes exclude self
+        expect_rrf = (RRF_SCALE // (RRF_K + r.bm25_rank) if r.bm25_rank else 0) + (
+            RRF_SCALE // (RRF_K + r.cos_rank) if r.cos_rank else 0
+        )
+        assert r.rrf_micro == expect_rrf, (r.query_id, r.doc_id)
+        assert r.rrf_micro > 0  # a served doc came from at least one lane
+        assert (r.source, r.lang) == meta[r.doc_id]
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, RAG_TOPK + 1)), q
+        # served order is (rrf desc, doc_id asc)
+        assert rs == sorted(rs, key=lambda r: (-r.rrf_micro, r.doc_id)), q

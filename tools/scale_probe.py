@@ -119,6 +119,7 @@ DEFAULT = [
     "x10_community_lpa",
     "x10_walk_pairs",
     "x10_modularity",
+    "x9_rag_pipeline",
 ]
 
 
