@@ -2573,6 +2573,64 @@ def x5_countmin_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x5_spacesaving_topk", oracle=None, tags=("X5", "sketch", "topk"))
+def x5_spacesaving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch SpaceSaving heavy hitters — the driver-checked batch twin of
+    ``streaming/spacesaving.py`` (restores the batch==stream symmetry
+    every other sketch lane has): terms shard by the SHARED
+    ``ss_shard_col`` hash, per-shard exact counts aggregate
+    map-side-combinably, and each shard's sorted (term, count) list folds
+    through the SHARED ``apply_spacesaving`` eviction kernel (one copy of
+    the rule for the streaming op, this lane, and the pytest replay).
+    Deterministic: counts are exact, the fold order is lexicographic, and
+    the whole corpus arrives as ONE chunk — so a single-micro-batch drain
+    of the streaming twin emits bit-identical summaries (pinned).
+    Rows-only for the driver (a sequential fold with eviction has no SQL
+    form); ``x5_countmin_terms`` / ``x5_heavy_hitters`` are the
+    hash-checkable frequency relatives.
+
+    Scale shape: the corpus-wide work is one map-side-combinable term
+    count; the python fold sees only the VOCABULARY of its shard (|V| /
+    {SS_SHARDS} rows, not corpus rows) and carries a CAP={SS_CAP}
+    candidate map — at 100 TB, raise SS_SHARDS to bound per-shard
+    vocabulary; the union of shard summaries stays a valid global
+    summary because sharding partitions the item space exactly."""
+    import pandas as pd
+
+    from ..streaming.spacesaving import (
+        SS_CAP,
+        apply_spacesaving,
+        ss_shard_col,
+    )
+
+    nparts = spark.sparkContext.defaultParallelism
+    docs = table(spark, sf_dir, "documents").repartition(nparts, "doc_id")
+    words = docs.select(F.explode(F.split("text", " ")).alias("term")).where(
+        F.col("term") != ""
+    )
+    counts = words.groupBy(
+        ss_shard_col(F.col("term")).alias("shard"), "term"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        summary: dict[str, tuple[int, int]] = {}
+        adds = sorted(zip(pdf["term"], pdf["n"]))  # lexicographic fold order
+        apply_spacesaving(summary, [(t, int(n)) for t, n in adds], SS_CAP)
+        kept = sorted(summary)
+        return pd.DataFrame(
+            {
+                "shard": int(pdf["shard"].iloc[0]),
+                "term": kept,
+                "est": [summary[t][0] for t in kept],
+                "err": [summary[t][1] for t in kept],
+            }
+        )
+
+    return counts.groupBy("shard").applyInPandas(
+        fold, "shard long, term string, est long, err long"
+    )
+
+
 @query(
     "x5_unpivot_metrics",
     oracle=dedent(

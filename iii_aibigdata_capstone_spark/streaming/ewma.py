@@ -45,23 +45,17 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "vals array<long>"
 
 
-def _ewma_fn(
-    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    user_id = int(key[0])
-    frames = [p for p in pdfs if len(p)]
-    if not frames:
-        return
-    batch = pd.concat(frames, ignore_index=True)
-    eids = batch["event_id"].to_numpy()
-    cents = batch["cents"].to_numpy()
-    # the batch twin's window frame is ORDER BY user_id, event_id — sort
-    # by event_id alone (total within a user) so the two lanes agree even
-    # if a regenerated dataset had ts/event_id inversions
-    order = sorted(range(len(batch)), key=lambda i: int(eids[i]))
-
-    # state = previous cents, newest LAST (so vals[-k] is lag k)
-    vals: list[int] = list(state.get[0]) if state.exists else []
+def ewma_fold(
+    vals: list[int], eids, cents
+) -> tuple[list[tuple[int, int, int, float]], list[int]]:
+    """The EWMA state fold — sort the micro-batch by event_id (the batch
+    twin's window frame is ORDER BY user_id, event_id; event_id alone is
+    total within a user), emit the exact num/den ints plus the batch
+    lane's IEEE tree per row, and return the trimmed trailing-cents
+    state. ONE spelling shared by the v1 kernel and the state-schema
+    upgrade test's v2 kernel (the apply_spacesaving discipline)."""
+    order = sorted(range(len(eids)), key=lambda i: int(eids[i]))
+    vals = list(vals)
     out: list[tuple[int, int, int, float]] = []
     for i in order:
         c = int(cents[i])
@@ -72,7 +66,23 @@ def _ewma_fn(
         # the batch twin's exact output tree: int/int/100, two IEEE divides
         out.append((int(eids[i]), num, den, float(num) / float(den) / 100.0))
         vals.append(c)
-    state.update((vals[-(EWMA_K - 1) :],))
+    return out, vals[-(EWMA_K - 1) :]
+
+
+def _ewma_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    user_id = int(key[0])
+    frames = [p for p in pdfs if len(p)]
+    if not frames:
+        return
+    batch = pd.concat(frames, ignore_index=True)
+    # state = previous cents, newest LAST (so vals[-k] is lag k)
+    vals: list[int] = list(state.get[0]) if state.exists else []
+    out, new_vals = ewma_fold(
+        vals, batch["event_id"].to_numpy(), batch["cents"].to_numpy()
+    )
+    state.update((new_vals,))
     yield pd.DataFrame(
         {
             "user_id": user_id,

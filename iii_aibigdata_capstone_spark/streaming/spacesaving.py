@@ -110,6 +110,17 @@ def _ss_fn(
     )
 
 
+def ss_shard_col(term_col) -> F.Column:
+    """The term's shard: 60-bit md5 mod {SS_SHARDS} — ONE spelling shared
+    by the streaming stateful op and the batch ``x5_spacesaving_topk``
+    twin (the cms_hash_col discipline: the batch==stream property cannot
+    drift while both lanes call this)."""
+    return (
+        F.conv(F.substring(F.md5(term_col), 1, 15), 16, 10).cast("long")
+        % SS_SHARDS
+    )
+
+
 def streaming_spacesaving(docs: DataFrame) -> DataFrame:
     """Sharded SpaceSaving summaries over a streaming (doc_id, text)
     frame — one stateful op keyed by term shard; emits each shard's full
@@ -117,12 +128,8 @@ def streaming_spacesaving(docs: DataFrame) -> DataFrame:
     terms = docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("term")
     ).where(F.col("term") != "")
-    shard = (
-        F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("long")
-        % SS_SHARDS
-    )
     return (
-        terms.select(shard.alias("shard"), "term")
+        terms.select(ss_shard_col(F.col("term")).alias("shard"), "term")
         .groupBy("shard")
         .applyInPandasWithState(
             _ss_fn,

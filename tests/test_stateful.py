@@ -1115,3 +1115,228 @@ def test_streaming_spacesaving_matches_replay_and_guarantees(spark):
         for t, true in true_counts[s].items():
             if true > threshold:
                 assert t in summary, (s, t, true, threshold)
+
+
+def test_spacesaving_batch_twin_matches_replay_and_single_chunk_stream(spark):
+    """x5_spacesaving_topk: the batch lane's per-shard summary must equal
+    (a) a python replay of one lexicographic fold of the exact per-shard
+    counts through the SHARED apply_spacesaving kernel, and (b) the
+    streaming twin drained in ONE micro-batch over the same corpus —
+    SpaceSaving is arrival-chunking-sensitive, so single-chunk equality
+    IS the batch==stream contract (the multi-chunk behavior is pinned by
+    the streaming test's replay)."""
+    import hashlib
+    import tempfile
+    from collections import Counter
+
+    from iii_aibigdata_capstone_spark.streaming.spacesaving import (
+        SS_CAP,
+        SS_SHARDS,
+        apply_spacesaving,
+        streaming_spacesaving,
+    )
+
+    # python replay: exact counts per shard, one sorted fold
+    per_shard: dict[int, Counter] = {s: Counter() for s in range(SS_SHARDS)}
+    for r in table(spark, TEST_SF_DIR, "documents").select("text").collect():
+        for t in r.text.split(" "):
+            if t:
+                s = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % SS_SHARDS
+                per_shard[s][t] += 1
+    expect: dict[int, dict] = {}
+    for s, cnt in per_shard.items():
+        if not cnt:
+            continue
+        summary: dict = {}
+        apply_spacesaving(summary, sorted(cnt.items()), SS_CAP)
+        expect[s] = summary
+
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    batch = {}
+    for row in (
+        registry()["x5_spacesaving_topk"].builder(spark, TEST_SF_DIR).collect()
+    ):
+        batch.setdefault(row.shard, {})[row.term] = (row.est, row.err)
+    assert batch == expect
+
+    # single-micro-batch stream drain == batch lane, bit for bit
+    # (the file stream source wants a DIRECTORY; one file -> one batch)
+    src = tempfile.mkdtemp(prefix="ss_one_src_")
+    table(spark, TEST_SF_DIR, "documents").select(
+        "doc_id", "text"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    stream_final: dict[int, dict] = {}
+    per_batch: list[tuple[int, list]] = []
+    q = (
+        streaming_spacesaving(
+            spark.readStream.schema("doc_id long, text string").parquet(src)
+        )
+        .writeStream.foreachBatch(
+            lambda df, bid: per_batch.append((bid, df.collect()))
+        )
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ss_one_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not finish"
+    q.stop()
+    assert len([b for b, rows in per_batch if rows]) == 1  # ONE data batch
+    for _bid, batch_rows in sorted(per_batch):
+        for row in batch_rows:
+            stream_final[row.shard] = {
+                t: (c, e)
+                for t, c, e in zip(row.terms, row.counts, row.errs)
+            }
+    assert stream_final == batch
+
+
+def test_streaming_state_schema_upgrade_path(spark):
+    """The production upgrade path for applyInPandasWithState, both
+    halves pinned on the EWMA twin:
+
+    (a) resuming an old checkpoint with a WIDENED state schema fails
+        LOUDLY (STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE) — Spark's state
+        store schema check, i.e. no silent state corruption; and
+    (b) the working upgrade — a NEWER kernel with new logic and a WIDER
+        OUTPUT schema over the UNCHANGED state schema — resumes the v1
+        checkpoint and continues BIT-CORRECTLY: the union of v1 + v2
+        emissions equals the batch ts_ewma lane (v2 read v1's state),
+        via the shared ewma_fold (one spelling of the fold).
+
+    The recipe this pins: design state forward-compatible from day one
+    (kernel/output evolve freely; state evolution requires a new
+    checkpoint)."""
+    import tempfile
+
+    import pandas as pd
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from iii_aibigdata_capstone_spark.queries import registry
+    from iii_aibigdata_capstone_spark.streaming.ewma import (
+        STATE_SCHEMA,
+        ewma_fold,
+        streaming_ewma,
+    )
+
+    ev = (
+        table(spark, TEST_SF_DIR, "events")
+        .select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id", "value"
+        )
+        .where(F.col("user_id") < 40)
+    )
+    rows = ev.orderBy("ts", "event_id").collect()
+    assert rows
+    half = len(rows) // 2
+    src = tempfile.mkdtemp(prefix="upg_src_")
+    ck = tempfile.mkdtemp(prefix="upg_ck_")
+    spark.createDataFrame(rows[:half], ev.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def drain(builder_fn, sink):
+        q = (
+            builder_fn(
+                spark.readStream.schema(
+                    "user_id long, ts timestamp, event_id long, value double"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            .writeStream.foreachBatch(lambda df, _i: sink.extend(df.collect()))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(180)
+        q.stop()
+        assert finished, "stream did not finish"
+
+    v1_rows: list = []
+    drain(streaming_ewma, v1_rows)
+    assert v1_rows
+
+    cents_col = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+
+    def make_kernel(state_schema, output_schema, extra_out):
+        def fn(key, pdfs, state):
+            frames = [p for p in pdfs if len(p)]
+            if not frames:
+                return
+            batch = pd.concat(frames, ignore_index=True)
+            vals = list(state.get[0]) if state.exists else []
+            out, new_vals = ewma_fold(
+                vals, batch["event_id"].to_numpy(), batch["cents"].to_numpy()
+            )
+            state.update((new_vals,) if state_schema == STATE_SCHEMA else (new_vals, 0))
+            payload = {
+                "user_id": int(key[0]),
+                "event_id": [o[0] for o in out],
+                "ewma_num": [o[1] for o in out],
+                "ewma_den": [o[2] for o in out],
+                "ewma": [o[3] for o in out],
+            }
+            if extra_out:
+                payload["n_in_batch"] = len(out)
+            yield pd.DataFrame(payload)
+
+        def builder(events):
+            return (
+                events.select(
+                    "user_id",
+                    F.col("ts").cast("timestamp").alias("ts"),
+                    "event_id",
+                    cents_col.alias("cents"),
+                )
+                .groupBy("user_id")
+                .applyInPandasWithState(
+                    fn,
+                    outputStructType=output_schema,
+                    stateStructType=state_schema,
+                    outputMode="append",
+                    timeoutConf=GroupStateTimeout.NoTimeout,
+                )
+            )
+
+        return builder
+
+    # second half of the data arrives, then the upgrade is attempted
+    spark.createDataFrame(rows[half:], ev.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    # (a) widened STATE schema -> loud, typed failure
+    widened = make_kernel(
+        STATE_SCHEMA + ", n_seen long",
+        "user_id long, event_id long, ewma_num long, ewma_den long, ewma double",
+        extra_out=False,
+    )
+    with pytest.raises(
+        StreamingQueryException, match="STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE"
+    ):
+        drain(widened, [])
+
+    # (b) upgraded kernel + WIDER OUTPUT over the unchanged state schema
+    v2 = make_kernel(
+        STATE_SCHEMA,
+        "user_id long, event_id long, ewma_num long, ewma_den long, "
+        "ewma double, n_in_batch long",
+        extra_out=True,
+    )
+    v2_rows: list = []
+    drain(v2, v2_rows)
+    assert v2_rows and all(r.n_in_batch >= 1 for r in v2_rows)
+
+    got = {
+        (r.user_id, r.event_id, r.ewma_num, r.ewma_den, r.ewma)
+        for r in [*v1_rows, *v2_rows]
+    }
+    expect = {
+        (r.user_id, r.event_id, r.ewma_num, r.ewma_den, r.ewma)
+        for r in registry()["ts_ewma"].builder(spark, TEST_SF_DIR).collect()
+        if r.user_id < 40
+    }
+    assert got == expect  # v2 continued v1's state bit-correctly
