@@ -318,28 +318,40 @@ def main() -> None:
         timings, errors = run_slice(all_names)  # legacy single-JVM mode
     else:
         for chunk in chunked(all_names, n_chunks):
-            out_path = tempfile.mktemp(prefix="bench_chunk_", suffix=".json")
+            fd, out_path = tempfile.mkstemp(prefix="bench_chunk_", suffix=".json")
+            os.close(fd)
+            tail = ""  # THIS chunk's stderr only — never a prior chunk's
             try:
-                proc = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__),
-                     "--slice", ",".join(chunk), "--out", out_path],
-                    cwd=REPO,
-                    stdout=subprocess.DEVNULL,
-                    stderr=subprocess.PIPE,
-                    timeout=2400,
-                )
-                stderr_tail = proc.stderr.decode(errors="replace")[-400:]
-                with open(out_path) as fh:
-                    part = json.load(fh)
-                timings.update({k: float(v) for k, v in part["timings"].items()})
-                errors.update(part["errors"])
-                os.unlink(out_path)
+                try:
+                    proc = subprocess.run(
+                        [sys.executable, os.path.abspath(__file__),
+                         "--slice", ",".join(chunk), "--out", out_path],
+                        cwd=REPO,
+                        stdout=subprocess.DEVNULL,
+                        stderr=subprocess.PIPE,
+                        timeout=2400,
+                    )
+                    tail = proc.stderr.decode(errors="replace")[-400:]
+                    with open(out_path) as fh:
+                        part = json.load(fh)
+                    timings.update(
+                        {k: float(v) for k, v in part["timings"].items()}
+                    )
+                    errors.update(part["errors"])
+                except subprocess.TimeoutExpired as ex:
+                    if ex.stderr:
+                        tail = ex.stderr.decode(errors="replace")[-400:]
+                    raise
             except (OSError, json.JSONDecodeError, KeyError,
                     subprocess.TimeoutExpired) as ex:
-                tail = locals().get("stderr_tail", "")
                 for name in chunk:
                     if name not in timings:
                         errors[name] = f"chunk failed ({type(ex).__name__}): {tail}"[:200]
+            finally:
+                try:
+                    os.unlink(out_path)
+                except OSError:
+                    pass
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -385,48 +385,78 @@ def x9_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_W = 200  # chunk window (chars)
+CHUNK_S = 150  # chunk stride (chars; 50-char overlap)
+
+# The ONE DuckDB spelling of the chunk table (doc_id, chunk_id, ctext) —
+# shared by the x9_doc_chunking oracle and the x9_rag_pipeline oracle's
+# chunks CTE, so the chunk geometry cannot drift between the standalone
+# lane and the composed pipeline (review r9; the cms_hash_col discipline).
+_CHUNKS_SQL = (
+    f"SELECT d.doc_id, k AS chunk_id, "
+    f"SUBSTR(d.text, CAST(k * {CHUNK_S} + 1 AS BIGINT), {CHUNK_W}) AS ctext "
+    f"FROM documents d, "
+    f"UNNEST(RANGE(0, CAST(FLOOR((LENGTH(d.text) - 1) / {CHUNK_S}) "
+    f"AS BIGINT) + 1)) AS t(k) "
+    f"WHERE LENGTH(d.text) > 0"
+)
+
+
+def doc_chunks(docs: DataFrame, par: int | None = None) -> DataFrame:
+    """``(doc_id, chunk_id, ctext)`` — {CHUNK_W}-char windows every
+    {CHUNK_S} chars over non-empty documents; the Spark twin of
+    ``_CHUNKS_SQL`` (ONE spelling of the chunk geometry, shared by
+    x9_doc_chunking and the x9_rag_pipeline stage 1). A lateral explode
+    of a ``sequence`` — no UDF, narrow unless ``par`` asks for the
+    pre-explode repartition (the compact-single-file-corpus gotcha for
+    consumers that fan out further, e.g. the RAG tokenizer)."""
+    nz = docs.where(F.length("text") > 0)
+    if par:
+        nz = nz.repartition(par, "doc_id")
+    k = F.explode(
+        F.sequence(
+            F.lit(0).cast("long"), F.floor((F.length("text") - 1) / CHUNK_S)
+        )
+    ).alias("chunk_id")
+    ctext = F.substring(
+        F.col("text"), (F.col("chunk_id") * CHUNK_S + 1).cast("int"), CHUNK_W
+    )
+    return nz.select("doc_id", "text", k).select(
+        "doc_id", "chunk_id", ctext.alias("ctext")
+    )
+
+
 @query(
     "x9_doc_chunking",
     oracle=dedent(
-        """
-        SELECT d.doc_id, k AS chunk_id,
-               k * 150 AS chunk_start,
-               LENGTH(SUBSTR(d.text, CAST(k * 150 + 1 AS BIGINT), 200))
-                   AS chunk_len,
-               MD5(SUBSTR(d.text, CAST(k * 150 + 1 AS BIGINT), 200))
-                   AS chunk_md5
-        FROM documents d,
-             UNNEST(RANGE(0, CAST(FLOOR((LENGTH(d.text) - 1) / 150)
-                                  AS BIGINT) + 1)) AS t(k)
-        WHERE LENGTH(d.text) > 0
+        f"""
+        SELECT doc_id, chunk_id,
+               chunk_id * {CHUNK_S} AS chunk_start,
+               LENGTH(ctext) AS chunk_len,
+               MD5(ctext) AS chunk_md5
+        FROM ({_CHUNKS_SQL})
         """
     ),
     tags=("X9", "T2", "chunking"),
 )
 def x9_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RAG-style overlapping chunking: 200-char windows every 150 chars
-    (50-char overlap), one output row per chunk with its offset, length
-    and content hash. The chunk count is a pure expression of the doc
-    length, so the fan-out is a lateral explode of a ``sequence`` — no
-    UDF, no shuffle at all (narrow transform; whole-stage codegen keeps
-    substring+md5 JVM-side). Embarrassingly parallel at 100 TB: chunks
-    inherit the scan's partitioning and flow straight into downstream
+    """RAG-style overlapping chunking: {CHUNK_W}-char windows every
+    {CHUNK_S} chars (50-char overlap), one output row per chunk with its
+    offset, length and content hash. The chunk count is a pure expression
+    of the doc length, so the fan-out is a lateral explode of a
+    ``sequence`` (doc_chunks — the shared geometry) — no UDF, no shuffle
+    at all (narrow transform; whole-stage codegen keeps substring+md5
+    JVM-side). Embarrassingly parallel at 100 TB: chunks inherit the
+    scan's partitioning and flow straight into downstream
     embedding/indexing stages; the overlap means every substring is
     cut twice rather than buffered across rows."""
-    docs = table(spark, sf_dir, "documents").where(F.length("text") > 0)
-    k = F.explode(
-        F.sequence(F.lit(0).cast("long"), F.floor((F.length("text") - 1) / 150))
-    ).alias("chunk_id")
-    chunk = F.substring(F.col("text"), (F.col("chunk_id") * 150 + 1).cast("int"), 200)
-    return (
-        docs.select("doc_id", "text", k)
-        .select(
-            "doc_id",
-            "chunk_id",
-            (F.col("chunk_id") * 150).alias("chunk_start"),
-            F.length(chunk).alias("chunk_len"),
-            F.md5(chunk).alias("chunk_md5"),
-        )
+    chunks = doc_chunks(table(spark, sf_dir, "documents"))
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * CHUNK_S).alias("chunk_start"),
+        F.length("ctext").alias("chunk_len"),
+        F.md5("ctext").alias("chunk_md5"),
     )
 
 
@@ -657,14 +687,7 @@ def _rag_oracle() -> str:
 
     return dedent(
         f"""
-        WITH chunks AS MATERIALIZED (
-            SELECT d.doc_id, k AS chunk_id,
-                   SUBSTR(d.text, CAST(k * 150 + 1 AS BIGINT), 200) AS ctext
-            FROM documents d,
-                 UNNEST(RANGE(0, CAST(FLOOR((LENGTH(d.text) - 1) / 150)
-                                      AS BIGINT) + 1)) AS t(k)
-            WHERE LENGTH(d.text) > 0
-        ),
+        WITH chunks AS MATERIALIZED ({_CHUNKS_SQL}),
         tf0 AS MATERIALIZED (
             SELECT doc_id, chunk_id, term, CAST(COUNT(*) AS BIGINT) AS tf
             FROM (SELECT doc_id, chunk_id,
@@ -815,17 +838,9 @@ def x9_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     par = spark.sparkContext.defaultParallelism
     docs = table(spark, sf_dir, "documents")
-    # stage 1: chunk (pre-explode repartition: compact-file corpus gotcha)
-    nz = docs.where(F.length("text") > 0).repartition(par, "doc_id")
-    kcol = F.explode(
-        F.sequence(F.lit(0).cast("long"), F.floor((F.length("text") - 1) / 150))
-    ).alias("chunk_id")
-    ctext = F.substring(
-        F.col("text"), (F.col("chunk_id") * 150 + 1).cast("int"), 200
-    )
-    chunks = nz.select("doc_id", "text", kcol).select(
-        "doc_id", "chunk_id", ctext.alias("ctext")
-    )
+    # stage 1: chunk — the SHARED doc_chunks geometry, with the
+    # pre-explode repartition (compact-file corpus gotcha)
+    chunks = doc_chunks(docs, par=par)
     # stage 2: chunk-granular BM25
     toks = chunks.select(
         "doc_id", "chunk_id", F.explode(F.split("ctext", " ")).alias("term")

@@ -83,15 +83,18 @@ def _ss_fn(
         summary = {t: (int(c), int(e)) for t, c, e in zip(terms, counts, errs)}
     else:
         summary = {}
-    touched = False
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
-        touched = True
-        adds = sorted(pdf.groupby("term").size().items())  # lexicographic
-        apply_spacesaving(summary, [(t, int(n)) for t, n in adds], SS_CAP)
-    if not touched:
+    # concat BEFORE counting: the documented unit of application is the
+    # MICRO-BATCH, and pdfs yields multiple Arrow chunks once a shard's
+    # rows exceed maxRecordsPerBatch (~10k) — folding per chunk would make
+    # the summary depend on an Arrow buffer size, break the pytest replay
+    # at larger SFs, and void the batch==single-micro-batch twin contract
+    # (review r9; the _ewma_fn discipline)
+    frames = [p for p in pdfs if len(p)]
+    if not frames:
         return
+    batch = pd.concat(frames, ignore_index=True)
+    adds = sorted(batch.groupby("term").size().items())  # lexicographic
+    apply_spacesaving(summary, [(t, int(n)) for t, n in adds], SS_CAP)
     kept = sorted(summary)  # deterministic emission order
     state.update(
         (
