@@ -124,6 +124,7 @@ HEADLINE = [
     "x10_walk_pairs",
     "x10_modularity",
     "x9_rag_pipeline",
+    "x5_spacesaving_topk",
 ]
 
 # The two non-registry entries, timed by the last chunk.

@@ -120,6 +120,7 @@ DEFAULT = [
     "x10_walk_pairs",
     "x10_modularity",
     "x9_rag_pipeline",
+    "x5_spacesaving_topk",
 ]
 
 
