@@ -151,6 +151,12 @@ BENCH_NOTES = (
     " 2.58) — all at their r7 levels, so the r8 readings (4.82/3.17/3.21s)"
     " were shared-JVM contamination; the structural fix is this round's"
     " fresh-JVM chunked bench (SPARK_GRAFT_BENCH_CHUNKS, default 4)."
+    " Chunked-bench reproducibility, measured on three same-code r9 runs:"
+    " common-query total ratios 1.135 (run2/run1), 0.944 (run3/run2) —"
+    " the residual band is MACHINE-level (diffuse movers sit at identical"
+    " chunk positions across runs; intra-chunk JVM drift is bounded now),"
+    " so the ~12%-is-noise rule stands and the 12-run standalone decay"
+    " remains the adjudicator for any single-lane mover."
 )
 
 
