@@ -353,7 +353,11 @@ def main() -> None:
                     subprocess.TimeoutExpired) as ex:
                 for name in chunk:
                     if name not in timings:
-                        errors[name] = f"chunk failed ({type(ex).__name__}): {tail}"[:200]
+                        # keep the END of stderr — that's where the fatal
+                        # exception line lives (review r9)
+                        errors[name] = (
+                            f"chunk failed ({type(ex).__name__}): {tail[-160:]}"[:200]
+                        )
             finally:
                 try:
                     os.unlink(out_path)

@@ -83,18 +83,24 @@ def _ss_fn(
         summary = {t: (int(c), int(e)) for t, c, e in zip(terms, counts, errs)}
     else:
         summary = {}
-    # concat BEFORE counting: the documented unit of application is the
-    # MICRO-BATCH, and pdfs yields multiple Arrow chunks once a shard's
-    # rows exceed maxRecordsPerBatch (~10k) — folding per chunk would make
-    # the summary depend on an Arrow buffer size, break the pytest replay
-    # at larger SFs, and void the batch==single-micro-batch twin contract
-    # (review r9; the _ewma_fn discipline)
-    frames = [p for p in pdfs if len(p)]
-    if not frames:
+    # count across ALL Arrow chunks before folding: the documented unit of
+    # application is the MICRO-BATCH, and pdfs yields multiple chunks once
+    # a shard's rows exceed maxRecordsPerBatch (~10k) — folding per chunk
+    # would make the summary depend on an Arrow buffer size, break the
+    # pytest replay at larger SFs, and void the batch==single-micro-batch
+    # twin contract (review r9). Counts are summed chunk-by-chunk (unlike
+    # _ewma_fn, SpaceSaving needs no row order, only totals) so peak
+    # memory is O(distinct terms), never O(rows).
+    counts = None
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        c = pdf.groupby("term").size()
+        counts = c if counts is None else counts.add(c, fill_value=0)
+    if counts is None:
         return
-    batch = pd.concat(frames, ignore_index=True)
-    adds = sorted(batch.groupby("term").size().items())  # lexicographic
-    apply_spacesaving(summary, [(t, int(n)) for t, n in adds], SS_CAP)
+    adds = sorted((t, int(n)) for t, n in counts.items())  # lexicographic
+    apply_spacesaving(summary, adds, SS_CAP)
     kept = sorted(summary)  # deterministic emission order
     state.update(
         (
