@@ -22,6 +22,7 @@ survivors; the report is a single aggregation over tagged rows.
 from __future__ import annotations
 
 from textwrap import dedent
+from typing import NamedTuple
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -794,54 +795,32 @@ def _rag_oracle() -> str:
     )
 
 
-@query(
-    "x9_rag_pipeline",
-    oracle=_rag_oracle(),
-    tags=("X9", "X3", "X4", "pipeline", "search"),
-)
-def x9_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed retrieval product, end to end in one dataflow — the
-    x1_fuzzy_dedup_pipeline of the search family. Five stages, each an
-    already-oracled lane, composed without extra scans:
+class RagIndex(NamedTuple):
+    """The static half of the retrieval product, built ONCE per corpus and
+    reused across query batches (the streaming serving twin materializes
+    it once and serves every micro-batch from the same checkpointed
+    RDDs): the chunk-granular postings with per-chunk lengths (``tf``),
+    the chunk document frequencies (``dfreq``), the corpus constants
+    (``g``), the IVF two-nearest-cells table (``ranked``), and the
+    serving-dimension metadata (``dim``)."""
 
-    1. CHUNK (x9_doc_chunking recipe): 200-char windows every 150 chars.
-    2. SPARSE RETRIEVAL: Okapi BM25 at CHUNK granularity (shared
-       idf/avgdl/contribution SQL with x4_bm25_search; a chunk plays the
-       role of a BM25 document, hence the n_docs/dl column names), then
-       MAX-pooled per document — the standard long-document trick: a doc
-       ranks by its best-matching passage, which whole-doc BM25 dilutes.
-       Query q's terms are the distinct terms across its own chunks.
-    3. DENSE RETRIEVAL: IVF nprobe=2 shortlist + exact rounded-cosine
-       ranking over the document embeddings (ivf_multiprobe_ranks, the
-       x3_ivf_multiprobe core, widened to the lane depth K={RAG_LANE_K}).
-    4. FUSION: reciprocal-rank fusion of the two lanes,
-       rrf = {RRF_SCALE} DIV ({RRF_K} + rank) summed over lanes — integer
-       division on integer ranks, so the fused score is EXACT (no float
-       accumulation reaches the hash; the fixed-point discipline), with
-       absent-lane ranks emitted as 0.
-    5. SERVING JOIN (J1 shape): the per-query top-{RAG_TOPK} table —
-       bounded at queries x {RAG_TOPK} rows — broadcasts against the
-       document metadata table, so the dim side never shuffles (the
-       batch analog of the stream-static lookup join).
+    tf: DataFrame
+    dfreq: DataFrame
+    g: DataFrame
+    ranked: DataFrame
+    dim: DataFrame
 
-    Scale shape: the chunk tf table is built from ONE documents scan and
-    checkpointed (4 consumers: corpus stats, chunk-df, probe terms,
-    candidates); probe terms ride a bounded broadcast so candidate
-    generation never shuffles the corpus postings for the join; each
-    lane's top-k is a keyed window (WindowGroupLimit pre-trim); fusion
-    joins two <= queries x {RAG_LANE_K} rank lists. At 100 TB the only
-    corpus-sized exchanges are the tf aggregation, the per-chunk dl
-    window, and the per-(query, chunk) score aggregation — everything
-    downstream is bounded by the query batch."""
-    from .similarity import ivf_multiprobe_ranks
-    from .textual import _BM25_AVGDL_SQL, _BM25_CONTRIB_SQL, _BM25_IDF_SQL
+
+def rag_index(spark: SparkSession, sf_dir: str) -> RagIndex:
+    """Build the RAG index: one documents scan feeds the checkpointed
+    chunk tf table (4 consumers: corpus stats, chunk-df, probe terms,
+    candidates); one embeddings scan feeds the checkpointed IVF cell
+    ranking. Chunking is the SHARED doc_chunks geometry."""
+    from .similarity import ivf_ranked_cells
 
     par = spark.sparkContext.defaultParallelism
     docs = table(spark, sf_dir, "documents")
-    # stage 1: chunk — the SHARED doc_chunks geometry, with the
-    # pre-explode repartition (compact-file corpus gotcha)
     chunks = doc_chunks(docs, par=par)
-    # stage 2: chunk-granular BM25
     toks = chunks.select(
         "doc_id", "chunk_id", F.explode(F.split("ctext", " ")).alias("term")
     ).where(F.col("term") != "")
@@ -861,12 +840,47 @@ def x9_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    pterm = (
-        tf.where(F.col("doc_id") < RAG_PROBES)
-        .select(F.col("doc_id").alias("query_id"), "term")
+    return RagIndex(
+        tf=tf,
+        dfreq=dfreq,
+        g=g,
+        ranked=ivf_ranked_cells(spark, sf_dir),
+        dim=docs.select("doc_id", "source", "lang"),
+    )
+
+
+def rag_query_terms(queries: DataFrame) -> DataFrame:
+    """``(query_id, term)`` — a query's term set is the distinct terms
+    across its chunks under the SHARED doc_chunks geometry; this is what
+    the batch lane derives from the corpus tf table for resident probe
+    docs, computed here from raw ``(query_id, text)`` rows so a
+    streaming micro-batch can tokenize queries it has never indexed."""
+    chunks = doc_chunks(
+        queries.select(F.col("query_id").alias("doc_id"), "text")
+    )
+    return (
+        chunks.select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.split("ctext", " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
         .distinct()
-        .join(dfreq, "term")
-        .crossJoin(F.broadcast(g))
+    )
+
+
+def rag_serve(index: RagIndex, qids: DataFrame, qterms: DataFrame) -> DataFrame:
+    """Serve a query batch against the prebuilt index: chunk-BM25
+    max-pooled per doc + IVF multiprobe exact rerank, fused by integer
+    RRF, top-{RAG_TOPK} joined to the serving dimension. ``qids`` is a
+    one-column ``(query_id)`` frame (bounded — it broadcasts); ``qterms``
+    the matching ``(query_id, term)`` set. Shared verbatim by the batch
+    x9_rag_pipeline lane and the streaming serving twin."""
+    from .similarity import ivf_rank_from
+    from .textual import _BM25_AVGDL_SQL, _BM25_CONTRIB_SQL, _BM25_IDF_SQL
+
+    pterm = (
+        qterms.join(index.dfreq, "term")
+        .crossJoin(F.broadcast(index.g))
         .select(
             "query_id",
             "term",
@@ -875,7 +889,7 @@ def x9_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cscore = (
-        tf.join(F.broadcast(pterm), "term")
+        index.tf.join(F.broadcast(pterm), "term")
         .where(F.col("doc_id") != F.col("query_id"))
         .groupBy("query_id", "doc_id", "chunk_id")
         .agg(F.sum(F.expr(_BM25_CONTRIB_SQL)).alias("score_micro"))
@@ -890,13 +904,18 @@ def x9_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("br") <= RAG_LANE_K)
         .select("query_id", "doc_id", "br")
     )
-    # stage 3: dense lane (the x3_ivf_multiprobe core, lane-depth ranks)
-    dense = ivf_multiprobe_ranks(spark, sf_dir, RAG_PROBES, RAG_LANE_K).select(
+    # dense lane: probe cells looked up by query id (the encoder seam —
+    # query vectors resolve from the embedding store)
+    probes = (
+        index.ranked.where(F.col("rn") <= 2)
+        .join(F.broadcast(qids), F.col("vec_id") == F.col("query_id"))
+        .select("vec_id", "v", "norm", "cid")
+    )
+    dense = ivf_rank_from(index.ranked, probes, RAG_LANE_K).select(
         "query_id",
         F.col("neighbor_id").alias("doc_id"),
         F.col("rank").cast("long").alias("cr"),
     )
-    # stage 4: reciprocal-rank fusion — exact integer arithmetic
     b, d = bm25.alias("b"), dense.alias("d")
     fused = b.join(
         d,
@@ -926,9 +945,8 @@ def x9_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("rank", F.row_number().over(w_fuse).cast("long"))
         .where(F.col("rank") <= RAG_TOPK)
     )
-    # stage 5: serving join — the bounded top-k side broadcasts (J1 shape)
-    dim = docs.select("doc_id", "source", "lang")
-    return F.broadcast(topk).join(dim, "doc_id").select(
+    # serving join — the bounded top-k side broadcasts (J1 shape)
+    return F.broadcast(topk).join(index.dim, "doc_id").select(
         "query_id",
         "rank",
         "doc_id",
@@ -938,3 +956,59 @@ def x9_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "lang",
     )
+
+
+@query(
+    "x9_rag_pipeline",
+    oracle=_rag_oracle(),
+    tags=("X9", "X3", "X4", "pipeline", "search"),
+)
+def x9_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed retrieval product, end to end in one dataflow — the
+    x1_fuzzy_dedup_pipeline of the search family. Five stages, each an
+    already-oracled lane, composed without extra scans:
+
+    1. CHUNK (the SHARED doc_chunks geometry): {CHUNK_W}-char windows
+       every {CHUNK_S} chars.
+    2. SPARSE RETRIEVAL: Okapi BM25 at CHUNK granularity (shared
+       idf/avgdl/contribution SQL with x4_bm25_search; a chunk plays the
+       role of a BM25 document, hence the n_docs/dl column names), then
+       MAX-pooled per document — the standard long-document trick: a doc
+       ranks by its best-matching passage, which whole-doc BM25 dilutes.
+       Query q's terms are the distinct terms across its own chunks
+       (derived from the resident tf table here; a streaming micro-batch
+       derives the identical set from raw text via rag_query_terms).
+    3. DENSE RETRIEVAL: IVF nprobe=2 shortlist + exact rounded-cosine
+       ranking over the document embeddings (ivf_ranked_cells +
+       ivf_rank_from, the x3_ivf_multiprobe core, lane depth
+       K={RAG_LANE_K}).
+    4. FUSION: reciprocal-rank fusion of the two lanes,
+       rrf = {RRF_SCALE} DIV ({RRF_K} + rank) summed over lanes — integer
+       division on integer ranks, so the fused score is EXACT (no float
+       accumulation reaches the hash; the fixed-point discipline), with
+       absent-lane ranks emitted as 0.
+    5. SERVING JOIN (J1 shape): the per-query top-{RAG_TOPK} table —
+       bounded at queries x {RAG_TOPK} rows — broadcasts against the
+       document metadata table, so the dim side never shuffles (the
+       batch analog of the stream-static lookup join; the streaming twin
+       in streaming/serving.py serves micro-batches of queries against
+       the SAME prebuilt RagIndex through the SAME rag_serve dataflow).
+
+    Scale shape: the chunk tf table is built from ONE documents scan and
+    checkpointed (4 consumers: corpus stats, chunk-df, probe terms,
+    candidates); probe terms ride a bounded broadcast so candidate
+    generation never shuffles the corpus postings for the join; each
+    lane's top-k is a keyed window (WindowGroupLimit pre-trim); fusion
+    joins two <= queries x {RAG_LANE_K} rank lists. At 100 TB the only
+    corpus-sized exchanges are the tf aggregation, the per-chunk dl
+    window, and the per-(query, chunk) score aggregation — everything
+    downstream is bounded by the query batch."""
+    index = rag_index(spark, sf_dir)
+    spark_range = index.tf.sparkSession.range(RAG_PROBES)
+    qids = spark_range.select(F.col("id").cast("long").alias("query_id"))
+    qterms = (
+        index.tf.where(F.col("doc_id") < RAG_PROBES)
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .distinct()
+    )
+    return rag_serve(index, qids, qterms)

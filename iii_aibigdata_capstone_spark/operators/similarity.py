@@ -348,20 +348,19 @@ def x3_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ivf_multiprobe_ranks(
-    spark: SparkSession, sf_dir: str, n_queries: int, k: int
-) -> DataFrame:
-    """The reusable core of ``x3_ivf_multiprobe``: IVF nprobe=2 shortlist
-    + exact rounded-cosine ranking, emitting ``(query_id, neighbor_id,
-    cosine, rank)`` for the top-``k`` per probe — shared by the standalone
-    lane (k=3) and the x9 RAG pipeline's dense retrieval stage (k=10)."""
+def ivf_ranked_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index: every vector's TWO nearest coarse cells as
+    ``(vec_id, v, norm, cid, rn)``, checkpointed once — the static half of
+    the multiprobe search, reusable across many query batches (the
+    streaming RAG serving twin materializes it once and serves every
+    micro-batch from it)."""
     e = with_norm(table(spark, sf_dir, "embeddings")).select("vec_id", "v", "norm")
     centroids = e.where(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
     dist = l2_dist_sq(F.col("v"), F.col("cv"))
     w_assign = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
-    ranked = (
+    return (
         e.crossJoin(F.broadcast(centroids))
         .select("vec_id", "v", "norm", "cid", dist.alias("d"))
         .withColumn("rn", F.row_number().over(w_assign))
@@ -374,10 +373,14 @@ def ivf_multiprobe_ranks(
         .select("vec_id", "v", "norm", "cid", "rn")
         .localCheckpoint(eager=False)
     )
+
+
+def ivf_rank_from(ranked: DataFrame, probes: DataFrame, k: int) -> DataFrame:
+    """Search half of the multiprobe cascade: given the ``ivf_ranked_cells``
+    index and a probe frame ``(vec_id, v, norm, cid)`` (one row per probe
+    per probed cell), emit the exact rounded-cosine top-``k`` as
+    ``(query_id, neighbor_id, cosine, rank)``."""
     assigned = ranked.where(F.col("rn") == 1).select("vec_id", "v", "norm", "cid")
-    probes = ranked.where(
-        (F.col("rn") <= 2) & (F.col("vec_id") < n_queries)
-    ).select("vec_id", "v", "norm", "cid")
     p, b = probes.alias("p"), assigned.alias("b")
     cos = dot(F.col("p.v"), F.col("b.v")) / (F.col("p.norm") * F.col("b.norm"))
     scored = (
@@ -399,6 +402,20 @@ def ivf_multiprobe_ranks(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivf_multiprobe_ranks(
+    spark: SparkSession, sf_dir: str, n_queries: int, k: int
+) -> DataFrame:
+    """The reusable core of ``x3_ivf_multiprobe``: IVF nprobe=2 shortlist
+    + exact rounded-cosine ranking, emitting ``(query_id, neighbor_id,
+    cosine, rank)`` for the top-``k`` per probe — shared by the standalone
+    lane (k=3) and the x9 RAG pipeline's dense retrieval stage (k=10)."""
+    ranked = ivf_ranked_cells(spark, sf_dir)
+    probes = ranked.where(
+        (F.col("rn") <= 2) & (F.col("vec_id") < n_queries)
+    ).select("vec_id", "v", "norm", "cid")
+    return ivf_rank_from(ranked, probes, k)
 
 
 @query("x3_pq_topk", oracle=None, tags=("X3", "pq"))

@@ -702,3 +702,61 @@ def test_streaming_pii_scrub_equals_batch(spark):
 
     want = sorted(map(tuple, scrub_documents(docs).collect()))
     assert sorted(map(tuple, rows)) == want
+
+
+def test_streaming_rag_serving_equals_batch(spark):
+    """streaming/serving.py: queries arriving in TWO micro-batches, served
+    against ONE prebuilt RagIndex through the shared rag_serve dataflow,
+    must emit exactly the batch x9_rag_pipeline rows (each query's full
+    top-k in the micro-batch that carried it), proving (a) the index is
+    query-batch independent and (b) the stream and batch lanes cannot
+    drift (one spelling of the retrieval DAG)."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from iii_aibigdata_capstone_spark.catalog import table
+    from iii_aibigdata_capstone_spark.operators.curation import (
+        RAG_PROBES,
+        rag_index,
+    )
+    from iii_aibigdata_capstone_spark.queries import registry
+    from iii_aibigdata_capstone_spark.streaming.serving import (
+        streaming_rag_serving,
+    )
+
+    index = rag_index(spark, TEST_SF_DIR)
+    probes = (
+        table(spark, TEST_SF_DIR, "documents")
+        .where(F.col("doc_id") < RAG_PROBES)
+        .select(F.col("doc_id").alias("query_id"), "text")
+    )
+    src = tempfile.mkdtemp(prefix="rag_q_src_")
+    # two files -> two micro-batches (queries 0-1, then 2-4)
+    for pred in (F.col("query_id") < 2, F.col("query_id") >= 2):
+        probes.where(pred).coalesce(1).write.mode("append").parquet(src)
+
+    per_batch: dict[int, list] = {}
+    q = streaming_rag_serving(
+        index,
+        spark.readStream.schema("query_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        emit=lambda df, bid: per_batch.setdefault(bid, []).extend(df.collect()),
+        checkpoint=tempfile.mkdtemp(prefix="rag_q_ck_"),
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+    q.stop()
+
+    data_batches = [rows for rows in per_batch.values() if rows]
+    assert len(data_batches) == 2  # served per arrival batch
+    # each query's results arrived whole in one micro-batch
+    seen_q = [sorted({r.query_id for r in rows}) for rows in data_batches]
+    assert sorted(q for qs in seen_q for q in qs) == list(range(RAG_PROBES))
+
+    got = sorted(tuple(r) for rows in data_batches for r in rows)
+    want = sorted(
+        tuple(r)
+        for r in registry()["x9_rag_pipeline"].builder(spark, TEST_SF_DIR).collect()
+    )
+    assert got == want

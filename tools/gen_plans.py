@@ -579,6 +579,22 @@ GALLERY = [
         ],
     ),
     (
+        "x5_spacesaving_topk",
+        "x5_spacesaving_topk",
+        "Batch SpaceSaving twin: the corpus-wide work is ONE "
+        "map-side-combinable (shard, term) count; the python fold sees "
+        "only each shard's VOCABULARY (never corpus rows) through a "
+        "single applyInPandas stage keyed on the shard. Three hash "
+        "exchanges total: the pre-explode repartition, the count "
+        "aggregation, and the shard regroup feeding the kernel.",
+        [
+            ("no join in the plan", lambda a: "Join" not in a.text),
+            ("exactly one Python stage (the fold)", lambda a: a.python_map_operators == 1),
+            ("single scan of documents", lambda a: a.text.count("documents.parquet") == 1),
+            ("at most 3 hash exchanges", lambda a: a.hash_exchanges <= 3),
+        ],
+    ),
+    (
         "x9_rag_pipeline",
         "x9_rag_pipeline",
         "The composed retrieval product (chunk -> chunk-BM25 max-pool -> "
