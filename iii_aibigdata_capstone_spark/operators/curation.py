@@ -831,6 +831,9 @@ def rag_index(spark: SparkSession, sf_dir: str) -> RagIndex:
         .withColumn("dl", F.sum("tf").over(w_chunk))
         .localCheckpoint(eager=False)  # consumed 4x: stats, df, probes, cands
     )
+    # EVERY member is checkpointed (review r9): a lazy dfreq/g/dim would
+    # re-run its corpus-wide aggregation / parquet scan on every serving
+    # micro-batch, which is exactly the cost the index exists to pay once
     g = (
         tf.groupBy("doc_id", "chunk_id")
         .agg(F.max("dl").alias("dl"))
@@ -838,14 +841,19 @@ def rag_index(spark: SparkSession, sf_dir: str) -> RagIndex:
             F.count(F.lit(1)).alias("n_docs"),  # BM25 "docs" = chunks here
             F.sum("dl").alias("total"),
         )
+        .localCheckpoint(eager=False)
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .localCheckpoint(eager=False)
+    )
     return RagIndex(
         tf=tf,
         dfreq=dfreq,
         g=g,
         ranked=ivf_ranked_cells(spark, sf_dir),
-        dim=docs.select("doc_id", "source", "lang"),
+        dim=docs.select("doc_id", "source", "lang").localCheckpoint(eager=False),
     )
 
 
@@ -874,7 +882,15 @@ def rag_serve(index: RagIndex, qids: DataFrame, qterms: DataFrame) -> DataFrame:
     RRF, top-{RAG_TOPK} joined to the serving dimension. ``qids`` is a
     one-column ``(query_id)`` frame (bounded — it broadcasts); ``qterms``
     the matching ``(query_id, term)`` set. Shared verbatim by the batch
-    x9_rag_pipeline lane and the streaming serving twin."""
+    x9_rag_pipeline lane and the streaming serving twin.
+
+    Query ids SHARE the document-id namespace: the more-like-this
+    self-exclusions (a doc never retrieves itself — the BM25 candidate
+    filter here and the vec_id exclusion inside ivf_rank_from) mean a
+    query whose id collides with a corpus doc SHADOWS that doc out of its
+    own results. Resident probes (the batch lane, and benchmark replays
+    of it) rely on exactly this; external queries must use ids OUTSIDE
+    the corpus doc-id range."""
     from .similarity import ivf_rank_from
     from .textual import _BM25_AVGDL_SQL, _BM25_CONTRIB_SQL, _BM25_IDF_SQL
 
@@ -1004,8 +1020,7 @@ def x9_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, and the per-(query, chunk) score aggregation — everything
     downstream is bounded by the query batch."""
     index = rag_index(spark, sf_dir)
-    spark_range = index.tf.sparkSession.range(RAG_PROBES)
-    qids = spark_range.select(F.col("id").cast("long").alias("query_id"))
+    qids = spark.range(RAG_PROBES).select(F.col("id").alias("query_id"))
     qterms = (
         index.tf.where(F.col("doc_id") < RAG_PROBES)
         .select(F.col("doc_id").alias("query_id"), "term")

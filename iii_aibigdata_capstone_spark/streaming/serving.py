@@ -37,7 +37,10 @@ __all__ = ["serve_query_batch", "streaming_rag_serving"]
 def serve_query_batch(index: RagIndex, queries: DataFrame) -> DataFrame:
     """Serve one ``(query_id, text)`` frame against the prebuilt index —
     the body foreachBatch runs per micro-batch, and exactly what the
-    batch lane runs for corpus-resident probes."""
+    batch lane runs for corpus-resident probes. Query ids share the
+    doc-id namespace (see rag_serve): an id colliding with a corpus doc
+    shadows that doc out of its own results, so external query streams
+    must allocate ids outside the corpus range."""
     qids = queries.select("query_id").distinct()
     return rag_serve(index, qids, rag_query_terms(queries))
 
