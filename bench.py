@@ -125,6 +125,7 @@ HEADLINE = [
     "x10_modularity",
     "x9_rag_pipeline",
     "x5_spacesaving_topk",
+    "x3_ann_eval",
 ]
 
 # The two non-registry entries, timed by the last chunk.

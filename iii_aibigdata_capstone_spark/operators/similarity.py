@@ -1587,3 +1587,142 @@ def x3_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return v.select("d", F.col("v").alias("v_fp"))
+
+
+# --- X3: ANN quality evaluation (recall@k / MRR vs the exact baseline) ------
+
+ANN_EVAL_K = 3  # both lanes' top-k depth (the x3 family's standard k)
+
+
+def _ann_eval_oracle() -> str:
+    """Exact and IVF lanes as the same CTE chains their standalone
+    oracles use, joined into per-query recall@{ANN_EVAL_K} / MRR."""
+    return dedent(
+        f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        exact_scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROUND({_COS}, 6) AS cosine
+            FROM e a JOIN e b ON b.vec_id <> a.vec_id
+            WHERE a.vec_id < {N_QUERIES}
+        ),
+        exact_top AS MATERIALIZED (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rn
+                FROM exact_scored
+            ) WHERE rn <= {ANN_EVAL_K}
+        ),
+        centroids AS (SELECT vec_id AS cid, v AS cv FROM e
+                      WHERE vec_id < {N_CENTROIDS}),
+        ranked AS MATERIALIZED (
+            SELECT e.vec_id, e.v, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY LIST_DISTANCE(e.v, c.cv), c.cid) AS rn
+            FROM e CROSS JOIN centroids c
+        ),
+        assigned AS (SELECT vec_id, v, cid FROM ranked WHERE rn = 1),
+        probes AS (SELECT vec_id, v, cid FROM ranked
+                   WHERE rn <= 2 AND vec_id < {N_QUERIES}),
+        approx_scored AS (
+            SELECT DISTINCT p.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROUND(LIST_DOT_PRODUCT(p.v, b.v)
+                         / (SQRT(LIST_DOT_PRODUCT(p.v, p.v))
+                            * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) AS cosine
+            FROM probes p JOIN assigned b
+              ON p.cid = b.cid AND b.vec_id <> p.vec_id
+        ),
+        approx_top AS MATERIALIZED (
+            SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rnk FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rn
+                FROM approx_scored
+            ) WHERE rn <= {ANN_EVAL_K}
+        ),
+        hitjoin AS (
+            SELECT a.query_id, a.rnk,
+                   CASE WHEN x.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+            FROM approx_top a
+            LEFT JOIN exact_top x
+              ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+        )
+        SELECT query_id,
+               CAST(SUM(hit) AS BIGINT) AS hits,
+               CAST((1000000 * SUM(hit)) // {ANN_EVAL_K} AS BIGINT)
+                   AS recall_micro,
+               CAST(COALESCE(1000000 // MIN(CASE WHEN hit = 1 THEN rnk END),
+                             0) AS BIGINT) AS mrr_micro
+        FROM hitjoin GROUP BY query_id
+        """
+    )
+
+
+@query(
+    "x3_ann_eval",
+    oracle=_ann_eval_oracle(),
+    tags=("X3", "evaluation", "ivf"),
+)
+def x3_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation — the detect -> evaluate pair for the
+    similarity-search family, the way x10_modularity evaluates the LPA
+    partition and m8_rank_metrics evaluates the quality model: per probe,
+    recall@{ANN_EVAL_K} and MRR of the IVF nprobe=2 cascade measured
+    against the exact brute-force top-{ANN_EVAL_K} (both lanes the
+    already-oracled x3 spellings, composed; this is the harness that
+    tells an operator whether nprobe/centroid knobs hold recall before a
+    corpus-sized reindex).
+
+    Determinism: hits are exact integers from an equi left-join of the
+    two rank lists; recall_micro = (1e6 * hits) DIV {ANN_EVAL_K} and
+    mrr_micro = 1e6 DIV (first hit rank) are integer division on integer
+    ranks — no float reaches the hash (the RRF discipline).
+
+    Scale shape: the exact lane broadcasts the bounded probe set so the
+    corpus streams through one projection (the x3_cosine_topk shape);
+    the IVF lane reuses the checkpointed two-nearest-cells index; the
+    eval itself joins two <= probes x {ANN_EVAL_K} rank lists — bounded
+    by the query batch, free at any corpus size."""
+    e = with_norm(table(spark, sf_dir, "embeddings")).select("vec_id", "v", "norm")
+    q = e.where(F.col("vec_id") < N_QUERIES)
+    a, b = q.alias("a"), e.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    exact_top = (
+        F.broadcast(a)
+        .join(b, F.col("b.vec_id") != F.col("a.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= ANN_EVAL_K)
+        .select("query_id", "neighbor_id")
+    )
+    approx_top = ivf_multiprobe_ranks(spark, sf_dir, N_QUERIES, ANN_EVAL_K).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rnk"),
+    )
+    ap, ex = approx_top.alias("ap"), exact_top.alias("ex")
+    hitjoin = ap.join(
+        ex,
+        (F.col("ex.query_id") == F.col("ap.query_id"))
+        & (F.col("ex.neighbor_id") == F.col("ap.neighbor_id")),
+        "left",
+    ).select(
+        F.col("ap.query_id").alias("query_id"),
+        "rnk",
+        F.when(F.col("ex.neighbor_id").isNull(), 0).otherwise(1).alias("hit"),
+    )
+    return hitjoin.groupBy("query_id").agg(
+        F.sum("hit").cast("long").alias("hits"),
+        F.expr(f"CAST((1000000 * SUM(hit)) DIV {ANN_EVAL_K} AS BIGINT)").alias(
+            "recall_micro"
+        ),
+        F.coalesce(
+            F.expr("CAST(1000000 DIV MIN(CASE WHEN hit = 1 THEN rnk END) AS BIGINT)"),
+            F.lit(0).cast("long"),
+        ).alias("mrr_micro"),
+    )

@@ -1056,3 +1056,42 @@ def test_rag_pipeline_structural_contract(spark):
         assert [r.rank for r in rs] == list(range(1, RAG_TOPK + 1)), q
         # served order is (rrf desc, doc_id asc)
         assert rs == sorted(rs, key=lambda r: (-r.rrf_micro, r.doc_id)), q
+
+
+def test_ann_eval_matches_lane_intersection(spark):
+    """x3_ann_eval: per-query hits must equal the python intersection of
+    the two registered lanes' outputs (exact cosine top-3 vs IVF
+    multiprobe top-3), recall/MRR must be the exact integer arithmetic of
+    those hits, and every probe query must be scored."""
+    from iii_aibigdata_capstone_spark.operators.similarity import (
+        ANN_EVAL_K,
+        N_QUERIES,
+    )
+
+    exact = {}
+    for r in registry()["x3_cosine_topk"].builder(spark, TEST_SF_DIR).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in (
+        registry()["x3_ivf_multiprobe"].builder(spark, TEST_SF_DIR).collect()
+    ):
+        approx.setdefault(r.query_id, []).append((r.cosine, r.neighbor_id))
+
+    rows = registry()["x3_ann_eval"].builder(spark, TEST_SF_DIR).collect()
+    assert {r.query_id for r in rows} == set(range(N_QUERIES))
+    for r in rows:
+        # reconstruct rank order from the lane's own sort key — collect()
+        # row order is not a contract
+        ranked = [
+            n
+            for _c, n in sorted(
+                approx[r.query_id], key=lambda t: (-t[0], t[1])
+            )
+        ]
+        want_hits = len(set(ranked) & exact[r.query_id])
+        assert r.hits == want_hits, r.query_id
+        assert r.recall_micro == (1_000_000 * want_hits) // ANN_EVAL_K
+        first = next(
+            (i + 1 for i, n in enumerate(ranked) if n in exact[r.query_id]), 0
+        )
+        assert r.mrr_micro == (1_000_000 // first if first else 0), r.query_id

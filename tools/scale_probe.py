@@ -121,6 +121,7 @@ DEFAULT = [
     "x10_modularity",
     "x9_rag_pipeline",
     "x5_spacesaving_topk",
+    "x3_ann_eval",
 ]
 
 
