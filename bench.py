@@ -158,6 +158,21 @@ BENCH_NOTES = (
     " chunk positions across runs; intra-chunk JVM drift is bounded now),"
     " so the ~12%-is-noise rule stands and the 12-run standalone decay"
     " remains the adjudicator for any single-lane mover."
+    " r10: the four r9 watch items adjudicated (tools/decay.py, 12-run"
+    " fresh-JVM at sf0.1). x10_hyperball min 4.51s (r8 benched 4.63) and"
+    " x10_bfs_levels min 1.86s (r8 1.89) are AT their r8 levels — noise."
+    " x4_bm25_search (min 1.32 / steady 1.43 vs r8's 0.95) and"
+    " x3_power_iteration (min 2.60 / steady 2.93 vs r8's 1.62) are"
+    " byte-identical to their r8 code (git diff r8..r10 on textual.py is"
+    " empty; similarity.py changes touch only ivf factoring + appended"
+    " ann_eval), so no plan change exists; their r8 numbers came from the"
+    " pre-r9 IN-PROCESS bench where both ran ~60 queries deep in a fully"
+    " JIT-warmed shared JVM — a methodology retired in r9. The decay"
+    " floors agree with the r9 chunked bench (1.35 / 2.13), i.e. the"
+    " fresh-JVM chunk numbers ARE the steady state under the current"
+    " harness; r8-vs-r9 deltas on these lanes are cross-methodology, not"
+    " regressions. Canonical bench number per round = the committed"
+    " BENCH_FULL.json run (quoted once in README; no parallel totals)."
 )
 
 

@@ -2591,7 +2591,7 @@ def x5_spacesaving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the corpus-wide work is one map-side-combinable term
     count; the python fold sees only the VOCABULARY of its shard (|V| /
-    {SS_SHARDS} rows, not corpus rows) and carries a CAP={SS_CAP}
+    SS_SHARDS rows, not corpus rows) and carries a CAP=SS_CAP (32)
     candidate map — at 100 TB, raise SS_SHARDS to bound per-shard
     vocabulary; the union of shard summaries stays a valid global
     summary because sharding partitions the item space exactly."""

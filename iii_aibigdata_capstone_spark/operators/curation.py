@@ -404,8 +404,8 @@ _CHUNKS_SQL = (
 
 
 def doc_chunks(docs: DataFrame, par: int | None = None) -> DataFrame:
-    """``(doc_id, chunk_id, ctext)`` — {CHUNK_W}-char windows every
-    {CHUNK_S} chars over non-empty documents; the Spark twin of
+    """``(doc_id, chunk_id, ctext)`` — CHUNK_W-char (200) windows every
+    CHUNK_S (150) chars over non-empty documents; the Spark twin of
     ``_CHUNKS_SQL`` (ONE spelling of the chunk geometry, shared by
     x9_doc_chunking and the x9_rag_pipeline stage 1). A lateral explode
     of a ``sequence`` — no UDF, narrow unless ``par`` asks for the
@@ -419,6 +419,10 @@ def doc_chunks(docs: DataFrame, par: int | None = None) -> DataFrame:
             F.lit(0).cast("long"), F.floor((F.length("text") - 1) / CHUNK_S)
         )
     ).alias("chunk_id")
+    # The INT cast cannot wrap even though _CHUNKS_SQL spells BIGINT:
+    # chunk_id <= (length-1)/CHUNK_S, so chunk_id*CHUNK_S + 1 <= length,
+    # and Spark `length()` is IntegerType (strings cap at INT_MAX chars),
+    # bounding the start position at 2^31-1 by construction.
     ctext = F.substring(
         F.col("text"), (F.col("chunk_id") * CHUNK_S + 1).cast("int"), CHUNK_W
     )
@@ -441,8 +445,8 @@ def doc_chunks(docs: DataFrame, par: int | None = None) -> DataFrame:
     tags=("X9", "T2", "chunking"),
 )
 def x9_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RAG-style overlapping chunking: {CHUNK_W}-char windows every
-    {CHUNK_S} chars (50-char overlap), one output row per chunk with its
+    """RAG-style overlapping chunking: CHUNK_W-char (200) windows every
+    CHUNK_S (150) chars (50-char overlap), one output row per chunk with its
     offset, length and content hash. The chunk count is a pure expression
     of the doc length, so the fan-out is a lateral explode of a
     ``sequence`` (doc_chunks — the shared geometry) — no UDF, no shuffle
@@ -879,7 +883,7 @@ def rag_query_terms(queries: DataFrame) -> DataFrame:
 def rag_serve(index: RagIndex, qids: DataFrame, qterms: DataFrame) -> DataFrame:
     """Serve a query batch against the prebuilt index: chunk-BM25
     max-pooled per doc + IVF multiprobe exact rerank, fused by integer
-    RRF, top-{RAG_TOPK} joined to the serving dimension. ``qids`` is a
+    RRF, top-RAG_TOPK (5) joined to the serving dimension. ``qids`` is a
     one-column ``(query_id)`` frame (bounded — it broadcasts); ``qterms``
     the matching ``(query_id, term)`` set. Shared verbatim by the batch
     x9_rag_pipeline lane and the streaming serving twin.
@@ -984,8 +988,8 @@ def x9_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     x1_fuzzy_dedup_pipeline of the search family. Five stages, each an
     already-oracled lane, composed without extra scans:
 
-    1. CHUNK (the SHARED doc_chunks geometry): {CHUNK_W}-char windows
-       every {CHUNK_S} chars.
+    1. CHUNK (the SHARED doc_chunks geometry): CHUNK_W-char (200)
+       windows every CHUNK_S (150) chars.
     2. SPARSE RETRIEVAL: Okapi BM25 at CHUNK granularity (shared
        idf/avgdl/contribution SQL with x4_bm25_search; a chunk plays the
        role of a BM25 document, hence the n_docs/dl column names), then
@@ -997,14 +1001,15 @@ def x9_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     3. DENSE RETRIEVAL: IVF nprobe=2 shortlist + exact rounded-cosine
        ranking over the document embeddings (ivf_ranked_cells +
        ivf_rank_from, the x3_ivf_multiprobe core, lane depth
-       K={RAG_LANE_K}).
+       K=RAG_LANE_K, 10).
     4. FUSION: reciprocal-rank fusion of the two lanes,
-       rrf = {RRF_SCALE} DIV ({RRF_K} + rank) summed over lanes — integer
+       rrf = RRF_SCALE DIV (RRF_K + rank) summed over lanes (1e6 and
+       60) — integer
        division on integer ranks, so the fused score is EXACT (no float
        accumulation reaches the hash; the fixed-point discipline), with
        absent-lane ranks emitted as 0.
-    5. SERVING JOIN (J1 shape): the per-query top-{RAG_TOPK} table —
-       bounded at queries x {RAG_TOPK} rows — broadcasts against the
+    5. SERVING JOIN (J1 shape): the per-query top-RAG_TOPK table —
+       bounded at queries x 5 rows — broadcasts against the
        document metadata table, so the dim side never shuffles (the
        batch analog of the stream-static lookup join; the streaming twin
        in streaming/serving.py serves micro-batches of queries against

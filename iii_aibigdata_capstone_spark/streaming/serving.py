@@ -40,7 +40,15 @@ def serve_query_batch(index: RagIndex, queries: DataFrame) -> DataFrame:
     batch lane runs for corpus-resident probes. Query ids share the
     doc-id namespace (see rag_serve): an id colliding with a corpus doc
     shadows that doc out of its own results, so external query streams
-    must allocate ids outside the corpus range."""
+    must allocate ids outside the corpus range.
+
+    A query with NO lane coverage — every term out of vocabulary AND no
+    embedding resolves for its id — is ABSENT from the output entirely
+    (both retrieval lanes empty => nothing survives the rank union), so
+    downstream consumers cannot tell "served, zero results" from
+    "dropped" by looking at this frame alone. A consumer that needs
+    explicit zero-result rows should left-join the result back to the
+    batch's query_id set and treat null ranks as served-empty."""
     qids = queries.select("query_id").distinct()
     return rag_serve(index, qids, rag_query_terms(queries))
 

@@ -7,9 +7,9 @@ min-eviction — the Metwally et al. SpaceSaving summary, the standard
 frequent-items structure when the vocabulary is unbounded but only the
 top items matter.
 
-Sharding makes it scale-honest: terms hash-partition into {SS_SHARDS}
+Sharding makes it scale-honest: terms hash-partition into SS_SHARDS (8)
 shards (the stateful op's group key), each shard runs an independent
-CAP={SS_CAP} summary over ITS sub-stream — an EXACT partition of the
+CAP=SS_CAP (32) summary over ITS sub-stream — an EXACT partition of the
 item space, so shards never interfere, the union of shard summaries is a
 valid global summary, and state is fixed at shards x CAP entries no
 matter the vocabulary. At 100 TB the same shape holds with more shards;

@@ -566,10 +566,13 @@ GALLERY = [
             (
                 # formatted explain prints each op twice (numbered header +
                 # detail) — count numbered nodes, the audit discipline
+                # == 2, not <= 2: a <=N claim is vacuous at 0 (r8 lesson) —
+                # exactly the slot-table and total-weight broadcasts exist,
+                # and a refactor that removes or adds one must re-assert.
                 "only the 2-row slot / 1-row total reach by nested loop",
                 lambda a: len(
                     re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", a.text, re.M)
-                ) <= 2,
+                ) == 2,
             ),
             (
                 "the band interval join is an equi join",
