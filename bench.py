@@ -126,6 +126,7 @@ HEADLINE = [
     "x9_rag_pipeline",
     "x5_spacesaving_topk",
     "x3_ann_eval",
+    "x9_data_factory",
 ]
 
 # The two non-registry entries, timed by the last chunk.
@@ -173,6 +174,15 @@ BENCH_NOTES = (
     " harness; r8-vs-r9 deltas on these lanes are cross-methodology, not"
     " regressions. Canonical bench number per round = the committed"
     " BENCH_FULL.json run (quoted once in README; no parallel totals)."
+    " r10 adjudicated-by-construction: x1_minhash_ingest 1.69 -> ~2.5s"
+    " (12-run decay steady 2.64, min 2.41) from the IngestIndex refactor"
+    " — the lane now builds the checkpointed index (hashes/bands/"
+    " shingles, 3 materializations) and probes it through the shared"
+    " ingest_admit spelling, instead of one fused shingle pass; the"
+    " extra second is index-BUILD cost that a deployment amortizes"
+    " across every subsequent micro-batch (the registered query pays"
+    " build+probe inline), accepted for the stream==batch one-spelling"
+    " contract."
 )
 
 

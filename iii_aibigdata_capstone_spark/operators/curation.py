@@ -333,22 +333,51 @@ def x9_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_ALPHA = 0.5  # temperature exponent: source weight ∝ tokens^alpha
+MIX_BUDGET = 20000.0  # token budget the sampling rates are sized against
+
+# ONE oracle spelling of the temperature sampling rate (shared by
+# x9_training_mix and the x9_data_factory quota stage): the IEEE tree
+# w / SUM(w) OVER () * budget / n_tokens must stay identical everywhere
+# the rate is computed, or round-6 values desynchronize across lanes.
+_MIX_RATE_SQL = f"LEAST(w / SUM(w) OVER () * {MIX_BUDGET:.0f} / n_tokens, 1.0)"
+
+
+def mix_weighted_sql(src: str) -> str:
+    """CTEs ``per_source weighted`` of the temperature mix over a CTE (or
+    table) named ``src`` with columns ``source, text`` — the shared
+    per-source token aggregate + tokens^alpha weight feeding
+    ``_MIX_RATE_SQL``."""
+    return f"""per_source AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
+            FROM {src} GROUP BY source
+        ),
+        weighted AS (
+            SELECT *, POW(n_tokens, {MIX_ALPHA}) AS w FROM per_source
+        )"""
+
+
+def mix_rate_cols(n_tokens_col) -> tuple:
+    """``(mix, rate)`` column pair — the Spark twin of ``_MIX_RATE_SQL``
+    over a per-source ``n_tokens`` column (one spelling of the
+    temperature-mix IEEE tree for x9_training_mix and the
+    x9_data_factory quota stage)."""
+    w = F.pow(n_tokens_col.cast("double"), MIX_ALPHA)
+    mix = w / F.sum(w).over(Window.partitionBy())
+    rate = F.least(mix * MIX_BUDGET / n_tokens_col, F.lit(1.0))
+    return mix, rate
+
+
 @query(
     "x9_training_mix",
     oracle=dedent(
-        """
-        WITH per_source AS (
-            SELECT source, COUNT(*) AS n_docs,
-                   CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
-            FROM documents GROUP BY source
-        ),
-        weighted AS (
-            SELECT *, POW(n_tokens, 0.5) AS w FROM per_source
-        )
+        f"""
+        WITH {mix_weighted_sql('documents')}
         SELECT source, n_docs, n_tokens,
                ROUND(w / SUM(w) OVER (), 6) AS mix_prob,
-               ROUND(LEAST(w / SUM(w) OVER () * 20000 / n_tokens, 1.0), 6) AS sample_rate,
-               CAST(ROUND(LEAST(w / SUM(w) OVER () * 20000 / n_tokens, 1.0) * n_tokens, 0) AS BIGINT) AS expected_tokens
+               ROUND({_MIX_RATE_SQL}, 6) AS sample_rate,
+               CAST(ROUND({_MIX_RATE_SQL} * n_tokens, 0) AS BIGINT) AS expected_tokens
         FROM weighted
         """
     ),
@@ -367,15 +396,11 @@ def x9_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     token counting; nothing but the per-source totals ever shuffles.
     """
     docs = table(spark, sf_dir, "documents")
-    budget = 20000.0
     per_source = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
     )
-    w = F.pow(F.col("n_tokens").cast("double"), 0.5)
-    total_w = Window.partitionBy()
-    mix = w / F.sum(w).over(total_w)
-    rate = F.least(mix * budget / F.col("n_tokens"), F.lit(1.0))
+    mix, rate = mix_rate_cols(F.col("n_tokens"))
     return per_source.select(
         "source",
         "n_docs",
@@ -472,80 +497,14 @@ DSIR_TARGET_LANG = "en"
 DSIR_K = 50
 
 
-@query(
-    "x9_dsir_resample",
-    oracle=dedent(
-        f"""
-        WITH tok AS (
-            SELECT doc_id, lang,
-                   CAST('0x' || SUBSTR(MD5(UNNEST(STRING_SPLIT(text, ' '))), 1, 15)
-                        AS BIGINT) % {DSIR_BUCKETS} AS b
-            FROM documents
-        ),
-        raw_model AS (
-            SELECT b, COUNT(*) AS n_raw FROM tok GROUP BY b
-        ),
-        tgt_model AS (
-            SELECT b, COUNT(*) AS n_tgt FROM tok
-            WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b
-        ),
-        totals AS (
-            SELECT (SELECT COUNT(*) FROM tok) AS t_raw,
-                   (SELECT COUNT(*) FROM tok WHERE lang = '{DSIR_TARGET_LANG}') AS t_tgt
-        ),
-        lr AS (
-            SELECT r.b,
-                   LN((COALESCE(g.n_tgt, 0) + 1)
-                      / CAST(t.t_tgt + {DSIR_BUCKETS} AS DOUBLE))
-                 - LN((r.n_raw + 1)
-                      / CAST(t.t_raw + {DSIR_BUCKETS} AS DOUBLE)) AS logratio
-            FROM raw_model r
-            LEFT JOIN tgt_model g ON r.b = g.b
-            CROSS JOIN totals t
-        ),
-        doc_w AS (
-            SELECT tok.doc_id, ANY_VALUE(tok.lang) AS lang,
-                   SUM(lr.logratio) AS logw
-            FROM tok JOIN lr ON tok.b = lr.b
-            GROUP BY tok.doc_id
-        ),
-        keyed AS (
-            SELECT doc_id, lang,
-                   ROUND(logw, 6) AS logw,
-                   ROUND(logw - LN(-LN(
-                       (CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15)
-                             AS BIGINT) % 1000000 + CAST(0.5 AS DOUBLE))
-                       / CAST(1000000 AS DOUBLE))), 6) AS gumbel_key
-            FROM doc_w
-        )
-        SELECT CAST(rank AS BIGINT) AS rank, doc_id, lang, logw, gumbel_key
-        FROM (
-            SELECT *, ROW_NUMBER() OVER (ORDER BY gumbel_key DESC, doc_id) AS rank
-            FROM keyed
-        ) WHERE rank <= {DSIR_K}
-        """
-    ),
-    tags=("X9", "X4", "dsir", "curation"),
-)
-def x9_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR-shaped data selection (Xie et al. 2023, "Data Selection for
-    Language Models via Importance Resampling"): build hashed-unigram
-    bag models of the TARGET distribution (here lang='en') and the RAW
-    corpus, weight every document by its log importance ratio
-    sum_tokens ln(p_tgt(bucket)/p_raw(bucket)) (Laplace-smoothed, 256
-    hash buckets), and resample via deterministic Gumbel top-k — the
-    exact DSIR sampler, with the Gumbel noise derived from the
-    engine-neutral md5-uniform of doc_id instead of an RNG so the draw
-    is reproducible (and oracle-checkable) across engines.
-
-    Scale shape: one token explode; the bucket models are 256-row
-    aggregates (constant state regardless of corpus size — the whole
-    point of hashed features), broadcast back onto the token table; one
-    groupBy doc_id; the global top-k is a single ROW_NUMBER over rounded
-    keys. At 100 TB: two shuffles (bucket agg is map-side combined to
-    256 rows, doc agg hashes on doc_id) plus a final 50-row limit —
-    nothing grows with vocabulary."""
-    docs = table(spark, sf_dir, "documents")
+def dsir_doc_logw(docs: DataFrame) -> DataFrame:
+    """``(doc_id, lang, logw)`` DSIR hashed-unigram log importance weight
+    of any ``(doc_id, lang, text)`` frame — the Spark twin of
+    ``dsir_logw_chain_sql`` (one weighting spelling for x9_dsir_resample
+    and the x9_data_factory mix stage). Bucket models are
+    ``DSIR_BUCKETS``-row aggregates broadcast back onto the token table;
+    the token table is checkpointed once (feeds both models and the
+    scoring pass)."""
     bucket = (
         F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("long")
         % DSIR_BUCKETS
@@ -582,11 +541,96 @@ def x9_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("logratio"),
         )
     )
-    doc_w = (
+    return (
         tok.join(F.broadcast(lr), "b")
         .groupBy("doc_id")
         .agg(F.any_value("lang").alias("lang"), F.sum("logratio").alias("logw"))
     )
+
+
+def dsir_logw_chain_sql(src: str) -> str:
+    """CTEs ``tok raw_model tgt_model totals lr doc_w`` computing the
+    DSIR hashed-unigram log importance weight per document of a CTE (or
+    table) named ``src`` with columns ``doc_id, lang, text`` — ONE oracle
+    spelling of the DSIR weighting, shared by x9_dsir_resample
+    (src=documents) and the x9_data_factory mix stage (src=clean)."""
+    return f"""tok AS (
+            SELECT doc_id, lang,
+                   CAST('0x' || SUBSTR(MD5(UNNEST(STRING_SPLIT(text, ' '))), 1, 15)
+                        AS BIGINT) % {DSIR_BUCKETS} AS b
+            FROM {src}
+        ),
+        raw_model AS (
+            SELECT b, COUNT(*) AS n_raw FROM tok GROUP BY b
+        ),
+        tgt_model AS (
+            SELECT b, COUNT(*) AS n_tgt FROM tok
+            WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b
+        ),
+        totals AS (
+            SELECT (SELECT COUNT(*) FROM tok) AS t_raw,
+                   (SELECT COUNT(*) FROM tok WHERE lang = '{DSIR_TARGET_LANG}') AS t_tgt
+        ),
+        lr AS (
+            SELECT r.b,
+                   LN((COALESCE(g.n_tgt, 0) + 1)
+                      / CAST(t.t_tgt + {DSIR_BUCKETS} AS DOUBLE))
+                 - LN((r.n_raw + 1)
+                      / CAST(t.t_raw + {DSIR_BUCKETS} AS DOUBLE)) AS logratio
+            FROM raw_model r
+            LEFT JOIN tgt_model g ON r.b = g.b
+            CROSS JOIN totals t
+        ),
+        doc_w AS (
+            SELECT tok.doc_id, ANY_VALUE(tok.lang) AS lang,
+                   SUM(lr.logratio) AS logw
+            FROM tok JOIN lr ON tok.b = lr.b
+            GROUP BY tok.doc_id
+        )"""
+
+
+@query(
+    "x9_dsir_resample",
+    oracle=dedent(
+        f"""
+        WITH {dsir_logw_chain_sql('documents')},
+        keyed AS (
+            SELECT doc_id, lang,
+                   ROUND(logw, 6) AS logw,
+                   ROUND(logw - LN(-LN(
+                       (CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15)
+                             AS BIGINT) % 1000000 + CAST(0.5 AS DOUBLE))
+                       / CAST(1000000 AS DOUBLE))), 6) AS gumbel_key
+            FROM doc_w
+        )
+        SELECT CAST(rank AS BIGINT) AS rank, doc_id, lang, logw, gumbel_key
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY gumbel_key DESC, doc_id) AS rank
+            FROM keyed
+        ) WHERE rank <= {DSIR_K}
+        """
+    ),
+    tags=("X9", "X4", "dsir", "curation"),
+)
+def x9_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): build hashed-unigram
+    bag models of the TARGET distribution (here lang='en') and the RAW
+    corpus, weight every document by its log importance ratio
+    sum_tokens ln(p_tgt(bucket)/p_raw(bucket)) (Laplace-smoothed, 256
+    hash buckets), and resample via deterministic Gumbel top-k — the
+    exact DSIR sampler, with the Gumbel noise derived from the
+    engine-neutral md5-uniform of doc_id instead of an RNG so the draw
+    is reproducible (and oracle-checkable) across engines.
+
+    Scale shape: one token explode; the bucket models are 256-row
+    aggregates (constant state regardless of corpus size — the whole
+    point of hashed features), broadcast back onto the token table; one
+    groupBy doc_id; the global top-k is a single ROW_NUMBER over rounded
+    keys. At 100 TB: two shuffles (bucket agg is map-side combined to
+    256 rows, doc agg hashes on doc_id) plus a final 50-row limit —
+    nothing grows with vocabulary."""
+    doc_w = dsir_doc_logw(table(spark, sf_dir, "documents"))
     u = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
         .cast("long")
@@ -1032,3 +1076,260 @@ def x9_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return rag_serve(index, qids, qterms)
+
+
+# --- the corpus-build flagship: gate -> dedup -> decontaminate -> mix ->
+# --- pack -> shard, as ONE dataflow --------------------------------------
+
+PACK_BIN_TOKENS = 256  # context-bin budget (tokens) — x9_doc_packing's knob
+FACTORY_SHARDS = 16  # training shards — x9_shard_manifest's knob
+
+# No cycle: dedup/textual never import curation. The near-dup CTE chain,
+# the 5-gram geometry, and the holdout modulus are the SAME spellings the
+# standalone x1_fuzzy_dedup_pipeline / x4_decontaminate oracles use.
+from .dedup import neardup_chain_sql  # noqa: E402
+from .textual import BENCH_HOLDOUT_MOD, gram5_cte_sql  # noqa: E402
+
+_FACTORY_ORACLE = dedent(
+    f"""
+    WITH RECURSIVE
+    scored AS MATERIALIZED (
+        SELECT doc_id, source, lang, text, n_chars,
+               {QUALITY_FEATURES_SQL}
+        FROM documents
+    ),
+    survivors AS MATERIALIZED (
+        SELECT doc_id, source, lang, text, n_chars, n_tokens
+        FROM (
+            SELECT *, MIN(doc_id) OVER (PARTITION BY MD5(text)) AS canon_exact
+            FROM scored WHERE {QUALITY_LOGIT_SQL} >= 0
+        ) WHERE doc_id = canon_exact
+    ),
+    {neardup_chain_sql('survivors')},
+    dedup_kept AS MATERIALIZED (
+        SELECT s.doc_id, s.source, s.lang, s.text, s.n_tokens
+        FROM survivors s JOIN best b ON b.doc_id = s.doc_id AND b.rk = 1
+    ),
+    ktoks AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM dedup_kept
+        WHERE doc_id % {BENCH_HOLDOUT_MOD} <> 0
+    ),
+    btoks AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM scored
+        WHERE doc_id % {BENCH_HOLDOUT_MOD} = 0
+    ),
+    kgrams AS (
+        {gram5_cte_sql('ktoks')}
+    ),
+    bgrams AS MATERIALIZED (
+        {gram5_cte_sql('btoks')}
+    ),
+    contaminated AS MATERIALIZED (
+        SELECT DISTINCT k.doc_id FROM kgrams k JOIN bgrams b ON b.g = k.g
+    ),
+    clean AS MATERIALIZED (
+        SELECT d.* FROM dedup_kept d
+        LEFT JOIN contaminated c ON c.doc_id = d.doc_id
+        WHERE d.doc_id % {BENCH_HOLDOUT_MOD} <> 0 AND c.doc_id IS NULL
+    ),
+    {dsir_logw_chain_sql('clean')},
+    {mix_weighted_sql('clean')},
+    quota AS MATERIALIZED (
+        SELECT source,
+               CAST(FLOOR(ROUND({_MIX_RATE_SQL}, 6) * n_docs + 0.5) AS BIGINT) AS n_sel
+        FROM weighted
+    ),
+    ranked AS MATERIALIZED (
+        SELECT c.doc_id, c.source, c.lang, c.text,
+               CAST(c.n_tokens AS BIGINT) AS n_tokens,
+               ROUND(w.logw, 6) AS logw,
+               CAST(ROW_NUMBER() OVER (PARTITION BY c.source
+                    ORDER BY ROUND(w.logw, 6) DESC, c.doc_id) AS BIGINT) AS src_rank
+        FROM clean c JOIN doc_w w ON w.doc_id = c.doc_id
+    ),
+    sel AS MATERIALIZED (
+        SELECT r.* FROM ranked r JOIN quota q ON q.source = r.source
+        WHERE r.src_rank <= q.n_sel
+    )
+    SELECT doc_id, source, lang, n_tokens, logw, src_rank,
+           CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) - n_tokens) // {PACK_BIN_TOKENS} AS INTEGER) AS bin,
+           CAST(CAST('0x' || SUBSTR(MD5(text), 1, 8) AS BIGINT) % {FACTORY_SHARDS} AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+                PARTITION BY CAST('0x' || SUBSTR(MD5(text), 1, 8) AS BIGINT) % {FACTORY_SHARDS}
+                ORDER BY MD5(text), doc_id) AS BIGINT) AS pos
+    FROM sel
+    """
+)
+
+
+@query(
+    "x9_data_factory",
+    oracle=_FACTORY_ORACLE,
+    tags=("X9", "X1", "X2", "X4", "pipeline", "factory"),
+)
+def x9_data_factory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data factory end to end in ONE dataflow — the
+    corpus-build answer to x9_rag_pipeline (reference dl_k_to_ss.py:71-357
+    chains its stages the same way). Six stages, every one an
+    already-oracled lane, composed over ONE parquet scan of ``documents``:
+
+    1. QUALITY GATE: keep docs the broadcast quality model passes
+       (quality_logit_col — the x4_quality_model_score head, logit >= 0,
+       all-integer Catalyst arithmetic).
+    2. FUZZY DEDUP (the x1_fuzzy_dedup_pipeline stages): exact
+       content-hash dedup (min doc_id per md5(text) window), then
+       banded-MinHash candidates verified with exact Jaccard >= 0.5
+       (_minhash_verified_pairs — equi joins, never all-pairs), connected
+       components (_min_label_propagation), keep the longest doc per
+       cluster (tie: min doc_id).
+    3. DECONTAMINATE (the x4_decontaminate geometry, five_gram_rows):
+       the held-out benchmark set is doc_id % BENCH_HOLDOUT_MOD == 0 of
+       the RAW corpus; survivors sharing ANY 5-gram with it (or in it)
+       are dropped. The bench gram index is bounded (benchmarks don't
+       grow with the corpus), so it broadcasts.
+    4. DSIR x TEMPERATURE MIX: per-doc hashed-unigram log importance
+       weights (dsir_doc_logw — 256-row bucket models, constant state at
+       any corpus size) rank survivors WITHIN each source; the per-source
+       quota comes from the temperature sampling rate (mix_rate_cols,
+       tokens^MIX_ALPHA against the MIX_BUDGET token budget) times the
+       source's doc count — importance-ranked selection under the mix's
+       quota, i.e. DSIR chooses WHICH docs, the mix chooses HOW MANY.
+    5. PACK (the x9_doc_packing rule): selected docs stream into
+       PACK_BIN_TOKENS-token context bins per source in doc_id order
+       (bin = tokens-before-me // budget — a window cumsum, no
+       sequential loop).
+    6. SHARD (the x9_shard_manifest rule): content-addressed (shard,
+       pos) addresses — shard = md5-bucket of text, pos = hash order
+       within the shard — so the epoch order is a property of the
+       CORPUS, not of partition layout or a seed.
+
+    Output: the per-document manifest ``(doc_id, source, lang, n_tokens,
+    logw, src_rank, bin, shard, pos)`` a pretraining loader consumes.
+
+    Scale shape: ``documents`` is scanned ONCE into a projected
+    checkpoint; every stage consumes checkpoints (asserted PLANS entry:
+    emit plan re-scans zero parquet). Stages 1-2 shuffle hashes/ids, the
+    shingle joins are banded (the 100 TB-safe LSH shape), the bench gram
+    join broadcasts a fixed-size index, DSIR models are 256-row
+    broadcasts, quota is an n_sources-row broadcast, and packing/sharding
+    are two keyed windows over the SELECTED set (bounded by the token
+    budget). No Python anywhere — the whole factory is Catalyst
+    expressions over exact integers, so the manifest is reproducible
+    cross-engine (full DuckDB oracle at sf0.01 and sf0.1)."""
+    from .analytics import _md5_bucket
+    from .dedup import _min_label_propagation, _minhash_verified_pairs, shingles_of
+    from .textual import five_gram_rows
+
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    logit = quality_logit_col(toks, F.col("n_chars"))
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        "n_chars",
+        F.size(toks).cast("long").alias("n_tokens"),
+        logit.cast("long").alias("logit_milli"),
+    ).localCheckpoint(eager=False)  # THE one documents scan (2 consumers)
+
+    # stage 1+2a: quality gate, then exact dedup among the survivors
+    good = base.where(F.col("logit_milli") >= 0)
+    w_hash = Window.partitionBy(F.md5(F.col("text")))
+    survivors = (
+        good.withColumn("canon_exact", F.min("doc_id").over(w_hash))
+        .where(F.col("doc_id") == F.col("canon_exact"))
+        .select("doc_id", "source", "lang", "text", "n_chars", "n_tokens")
+        .localCheckpoint(eager=False)  # 3 consumers: shingles, labels, keep
+    )
+
+    # stage 2b: near-dup clusters over the survivors, keep-best per cluster
+    sh = shingles_of(survivors).localCheckpoint(eager=False)
+    pairs = _minhash_verified_pairs(sh).select("doc_a", "doc_b")
+    labels = _min_label_propagation(pairs)
+    labeled = survivors.join(labels, survivors.doc_id == labels.node, "left").select(
+        survivors.doc_id,
+        "n_chars",
+        F.coalesce(F.col("label"), survivors.doc_id).alias("cluster"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("cluster").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    )
+    keep_ids = (
+        labeled.select("doc_id", rk.alias("rk")).where(F.col("rk") == 1).select("doc_id")
+    )
+    dedup_kept = survivors.join(keep_ids, "doc_id", "left_semi").localCheckpoint(
+        eager=False
+    )  # 2 consumers: corpus grams + the clean anti-join base
+
+    # stage 3: decontamination against the held-out benchmark set
+    bench_g = (
+        five_gram_rows(base.where(F.col("doc_id") % BENCH_HOLDOUT_MOD == 0))
+        .select("g")
+        .distinct()
+    )
+    kept_nb = dedup_kept.where(F.col("doc_id") % BENCH_HOLDOUT_MOD != 0)
+    contaminated = (
+        five_gram_rows(kept_nb).join(F.broadcast(bench_g), "g").select("doc_id").distinct()
+    )
+    clean = kept_nb.join(contaminated, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )  # 3 consumers: DSIR tokens, the mix aggregate, the ranked join
+
+    # stage 4: DSIR importance ranks within each source, mix-rate quotas
+    doc_w = dsir_doc_logw(clean)
+    per_source = clean.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    _, rate = mix_rate_cols(F.col("n_tokens"))
+    quota = per_source.select(
+        "source",
+        F.floor(F.round(rate, 6) * F.col("n_docs") + F.lit(0.5))
+        .cast("long")
+        .alias("n_sel"),
+    )
+    ranked = clean.join(
+        doc_w.select("doc_id", F.round("logw", 6).alias("logw")), "doc_id"
+    ).select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        "n_tokens",
+        "logw",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy(F.desc("logw"), F.asc("doc_id")))
+        .cast("long")
+        .alias("src_rank"),
+    )
+    sel = ranked.join(F.broadcast(quota), "source").where(
+        F.col("src_rank") <= F.col("n_sel")
+    )
+
+    # stage 5+6: pack into context bins, address into training shards
+    w_pack = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    binned = sel.withColumn(
+        "bin",
+        F.floor(
+            (F.sum("n_tokens").over(w_pack) - F.col("n_tokens")) / PACK_BIN_TOKENS
+        ).cast("int"),
+    )
+    shard = _md5_bucket("text", FACTORY_SHARDS).cast("int")
+    pos = F.row_number().over(
+        Window.partitionBy(shard).orderBy(F.md5("text"), F.col("doc_id"))
+    )
+    return binned.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_tokens",
+        "logw",
+        "src_rank",
+        "bin",
+        shard.alias("shard"),
+        pos.cast("long").alias("pos"),
+    )

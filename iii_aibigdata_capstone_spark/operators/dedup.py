@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 from textwrap import dedent
+from typing import NamedTuple
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -40,18 +41,28 @@ _SHINGLE_SQL_CTE = """
 
 
 def shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document (exploded rows).
+    """Distinct word n-gram shingles of the ``documents`` table — the
+    parquet-reading form of ``shingles_of`` (one gram geometry for every
+    consumer)."""
+    return shingles_of(table(spark, sf_dir, "documents"), n)
+
+
+def shingles_of(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (exploded rows) over any
+    ``(doc_id, lang, text)``-bearing frame — how a COMPOSED pipeline
+    shingles an upstream stage's survivors without re-scanning parquet
+    (x9_data_factory's near-dup stage feeds its quality+exact survivors).
 
     The token array is materialized as its own projection first — inlining
     ``split(text)`` into every ``element_at`` of the gram lambda makes
     shingling O(tokens^2) per document (measured 2x slower at sf0.1).
-    Like _span_grams, parallelism must come from BEFORE the explode: the
-    compact-file corpus reads as one input partition, which would run all
+    Like _span_grams, parallelism must come from BEFORE the explode: a
+    compact-file corpus (or a one-partition checkpoint) would run all
     gram construction on a single core — the tiny pre-explode repartition
     buys full fan-out for every shingle consumer (Jaccard, clusters,
     incremental ingest)."""
-    docs = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
     )
     toks = docs.select("doc_id", "lang", F.split(F.col("text"), " ").alias("t"))
     t = F.col("t")
@@ -613,18 +624,63 @@ def x1_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     both are hash-checked independently)."""
     docs = table(spark, sf_dir, "documents")
     is_batch = F.col("doc_id") % 5 == 4
-    fresh = docs.where(is_batch).alias("b").join(
-        docs.where(~is_batch).select(F.md5("text").alias("h")).distinct(),
-        F.md5(F.col("b.text")) == F.col("h"),
-        "left_anti",
+    index = minhash_ingest_index(docs.where(~is_batch))
+    return ingest_admit(index, docs.where(is_batch))
+
+
+class IngestIndex(NamedTuple):
+    """The persisted dedup index an incremental ingest probes — the
+    x1_minhash_ingest analog of serving's RagIndex. Every member is
+    localCheckpoint'd by ``minhash_ingest_index`` so per-batch admission
+    re-scans NO corpus parquet (a lazy member would re-derive its corpus
+    aggregation per micro-batch — the r9 serving lesson).
+
+    - ``hashes``: distinct md5(text) of resident docs (the exact gate);
+    - ``bands``: the (doc_id, lang, band, bkey) banded-minhash LSH index
+      (_minhash_band_table — N_MINHASH_BANDS short rows per doc);
+    - ``sh``: the resident (doc_id, lang, s) shingle table (the exact
+      Jaccard verify side)."""
+
+    hashes: DataFrame
+    bands: DataFrame
+    sh: DataFrame
+
+
+def minhash_ingest_index(docs: DataFrame) -> IngestIndex:
+    """Build the ingest index over the resident corpus (ONE pass per
+    member, each checkpointed). Index evolution = rebuild, like RagIndex:
+    the batch lane and the streaming twin both serve against a FIXED
+    index, which is exactly why their outputs agree across arrival splits
+    (batch-vs-batch pairs are out of contract in both lanes)."""
+    hashes = (
+        docs.select(F.md5("text").alias("h")).distinct().localCheckpoint(eager=False)
     )
-    sh = shingles(spark, sf_dir).localCheckpoint(eager=False)  # bands + verify
-    bk = _minhash_band_table(sh).localCheckpoint(eager=False)  # both join sides
+    sh = shingles_of(docs).localCheckpoint(eager=False)  # bands + verify
+    bands = _minhash_band_table(sh).localCheckpoint(eager=False)
+    return IngestIndex(hashes=hashes, bands=bands, sh=sh)
+
+
+def ingest_admit(index: IngestIndex, batch: DataFrame) -> DataFrame:
+    """Admit the batch docs that are neither exact nor >= 0.5-Jaccard
+    near-dups of INDEX residents — the ONE spelling of the admission
+    dataflow, shared verbatim by batch ``x1_minhash_ingest`` and the
+    foreachBatch streaming twin (streaming/ingest.py), so the
+    stream==batch equality cannot drift. ``batch`` needs columns
+    ``doc_id, lang, text, n_chars``; emits ``(doc_id, lang, n_chars)``
+    admitted rows. Stages: exact anti join on the content hash; batch
+    band keys equi-join the index bands on (lang, band, bkey) — probe
+    cost O(batch x bands) rows, never index-vs-index; candidates
+    verified with EXACT Jaccard over the union shingle table; flagged
+    docs anti-joined away."""
+    fresh = batch.alias("b").join(
+        index.hashes, F.md5(F.col("b.text")) == F.col("h"), "left_anti"
+    )
+    bsh = shingles_of(batch).localCheckpoint(eager=False)  # bands + verify
     cand = (
-        bk.where(is_batch)
+        _minhash_band_table(bsh)
         .alias("sb")
         .join(
-            bk.where(~is_batch).alias("si"),
+            index.bands.alias("si"),
             (F.col("sb.lang") == F.col("si.lang"))
             & (F.col("sb.band") == F.col("si.band"))
             & (F.col("sb.bkey") == F.col("si.bkey")),
@@ -635,7 +691,11 @@ def x1_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sb.lang").alias("lang"),
         )
     )
-    flagged = exact_jaccard_verify(cand, sh).select("doc_a").distinct()
+    flagged = (
+        exact_jaccard_verify(cand, bsh.unionByName(index.sh))
+        .select("doc_a")
+        .distinct()
+    )
     return fresh.join(
         flagged, fresh["doc_id"] == flagged["doc_a"], "left_anti"
     ).select("doc_id", "lang", "n_chars")
@@ -1490,18 +1550,17 @@ def x2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "x1_fuzzy_dedup_pipeline",
-    oracle=dedent(
-        f"""
-        WITH RECURSIVE
-        exact AS (
-            SELECT doc_id, text, lang, n_chars,
-                   MIN(doc_id) OVER (PARTITION BY MD5(text)) AS canon_exact
-            FROM documents
-        ),
-        survivors AS (SELECT * FROM exact WHERE doc_id = canon_exact),
-        toks AS (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS t FROM survivors),
+def neardup_chain_sql(src: str) -> str:
+    """The banded-MinHash -> exact-Jaccard-verify -> transitive-closure ->
+    keep-best oracle CTE chain over a survivors CTE named ``src`` (columns
+    ``doc_id, lang, text, n_chars``) — ONE SQL spelling of the near-dup
+    stage, shared by the x1_fuzzy_dedup_pipeline oracle and the
+    x9_data_factory composition (the enclosing query must be WITH
+    RECURSIVE for the ``reach`` closure). Emits CTEs ``toks shingles
+    hashed mins bk cand sizes inter pair edges nodes reach clusters
+    labeled best winners``; consumers read ``best`` (rk = 1 rows are the
+    keepers) and ``winners`` (per-cluster canonical)."""
+    return f"""toks AS (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS t FROM {src}),
         shingles AS (
             SELECT DISTINCT doc_id, lang,
                    UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
@@ -1559,7 +1618,7 @@ def x2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         clusters AS (SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src),
         labeled AS (
             SELECT s.doc_id, s.n_chars, COALESCE(c.cluster, s.doc_id) AS cluster
-            FROM survivors s LEFT JOIN clusters c ON c.doc_id = s.doc_id
+            FROM {src} s LEFT JOIN clusters c ON c.doc_id = s.doc_id
         ),
         best AS (
             SELECT doc_id, cluster,
@@ -1567,7 +1626,21 @@ def x2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       ORDER BY n_chars DESC, doc_id) AS rk
             FROM labeled
         ),
-        winners AS (SELECT cluster, doc_id AS winner FROM best WHERE rk = 1)
+        winners AS (SELECT cluster, doc_id AS winner FROM best WHERE rk = 1)"""
+
+
+@query(
+    "x1_fuzzy_dedup_pipeline",
+    oracle=dedent(
+        f"""
+        WITH RECURSIVE
+        exact AS (
+            SELECT doc_id, text, lang, n_chars,
+                   MIN(doc_id) OVER (PARTITION BY MD5(text)) AS canon_exact
+            FROM documents
+        ),
+        survivors AS (SELECT * FROM exact WHERE doc_id = canon_exact),
+        {neardup_chain_sql('survivors')}
         SELECT e.doc_id,
                CASE WHEN e.doc_id <> e.canon_exact THEN 'exact_dup'
                     WHEN b.rk = 1 THEN 'kept' ELSE 'near_dup' END AS status,

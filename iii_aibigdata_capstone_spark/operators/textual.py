@@ -426,18 +426,48 @@ def x4_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BENCH_HOLDOUT_MOD = 97  # doc_id % MOD == 0 is the held-out benchmark set
+
+
+def gram5_cte_sql(toks_src: str) -> str:
+    """Body of the distinct word-5-gram CTE over a ``(doc_id, t)``
+    token-array CTE named ``toks_src`` — ONE oracle spelling of the
+    decontamination gram geometry, shared by x4_decontaminate and the
+    x9_data_factory decontamination stage."""
+    return f"""SELECT DISTINCT doc_id,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t) - 3),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+            FROM {toks_src} WHERE LEN(t) >= 5"""
+
+
+def five_gram_rows(docs: DataFrame) -> DataFrame:
+    """DISTINCT ``(doc_id, g)`` word-5-gram rows of any ``(doc_id, text)``
+    frame — the Spark twin of ``gram5_cte_sql`` (one gram geometry for
+    every decontamination consumer; x9_data_factory feeds its dedup
+    survivors here without re-scanning parquet)."""
+    t = F.col("t")
+    grams_expr = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 4),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + F.lit(k)) for k in range(5)]
+        ),
+    )
+    return (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+        .where(F.size(t) >= 5)
+        .select("doc_id", F.explode(F.array_distinct(grams_expr)).alias("g"))
+    )
+
+
 @query(
     "x4_decontaminate",
     oracle=dedent(
-        """
+        f"""
         WITH toks AS (
             SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
         ),
         grams AS (
-            SELECT DISTINCT doc_id,
-                   UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t) - 3),
-                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
-            FROM toks WHERE LEN(t) >= 5
+            {gram5_cte_sql('toks')}
         ),
         bench AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 = 0),
         corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
@@ -462,19 +492,7 @@ def x4_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus n-gram table. The distinct-gram aggregate is the only
     exchange, keyed on doc_id.
     """
-    docs = table(spark, sf_dir, "documents")
-    t = F.col("t")
-    grams_expr = F.transform(
-        F.sequence(F.lit(1), F.size(t) - 4),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, i + F.lit(k)) for k in range(5)]
-        ),
-    )
-    grams = (
-        docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
-        .where(F.size(t) >= 5)
-        .select("doc_id", F.explode(F.array_distinct(grams_expr)).alias("g"))
-    )
+    grams = five_gram_rows(table(spark, sf_dir, "documents"))
     bench = grams.where(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("bench_doc"), "g"
     )

@@ -1095,3 +1095,93 @@ def test_ann_eval_matches_lane_intersection(spark):
             (i + 1 for i, n in enumerate(ranked) if n in exact[r.query_id]), 0
         )
         assert r.mrr_micro == (1_000_000 // first if first else 0), r.query_id
+
+
+def test_data_factory_stage_gates_replay(spark):
+    """Replay every python-checkable gate of the x9_data_factory manifest
+    at sf0.001: quality logit, exact-dup canonicality, benchmark holdout +
+    5-gram decontamination, per-source rank contiguity/order, context-bin
+    cumsum, and content-addressed shard/pos. (The DSIR weights and the
+    LSH-verified near-dup stage are covered by the full DuckDB oracle —
+    this pin covers the stage COMPOSITION the way the fuzzy-pipeline
+    invariants test does.)"""
+    import hashlib
+
+    from iii_aibigdata_capstone_spark.operators.curation import (
+        FACTORY_SHARDS,
+        PACK_BIN_TOKENS,
+    )
+    from iii_aibigdata_capstone_spark.operators.textual import (
+        BENCH_HOLDOUT_MOD,
+        QUALITY_MODEL,
+        STOPWORDS,
+    )
+
+    rows = registry()["x9_data_factory"].builder(spark, TEST_SF_DIR).collect()
+    assert rows, "factory selected nothing at test SF"
+    docs = {
+        r.doc_id: r for r in table(spark, TEST_SF_DIR, "documents").collect()
+    }
+    stop = frozenset(STOPWORDS)
+
+    def logit(d):
+        ts = d.text.split(" ")
+        return (
+            QUALITY_MODEL["bias"]
+            + QUALITY_MODEL["n_tokens"] * len(ts)
+            + QUALITY_MODEL["n_stop"] * sum(t in stop for t in ts)
+            + QUALITY_MODEL["n_uniq"] * len(set(ts))
+            + QUALITY_MODEL["n_chars"] * d.n_chars
+        )
+
+    def g5(text):
+        ts = text.split(" ")
+        return (
+            {" ".join(ts[i : i + 5]) for i in range(len(ts) - 4)}
+            if len(ts) >= 5
+            else set()
+        )
+
+    good = {i: d for i, d in docs.items() if logit(d) >= 0}
+    bench = set()
+    for i, d in docs.items():
+        if i % BENCH_HOLDOUT_MOD == 0:
+            bench |= g5(d.text)
+
+    for r in rows:
+        d = docs[r.doc_id]
+        # stage 1: the quality gate passed
+        assert logit(d) >= 0, r.doc_id
+        # stage 2a: exact-canonical — no smaller GOOD doc has identical text
+        assert not any(
+            j < r.doc_id and g.text == d.text for j, g in good.items()
+        ), r.doc_id
+        # stage 3: not in the holdout, and shares no 5-gram with it
+        assert r.doc_id % BENCH_HOLDOUT_MOD != 0, r.doc_id
+        assert not (g5(d.text) & bench), r.doc_id
+        assert r.n_tokens == len(d.text.split(" ")), r.doc_id
+
+    # stage 4: per source the selected set is the rank prefix 1..n in
+    # (logw desc, doc_id asc) order
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for source, rs in by_source.items():
+        rs.sort(key=lambda r: (-r.logw, r.doc_id))
+        assert [r.src_rank for r in rs] == list(range(1, len(rs) + 1)), source
+        # stage 5: bins are the cumsum-before-me // budget in doc_id order
+        rs.sort(key=lambda r: r.doc_id)
+        acc = 0
+        for r in rs:
+            assert r.bin == acc // PACK_BIN_TOKENS, (source, r.doc_id)
+            acc += r.n_tokens
+
+    # stage 6: content-addressed shards — pos is contiguous hash order
+    by_shard = {}
+    for r in rows:
+        h = hashlib.md5(docs[r.doc_id].text.encode()).hexdigest()
+        assert r.shard == int(h[:8], 16) % FACTORY_SHARDS, r.doc_id
+        by_shard.setdefault(r.shard, []).append((h, r.doc_id, r.pos))
+    for shard, entries in by_shard.items():
+        entries.sort(key=lambda e: (e[0], e[1]))
+        assert [e[2] for e in entries] == list(range(1, len(entries) + 1)), shard

@@ -547,3 +547,50 @@ def test_no_scale_killers_in_any_registered_plan(spark):
         if cart or (triple and name not in TRIPLE_SCAN_ALLOWED):
             offenders.append((name, cart, triple))
     assert not offenders, offenders
+
+
+def test_streaming_serving_micro_batch_plan_rescans_no_parquet(spark):
+    """The streaming serving twin's per-micro-batch plan (serve_query_batch
+    over a static query frame — exactly what foreachBatch executes) must
+    read ONLY the checkpointed RagIndex members: zero parquet scans per
+    batch, no CartesianProduct, no Python operators. This is the r9
+    zero-rescan property, asserted on the STREAM-side spelling instead of
+    only the batch twin (the x9_rag_pipeline PLANS entry)."""
+    from iii_aibigdata_capstone_spark.operators.curation import rag_index
+    from iii_aibigdata_capstone_spark.streaming.serving import serve_query_batch
+
+    index = rag_index(spark, TEST_SF_DIR)
+    queries = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (3, "delta epsilon")],
+        "query_id long, text string",
+    )
+    a = audit(serve_query_batch(index, queries))
+    assert ".parquet" not in a.text, "micro-batch plan re-scans parquet"
+    assert "CartesianProduct" not in a.text
+    assert a.python_map_operators == 0
+
+
+def test_streaming_ingest_micro_batch_plan_rescans_no_parquet(spark):
+    """The ingest twin's per-micro-batch plan (ingest_admit over a static
+    arrival frame — exactly what foreachBatch executes) must read ONLY the
+    checkpointed IngestIndex members: zero parquet scans per batch, no
+    CartesianProduct, no Python operators (the serving-plan discipline on
+    the dedup lane)."""
+    import pyspark.sql.functions as F
+
+    from iii_aibigdata_capstone_spark.catalog import table
+    from iii_aibigdata_capstone_spark.operators.dedup import (
+        ingest_admit,
+        minhash_ingest_index,
+    )
+
+    docs = table(spark, TEST_SF_DIR, "documents")
+    index = minhash_ingest_index(docs.where(F.col("doc_id") % 5 != 4))
+    arrivals = spark.createDataFrame(
+        [(4, "en", "some arriving text body", 23), (9, "fr", "another doc", 11)],
+        "doc_id long, lang string, text string, n_chars long",
+    )
+    a = audit(ingest_admit(index, arrivals))
+    assert ".parquet" not in a.text, "micro-batch plan re-scans parquet"
+    assert "CartesianProduct" not in a.text
+    assert a.python_map_operators == 0

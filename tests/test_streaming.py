@@ -760,3 +760,58 @@ def test_streaming_rag_serving_equals_batch(spark):
         for r in registry()["x9_rag_pipeline"].builder(spark, TEST_SF_DIR).collect()
     )
     assert got == want
+
+
+def test_streaming_minhash_ingest_equals_batch(spark):
+    """streaming/ingest.py: candidate documents arriving in TWO
+    micro-batches, admitted against ONE prebuilt IngestIndex through the
+    shared ingest_admit dataflow, must emit exactly the batch
+    x1_minhash_ingest rows (each doc's verdict in the micro-batch that
+    carried it) — the dedup half of the r9 serving pattern. Equality
+    across arrival splits holds because both lanes probe the FIXED
+    resident index only (batch-vs-batch pairs are out of contract)."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from iii_aibigdata_capstone_spark.catalog import table
+    from iii_aibigdata_capstone_spark.operators.dedup import minhash_ingest_index
+    from iii_aibigdata_capstone_spark.queries import registry
+    from iii_aibigdata_capstone_spark.streaming.ingest import (
+        streaming_minhash_ingest,
+    )
+
+    docs = table(spark, TEST_SF_DIR, "documents")
+    is_batch = F.col("doc_id") % 5 == 4
+    index = minhash_ingest_index(docs.where(~is_batch))
+    arrivals = docs.where(is_batch).select("doc_id", "lang", "text", "n_chars")
+
+    src = tempfile.mkdtemp(prefix="ingest_src_")
+    median_id = arrivals.approxQuantile("doc_id", [0.5], 0.0)[0]
+    for pred in (F.col("doc_id") <= median_id, F.col("doc_id") > median_id):
+        arrivals.where(pred).coalesce(1).write.mode("append").parquet(src)
+
+    per_batch: dict[int, list] = {}
+    q = streaming_minhash_ingest(
+        index,
+        spark.readStream.schema("doc_id long, lang string, text string, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        emit=lambda df, bid: per_batch.setdefault(bid, []).extend(df.collect()),
+        checkpoint=tempfile.mkdtemp(prefix="ingest_ck_"),
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+    q.stop()
+
+    data_batches = [rows for rows in per_batch.values() if rows]
+    assert len(data_batches) == 2, "expected admissions in both arrival batches"
+    # each admitted doc arrived in the micro-batch that carried it
+    for rows, lo in zip(data_batches, (True, False)):
+        assert all((r.doc_id <= median_id) == lo for r in rows)
+
+    got = sorted(tuple(r) for rows in data_batches for r in rows)
+    want = sorted(
+        tuple(r)
+        for r in registry()["x1_minhash_ingest"].builder(spark, TEST_SF_DIR).collect()
+    )
+    assert got == want

@@ -642,6 +642,65 @@ GALLERY = [
             ("no Python operators", lambda a: a.python_map_operators == 0),
         ],
     ),
+    (
+        "x3_ann_eval",
+        "x3_ann_eval",
+        "ANN quality evaluation: recall@3 + MRR of the IVF nprobe=2 "
+        "cascade against the exact brute-force top-3. Both rank lists are "
+        "bounded (probes x k), so the hit detection is an equi LEFT join "
+        "of two tiny tables — per-probe metrics are integer arithmetic on "
+        "integer ranks, the exact lane is bounded to the probe set, and "
+        "the IVF lane is the shortlist->rerank cascade (never all-pairs). "
+        "The single nested-loop join is the probe-set self-exclusion "
+        "(NOT vec_id = vec_id over the bounded probe rows), not a "
+        "corpus-sized product.",
+        [
+            ("no CartesianProduct", lambda a: "CartesianProduct" not in a.text),
+            (
+                "rank joins are equi joins (SMJ/BHJ), not nested loops",
+                lambda a: a.sort_merge_joins + a.broadcast_joins >= 3,
+            ),
+            (
+                "exactly one BNLJ: the bounded probe self-exclusion",
+                lambda a: len(
+                    re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", a.text, re.M)
+                ) == 1,
+            ),
+            ("no Python operators", lambda a: a.python_map_operators == 0),
+        ],
+    ),
+    (
+        "x9_data_factory",
+        "x9_data_factory",
+        "The corpus-build flagship, emit path: quality gate -> exact + "
+        "LSH fuzzy dedup (CC keep-best) -> 5-gram decontamination -> DSIR "
+        "x temperature-mix selection -> context-bin packing -> "
+        "content-addressed sharding, over ONE projected documents scan "
+        "(the base checkpoint; every stage consumes checkpoints, so the "
+        "emit plan re-scans ZERO parquet). The bench gram index, DSIR "
+        "bucket models (256 rows), 1-row totals, and per-source quotas "
+        "all broadcast; packing/sharding are two keyed windows over the "
+        "budget-bounded selected set. The only nested-loop broadcast is "
+        "the 1-row DSIR totals table.",
+        [
+            ("no CartesianProduct", lambda a: "CartesianProduct" not in a.text),
+            (
+                "emit path reads the checkpoints, not parquet",
+                lambda a: ".parquet" not in a.text,
+            ),
+            (
+                "only the 1-row DSIR totals reaches by nested loop",
+                lambda a: len(
+                    re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", a.text, re.M)
+                ) == 1,
+            ),
+            (
+                "models/quota/bench-grams broadcast",
+                lambda a: a.broadcast_joins >= 4,
+            ),
+            ("no Python operators", lambda a: a.python_map_operators == 0),
+        ],
+    ),
 ]
 
 

@@ -122,6 +122,7 @@ DEFAULT = [
     "x9_rag_pipeline",
     "x5_spacesaving_topk",
     "x3_ann_eval",
+    "x9_data_factory",
 ]
 
 
