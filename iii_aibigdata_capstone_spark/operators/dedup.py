@@ -671,7 +671,17 @@ def ingest_admit(index: IngestIndex, batch: DataFrame) -> DataFrame:
     band keys equi-join the index bands on (lang, band, bkey) — probe
     cost O(batch x bands) rows, never index-vs-index; candidates
     verified with EXACT Jaccard over the union shingle table; flagged
-    docs anti-joined away."""
+    docs anti-joined away.
+
+    ID-NAMESPACE CONTRACT (the serving.py rag_serve precedent): arrival
+    doc_ids must be unique within the batch AND disjoint from resident
+    index ids — the exact-Jaccard verify groups the UNION shingle table
+    by doc_id, so a collision (an at-least-once source redelivering a
+    changed doc under a resident id, or one id twice in a batch) merges
+    two documents' shingle sets and silently corrupts sizes and
+    intersections. An external ingest source must allocate fresh ids (or
+    dedupe redeliveries) upstream; the registered x1_minhash_ingest
+    split (doc_id % 5) satisfies this by construction."""
     fresh = batch.alias("b").join(
         index.hashes, F.md5(F.col("b.text")) == F.col("h"), "left_anti"
     )

@@ -12,7 +12,10 @@ because BOTH lanes test arrivals against the FIXED resident index only —
 batch-vs-batch (and arrival-vs-arrival) pairs are out of contract in both.
 An ingest that must also dedup arrivals against each other composes this
 with the stateful cross-batch lane (streaming/neardup.py), which holds
-exactly that state. Index evolution = rebuild, like RagIndex.
+exactly that state. Index evolution = rebuild, like RagIndex. Arrival
+doc_ids must be unique per batch and disjoint from resident index ids —
+see the ID-NAMESPACE CONTRACT on ``ingest_admit`` (a collision merges two
+documents' shingle sets in the verify and silently corrupts Jaccard).
 
 This is the stream-static join shape at 100 TB: the index members are
 bounded artifacts (hashes, N_MINHASH_BANDS rows/doc, shingles) readable

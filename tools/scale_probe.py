@@ -153,12 +153,26 @@ def main() -> None:
     specs = registry()
 
     def run(builder, sf_dir: str) -> float:
-        best = float("inf")
-        for _ in range(2):
+        # Adaptive best-of-N (the bench.py timed() discipline): rerun
+        # until the two best samples agree within 20% (max 5), report the
+        # min. Fixed best-of-2 let first-run JIT/warmup contaminate the
+        # SMALL end of a decade and inflate alpha — the r9
+        # x2_embedding_neardup 0.692 fit was exactly this artifact
+        # (0.5 -> 2.5s decade, both ends still warming).
+        samples: list[float] = []
+        for _ in range(5):
             t0 = time.time()
             builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        return best
+            samples.append(time.time() - t0)
+            # Sub-3s queries need >= 3 samples before the agreement break
+            # (bench.py timed(): two correlated still-warming samples can
+            # "agree" well above steady state — the r5 x2_simhash lesson).
+            need = 3 if min(samples) < 3.0 else 2
+            if len(samples) >= need:
+                lo, lo2 = sorted(samples)[:2]
+                if lo2 - lo <= max(0.2 * lo, 0.1):
+                    break
+        return min(samples)
 
     # warm the JVM + Python worker pool so sf0.001 isn't all startup cost
     run(specs["q1_pricing_summary"].builder, "/root/testdata/sf0.01")
