@@ -127,6 +127,7 @@ HEADLINE = [
     "x5_spacesaving_topk",
     "x3_ann_eval",
     "x9_data_factory",
+    "x2_dedup_eval",
 ]
 
 # The two non-registry entries, timed by the last chunk.

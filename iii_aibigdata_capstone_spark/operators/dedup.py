@@ -456,6 +456,178 @@ def x2_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_verified_pairs(sh)
 
 
+@query(
+    "x2_dedup_eval",
+    oracle=dedent(
+        f"""
+        WITH {_SHINGLE_SQL_CTE},
+        hashed AS (
+            SELECT doc_id, lang,
+                   CAST('0x' || SUBSTR(MD5(s), 1, 15) AS BIGINT) % 1073741824 AS hlo,
+                   CAST('0x' || SUBSTR(MD5(s), 1, 15) AS BIGINT) // 1073741824 AS hhi
+            FROM shingles
+        ),
+        mins AS (
+            SELECT doc_id, lang,
+               {_MINHASH_MIN_SQL}
+            FROM hashed GROUP BY 1, 2
+        ),
+        bk AS (
+            SELECT doc_id, lang,
+                   UNNEST(RANGE(0, {N_MINHASH_BANDS})) AS band,
+                   UNNEST([{_MINHASH_BKEY_SQL}]) AS bkey
+            FROM mins
+        ),
+        cand AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang
+            FROM bk a JOIN bk b
+              ON a.lang = b.lang AND a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id
+        ),
+        sizes AS MATERIALIZED (
+            SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+        ),
+        cand_inter AS (
+            SELECT c.doc_a, c.doc_b, c.lang, COUNT(*) AS i
+            FROM cand c
+            JOIN shingles x ON x.doc_id = c.doc_a AND x.lang = c.lang
+            JOIN shingles y ON y.doc_id = c.doc_b AND y.s = x.s AND y.lang = c.lang
+            GROUP BY 1, 2, 3
+        ),
+        verified AS (
+            SELECT i.doc_a, i.doc_b, i.lang FROM cand_inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.5
+        ),
+        true_inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang, COUNT(*) AS i
+            FROM shingles a JOIN shingles b
+              ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3
+        ),
+        true_pairs AS (
+            SELECT i.doc_a, i.doc_b, i.lang FROM true_inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.5
+        ),
+        t_agg AS (SELECT lang, COUNT(*) AS n_true_pairs FROM true_pairs GROUP BY lang),
+        c_agg AS (SELECT lang, COUNT(*) AS n_candidates FROM cand GROUP BY lang),
+        v_agg AS (SELECT lang, COUNT(*) AS n_verified FROM verified GROUP BY lang)
+        SELECT COALESCE(t.lang, c.lang) AS lang,
+               COALESCE(t.n_true_pairs, 0) AS n_true_pairs,
+               COALESCE(c.n_candidates, 0) AS n_candidates,
+               COALESCE(v.n_verified, 0) AS n_verified,
+               CASE WHEN t.n_true_pairs > 0
+                    THEN 1000000 * COALESCE(v.n_verified, 0) // t.n_true_pairs
+               END AS recall_micro,
+               CASE WHEN c.n_candidates > 0
+                    THEN 1000000 * COALESCE(v.n_verified, 0) // c.n_candidates
+               END AS cand_precision_micro
+        FROM t_agg t
+        FULL OUTER JOIN c_agg c ON c.lang = t.lang
+        LEFT JOIN v_agg v ON v.lang = COALESCE(t.lang, c.lang)
+        """
+    ),
+    tags=("X2", "X5", "eval", "lsh"),
+)
+def x2_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality evaluation — the detect -> evaluate pair for the dedup
+    family (the x3_ann_eval / x10_modularity pattern): per language,
+    banded-MinHash recall measured against the GROUND-TRUTH exact-Jaccard
+    >= 0.5 pair set (the x2_ngram_jaccard inverted-index spelling), plus
+    the candidate-verification yield. Verified pairs are a SUBSET of true
+    pairs by construction (verification is exact on the same shingles),
+    so recall = n_verified / n_true needs no pair-level hit join; both
+    metrics are integer division on counts (no float reaches the hash).
+
+    This is the lane that makes the banding knobs honest: with
+    N_MINHASH_SEEDS=16 / N_MINHASH_BANDS=4, a pair at Jaccard exactly 0.5
+    collides in some band with probability ~0.23, rising steeply toward 1
+    for near-identical docs — the per-lang recall reported here is the
+    measured operating point of every LSH dedup lane in the repo on this
+    corpus (near-dups in the synthetic corpus sit close to 1.0 Jaccard,
+    so measured recall is high; a corpus with borderline pairs would show
+    the 0.23 floor, which is exactly what this evaluation is FOR).
+
+    Scale shape: ONE checkpointed shingle table feeds all four consumers
+    (minhash bands, sizes, candidate verify, ground-truth index join);
+    every join is an equi join; the aggregates are per-lang counts
+    (constant output). The ground-truth lane is the quadratic-in-hotspot
+    inverted index — on a real 100 TB corpus this EVALUATION runs on a
+    sampled slice (the estimator pattern), while the detection lanes it
+    grades stay banded; at test SF the full corpus is the slice."""
+    sh = shingles(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # 4 consumers: bands, sizes, cand verify, ground-truth index
+    w = Window.partitionBy("doc_id")
+    # exchange reuse does not cover the two self-join sides (the
+    # x2_ngram_jaccard / sized_shingles lesson) — materialize the sized
+    # table once instead of re-running the count window per side
+    sized = sh.withColumn("n", F.count(F.lit(1)).over(w)).localCheckpoint(
+        eager=False
+    )
+    a, b = sized.alias("a"), sized.alias("b")
+    true_pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+        .where(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")) >= 0.5)
+        .select("doc_a", "doc_b", "lang")
+    )
+    cand = minhash_candidates(sh).distinct().localCheckpoint(
+        eager=False
+    )  # counted per lang + verified + lang-recovery join
+    verified = exact_jaccard_verify(cand, sh).join(cand, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "lang"
+    )
+    t_agg = true_pairs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    c_agg = cand.groupBy("lang").agg(F.count(F.lit(1)).alias("n_candidates"))
+    v_agg = verified.groupBy("lang").agg(F.count(F.lit(1)).alias("n_verified"))
+    joined = (
+        t_agg.alias("t")
+        .join(c_agg.alias("c"), F.col("t.lang") == F.col("c.lang"), "full_outer")
+        .select(
+            F.coalesce(F.col("t.lang"), F.col("c.lang")).alias("lang"),
+            F.coalesce(F.col("n_true_pairs"), F.lit(0)).alias("n_true_pairs"),
+            F.coalesce(F.col("n_candidates"), F.lit(0)).alias("n_candidates"),
+        )
+        .join(v_agg, "lang", "left")
+        .select(
+            "lang",
+            "n_true_pairs",
+            "n_candidates",
+            F.coalesce(F.col("n_verified"), F.lit(0)).alias("n_verified"),
+        )
+    )
+    return joined.select(
+        "lang",
+        "n_true_pairs",
+        "n_candidates",
+        "n_verified",
+        F.expr(
+            "CASE WHEN n_true_pairs > 0"
+            " THEN 1000000 * n_verified DIV n_true_pairs END"
+        ).alias("recall_micro"),
+        F.expr(
+            "CASE WHEN n_candidates > 0"
+            " THEN 1000000 * n_verified DIV n_candidates END"
+        ).alias("cand_precision_micro"),
+    )
+
+
 def _minhash_band_table(sh: DataFrame) -> DataFrame:
     """(doc_id, lang, band, bkey) banded-minhash LSH keys over a
     ``(doc_id, lang, s)`` shingle table — each shingle hashed once, all
@@ -486,13 +658,17 @@ def _minhash_band_table(sh: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_verified_pairs(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """(doc_a, doc_b, jaccard) pairs from banded-minhash candidates over a
-    ``(doc_id, lang, s)`` shingle table, verified with exact Jaccard >=
-    ``threshold``. Shared by the standalone query and the end-to-end
-    fuzzy-dedup pipeline."""
+def minhash_candidates(sh: DataFrame) -> DataFrame:
+    """``(doc_a, doc_b, lang)`` banded-minhash candidate pairs (band-key
+    self-equi-join, doc_a < doc_b) over a ``(doc_id, lang, s)`` shingle
+    table — the candidate-generation half of ``_minhash_verified_pairs``,
+    exposed so the dedup-eval lane can count candidates with the SAME
+    spelling the detection lanes use. NOT deduplicated: a pair colliding
+    in k bands appears k times (``exact_jaccard_verify`` folds the
+    duplicates in its own distinct; a consumer counting DISTINCT pairs
+    applies ``.distinct()`` itself)."""
     bk = _minhash_band_table(sh)
-    cand = (
+    return (
         bk.alias("a")
         .join(
             bk.alias("b"),
@@ -506,8 +682,15 @@ def _minhash_verified_pairs(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.lang").alias("lang"),
         )
-    )  # multi-band duplicates fold in the verify helper's distinct
-    return exact_jaccard_verify(cand, sh, threshold)
+    )
+
+
+def _minhash_verified_pairs(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """(doc_a, doc_b, jaccard) pairs from banded-minhash candidates over a
+    ``(doc_id, lang, s)`` shingle table, verified with exact Jaccard >=
+    ``threshold``. Shared by the standalone query and the end-to-end
+    fuzzy-dedup pipeline."""
+    return exact_jaccard_verify(minhash_candidates(sh), sh, threshold)
 
 
 def exact_jaccard_verify(

@@ -1185,3 +1185,94 @@ def test_data_factory_stage_gates_replay(spark):
     for shard, entries in by_shard.items():
         entries.sort(key=lambda e: (e[0], e[1]))
         assert [e[2] for e in entries] == list(range(1, len(entries) + 1)), shard
+
+
+def test_dedup_eval_replays_band_arithmetic(spark):
+    """x2_dedup_eval pinned against a transparent python replay of the
+    WHOLE evaluation at sf0.001: shingle sets, exact-Jaccard ground
+    truth, the md5-affine minhash signatures and band keys (the same
+    constants the engine lanes use), candidate generation, verification,
+    and the integer recall/precision arithmetic."""
+    import hashlib
+    from itertools import combinations
+
+    from iii_aibigdata_capstone_spark.operators.dedup import (
+        _MINHASH_COEFFS,
+        _MINHASH_P,
+        N_MINHASH_BANDS,
+        N_MINHASH_SEEDS,
+    )
+
+    docs = table(spark, TEST_SF_DIR, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    sh = {}
+    lang_of = {}
+    for d in docs:
+        ts = d.text.split(" ")
+        if len(ts) >= 3:
+            grams = {" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)}
+            if grams:
+                sh[d.doc_id] = grams
+                lang_of[d.doc_id] = d.lang
+
+    def jac(x, y):
+        inter = len(sh[x] & sh[y])
+        return inter / (len(sh[x]) + len(sh[y]) - inter)
+
+    ids = sorted(sh)
+    true_pairs = {
+        (x, y)
+        for x, y in combinations(ids, 2)
+        if lang_of[x] == lang_of[y] and (sh[x] & sh[y]) and jac(x, y) >= 0.5
+    }
+
+    def bands(doc):
+        sigs = []
+        for a, b, c in _MINHASH_COEFFS:
+            best = None
+            for s in sh[doc]:
+                h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                v = (a * (h & ((1 << 30) - 1)) + b * (h >> 30) + c) % _MINHASH_P
+                best = v if best is None or v < best else best
+            sigs.append(best)
+        return [
+            tuple(sigs[i] for i in range(N_MINHASH_SEEDS) if i % N_MINHASH_BANDS == j)
+            for j in range(N_MINHASH_BANDS)
+        ]
+
+    bnd = {d: bands(d) for d in ids}
+    cand = {
+        (x, y)
+        for x, y in combinations(ids, 2)
+        if lang_of[x] == lang_of[y]
+        and any(bx == by for bx, by in zip(bnd[x], bnd[y]))
+    }
+    verified = {p for p in cand if jac(*p) >= 0.5}
+    assert verified <= true_pairs  # the subset identity the lane relies on
+
+    want = {}
+    langs = {lang_of[x] for x, _ in true_pairs} | {lang_of[x] for x, _ in cand}
+    for lg in langs:
+        nt = sum(lang_of[x] == lg for x, _ in true_pairs)
+        nc = sum(lang_of[x] == lg for x, _ in cand)
+        nv = sum(lang_of[x] == lg for x, _ in verified)
+        want[lg] = (
+            nt,
+            nc,
+            nv,
+            1000000 * nv // nt if nt else None,
+            1000000 * nv // nc if nc else None,
+        )
+
+    got = {
+        r.lang: (
+            r.n_true_pairs,
+            r.n_candidates,
+            r.n_verified,
+            r.recall_micro,
+            r.cand_precision_micro,
+        )
+        for r in registry()["x2_dedup_eval"].builder(spark, TEST_SF_DIR).collect()
+    }
+    assert got == want

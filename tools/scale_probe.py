@@ -123,6 +123,7 @@ DEFAULT = [
     "x5_spacesaving_topk",
     "x3_ann_eval",
     "x9_data_factory",
+    "x2_dedup_eval",
 ]
 
 
