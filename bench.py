@@ -184,6 +184,12 @@ BENCH_NOTES = (
     " across every subsequent micro-batch (the registered query pays"
     " build+probe inline), accepted for the stream==batch one-spelling"
     " contract."
+    " r10 final-bench movers adjudicated same-round by 12-run decay:"
+    " x3_mmr_rerank benched 1.62 but decays to steady 1.20 (r9 1.17) and"
+    " x10_triangle_count benched 3.19 but decays to steady 2.06 (r9"
+    " benched 2.33) — both NOISE at their r9 levels; the canonical r10"
+    " number is the committed BENCH_FULL.json run: 123.1s / 91 entries /"
+    " 0 errors (common-89 vs r9 = 0.976x)."
 )
 
 
