@@ -340,7 +340,11 @@ MIX_BUDGET = 20000.0  # token budget the sampling rates are sized against
 # x9_training_mix and the x9_data_factory quota stage): the IEEE tree
 # w / SUM(w) OVER () * budget / n_tokens must stay identical everywhere
 # the rate is computed, or round-6 values desynchronize across lanes.
-_MIX_RATE_SQL = f"LEAST(w / SUM(w) OVER () * {MIX_BUDGET:.0f} / n_tokens, 1.0)"
+# The SQL renders the budget as an integer literal, so a non-integral
+# budget would silently round in the oracle while the Spark twin
+# (mix_rate_cols) used the exact float — refuse that desync at import.
+assert MIX_BUDGET == int(MIX_BUDGET), "MIX_BUDGET must be integral (SQL literal)"
+_MIX_RATE_SQL = f"LEAST(w / SUM(w) OVER () * {int(MIX_BUDGET)} / n_tokens, 1.0)"
 
 
 def mix_weighted_sql(src: str) -> str:

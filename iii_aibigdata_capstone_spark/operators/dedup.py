@@ -551,23 +551,32 @@ def x2_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     so measured recall is high; a corpus with borderline pairs would show
     the 0.23 floor, which is exactly what this evaluation is FOR).
 
-    Scale shape: ONE checkpointed shingle table feeds all four consumers
-    (minhash bands, sizes, candidate verify, ground-truth index join);
-    every join is an equi join; the aggregates are per-lang counts
-    (constant output). The ground-truth lane is the quadratic-in-hotspot
-    inverted index — on a real 100 TB corpus this EVALUATION runs on a
-    sampled slice (the estimator pattern), while the detection lanes it
-    grades stay banded; at test SF the full corpus is the slice."""
-    sh = shingles(spark, sf_dir).localCheckpoint(
-        eager=False
-    )  # 4 consumers: bands, sizes, cand verify, ground-truth index
+    Scale shape: ONE checkpointed shingle table (raw grams for the
+    md5-minhash bands, an xxhash64 column for every equality join — the
+    sized_shingles lesson: 8-byte shuffle keys instead of ~20-byte
+    strings on the hottest joins) feeds every consumer; per-doc sizes
+    ride the sized frame as a window count, shared by the ground-truth
+    AND verify lanes (one aggregation, and the verify keeps lang — no
+    recovery join); every join is an equi join; the aggregates are
+    per-lang counts (constant output). The ground-truth lane is the
+    quadratic-in-hotspot inverted index — on a real 100 TB corpus this
+    EVALUATION runs on a sampled slice (the estimator pattern), while
+    the detection lanes it grades stay banded; at test SF the full
+    corpus is the slice."""
+    sh = (
+        shingles(spark, sf_dir)
+        .withColumn("h", F.xxhash64("s"))
+        .localCheckpoint(eager=False)
+    )  # raw s -> minhash bands; h -> every equality join below
     w = Window.partitionBy("doc_id")
     # exchange reuse does not cover the two self-join sides (the
     # x2_ngram_jaccard / sized_shingles lesson) — materialize the sized
     # table once instead of re-running the count window per side
-    sized = sh.withColumn("n", F.count(F.lit(1)).over(w)).localCheckpoint(
-        eager=False
-    )
+    sized = (
+        sh.select("doc_id", "lang", F.col("h").alias("s"))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .localCheckpoint(eager=False)
+    )  # 4 consumers: both ground-truth sides, both verify sides
     a, b = sized.alias("a"), sized.alias("b")
     true_pairs = (
         a.join(
@@ -589,9 +598,27 @@ def x2_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = minhash_candidates(sh).distinct().localCheckpoint(
         eager=False
-    )  # counted per lang + verified + lang-recovery join
-    verified = exact_jaccard_verify(cand, sh).join(cand, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "lang"
+    )  # counted per lang + the verify's candidate side
+    # cand-restricted exact verify over the SAME sized frame (the
+    # oracle's cand_inter/verified shape): sizes ride the rows, lang
+    # threads through — one aggregation, no recovery join
+    verified = (
+        cand.join(
+            sized.select(
+                F.col("doc_id").alias("doc_a"), "lang", "s", F.col("n").alias("na")
+            ),
+            ["doc_a", "lang"],
+        )
+        .join(
+            sized.select(
+                F.col("doc_id").alias("doc_b"), "lang", "s", F.col("n").alias("nb")
+            ),
+            ["doc_b", "lang", "s"],
+        )
+        .groupBy("doc_a", "doc_b", "lang", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("i"))
+        .where(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")) >= 0.5)
+        .select("doc_a", "doc_b", "lang")
     )
     t_agg = true_pairs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_true_pairs"))
     c_agg = cand.groupBy("lang").agg(F.count(F.lit(1)).alias("n_candidates"))

@@ -805,9 +805,11 @@ def test_streaming_minhash_ingest_equals_batch(spark):
 
     data_batches = [rows for rows in per_batch.values() if rows]
     assert len(data_batches) == 2, "expected admissions in both arrival batches"
-    # each admitted doc arrived in the micro-batch that carried it
-    for rows, lo in zip(data_batches, (True, False)):
-        assert all((r.doc_id <= median_id) == lo for r in rows)
+    # each admitted doc arrived in the micro-batch that carried it —
+    # WITHOUT pinning file order (FileStreamSource breaks mtime ties in
+    # unspecified order; the rag serving test's order-agnostic discipline)
+    halves = {frozenset(r.doc_id <= median_id for r in rows) for rows in data_batches}
+    assert halves == {frozenset({True}), frozenset({False})}
 
     got = sorted(tuple(r) for rows in data_batches for r in rows)
     want = sorted(
