@@ -817,3 +817,65 @@ def test_streaming_minhash_ingest_equals_batch(spark):
         for r in registry()["x1_minhash_ingest"].builder(spark, TEST_SF_DIR).collect()
     )
     assert got == want
+
+
+def test_streaming_gated_ingest_composition(spark):
+    """The factory front-end as a stream: the stateless quality gate
+    (score_documents) composed with index admission (ingest_admit) inside
+    ONE foreachBatch body — the same closure runs as the batch lane, so
+    stream == batch composition cannot drift. Gate ordering is
+    load-bearing: only PASSING docs probe the dedup index (a failing doc
+    must not consume probe work or be admitted)."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from iii_aibigdata_capstone_spark.catalog import table
+    from iii_aibigdata_capstone_spark.operators.dedup import (
+        ingest_admit,
+        minhash_ingest_index,
+    )
+    from iii_aibigdata_capstone_spark.operators.textual import score_documents
+
+    docs = table(spark, TEST_SF_DIR, "documents")
+    is_batch = F.col("doc_id") % 5 == 4
+    index = minhash_ingest_index(docs.where(~is_batch))
+    arrivals = docs.where(is_batch).select("doc_id", "lang", "text", "n_chars")
+
+    def admit_gated(df):
+        # ONE spelling of the composed front-end, shared by both lanes
+        scored = score_documents(df, keep=("text", "n_chars"))
+        good = scored.where("quality_pass").select(
+            "doc_id", "lang", "text", "n_chars"
+        )
+        return ingest_admit(index, good)
+
+    want = sorted(map(tuple, admit_gated(arrivals).collect()))
+    assert want, "composition admitted nothing at test SF"
+    # the gate must actually drop something, or the ordering isn't exercised
+    n_arrivals = arrivals.count()
+    n_gated = (
+        score_documents(arrivals, keep=()).where("quality_pass").count()
+    )
+    assert 0 < n_gated < n_arrivals
+
+    src = tempfile.mkdtemp(prefix="gated_src_")
+    median_id = arrivals.approxQuantile("doc_id", [0.5], 0.0)[0]
+    for pred in (F.col("doc_id") <= median_id, F.col("doc_id") > median_id):
+        arrivals.where(pred).coalesce(1).write.mode("append").parquet(src)
+
+    rows: list = []
+    q = (
+        spark.readStream.schema("doc_id long, lang string, text string, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(
+            lambda df, bid: rows.extend(admit_gated(df).collect())
+        )
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="gated_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+    q.stop()
+    assert sorted(map(tuple, rows)) == want

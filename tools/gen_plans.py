@@ -670,6 +670,32 @@ GALLERY = [
         ],
     ),
     (
+        "x2_dedup_eval",
+        "x2_dedup_eval",
+        "LSH quality evaluation: ground-truth exact-Jaccard pairs vs the "
+        "banded-MinHash candidate/verified sets, per language. ONE "
+        "checkpointed shingle table (raw grams feed the md5 minhash "
+        "bands; an xxhash64 column keys every equality join — 8-byte "
+        "shuffle keys on the quadratic-hotspot ground-truth self-join); "
+        "sizes ride the sized frame's window count, shared by the "
+        "ground-truth and cand-restricted verify lanes; metrics are "
+        "integer division on per-lang counts.",
+        [
+            ("no CartesianProduct", lambda a: "CartesianProduct" not in a.text),
+            (
+                "emit path reads the checkpoints, not parquet",
+                lambda a: ".parquet" not in a.text,
+            ),
+            (
+                "every join is an equi join (zero nested-loop broadcasts)",
+                lambda a: len(
+                    re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", a.text, re.M)
+                ) == 0,
+            ),
+            ("no Python operators", lambda a: a.python_map_operators == 0),
+        ],
+    ),
+    (
         "x9_data_factory",
         "x9_data_factory",
         "The corpus-build flagship, emit path: quality gate -> exact + "
