@@ -762,7 +762,39 @@ def test_streaming_rag_serving_equals_batch(spark):
     assert got == want
 
 
-def test_streaming_minhash_ingest_equals_batch(spark):
+
+INGEST_ARRIVAL_SCHEMA = "doc_id long, lang string, text string, n_chars long"
+
+
+@pytest.fixture(scope="module")
+def ingest_split(spark):
+    """Shared scaffolding for the ingest-twin tests: the FIXED resident
+    index (doc_id % 5 != 4), the arrival frame, a two-parquet-file source
+    dir (two micro-batches under maxFilesPerTrigger=1), and the median
+    doc_id that splits the files. One definition keeps the 'same index,
+    different front-end' twins in lockstep (split key, schema, layout)."""
+    from iii_aibigdata_capstone_spark.operators.dedup import minhash_ingest_index
+
+    docs = table(spark, TEST_SF_DIR, "documents")
+    is_batch = F.col("doc_id") % 5 == 4
+    index = minhash_ingest_index(docs.where(~is_batch))
+    arrivals = docs.where(is_batch).select("doc_id", "lang", "text", "n_chars")
+    src = tempfile.mkdtemp(prefix="ingest_src_")
+    median_id = arrivals.approxQuantile("doc_id", [0.5], 0.0)[0]
+    for pred in (F.col("doc_id") <= median_id, F.col("doc_id") > median_id):
+        arrivals.where(pred).coalesce(1).write.mode("append").parquet(src)
+    return index, arrivals, src, median_id
+
+
+def _arrival_stream(spark, src):
+    return (
+        spark.readStream.schema(INGEST_ARRIVAL_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def test_streaming_minhash_ingest_equals_batch(spark, ingest_split):
     """streaming/ingest.py: candidate documents arriving in TWO
     micro-batches, admitted against ONE prebuilt IngestIndex through the
     shared ingest_admit dataflow, must emit exactly the batch
@@ -770,33 +802,16 @@ def test_streaming_minhash_ingest_equals_batch(spark):
     carried it) — the dedup half of the r9 serving pattern. Equality
     across arrival splits holds because both lanes probe the FIXED
     resident index only (batch-vs-batch pairs are out of contract)."""
-    import tempfile
-
-    import pyspark.sql.functions as F
-
-    from iii_aibigdata_capstone_spark.catalog import table
-    from iii_aibigdata_capstone_spark.operators.dedup import minhash_ingest_index
     from iii_aibigdata_capstone_spark.queries import registry
     from iii_aibigdata_capstone_spark.streaming.ingest import (
         streaming_minhash_ingest,
     )
 
-    docs = table(spark, TEST_SF_DIR, "documents")
-    is_batch = F.col("doc_id") % 5 == 4
-    index = minhash_ingest_index(docs.where(~is_batch))
-    arrivals = docs.where(is_batch).select("doc_id", "lang", "text", "n_chars")
-
-    src = tempfile.mkdtemp(prefix="ingest_src_")
-    median_id = arrivals.approxQuantile("doc_id", [0.5], 0.0)[0]
-    for pred in (F.col("doc_id") <= median_id, F.col("doc_id") > median_id):
-        arrivals.where(pred).coalesce(1).write.mode("append").parquet(src)
-
+    index, _arrivals, src, median_id = ingest_split
     per_batch: dict[int, list] = {}
     q = streaming_minhash_ingest(
         index,
-        spark.readStream.schema("doc_id long, lang string, text string, n_chars long")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src),
+        _arrival_stream(spark, src),
         emit=lambda df, bid: per_batch.setdefault(bid, []).extend(df.collect()),
         checkpoint=tempfile.mkdtemp(prefix="ingest_ck_"),
     )
@@ -819,28 +834,19 @@ def test_streaming_minhash_ingest_equals_batch(spark):
     assert got == want
 
 
-def test_streaming_gated_ingest_composition(spark):
+def test_streaming_gated_ingest_composition(spark, ingest_split):
     """The factory front-end as a stream: the stateless quality gate
     (score_documents) composed with index admission (ingest_admit) inside
     ONE foreachBatch body — the same closure runs as the batch lane, so
-    stream == batch composition cannot drift. Gate ordering is
-    load-bearing: only PASSING docs probe the dedup index (a failing doc
-    must not consume probe work or be admitted)."""
-    import tempfile
-
-    import pyspark.sql.functions as F
-
-    from iii_aibigdata_capstone_spark.catalog import table
-    from iii_aibigdata_capstone_spark.operators.dedup import (
-        ingest_admit,
-        minhash_ingest_index,
-    )
+    stream == batch composition cannot drift. Gate ordering is pinned
+    INDEPENDENTLY of the shared closure: every admitted doc must be in
+    the gate-passing id set computed directly from score_documents (a
+    closure that inverted or dropped the gate would fail that subset
+    check, not just the self-referential equality)."""
+    from iii_aibigdata_capstone_spark.operators.dedup import ingest_admit
     from iii_aibigdata_capstone_spark.operators.textual import score_documents
 
-    docs = table(spark, TEST_SF_DIR, "documents")
-    is_batch = F.col("doc_id") % 5 == 4
-    index = minhash_ingest_index(docs.where(~is_batch))
-    arrivals = docs.where(is_batch).select("doc_id", "lang", "text", "n_chars")
+    index, arrivals, src, _median_id = ingest_split
 
     def admit_gated(df):
         # ONE spelling of the composed front-end, shared by both lanes
@@ -852,25 +858,22 @@ def test_streaming_gated_ingest_composition(spark):
 
     want = sorted(map(tuple, admit_gated(arrivals).collect()))
     assert want, "composition admitted nothing at test SF"
-    # the gate must actually drop something, or the ordering isn't exercised
-    n_arrivals = arrivals.count()
-    n_gated = (
-        score_documents(arrivals, keep=()).where("quality_pass").count()
-    )
-    assert 0 < n_gated < n_arrivals
+    # independent gate pin: the gate provably drops docs, and every
+    # admitted doc passed it (computed OUTSIDE the shared closure)
+    passing = {
+        r.doc_id
+        for r in score_documents(arrivals, keep=()).where("quality_pass").collect()
+    }
+    assert 0 < len(passing) < arrivals.count()
+    assert {t[0] for t in want} <= passing
 
-    src = tempfile.mkdtemp(prefix="gated_src_")
-    median_id = arrivals.approxQuantile("doc_id", [0.5], 0.0)[0]
-    for pred in (F.col("doc_id") <= median_id, F.col("doc_id") > median_id):
-        arrivals.where(pred).coalesce(1).write.mode("append").parquet(src)
-
-    rows: list = []
+    per_batch: dict[int, list] = {}
     q = (
-        spark.readStream.schema("doc_id long, lang string, text string, n_chars long")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+        _arrival_stream(spark, src)
         .writeStream.foreachBatch(
-            lambda df, bid: rows.extend(admit_gated(df).collect())
+            lambda df, bid: per_batch.setdefault(bid, []).extend(
+                admit_gated(df).collect()
+            )
         )
         .option("checkpointLocation", tempfile.mkdtemp(prefix="gated_ck_"))
         .trigger(availableNow=True)
@@ -878,4 +881,6 @@ def test_streaming_gated_ingest_composition(spark):
     )
     assert q.awaitTermination(300), "stream did not finish"
     q.stop()
-    assert sorted(map(tuple, rows)) == want
+    data_batches = [rows for rows in per_batch.values() if rows]
+    assert len(data_batches) == 2, "expected admissions in both arrival batches"
+    assert sorted(tuple(r) for rows in data_batches for r in rows) == want

@@ -23,6 +23,14 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # (name, builder-key or None for flagship, what-to-see notes,
 #  [(claim text, predicate over PlanAudit)])
+def bnlj_count(a) -> int:
+    """Count NUMBERED BroadcastNestedLoopJoin plan nodes — formatted
+    explain prints each operator twice (numbered header + detail), so a
+    bare substring count double-counts (the r9 audit discipline). ONE
+    definition for every claim that pins an exact nested-loop count."""
+    return len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", a.text, re.M))
+
+
 GALLERY = [
     (
         "flagship",
@@ -195,11 +203,7 @@ GALLERY = [
                 "at most the 1-row edge-count BroadcastNestedLoopJoin",
                 # numbered node headers only: formatted explain prints each
                 # operator twice (tree line + detail section)
-                lambda a: len(
-                    __import__("re").findall(
-                        r"^\(\d+\) BroadcastNestedLoopJoin", a.text, __import__("re").M
-                    )
-                )
+                lambda a: bnlj_count(a)
                 <= 1,
             ),
         ],
@@ -570,9 +574,7 @@ GALLERY = [
                 # exactly the slot-table and total-weight broadcasts exist,
                 # and a refactor that removes or adds one must re-assert.
                 "only the 2-row slot / 1-row total reach by nested loop",
-                lambda a: len(
-                    re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", a.text, re.M)
-                ) == 2,
+                lambda a: bnlj_count(a) == 2,
             ),
             (
                 "the band interval join is an equi join",
@@ -662,15 +664,13 @@ GALLERY = [
             ),
             (
                 "exactly one BNLJ: the bounded probe self-exclusion",
-                lambda a: len(
-                    re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", a.text, re.M)
-                ) == 1,
+                lambda a: bnlj_count(a) == 1,
             ),
             ("no Python operators", lambda a: a.python_map_operators == 0),
         ],
     ),
     (
-        "x2_dedup_eval",
+        "x2_dedup_eval (at-scale shape: auto-broadcast off)",
         "x2_dedup_eval",
         "LSH quality evaluation: ground-truth exact-Jaccard pairs vs the "
         "banded-MinHash candidate/verified sets, per language. ONE "
@@ -688,9 +688,15 @@ GALLERY = [
             ),
             (
                 "every join is an equi join (zero nested-loop broadcasts)",
-                lambda a: len(
-                    re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", a.text, re.M)
-                ) == 0,
+                lambda a: bnlj_count(a) == 0,
+            ),
+            (
+                # the xxhash64 expression itself sits BEFORE the checkpoint
+                # (lineage-truncated), so assert its effect: every `s` key
+                # in the emit plan is LONG-typed (s#NNL), none string-typed
+                "equality joins key on the 8-byte hashed s (long), not raw grams",
+                lambda a: "s#" in a.text
+                and re.search(r"s#\d+(?![0-9L])", a.text) is None,
             ),
             ("no Python operators", lambda a: a.python_map_operators == 0),
         ],
@@ -716,9 +722,7 @@ GALLERY = [
             ),
             (
                 "only the 1-row DSIR totals reaches by nested loop",
-                lambda a: len(
-                    re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", a.text, re.M)
-                ) == 1,
+                lambda a: bnlj_count(a) == 1,
             ),
             (
                 "models/quota/bench-grams broadcast",
