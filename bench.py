@@ -188,8 +188,10 @@ BENCH_NOTES = (
     " x3_mmr_rerank benched 1.62 but decays to steady 1.20 (r9 1.17) and"
     " x10_triangle_count benched 3.19 but decays to steady 2.06 (r9"
     " benched 2.33) — both NOISE at their r9 levels; the canonical r10"
-    " number is the committed BENCH_FULL.json run: 123.1s / 91 entries /"
-    " 0 errors (common-89 vs r9 = 0.976x)."
+    " number is the committed BENCH_FULL.json run (the FINAL-code run):"
+    " 126.9s / 91 entries / 0 errors — the mid-round run measured 123.1s"
+    " (same-code ratio 1.03x, inside the machine band); common-89 vs r9"
+    " spans 0.976-1.006x, i.e. flat."
 )
 
 
