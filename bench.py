@@ -128,6 +128,7 @@ HEADLINE = [
     "x3_ann_eval",
     "x9_data_factory",
     "x2_dedup_eval",
+    "m8_calibration",
 ]
 
 # The two non-registry entries, timed by the last chunk.
@@ -189,7 +190,8 @@ BENCH_NOTES = (
     " x10_triangle_count benched 3.19 but decays to steady 2.06 (r9"
     " benched 2.33) — both NOISE at their r9 levels; the canonical r10"
     " number is the committed BENCH_FULL.json run (the FINAL-code run):"
-    " 126.9s / 91 entries / 0 errors — the mid-round run measured 123.1s"
+    " 126.8s / 92 entries / 0 errors — two prior same-code runs measured"
+    " 123.1s and 126.9s"
     " (same-code ratio 1.03x, inside the machine band); common-89 vs r9"
     " spans 0.976-1.006x, i.e. flat."
 )

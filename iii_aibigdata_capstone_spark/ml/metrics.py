@@ -214,3 +214,105 @@ def m8_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").cast("long").alias("y"),
     )
     return binary_rank_metrics(scored, "score", "y")
+
+
+def _calibration_oracle() -> str:
+    from ..operators.textual import QUALITY_FEATURES_SQL, QUALITY_LOGIT_SQL
+
+    return dedent(
+        f"""
+        WITH feat AS (
+            SELECT lang,
+                   {QUALITY_FEATURES_SQL},
+                   n_chars
+            FROM documents
+        ),
+        s AS (
+            SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                   1.0 / (1.0 + EXP(-(CAST({QUALITY_LOGIT_SQL} AS BIGINT)
+                                      / 1000.0))) AS p
+            FROM feat
+        ),
+        r AS (
+            SELECT y,
+                   CAST(LEAST(FLOOR(p * 10), 9) AS INT) AS bin,
+                   CAST(FLOOR(p * 1000000 + 0.5) AS BIGINT) AS conf_micro,
+                   CAST(FLOOR((p - y) * (p - y) * 1000000 + 0.5) AS BIGINT)
+                       AS brier_micro
+            FROM s
+        )
+        SELECT bin,
+               COUNT(*) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(SUM(conf_micro) AS BIGINT) // COUNT(*) AS avg_conf_micro,
+               1000000 * CAST(SUM(y) AS BIGINT) // COUNT(*) AS obs_micro,
+               ABS(CAST(SUM(conf_micro) AS BIGINT) // COUNT(*)
+                   - 1000000 * CAST(SUM(y) AS BIGINT) // COUNT(*)) AS gap_micro,
+               CAST(SUM(brier_micro) AS BIGINT) AS brier_sum_micro
+        FROM r GROUP BY bin
+        """
+    )
+
+
+@query(
+    "m8_calibration",
+    oracle=_calibration_oracle(),
+    tags=("M8", "X4", "ml", "metrics", "eval"),
+)
+def m8_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + per-bin Brier partials for the quality model
+    — the CALIBRATION evaluation that completes the M8 family beside the
+    rank metrics (AUC says the model ORDERS well; calibration says its
+    probabilities MEAN something — the gate threshold the factory applies
+    is only interpretable if they do). Fixed-width probability bins
+    (floor(10p), clamped to 9 — the standard diagram), confidence
+    p = sigmoid(logit/1000) with the logit computed ENGINE-side
+    (quality_logit_col, zero Python).
+
+    Float discipline: p is ONE IEEE tree over the exact BIGINT logit
+    (EXP is correctly rounded in both engines and CPython — the m9/bm25
+    precedent), and every per-row float is floored to micro-units BEFORE
+    any aggregation (conf_micro, brier_micro), so only exact integers
+    are summed and every output column is integer — accumulation order
+    never reaches the hash. avg-confidence, observed rate, and the
+    |gap| are integer division on those sums.
+
+    Scale shape: binning is MAP-SIDE (no rank/NTILE — an equal-count
+    decile would global-sort the corpus in one task; fixed-width bins
+    keep the plan one map-combinable aggregation to <= 10 rows), so the
+    whole evaluation is one scan + one 10-row hash aggregate at any
+    corpus size. Brier ships as per-bin SUMS (exact, mergeable) — the
+    consumer divides by n once, the partials-handoff discipline."""
+    from ..operators.textual import quality_logit_col
+
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    z = quality_logit_col(toks, F.col("n_chars")).cast("long") / F.lit(1000.0)
+    s = docs.select(
+        (F.col("lang") == "en").cast("long").alias("y"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("p"),
+    )
+    p, y = F.col("p"), F.col("y")
+    r = s.select(
+        "y",
+        F.least(F.floor(p * 10), F.lit(9)).cast("int").alias("bin"),
+        F.floor(p * 1000000 + 0.5).cast("long").alias("conf_micro"),
+        F.floor((p - y) * (p - y) * 1000000 + 0.5).cast("long").alias("brier_micro"),
+    )
+    agg = r.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("n_pos"),
+        F.sum("conf_micro").alias("conf_sum"),
+        F.sum("brier_micro").alias("brier_sum_micro"),
+    )
+    return agg.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.expr("conf_sum DIV n").alias("avg_conf_micro"),
+        F.expr("1000000 * n_pos DIV n").alias("obs_micro"),
+        F.abs(
+            F.expr("conf_sum DIV n") - F.expr("1000000 * n_pos DIV n")
+        ).alias("gap_micro"),
+        "brier_sum_micro",
+    )

@@ -244,3 +244,68 @@ def test_rf_case_cascade_equals_mllib_transform(spark, model):
     ).count()
     assert bad == 0
     assert joined.count() == frame.count()
+
+
+def test_calibration_replays_exactly(spark):
+    """m8_calibration pinned against a transparent python replay at
+    sf0.001: the sigmoid confidence from the integer logit (math.exp —
+    the EXP-is-correctly-rounded precedent), fixed-width binning,
+    per-row micro-unit flooring, and the integer per-bin metrics."""
+    import math
+
+    from iii_aibigdata_capstone_spark.catalog import table
+    from iii_aibigdata_capstone_spark.operators.textual import (
+        QUALITY_MODEL,
+        STOPWORDS,
+    )
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    from .conftest import TEST_SF_DIR
+
+    stop = frozenset(STOPWORDS)
+    rows = table(spark, TEST_SF_DIR, "documents").select(
+        "lang", "text", "n_chars"
+    ).collect()
+    bins: dict[int, list] = {}
+    for d in rows:
+        ts = d.text.split(" ")
+        logit = (
+            QUALITY_MODEL["bias"]
+            + QUALITY_MODEL["n_tokens"] * len(ts)
+            + QUALITY_MODEL["n_stop"] * sum(t in stop for t in ts)
+            + QUALITY_MODEL["n_uniq"] * len(set(ts))
+            + QUALITY_MODEL["n_chars"] * d.n_chars
+        )
+        p = 1.0 / (1.0 + math.exp(-(logit / 1000.0)))
+        y = 1 if d.lang == "en" else 0
+        b = min(int(p * 10), 9)
+        bins.setdefault(b, []).append(
+            (y, math.floor(p * 1000000 + 0.5), math.floor((p - y) * (p - y) * 1000000 + 0.5))
+        )
+    want = {}
+    for b, rs in bins.items():
+        n = len(rs)
+        n_pos = sum(y for y, _, _ in rs)
+        conf_sum = sum(c for _, c, _ in rs)
+        avg_conf = conf_sum // n
+        obs = 1000000 * n_pos // n
+        want[b] = (
+            n,
+            n_pos,
+            avg_conf,
+            obs,
+            abs(avg_conf - obs),
+            sum(br for _, _, br in rs),
+        )
+    got = {
+        r.bin: (
+            r.n,
+            r.n_pos,
+            r.avg_conf_micro,
+            r.obs_micro,
+            r.gap_micro,
+            r.brier_sum_micro,
+        )
+        for r in registry()["m8_calibration"].builder(spark, TEST_SF_DIR).collect()
+    }
+    assert got == want

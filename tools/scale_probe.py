@@ -124,6 +124,7 @@ DEFAULT = [
     "x3_ann_eval",
     "x9_data_factory",
     "x2_dedup_eval",
+    "m8_calibration",
 ]
 
 
