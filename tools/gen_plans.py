@@ -670,6 +670,28 @@ GALLERY = [
         ],
     ),
     (
+        "m8_calibration",
+        "m8_calibration",
+        "Model-calibration evaluation (reliability bins + Brier partials): "
+        "the sigmoid confidence and the fixed-width bin id are map-side "
+        "Catalyst expressions over the engine-side logit, so the WHOLE "
+        "evaluation is one pruned scan into one map-combinable hash "
+        "aggregate of <= 10 rows — no rank/NTILE (an equal-count decile "
+        "would global-sort the corpus in one task), no join, no Python.",
+        [
+            ("no joins at all", lambda a: "Join" not in a.text),
+            (
+                "exactly one hash exchange (the 10-row bin aggregate)",
+                lambda a: a.hash_exchanges == 1,
+            ),
+            (
+                "scan pruned to the 3 consumed columns",
+                lambda a: a.read_widths and max(a.read_widths) <= 3,
+            ),
+            ("no Python operators", lambda a: a.python_map_operators == 0),
+        ],
+    ),
+    (
         "x2_dedup_eval (at-scale shape: auto-broadcast off)",
         "x2_dedup_eval",
         "LSH quality evaluation: ground-truth exact-Jaccard pairs vs the "
