@@ -1211,6 +1211,18 @@ def x9_data_factory(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: the per-document manifest ``(doc_id, source, lang, n_tokens,
     logw, src_rank, bin, shard, pos)`` a pretraining loader consumes.
 
+    Streaming split: stages 1-3 are the factory's FRONT-END and run on
+    an ingest stream today — the quality gate as the stateless
+    score_documents transform, dedup admission via the checkpointed
+    IngestIndex (streaming/ingest.py; the composed gate->admit
+    foreachBatch is pinned stream==batch in
+    tests/test_streaming.py::test_streaming_gated_ingest_composition).
+    Stages 4-6 are BATCH BY CONSTRUCTION: DSIR models, mix quotas,
+    packing bins and shard positions are global functions of the whole
+    selected corpus (a per-batch version would emit different manifests
+    per arrival split), so a deployment runs them as the periodic
+    manifest-build job over the stream-admitted corpus.
+
     Scale shape: ``documents`` is scanned ONCE into a projected
     checkpoint; every stage consumes checkpoints (asserted PLANS entry:
     emit plan re-scans zero parquet). Stages 1-2 shuffle hashes/ids, the
