@@ -191,7 +191,17 @@ BENCH_NOTES = (
     " benched 2.33) — both NOISE at their r9 levels; the canonical r10"
     " number is the committed BENCH_FULL.json run (the FINAL-code run):"
     " 126.8s / 92 entries / 0 errors — two prior same-code runs measured"
-    " 123.1s and 126.9s"
+    " 123.1s and 126.9s."
+    " r10 post-bench rework (4th review pass): x2_dedup_eval ~2.1 ->"
+    " ~2.8s steady — its verify now IS exact_jaccard_verify (the one"
+    " spelling every detection lane runs, with precomputed sizes +"
+    " emit_lang) instead of an inline re-spelling; the ~0.7s is one"
+    " extra sized-frame join, accepted so the evaluation grades the"
+    " real verify. x1_minhash_ingest unchanged at ~2.5-2.7s steady"
+    " while its per-batch verify now scales with the CANDIDATE set"
+    " (IngestIndex ships precomputed sizes; resident shingles semi-join"
+    " to candidates) instead of re-aggregating the resident corpus"
+    " per micro-batch"
     " (same-code ratio 1.03x, inside the machine band); common-89 vs r9"
     " spans 0.976-1.006x, i.e. flat."
 )

@@ -917,10 +917,16 @@ def x4_denylist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BIN_TOKENS = 256  # context-bin token budget — ONE definition shared
+# by x9_doc_packing and the x9_data_factory packing stage (curation.py)
+MANIFEST_SHARDS = 16  # training-shard count — ONE definition shared by
+# x9_shard_manifest and the x9_data_factory shard stage (curation.py)
+
+
 @query(
     "x9_doc_packing",
     oracle=dedent(
-        """
+        f"""
         WITH toks AS (
             SELECT source, doc_id,
                    LEN(STRING_SPLIT(text, ' ')) AS n_tokens
@@ -930,13 +936,13 @@ def x4_denylist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT source, doc_id, n_tokens,
                    CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
                                              ROWS UNBOUNDED PRECEDING)
-                         - n_tokens) // 256 AS INTEGER) AS bin
+                         - n_tokens) // {PACK_BIN_TOKENS} AS INTEGER) AS bin
             FROM toks
         )
         SELECT source, bin,
                COUNT(*) AS n_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
-               ROUND(SUM(n_tokens) / 256.0, 6) AS fill_ratio
+               ROUND(SUM(n_tokens) / {PACK_BIN_TOKENS}.0, 6) AS fill_ratio
         FROM binned GROUP BY source, bin
         """
     ),
@@ -960,12 +966,12 @@ def x9_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     binned = toks.withColumn(
         "bin",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 256).cast("int"),
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BIN_TOKENS).cast("int"),
     )
     return binned.groupBy("source", "bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
-        F.round(F.sum("n_tokens") / 256.0, 6).alias("fill_ratio"),
+        F.round(F.sum("n_tokens") / float(PACK_BIN_TOKENS), 6).alias("fill_ratio"),
     )
 
 
@@ -2710,11 +2716,11 @@ def w10_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x9_shard_manifest",
     oracle=dedent(
-        """
+        f"""
         SELECT doc_id,
-               CAST(CAST('0x' || SUBSTR(MD5(text), 1, 8) AS BIGINT) % 16 AS INT) AS shard,
+               CAST(CAST('0x' || SUBSTR(MD5(text), 1, 8) AS BIGINT) % {MANIFEST_SHARDS} AS INT) AS shard,
                CAST(ROW_NUMBER() OVER (
-                    PARTITION BY CAST('0x' || SUBSTR(MD5(text), 1, 8) AS BIGINT) % 16
+                    PARTITION BY CAST('0x' || SUBSTR(MD5(text), 1, 8) AS BIGINT) % {MANIFEST_SHARDS}
                     ORDER BY MD5(text), doc_id) AS BIGINT) AS pos
         FROM documents
         """
@@ -2739,7 +2745,7 @@ def x9_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard's manifest fits one task's sort buffer, e.g. 8k shards for a
     100 TB corpus)."""
     docs = table(spark, sf_dir, "documents")
-    shard = _md5_bucket("text", 16).cast("int")
+    shard = _md5_bucket("text", MANIFEST_SHARDS).cast("int")
     pos = F.row_number().over(
         Window.partitionBy(shard).orderBy(F.md5("text"), F.col("doc_id"))
     )

@@ -1085,10 +1085,11 @@ def x9_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- the corpus-build flagship: gate -> dedup -> decontaminate -> mix ->
 # --- pack -> shard, as ONE dataflow --------------------------------------
 
-PACK_BIN_TOKENS = 256  # context-bin budget (tokens) — x9_doc_packing's knob
-FACTORY_SHARDS = 16  # training shards — x9_shard_manifest's knob
-
-# No cycle: dedup/textual never import curation. The near-dup CTE chain,
+# The packing/shard knobs are the SAME constants the standalone lanes use
+# (analytics.py) — editing one cannot desynchronize the factory from
+# x9_doc_packing / x9_shard_manifest (review r10).
+# No cycle: analytics/dedup/textual never import curation.
+from .analytics import MANIFEST_SHARDS, PACK_BIN_TOKENS  # noqa: E402 The near-dup CTE chain,
 # the 5-gram geometry, and the holdout modulus are the SAME spellings the
 # standalone x1_fuzzy_dedup_pipeline / x4_decontaminate oracles use.
 from .dedup import neardup_chain_sql  # noqa: E402
@@ -1158,9 +1159,9 @@ _FACTORY_ORACLE = dedent(
     SELECT doc_id, source, lang, n_tokens, logw, src_rank,
            CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
                  ROWS UNBOUNDED PRECEDING) - n_tokens) // {PACK_BIN_TOKENS} AS INTEGER) AS bin,
-           CAST(CAST('0x' || SUBSTR(MD5(text), 1, 8) AS BIGINT) % {FACTORY_SHARDS} AS INT) AS shard,
+           CAST(CAST('0x' || SUBSTR(MD5(text), 1, 8) AS BIGINT) % {MANIFEST_SHARDS} AS INT) AS shard,
            CAST(ROW_NUMBER() OVER (
-                PARTITION BY CAST('0x' || SUBSTR(MD5(text), 1, 8) AS BIGINT) % {FACTORY_SHARDS}
+                PARTITION BY CAST('0x' || SUBSTR(MD5(text), 1, 8) AS BIGINT) % {MANIFEST_SHARDS}
                 ORDER BY MD5(text), doc_id) AS BIGINT) AS pos
     FROM sel
     """
@@ -1334,7 +1335,7 @@ def x9_data_factory(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_tokens").over(w_pack) - F.col("n_tokens")) / PACK_BIN_TOKENS
         ).cast("int"),
     )
-    shard = _md5_bucket("text", FACTORY_SHARDS).cast("int")
+    shard = _md5_bucket("text", MANIFEST_SHARDS).cast("int")
     pos = F.row_number().over(
         Window.partitionBy(shard).orderBy(F.md5("text"), F.col("doc_id"))
     )

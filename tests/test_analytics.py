@@ -1107,8 +1107,8 @@ def test_data_factory_stage_gates_replay(spark):
     invariants test does.)"""
     import hashlib
 
-    from iii_aibigdata_capstone_spark.operators.curation import (
-        FACTORY_SHARDS,
+    from iii_aibigdata_capstone_spark.operators.analytics import (
+        MANIFEST_SHARDS,
         PACK_BIN_TOKENS,
     )
     from iii_aibigdata_capstone_spark.operators.textual import (
@@ -1180,7 +1180,7 @@ def test_data_factory_stage_gates_replay(spark):
     by_shard = {}
     for r in rows:
         h = hashlib.md5(docs[r.doc_id].text.encode()).hexdigest()
-        assert r.shard == int(h[:8], 16) % FACTORY_SHARDS, r.doc_id
+        assert r.shard == int(h[:8], 16) % MANIFEST_SHARDS, r.doc_id
         by_shard.setdefault(r.shard, []).append((h, r.doc_id, r.pos))
     for shard, entries in by_shard.items():
         entries.sort(key=lambda e: (e[0], e[1]))

@@ -714,11 +714,19 @@ GALLERY = [
             ),
             (
                 # the xxhash64 expression itself sits BEFORE the checkpoint
-                # (lineage-truncated), so assert its effect: every `s` key
-                # in the emit plan is LONG-typed (s#NNL), none string-typed
+                # (lineage-truncated), so assert its effect: every JOIN-KEY
+                # line referencing `s` uses the LONG-typed s#NNL (the raw
+                # string s also rides the checkpoint's output schema for
+                # the minhash path, so the whole-plan-text form is wrong)
                 "equality joins key on the 8-byte hashed s (long), not raw grams",
-                lambda a: "s#" in a.text
-                and re.search(r"s#\d+(?![0-9L])", a.text) is None,
+                lambda a: any(
+                    "keys" in ln and re.search(r"s#\d+L", ln)
+                    for ln in a.text.splitlines()
+                )
+                and not any(
+                    "keys" in ln and re.search(r"s#\d+(?![0-9L])", ln)
+                    for ln in a.text.splitlines()
+                ),
             ),
             ("no Python operators", lambda a: a.python_map_operators == 0),
         ],
