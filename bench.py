@@ -190,8 +190,12 @@ BENCH_NOTES = (
     " x10_triangle_count benched 3.19 but decays to steady 2.06 (r9"
     " benched 2.33) — both NOISE at their r9 levels; the canonical r10"
     " number is the committed BENCH_FULL.json run (the FINAL-code run):"
-    " 126.8s / 92 entries / 0 errors — two prior same-code runs measured"
-    " 123.1s and 126.9s."
+    " 133.8s / 92 entries / 0 errors on the final code. Five r10 runs"
+    " spanned 123.1-141.5s on a machine whose band widened through the"
+    " day; the 141.5 run started straight after a 9-min pytest marathon"
+    " and shows DIFFUSE 20-80% movers on untouched lanes (m4_lloyd,"
+    " pq_codebooks, bloom_semijoin...) — machine heat, not code; the"
+    " committed artifact is the cooled-down final-code run."
     " r10 post-bench rework (4th review pass): x2_dedup_eval ~2.1 ->"
     " ~2.8s steady — its verify now IS exact_jaccard_verify (the one"
     " spelling every detection lane runs, with precomputed sizes +"
