@@ -205,9 +205,8 @@ BENCH_NOTES = (
     " while its per-batch verify now scales with the CANDIDATE set"
     " (IngestIndex ships precomputed sizes; resident shingles semi-join"
     " to candidates) instead of re-aggregating the resident corpus"
-    " per micro-batch"
-    " (same-code ratio 1.03x, inside the machine band); common-89 vs r9"
-    " spans 0.976-1.006x, i.e. flat."
+    " per micro-batch. Common-89 vs r9 spans 0.976-1.006x across the"
+    " clean runs, i.e. flat."
 )
 
 

@@ -1089,9 +1089,11 @@ def x9_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (analytics.py) — editing one cannot desynchronize the factory from
 # x9_doc_packing / x9_shard_manifest (review r10).
 # No cycle: analytics/dedup/textual never import curation.
-from .analytics import MANIFEST_SHARDS, PACK_BIN_TOKENS  # noqa: E402 The near-dup CTE chain,
-# the 5-gram geometry, and the holdout modulus are the SAME spellings the
-# standalone x1_fuzzy_dedup_pipeline / x4_decontaminate oracles use.
+from .analytics import MANIFEST_SHARDS, PACK_BIN_TOKENS  # noqa: E402
+
+# The near-dup CTE chain, the 5-gram geometry, and the holdout modulus
+# are the SAME spellings the standalone x1_fuzzy_dedup_pipeline /
+# x4_decontaminate oracles use.
 from .dedup import neardup_chain_sql  # noqa: E402
 from .textual import BENCH_HOLDOUT_MOD, gram5_cte_sql  # noqa: E402
 

@@ -555,9 +555,11 @@ def x2_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-minhash bands, an xxhash64 column for every equality join — the
     sized_shingles lesson: 8-byte shuffle keys instead of ~20-byte
     strings on the hottest joins) feeds every consumer; per-doc sizes
-    ride the sized frame as a window count, shared by the ground-truth
-    AND verify lanes (one aggregation, and the verify keeps lang — no
-    recovery join); every join is an equi join; the aggregates are
+    are ONE checkpointed aggregation shared by the ground-truth frame
+    (joined back onto the hashed shingles) and the verify (passed as its
+    precomputed ``sizes``); the verify itself IS ``exact_jaccard_verify``
+    — the spelling every detection lane runs — with ``emit_lang`` for
+    the breakdown; every join is an equi join; the aggregates are
     per-lang counts (constant output). The ground-truth lane is the
     quadratic-in-hotspot inverted index — on a real 100 TB corpus this
     EVALUATION runs on a sampled slice (the estimator pattern), while
@@ -897,9 +899,11 @@ def ingest_admit(index: IngestIndex, batch: DataFrame) -> DataFrame:
     cost O(batch x bands) rows, never index-vs-index; candidates
     verified with EXACT Jaccard (sizes come PRECOMPUTED from the index +
     one batch-side count, and the resident shingle side is semi-joined
-    to candidate doc ids first — per-batch verify work scales with the
-    CANDIDATE set, never the resident corpus); flagged docs anti-joined
-    away.
+    to candidate doc ids first — per-batch aggregation and intersection
+    work scales with the CANDIDATE set; the semi-join's one pass over
+    the checkpointed resident shingles is the remaining per-batch cost,
+    pruned by partition when the persisted index is hash-partitioned by
+    doc_id); flagged docs anti-joined away.
 
     ID-NAMESPACE CONTRACT (the serving.py rag_serve precedent): arrival
     doc_ids must be unique within the batch AND disjoint from resident
@@ -934,7 +938,10 @@ def ingest_admit(index: IngestIndex, batch: DataFrame) -> DataFrame:
     # only CANDIDATE residents' shingles enter the verify (semi-join the
     # checkpointed index side down to candidate doc_b ids), and sizes are
     # the index's precomputed counts + one batch-side count — per-batch
-    # verify cost scales with the candidate set, not the resident corpus
+    # AGGREGATION/JOIN work scales with the candidate set, not the
+    # resident corpus; the semi-join itself still reads the checkpointed
+    # resident shingles once per batch (a deployment hash-partitions the
+    # persisted index by doc_id so that pass prunes by partition)
     res_sh = index.sh.join(
         cand.select(F.col("doc_b").alias("doc_id")).distinct(),
         "doc_id",

@@ -227,7 +227,10 @@ def streaming_neardup_candidates(
 
 
 def verify_candidates_exact(
-    candidates: DataFrame, shingle_index: DataFrame, threshold: float = 0.5
+    candidates: DataFrame,
+    shingle_index: DataFrame,
+    threshold: float = 0.5,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs against a shingle
     index (``(doc_id, lang, s)`` rows — the batch lane's ``shingles()``
@@ -240,8 +243,24 @@ def verify_candidates_exact(
     ``STATE_CAP`` (module docstring) — the streaming lane's final output
     equals the batch lane's, delegated to the SAME ``exact_jaccard_verify``
     the batch query runs. Overflow marker rows are not pairs and are
-    excluded; downstream applies the hot-bucket policy to them directly."""
+    excluded; downstream applies the hot-bucket policy to them directly.
+
+    Per-micro-batch cost (the IngestIndex discipline, r10): the index is
+    semi-joined down to THIS batch's candidate doc ids before the
+    intersection joins, and a deployment passes ``sizes`` (precomputed
+    per-doc shingle counts, maintained with the index) so the verify
+    never re-aggregates the resident corpus per batch — without it,
+    sizes fall back to an index-wide count per invocation."""
     pairs = candidates.where(~F.col("is_overflow")) if "is_overflow" in candidates.columns else candidates
-    return exact_jaccard_verify(
-        pairs.select("doc_a", "doc_b", "lang"), shingle_index, threshold
+    pairs = pairs.select("doc_a", "doc_b", "lang")
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
+    restricted = shingle_index.join(cand_ids, "doc_id", "left_semi")
+    if sizes is None:
+        # fall back to counting over the RESTRICTED index — candidate
+        # docs only, never the whole resident corpus
+        sizes = restricted.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return exact_jaccard_verify(pairs, restricted, threshold, sizes=sizes)
