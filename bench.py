@@ -207,6 +207,22 @@ BENCH_NOTES = (
     " to candidates) instead of re-aggregating the resident corpus"
     " per micro-batch. Common-89 vs r9 spans 0.976-1.006x across the"
     " clean runs, i.e. flat."
+    " r11: the three r10 watch items adjudicated (tools/decay.py, 12-run"
+    " fresh-JVM at sf0.1, cooled machine, round start). x10_modularity"
+    " steady 4.08 / min 3.71 — graph.py is byte-identical since r9, so"
+    " the driver's 6.84 (2.01x) reading was machine heat (that run's"
+    " diffuse movers are documented above); the r10 canonical 4.23 and"
+    " this decay agree. x1_fuzzy_dedup_pipeline steady 2.62 / min 2.61 —"
+    " BELOW its r9 adjudicated steady of 2.81; noise. x9_rag_pipeline"
+    " steady 4.42 / min 3.88 vs r9's benched 3.23: the rag path is"
+    " byte-identical since r9 (git diff r9..r10 on curation.py's rag"
+    " functions + doc_chunks + similarity/textual BM25/IVF helpers shows"
+    " docstring-only changes; the r10 refactor touched the FACTORY"
+    " fragments), and r9's own committed runs span 3.23-4.1s on this lane"
+    " (cfcdc7c recorded 4.1s same-code), so 4.42 sits at the top of the"
+    " lane's measured same-code band — no plan change exists to explain a"
+    " regression; carried as band, re-check if a future decay floor"
+    " exceeds ~4.5s."
 )
 
 
