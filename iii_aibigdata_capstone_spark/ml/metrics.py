@@ -269,13 +269,22 @@ def m8_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = sigmoid(logit/1000) with the logit computed ENGINE-side
     (quality_logit_col, zero Python).
 
-    Float discipline: p is ONE IEEE tree over the exact BIGINT logit
-    (EXP is correctly rounded in both engines and CPython — the m9/bm25
-    precedent), and every per-row float is floored to micro-units BEFORE
-    any aggregation (conf_micro, brier_micro), so only exact integers
-    are summed and every output column is integer — accumulation order
+    Float discipline: p is ONE IEEE tree over the exact BIGINT logit,
+    and every per-row float is floored to micro-units BEFORE any
+    aggregation (conf_micro, brier_micro), so only exact integers are
+    summed and every output column is integer — accumulation order
     never reaches the hash. avg-confidence, observed rate, and the
-    |gap| are integer division on those sums.
+    |gap| are integer division on those sums. TOLERATED RISK (ADVICE
+    r10): the cross-engine equality of the floored values rests on
+    exp() agreeing across JVM/libm/CPython at these inputs — Java
+    Math.exp guarantees only 1-ulp semi-monotonicity, so a p landing
+    within ~1 ulp of a FLOOR(p*1e6+0.5) boundary could flip a micro
+    unit in one engine only. Guarded, not assumed:
+    tests/test_ml_quarter.py::test_calibration_boundary_margin asserts
+    every distinct logit at sf0.001/0.01/0.1 yields p whose floored
+    expressions (conf, both Brier branches, the bin edge) sit >= 1e-6
+    units from the nearest boundary — six orders above a 1-ulp wiggle
+    (<= ~4e-10 in micro units).
 
     Scale shape: binning is MAP-SIDE (no rank/NTILE — an equal-count
     decile would global-sort the corpus in one task; fixed-width bins

@@ -552,9 +552,13 @@ def x2_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 0.23 floor, which is exactly what this evaluation is FOR).
 
     Scale shape: ONE checkpointed shingle table (raw grams for the
-    md5-minhash bands, an xxhash64 column for every equality join — the
-    sized_shingles lesson: 8-byte shuffle keys instead of ~20-byte
-    strings on the hottest joins) feeds every consumer; per-doc sizes
+    md5-minhash bands AND the ground-truth self-join — the truth lane is
+    exact on the gram strings themselves, never through a hash, so the
+    n^2/2^64 xxhash64-collision caveat the detection/verify joins
+    document cannot contaminate the denominator recall is defined
+    against; the xxhash64 column keys the candidate/VERIFY equality
+    joins — the sized_shingles lesson, 8-byte shuffle keys where the
+    join grades the detection spelling) feeds every consumer; per-doc sizes
     are ONE checkpointed aggregation shared by the ground-truth frame
     (joined back onto the hashed shingles) and the verify (passed as its
     precomputed ``sizes``); the verify itself IS ``exact_jaccard_verify``
@@ -579,10 +583,20 @@ def x2_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=False)
     )
-    # exchange reuse does not cover the two self-join sides (the
-    # x2_ngram_jaccard / sized_shingles lesson) — materialize the sized
-    # table once instead of re-deriving it per side
-    sized = hview.join(sizes, "doc_id").localCheckpoint(eager=False)
+    # the TRUTH lane joins RAW grams: it is the lane the recall metric's
+    # exactness is defined against, so it must not inherit the n^2/2^64
+    # xxhash64-collision caveat the detection/verify lanes carry (ADVICE
+    # r10 — a collision here would silently inflate the ground-truth
+    # intersection counts the whole evaluation is graded against); the
+    # 8-byte hashed keys stay on the candidate/verify joins, which grade
+    # the real detection spelling. Exchange reuse does not cover the two
+    # self-join sides (the x2_ngram_jaccard / sized_shingles lesson) —
+    # materialize the sized table once instead of re-deriving it per side
+    sized = (
+        sh.select("doc_id", "lang", "s")
+        .join(sizes, "doc_id")
+        .localCheckpoint(eager=False)
+    )
     a, b = sized.alias("a"), sized.alias("b")
     true_pairs = (
         a.join(

@@ -309,3 +309,60 @@ def test_calibration_replays_exactly(spark):
         for r in registry()["m8_calibration"].builder(spark, TEST_SF_DIR).collect()
     }
     assert got == want
+
+
+def test_calibration_boundary_margin():
+    """The m8_calibration cross-engine hash rests on exp() agreeing
+    across JVM (Math.exp, 1-ulp semi-monotonic), DuckDB (libm) and
+    CPython at the test inputs — the guard the ADVICE r10 item asked
+    for: at every test SF, every distinct logit's sigmoid must land far
+    from EVERY rounding boundary the lane floors through (conf_micro,
+    both Brier branches, the bin edge), so a 1-ulp exp() disagreement
+    (<= ~4e-10 in micro units) cannot flip a floored integer in one
+    engine only. Margin demanded: 1e-6 units — six orders of safety.
+    DuckDB-only (the logits are the oracle's own spelling); no Spark."""
+    import math
+
+    import duckdb
+
+    from iii_aibigdata_capstone_spark.operators.textual import (
+        QUALITY_FEATURES_SQL,
+        QUALITY_LOGIT_SQL,
+    )
+
+    def dist(x: float) -> float:
+        f = x - math.floor(x)
+        return min(f, 1.0 - f)
+
+    for sf in ("0.001", "0.01", "0.1"):
+        logits = [
+            r[0]
+            for r in duckdb.sql(
+                f"""
+                WITH feat AS (
+                    SELECT lang, {QUALITY_FEATURES_SQL}, n_chars
+                    FROM read_parquet('/root/testdata/sf{sf}/documents.parquet')
+                )
+                SELECT DISTINCT CAST({QUALITY_LOGIT_SQL} AS BIGINT) FROM feat
+                """
+            ).fetchall()
+        ]
+        assert logits
+        worst = 1.0
+        for logit in logits:
+            if logit == 0:
+                # p is EXACTLY 0.5 — exp(+-0) == 1.0 is mandated by the
+                # C standard, the Java Math.exp spec, and CPython alike,
+                # so every floored expression is computed without any
+                # rounding error to wiggle; sitting ON the bin edge
+                # (p*10 == 5.0) is safe by exactness, not by margin.
+                continue
+            p = 1.0 / (1.0 + math.exp(-(logit / 1000.0)))
+            for expr in (
+                p * 1000000 + 0.5,
+                p * p * 1000000 + 0.5,  # brier, y=0
+                (p - 1.0) * (p - 1.0) * 1000000 + 0.5,  # brier, y=1
+                p * 10,  # bin edge
+            ):
+                worst = min(worst, dist(expr))
+        assert worst >= 1e-6, f"sf{sf}: boundary margin {worst}"

@@ -697,11 +697,12 @@ GALLERY = [
         "LSH quality evaluation: ground-truth exact-Jaccard pairs vs the "
         "banded-MinHash candidate/verified sets, per language. ONE "
         "checkpointed shingle table (raw grams feed the md5 minhash "
-        "bands; an xxhash64 column keys every equality join — 8-byte "
-        "shuffle keys on the quadratic-hotspot ground-truth self-join); "
-        "sizes ride the sized frame's window count, shared by the "
-        "ground-truth and cand-restricted verify lanes; metrics are "
-        "integer division on per-lang counts.",
+        "bands AND the ground-truth self-join — the truth lane is exact "
+        "on the gram strings, free of the xxhash64-collision caveat the "
+        "detection lanes document; the xxhash64 column keys the "
+        "candidate/verify joins — 8-byte shuffle keys where the join "
+        "grades the detection spelling); one shared sizes aggregation; "
+        "metrics are integer division on per-lang counts.",
         [
             ("no CartesianProduct", lambda a: "CartesianProduct" not in a.text),
             (
@@ -714,19 +715,24 @@ GALLERY = [
             ),
             (
                 # the xxhash64 expression itself sits BEFORE the checkpoint
-                # (lineage-truncated), so assert its effect: every JOIN-KEY
-                # line referencing `s` uses the LONG-typed s#NNL (the raw
-                # string s also rides the checkpoint's output schema for
-                # the minhash path, so the whole-plan-text form is wrong)
-                "equality joins key on the 8-byte hashed s (long), not raw grams",
+                # (lineage-truncated), so assert its effect on JOIN-KEY
+                # lines: the candidate/VERIFY joins key on the LONG-typed
+                # s#NNL hash, while the GROUND-TRUTH self-join keys on the
+                # raw string gram BY DESIGN (exactness of the truth lane,
+                # ADVICE r10) — exactly one join's key-line pair carries a
+                # string-typed s
+                "verify joins key on the 8-byte hashed s (long); only the "
+                "ground-truth self-join keys on raw grams",
                 lambda a: any(
                     "keys" in ln and re.search(r"s#\d+L", ln)
                     for ln in a.text.splitlines()
                 )
-                and not any(
-                    "keys" in ln and re.search(r"s#\d+(?![0-9L])", ln)
+                and sum(
+                    1
                     for ln in a.text.splitlines()
-                ),
+                    if "keys" in ln and re.search(r"s#\d+(?![0-9L])", ln)
+                )
+                == 2,
             ),
             ("no Python operators", lambda a: a.python_map_operators == 0),
         ],
