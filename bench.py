@@ -129,6 +129,7 @@ HEADLINE = [
     "x9_data_factory",
     "x2_dedup_eval",
     "m8_calibration",
+    "x1_ingest_growing",
 ]
 
 # The two non-registry entries, timed by the last chunk.

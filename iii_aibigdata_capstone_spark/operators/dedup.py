@@ -976,6 +976,186 @@ def ingest_admit(index: IngestIndex, batch: DataFrame) -> DataFrame:
     ).select("doc_id", "lang", "n_chars")
 
 
+def ingest_admit_fold(
+    index: IngestIndex, batch: DataFrame
+) -> tuple[DataFrame, IngestIndex]:
+    """Admit the batch through the shared ``ingest_admit`` spelling, then
+    FOLD the admitted documents back into the index — the GROWING ingest
+    the r10 verdict asked for: arrivals now dedup against every earlier
+    arrival, not just the original residents (the semantics a 100 TB
+    ingest actually needs). Returns ``(admitted, grown_index)``.
+
+    Fold = member-wise union with a DELTA built by ``minhash_ingest_index``
+    over exactly the admitted docs. Because every index member is a pure
+    per-document function (md5, shingles, band keys, shingle counts), the
+    grown index is row-identical to ``minhash_ingest_index(resident UNION
+    admitted-so-far)`` — the invariant the sequential-prefix batch fold
+    and the streaming twin's restart recovery both rest on (same-text
+    admitted docs collapse to one hash row in either construction).
+
+    Scale shape (the LSM pattern): per batch, the only NEW materialization
+    is the delta — O(admitted) rows per member — while the union is
+    metadata-only (no resident rows are rewritten; a rebuild-per-batch
+    would copy the corpus). The member lineage grows by one delta per
+    micro-batch; a long-lived deployment persists deltas to the
+    hash-partitioned index store and compacts them, exactly like any
+    LSM/segment index. The per-batch PROBE cost is unchanged from
+    ``ingest_admit``: O(batch x bands) band-key rows against the (now
+    base+delta) index, candidates-only verify.
+
+    GRANULARITY CONTRACT: the fold happens per batch, so documents inside
+    the SAME batch still do not dedup against each other (exactly the
+    sequential-prefix semantics — the prefix is all STRICTLY EARLIER
+    batches). A within-batch pair is the stateful cross-batch lane's job
+    (streaming/neardup.py) or the next compaction's. The ID-NAMESPACE
+    contract of ``ingest_admit`` extends across batches: arrival ids must
+    be disjoint from residents AND every earlier arrival."""
+    # consumed twice: returned to the caller AND the fold's semi-join key
+    admitted = ingest_admit(index, batch).localCheckpoint(eager=False)
+    adocs = batch.join(admitted.select("doc_id"), "doc_id", "left_semi")
+    delta = minhash_ingest_index(adocs)
+    return admitted, IngestIndex(
+        hashes=index.hashes.unionByName(delta.hashes),
+        bands=index.bands.unionByName(delta.bands),
+        sh=index.sh.unionByName(delta.sh),
+        sizes=index.sizes.unionByName(delta.sizes),
+    )
+
+
+def _ingest_stage_sql(k: int) -> str:
+    """Stage ``k`` of the growing-ingest oracle: admit the ``doc_id %
+    4 == k`` arrivals against membership set ``m{k-1}``, emit ``adm{k}``
+    and the grown membership ``m{k}``. The per-doc artifacts (h, bk,
+    shingles, sizes) are pure per-document functions, so they are
+    computed ONCE over all documents and restricted by membership here —
+    the SQL mirror of the delta-fold invariant on ``ingest_admit_fold``."""
+    member = f"m{k - 1}"
+    return f"""fresh{k} AS (
+            SELECT b.doc_id FROM h b
+            WHERE b.doc_id % 4 = {k} AND NOT EXISTS (
+                SELECT 1 FROM h r JOIN {member} m ON r.doc_id = m.doc_id
+                WHERE r.h = b.h)
+        ),
+        cand{k} AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang
+            FROM bk a JOIN bk b
+              ON a.lang = b.lang AND a.band = b.band AND a.bkey = b.bkey
+            JOIN {member} m ON m.doc_id = b.doc_id
+            WHERE a.doc_id % 4 = {k}
+        ),
+        inter{k} AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+            FROM cand{k} c
+            JOIN shingles x ON x.doc_id = c.doc_a AND x.lang = c.lang
+            JOIN shingles y ON y.doc_id = c.doc_b AND y.s = x.s AND y.lang = c.lang
+            GROUP BY 1, 2
+        ),
+        near{k} AS (
+            SELECT DISTINCT i.doc_a FROM inter{k} i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.5
+        ),
+        adm{k} AS (
+            SELECT f.doc_id FROM fresh{k} f
+            WHERE NOT EXISTS (SELECT 1 FROM near{k} n WHERE n.doc_a = f.doc_id)
+        ),
+        m{k} AS (SELECT doc_id FROM {member}
+                 UNION ALL SELECT doc_id FROM adm{k})"""
+
+
+@query(
+    "x1_ingest_growing",
+    oracle=dedent(
+        """
+        WITH {shingle_cte},
+        hashed AS (
+            SELECT doc_id, lang,
+                   CAST('0x' || SUBSTR(MD5(s), 1, 15) AS BIGINT) % 1073741824 AS hlo,
+                   CAST('0x' || SUBSTR(MD5(s), 1, 15) AS BIGINT) // 1073741824 AS hhi
+            FROM shingles
+        ),
+        mins AS (
+            SELECT doc_id, lang,
+               {minhash_min_sql}
+            FROM hashed GROUP BY 1, 2
+        ),
+        bk AS (
+            SELECT doc_id, lang,
+                   UNNEST(RANGE(0, {n_bands})) AS band,
+                   UNNEST([{bkey_sql}]) AS bkey
+            FROM mins
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+        h AS (SELECT doc_id, MD5(text) AS h FROM documents),
+        m0 AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0),
+        {stage1},
+        {stage2},
+        {stage3}
+        SELECT a.batch_no, a.doc_id, d.lang, d.n_chars
+        FROM (SELECT 1 AS batch_no, doc_id FROM adm1
+              UNION ALL SELECT 2 AS batch_no, doc_id FROM adm2
+              UNION ALL SELECT 3 AS batch_no, doc_id FROM adm3) a
+        JOIN documents d ON d.doc_id = a.doc_id
+        """
+    ).format(
+        shingle_cte=_SHINGLE_SQL_CTE,
+        minhash_min_sql=_MINHASH_MIN_SQL,
+        n_bands=N_MINHASH_BANDS,
+        bkey_sql=_MINHASH_BKEY_SQL,
+        stage1=_ingest_stage_sql(1),
+        stage2=_ingest_stage_sql(2),
+        stage3=_ingest_stage_sql(3),
+    ),
+    tags=("X1", "X2", "incremental", "minhash", "lsh", "growing"),
+)
+def x1_ingest_growing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROWING incremental ingest — three sequential arrival batches
+    (doc_id % 4 == 1, 2, 3) admitted against an index that starts from
+    the % 4 == 0 residents and FOLDS each batch's admitted docs back in
+    (``ingest_admit_fold``), so batch 2 dedups against batch 1's
+    survivors and batch 3 against both — the sequential-prefix semantics
+    the streaming twin (streaming/ingest.py
+    ``streaming_minhash_ingest_growing``) replays per micro-batch, one
+    shared spelling. At sf0.001 this provably differs from the fixed
+    index: doc 459 (batch 3) near-dups doc 77 (admitted in batch 1,
+    J~0.99) and is rejected here, where the fixed-index lane admits it.
+
+    Output: ``(batch_no, doc_id, lang, n_chars)`` — each admitted doc
+    tagged with the batch that carried it.
+
+    Scale shape: the base documents projection is checkpointed ONCE
+    (resident index build + all three batch slices read it — one parquet
+    scan for the whole three-stage fold); each stage's new
+    materializations are its admission checkpoint and its O(admitted)
+    delta members; the index unions are metadata-only (LSM deltas —
+    nothing resident is rewritten). Per stage the probe cost is
+    O(batch x bands) band keys against the grown band index plus the
+    candidates-only verify — the same per-batch shape as
+    ``x1_minhash_ingest``, paid three times because the lane IS three
+    sequential ingests."""
+    base = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text", "n_chars")
+        .localCheckpoint(eager=False)
+    )
+    index = minhash_ingest_index(base.where(F.col("doc_id") % 4 == 0))
+    parts = []
+    for k in (1, 2, 3):
+        admitted, index = ingest_admit_fold(
+            index, base.where(F.col("doc_id") % 4 == k)
+        )
+        parts.append(
+            admitted.select(
+                F.lit(k).alias("batch_no"), "doc_id", "lang", "n_chars"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 @query("x2_minhash_lsh", oracle=None, tags=("X2", "lsh"))
 def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH approximate near-dup join — the scale path for X2:

@@ -10,9 +10,13 @@ test_streaming_minhash_ingest_equals_batch): the union of per-micro-batch
 admissions over any arrival split equals the batch lane's admitted set,
 because BOTH lanes test arrivals against the FIXED resident index only —
 batch-vs-batch (and arrival-vs-arrival) pairs are out of contract in both.
-An ingest that must also dedup arrivals against each other composes this
-with the stateful cross-batch lane (streaming/neardup.py), which holds
-exactly that state. Index evolution = rebuild, like RagIndex. Arrival
+An ingest that must dedup arrivals against EARLIER arrivals uses the
+GROWING twin (``streaming_minhash_ingest_growing`` / batch
+``x1_ingest_growing``): admitted docs fold back into the index per
+micro-batch via ``ingest_admit_fold`` (sequential-prefix semantics);
+within-one-micro-batch pairs remain the stateful cross-batch lane's job
+(streaming/neardup.py). For the fixed twin, index evolution = rebuild,
+like RagIndex; for the growing twin, evolution = the fold itself. Arrival
 doc_ids must be unique per batch and disjoint from resident index ids —
 see the ID-NAMESPACE CONTRACT on ``ingest_admit`` (a collision merges two
 documents' shingle sets in the verify and silently corrupts Jaccard).
@@ -32,9 +36,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
-from ..operators.dedup import IngestIndex, ingest_admit
+from ..operators.dedup import IngestIndex, ingest_admit, ingest_admit_fold
 
-__all__ = ["streaming_minhash_ingest"]
+__all__ = ["streaming_minhash_ingest", "streaming_minhash_ingest_growing"]
 
 
 def streaming_minhash_ingest(
@@ -54,6 +58,48 @@ def streaming_minhash_ingest(
         docs_stream.writeStream.foreachBatch(
             lambda df, bid: emit(ingest_admit(index, df), bid)
         )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_minhash_ingest_growing(
+    index: IngestIndex,
+    docs_stream: DataFrame,
+    emit: Callable[[DataFrame, int], None],
+    checkpoint: str,
+):
+    """The GROWING admission stream (r10 verdict ask #2): after each
+    micro-batch is admitted through the shared ``ingest_admit`` spelling,
+    its admitted docs FOLD back into the index (``ingest_admit_fold``), so
+    every arrival dedups against the residents AND every earlier arrival —
+    the sequential-prefix semantics of the batch ``x1_ingest_growing``
+    lane, pinned equal across any arrival split/order by
+    tests/test_streaming.py (the observed per-batch split replayed as a
+    batch-side fold). Within one micro-batch, docs still do not dedup
+    against each other (the documented granularity contract on
+    ``ingest_admit_fold``).
+
+    Scale/recovery shape: micro-batches run strictly sequentially inside
+    one query, so the driver-held index reference is safe to advance
+    per batch; each fold adds O(admitted) checkpointed delta rows (LSM
+    deltas — residents are never rewritten). On RESTART the driver-held
+    deltas are gone, but every member is a pure per-doc function of
+    (resident UNION admitted-so-far), and the admitted docs are exactly
+    what ``emit`` delivered downstream — so recovery = rebuild the index
+    from residents + the admitted sink and resume from the source
+    checkpoint (pinned by the mid-stream restart test). A deployment
+    that persists deltas to the index store per batch skips even that
+    rebuild."""
+    state = [index]
+
+    def _admit_and_fold(df: DataFrame, bid: int) -> None:
+        admitted, state[0] = ingest_admit_fold(state[0], df)
+        emit(admitted, bid)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_admit_and_fold)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

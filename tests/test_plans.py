@@ -594,3 +594,36 @@ def test_streaming_ingest_micro_batch_plan_rescans_no_parquet(spark):
     assert ".parquet" not in a.text, "micro-batch plan re-scans parquet"
     assert "CartesianProduct" not in a.text
     assert a.python_map_operators == 0
+
+
+def test_streaming_growing_ingest_micro_batch_plan_rescans_no_parquet(spark):
+    """The GROWING twin's per-micro-batch plan: after a fold, the NEXT
+    batch's admission must still read only checkpoints — the base members
+    plus the fold's O(admitted) delta checkpoints (whose lineage roots in
+    the in-memory arrival frame, not parquet). The LSM-delta property at
+    100 TB: growth never reintroduces a corpus scan into the per-batch
+    plan."""
+    import pyspark.sql.functions as F
+
+    from iii_aibigdata_capstone_spark.catalog import table
+    from iii_aibigdata_capstone_spark.operators.dedup import (
+        ingest_admit,
+        ingest_admit_fold,
+        minhash_ingest_index,
+    )
+
+    docs = table(spark, TEST_SF_DIR, "documents")
+    index = minhash_ingest_index(docs.where(F.col("doc_id") % 5 != 4))
+    batch1 = spark.createDataFrame(
+        [(100004, "en", "first arriving text body here", 29)],
+        "doc_id long, lang string, text string, n_chars long",
+    )
+    _admitted, grown = ingest_admit_fold(index, batch1)
+    batch2 = spark.createDataFrame(
+        [(100009, "fr", "second arriving doc", 19)],
+        "doc_id long, lang string, text string, n_chars long",
+    )
+    a = audit(ingest_admit(grown, batch2))
+    assert ".parquet" not in a.text, "grown micro-batch plan re-scans parquet"
+    assert "CartesianProduct" not in a.text
+    assert a.python_map_operators == 0

@@ -834,53 +834,233 @@ def test_streaming_minhash_ingest_equals_batch(spark, ingest_split):
     assert got == want
 
 
+def _write_arrival_file(docs, dst_dir: str, name: str, mtime: float) -> str:
+    """Write one arrival frame as ONE parquet file with an EXPLICIT mtime —
+    FileStreamSource processes files in modification-time order (only ties
+    are broken in unspecified order), so strictly increasing mtimes make
+    the micro-batch order deterministic, which the GROWING ingest's
+    sequential-prefix semantics depend on."""
+    import glob
+    import shutil
+
+    tmp = tempfile.mkdtemp(prefix="grow_tmp_")
+    docs.coalesce(1).write.mode("overwrite").parquet(tmp)
+    dst = os.path.join(dst_dir, name)
+    shutil.copy(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+    os.utime(dst, (mtime, mtime))
+    return dst
+
+
+@pytest.fixture(scope="module")
+def growing_split(spark):
+    """Scaffolding for the GROWING ingest twins: residents are doc_id %
+    4 == 0; arrivals are classes 1, 2, 3, one parquet file each with
+    strictly increasing mtimes (deterministic batch order 1 -> 2 -> 3).
+    At sf0.001 this split provably exercises the growth: doc 459 (class
+    3) near-dups doc 77 (class 1, admitted) and must be rejected by the
+    grown index, while the fixed index admits it."""
+    import time
+
+    docs = table(spark, TEST_SF_DIR, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    src = tempfile.mkdtemp(prefix="grow_src_")
+    now = time.time()
+    for k in (1, 2, 3):
+        _write_arrival_file(
+            docs.where(F.col("doc_id") % 4 == k),
+            src,
+            f"batch{k}.parquet",
+            now - 400 + 100 * k,
+        )
+    return docs, src
+
+
+def test_streaming_growing_ingest_equals_batch(spark, growing_split):
+    """The GROWING admission stream (r10 verdict ask #2): three arrival
+    micro-batches, each folded into the index after admission, must emit
+    exactly the batch x1_ingest_growing rows batch-for-batch — the
+    sequential-prefix fold, one ingest_admit_fold spelling in both lanes.
+    The growth is additionally pinned INDEPENDENTLY of that shared
+    spelling: the growing admitted set must be a STRICT subset of the
+    fixed-index per-batch admissions' union (at sf0.001 doc 459 is
+    admitted by the fixed index but rejected by the grown one)."""
+    from iii_aibigdata_capstone_spark.operators.dedup import (
+        ingest_admit,
+        minhash_ingest_index,
+    )
+    from iii_aibigdata_capstone_spark.queries import registry
+    from iii_aibigdata_capstone_spark.streaming.ingest import (
+        streaming_minhash_ingest_growing,
+    )
+
+    docs, src = growing_split
+    index = minhash_ingest_index(docs.where(F.col("doc_id") % 4 == 0))
+    per_batch: dict[int, list] = {}
+    q = streaming_minhash_ingest_growing(
+        index,
+        _arrival_stream(spark, src),
+        emit=lambda df, bid: per_batch.setdefault(bid, []).extend(df.collect()),
+        checkpoint=tempfile.mkdtemp(prefix="grow_ck_"),
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+    q.stop()
+
+    assert len(per_batch) == 3, "expected three micro-batches"
+    got = sorted(
+        (pos + 1, r.doc_id, r.lang, r.n_chars)
+        for pos, bid in enumerate(sorted(per_batch))
+        for r in per_batch[bid]
+    )
+    want = sorted(
+        tuple(r)
+        for r in registry()["x1_ingest_growing"].builder(spark, TEST_SF_DIR).collect()
+    )
+    assert got and got == want
+
+    # independent growth pin: vs the FIXED index, at least one arrival
+    # must now be rejected because of an EARLIER ARRIVAL
+    fixed = {
+        r.doc_id
+        for k in (1, 2, 3)
+        for r in ingest_admit(index, docs.where(F.col("doc_id") % 4 == k)).collect()
+    }
+    growing_ids = {t[1] for t in got}
+    assert growing_ids < fixed, "growing index never changed an admission"
+
+
+def test_streaming_growing_ingest_restart_recovery(spark, growing_split):
+    """Mid-stream restart of the GROWING ingest: drain batch 1, lose the
+    driver-held index (simulated process death), REBUILD it from residents
+    + the admitted sink — valid because every member is a pure per-doc
+    function of (residents UNION admitted-so-far), the documented fold
+    invariant — and resume from the same source checkpoint. The union of
+    emissions across both runs must equal the uninterrupted batch fold."""
+    import glob
+    import shutil
+
+    from iii_aibigdata_capstone_spark.operators.dedup import minhash_ingest_index
+    from iii_aibigdata_capstone_spark.queries import registry
+    from iii_aibigdata_capstone_spark.streaming.ingest import (
+        streaming_minhash_ingest_growing,
+    )
+
+    docs, src = growing_split
+    src2 = tempfile.mkdtemp(prefix="grow_restart_src_")
+    ck = tempfile.mkdtemp(prefix="grow_restart_ck_")
+    files = sorted(glob.glob(os.path.join(src, "batch*.parquet")))
+    assert len(files) == 3
+    shutil.copy2(files[0], src2)  # batch 1 only; copy2 preserves mtime
+
+    resident = docs.where(F.col("doc_id") % 4 == 0)
+    per_batch: dict[int, list] = {}
+    q = streaming_minhash_ingest_growing(
+        minhash_ingest_index(resident),
+        _arrival_stream(spark, src2),
+        emit=lambda df, bid: per_batch.setdefault(bid, []).extend(df.collect()),
+        checkpoint=ck,
+    )
+    assert q.awaitTermination(300), "first run did not finish"
+    q.stop()
+    first = [r for rows in per_batch.values() for r in rows]
+    assert first, "batch 1 admitted nothing"
+
+    # the remaining arrivals land; the driver restarts with a REBUILT index
+    for f in files[1:]:
+        shutil.copy2(f, src2)
+    admitted_ids = [r.doc_id for r in first]
+    rebuilt = minhash_ingest_index(
+        docs.where(
+            (F.col("doc_id") % 4 == 0) | F.col("doc_id").isin(admitted_ids)
+        )
+    )
+    per_batch2: dict[int, list] = {}
+    q2 = streaming_minhash_ingest_growing(
+        rebuilt,
+        _arrival_stream(spark, src2),
+        emit=lambda df, bid: per_batch2.setdefault(bid, []).extend(df.collect()),
+        checkpoint=ck,
+    )
+    assert q2.awaitTermination(300), "resumed run did not finish"
+    q2.stop()
+    resumed = {bid: rows for bid, rows in per_batch2.items() if rows}
+    assert len(resumed) == 2, "resume should process exactly batches 2 and 3"
+
+    got = sorted(
+        [(1, r.doc_id, r.lang, r.n_chars) for r in first]
+        + [
+            (pos + 2, r.doc_id, r.lang, r.n_chars)
+            for pos, bid in enumerate(sorted(resumed))
+            for r in resumed[bid]
+        ]
+    )
+    want = sorted(
+        tuple(r)
+        for r in registry()["x1_ingest_growing"].builder(spark, TEST_SF_DIR).collect()
+    )
+    assert got == want
+
+
 def test_streaming_gated_ingest_composition(spark, ingest_split):
-    """The factory front-end as a stream: the stateless quality gate
-    (score_documents) composed with index admission (ingest_admit) inside
-    ONE foreachBatch body — the same closure runs as the batch lane, so
-    stream == batch composition cannot drift. Gate ordering is pinned
-    INDEPENDENTLY of the shared closure: every admitted doc must be in
-    the gate-passing id set computed directly from score_documents (a
-    closure that inverted or dropped the gate would fail that subset
-    check, not just the self-referential equality)."""
-    from iii_aibigdata_capstone_spark.operators.dedup import ingest_admit
+    """The factory front-end as a stream, UPGRADED to the growing index
+    (r10 verdict ask #2): the stateless quality gate (score_documents)
+    composed with admission-and-FOLD (ingest_admit_fold) inside ONE
+    foreachBatch body — each batch's gated admissions dedup every later
+    batch. The batch side replays the SAME closure over the per-half
+    arrival frames in the OBSERVED micro-batch order (FileStreamSource
+    breaks mtime ties in unspecified order, so the observed order is the
+    contract, not a pinned one). Because the equality side shares the
+    closure, the gate is pinned INDEPENDENTLY: every admitted doc must be
+    in the gate-passing id set computed directly from score_documents,
+    and the gate provably drops docs."""
+    from iii_aibigdata_capstone_spark.operators.dedup import ingest_admit_fold
     from iii_aibigdata_capstone_spark.operators.textual import score_documents
 
-    index, arrivals, src, _median_id = ingest_split
+    index, arrivals, src, median_id = ingest_split
 
-    def admit_gated(df):
-        # ONE spelling of the composed front-end, shared by both lanes
+    def gate(df):
+        # ONE spelling of the gate stage, shared by both lanes
         scored = score_documents(df, keep=("text", "n_chars"))
-        good = scored.where("quality_pass").select(
+        return scored.where("quality_pass").select(
             "doc_id", "lang", "text", "n_chars"
         )
-        return ingest_admit(index, good)
-
-    want = sorted(map(tuple, admit_gated(arrivals).collect()))
-    assert want, "composition admitted nothing at test SF"
-    # independent gate pin: the gate provably drops docs, and every
-    # admitted doc passed it (computed OUTSIDE the shared closure)
-    passing = {
-        r.doc_id
-        for r in score_documents(arrivals, keep=()).where("quality_pass").collect()
-    }
-    assert 0 < len(passing) < arrivals.count()
-    assert {t[0] for t in want} <= passing
 
     per_batch: dict[int, list] = {}
+    state = [index]
+
+    def admit_gated_fold(df, bid):
+        admitted, state[0] = ingest_admit_fold(state[0], gate(df))
+        per_batch.setdefault(bid, []).extend(admitted.collect())
+
     q = (
         _arrival_stream(spark, src)
-        .writeStream.foreachBatch(
-            lambda df, bid: per_batch.setdefault(bid, []).extend(
-                admit_gated(df).collect()
-            )
-        )
+        .writeStream.foreachBatch(admit_gated_fold)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="gated_ck_"))
         .trigger(availableNow=True)
         .start()
     )
     assert q.awaitTermination(300), "stream did not finish"
     q.stop()
-    data_batches = [rows for rows in per_batch.values() if rows]
+    data_batches = [rows for _, rows in sorted(per_batch.items()) if rows]
     assert len(data_batches) == 2, "expected admissions in both arrival batches"
-    assert sorted(tuple(r) for rows in data_batches for r in rows) == want
+    got = sorted(tuple(r) for rows in data_batches for r in rows)
+
+    # batch side: the sequential-prefix fold over the SAME half frames in
+    # the observed order
+    lower_first = all(r.doc_id <= median_id for r in data_batches[0])
+    preds = [F.col("doc_id") <= median_id, F.col("doc_id") > median_id]
+    if not lower_first:
+        preds.reverse()
+    bstate, want = index, []
+    for pred in preds:
+        admitted, bstate = ingest_admit_fold(bstate, gate(arrivals.where(pred)))
+        want.extend(map(tuple, admitted.collect()))
+    assert got == sorted(want)
+
+    # independent gate pin (computed OUTSIDE the shared closure)
+    passing = {
+        r.doc_id
+        for r in score_documents(arrivals, keep=()).where("quality_pass").collect()
+    }
+    assert 0 < len(passing) < arrivals.count()
+    assert got and {t[0] for t in got} <= passing

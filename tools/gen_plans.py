@@ -767,6 +767,31 @@ GALLERY = [
             ("no Python operators", lambda a: a.python_map_operators == 0),
         ],
     ),
+    (
+        "x1_ingest_growing",
+        "x1_ingest_growing",
+        "Three sequential arrival batches admitted against a GROWING "
+        "index (ingest_admit_fold): each batch's admitted docs fold back "
+        "as O(admitted) LSM delta checkpoints, so batch k dedups against "
+        "residents AND batches < k. ONE projected documents scan (the "
+        "base checkpoint) feeds the resident index build and all three "
+        "batch slices; every admission consumes checkpoints, so the emit "
+        "plan re-scans ZERO parquet. All joins are equi (band-key "
+        "probes, md5 anti gates, candidate-restricted verify) — no "
+        "nested-loop broadcast anywhere.",
+        [
+            ("no CartesianProduct", lambda a: "CartesianProduct" not in a.text),
+            (
+                "emit path reads the checkpoints, not parquet",
+                lambda a: ".parquet" not in a.text,
+            ),
+            (
+                "every join is an equi join (zero nested-loop broadcasts)",
+                lambda a: bnlj_count(a) == 0,
+            ),
+            ("no Python operators", lambda a: a.python_map_operators == 0),
+        ],
+    ),
 ]
 
 

@@ -125,6 +125,7 @@ DEFAULT = [
     "x9_data_factory",
     "x2_dedup_eval",
     "m8_calibration",
+    "x1_ingest_growing",
 ]
 
 
