@@ -1095,7 +1095,7 @@ from .analytics import MANIFEST_SHARDS, PACK_BIN_TOKENS  # noqa: E402
 # are the SAME spellings the standalone x1_fuzzy_dedup_pipeline /
 # x4_decontaminate oracles use.
 from .dedup import neardup_chain_sql  # noqa: E402
-from .textual import BENCH_HOLDOUT_MOD, gram5_cte_sql  # noqa: E402
+from .textual import BENCH_HOLDOUT_MOD, five_gram_rows, gram5_cte_sql  # noqa: E402
 
 _FACTORY_ORACLE = dedent(
     f"""
@@ -1170,6 +1170,118 @@ _FACTORY_ORACLE = dedent(
 )
 
 
+def factory_base(docs: DataFrame) -> DataFrame:
+    """The factory's ONE projection of the raw corpus: ``(doc_id, source,
+    lang, text, n_chars, n_tokens, logit_milli)`` — exact-integer token
+    count and quality logit computed once. One spelling shared by the
+    batch factory (which checkpoints it as THE one documents scan) and
+    the continuous-factory composition (which joins stream-admitted ids
+    back to it — the admitted sink stores ids, the corpus store the
+    docs)."""
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        "n_chars",
+        F.size(toks).cast("long").alias("n_tokens"),
+        quality_logit_col(toks, F.col("n_chars")).cast("long").alias("logit_milli"),
+    )
+
+
+def bench_gram_index(base: DataFrame) -> DataFrame:
+    """The held-out benchmark's distinct 5-gram index over the RAW corpus
+    (doc_id % BENCH_HOLDOUT_MOD == 0, pre-gate — contamination is defined
+    against the benchmark as published, not as gated). Bounded (benchmarks
+    don't grow with the corpus), so consumers broadcast it; a continuous
+    deployment builds it once and serves every micro-batch / periodic job
+    from the same artifact."""
+    return (
+        five_gram_rows(base.where(F.col("doc_id") % BENCH_HOLDOUT_MOD == 0))
+        .select("g")
+        .distinct()
+    )
+
+
+def decontaminate_selected(kept: DataFrame, bench_g: DataFrame) -> DataFrame:
+    """Factory stage 3, ONE spelling: drop the held-out ids themselves,
+    then every survivor sharing ANY 5-gram with the benchmark index
+    (broadcast anti-join through a distinct contaminated-id set)."""
+    kept_nb = kept.where(F.col("doc_id") % BENCH_HOLDOUT_MOD != 0)
+    contaminated = (
+        five_gram_rows(kept_nb).join(F.broadcast(bench_g), "g").select("doc_id").distinct()
+    )
+    return kept_nb.join(contaminated, "doc_id", "left_anti")
+
+
+def manifest_build(clean: DataFrame) -> DataFrame:
+    """Factory stages 4-6 — the PERIODIC BATCH MANIFEST JOB, one spelling
+    shared by the batch x9_data_factory and the continuous-factory
+    composition (streamed stages 1-3 feed the accumulated clean corpus
+    here). These stages are batch by construction: DSIR bucket models,
+    temperature-mix quotas, packing bins and shard positions are global
+    functions of the WHOLE selected corpus. ``clean`` needs the
+    factory_base columns; it is checkpointed here (3 consumers: DSIR
+    tokens, the mix aggregate, the ranked join)."""
+    from .analytics import _md5_bucket
+
+    clean = clean.localCheckpoint(eager=False)
+    doc_w = dsir_doc_logw(clean)
+    per_source = clean.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    _, rate = mix_rate_cols(F.col("n_tokens"))
+    quota = per_source.select(
+        "source",
+        F.floor(F.round(rate, 6) * F.col("n_docs") + F.lit(0.5))
+        .cast("long")
+        .alias("n_sel"),
+    )
+    ranked = clean.join(
+        doc_w.select("doc_id", F.round("logw", 6).alias("logw")), "doc_id"
+    ).select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        "n_tokens",
+        "logw",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy(F.desc("logw"), F.asc("doc_id")))
+        .cast("long")
+        .alias("src_rank"),
+    )
+    sel = ranked.join(F.broadcast(quota), "source").where(
+        F.col("src_rank") <= F.col("n_sel")
+    )
+    w_pack = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    binned = sel.withColumn(
+        "bin",
+        F.floor(
+            (F.sum("n_tokens").over(w_pack) - F.col("n_tokens")) / PACK_BIN_TOKENS
+        ).cast("int"),
+    )
+    shard = _md5_bucket("text", MANIFEST_SHARDS).cast("int")
+    pos = F.row_number().over(
+        Window.partitionBy(shard).orderBy(F.md5("text"), F.col("doc_id"))
+    )
+    return binned.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_tokens",
+        "logw",
+        "src_rank",
+        "bin",
+        shard.alias("shard"),
+        pos.cast("long").alias("pos"),
+    )
+
+
 @query(
     "x9_data_factory",
     oracle=_FACTORY_ORACLE,
@@ -1216,15 +1328,23 @@ def x9_data_factory(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Streaming split: stages 1-3 are the factory's FRONT-END and run on
     an ingest stream today — the quality gate as the stateless
-    score_documents transform, dedup admission via the checkpointed
-    IngestIndex (streaming/ingest.py; the composed gate->admit
-    foreachBatch is pinned stream==batch in
-    tests/test_streaming.py::test_streaming_gated_ingest_composition).
-    Stages 4-6 are BATCH BY CONSTRUCTION: DSIR models, mix quotas,
-    packing bins and shard positions are global functions of the whole
-    selected corpus (a per-batch version would emit different manifests
-    per arrival split), so a deployment runs them as the periodic
-    manifest-build job over the stream-admitted corpus.
+    score_documents transform, dedup admission via the GROWING
+    IngestIndex (ingest_admit_fold, streaming/ingest.py), benchmark
+    decontamination against the broadcast bench_gram_index. Stages 4-6
+    are BATCH BY CONSTRUCTION: DSIR models, mix quotas, packing bins and
+    shard positions are global functions of the whole selected corpus (a
+    per-batch version would emit different manifests per arrival split),
+    so a deployment runs them as the periodic manifest_build job over
+    the stream-admitted corpus. PROVED END TO END:
+    tests/test_streaming.py::test_continuous_factory_equals_batch_factory
+    pins streamed-1-3 + periodic-4-6 == this query exactly — including a
+    mid-stream restart recovered from the admitted sink — under the
+    keeper-order replay (the seeding/backfill scenario; admission keeps
+    first-arrival, this factory keeps best-per-cluster, and that test
+    documents + asserts the preconditions under which they coincide).
+    The composed gate->admit foreachBatch is separately pinned
+    stream==batch in
+    tests/test_streaming.py::test_streaming_gated_ingest_composition.
 
     Scale shape: ``documents`` is scanned ONCE into a projected
     checkpoint; every stage consumes checkpoints (asserted PLANS entry:
@@ -1236,22 +1356,12 @@ def x9_data_factory(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget). No Python anywhere — the whole factory is Catalyst
     expressions over exact integers, so the manifest is reproducible
     cross-engine (full DuckDB oracle at sf0.01 and sf0.1)."""
-    from .analytics import _md5_bucket
     from .dedup import _min_label_propagation, _minhash_verified_pairs, shingles_of
-    from .textual import five_gram_rows
 
     docs = table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    logit = quality_logit_col(toks, F.col("n_chars"))
-    base = docs.select(
-        "doc_id",
-        "source",
-        "lang",
-        "text",
-        "n_chars",
-        F.size(toks).cast("long").alias("n_tokens"),
-        logit.cast("long").alias("logit_milli"),
-    ).localCheckpoint(eager=False)  # THE one documents scan (2 consumers)
+    base = factory_base(docs).localCheckpoint(
+        eager=False
+    )  # THE one documents scan (2 consumers)
 
     # stage 1+2a: quality gate, then exact dedup among the survivors
     good = base.where(F.col("logit_milli") >= 0)
@@ -1283,72 +1393,8 @@ def x9_data_factory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # 2 consumers: corpus grams + the clean anti-join base
 
     # stage 3: decontamination against the held-out benchmark set
-    bench_g = (
-        five_gram_rows(base.where(F.col("doc_id") % BENCH_HOLDOUT_MOD == 0))
-        .select("g")
-        .distinct()
-    )
-    kept_nb = dedup_kept.where(F.col("doc_id") % BENCH_HOLDOUT_MOD != 0)
-    contaminated = (
-        five_gram_rows(kept_nb).join(F.broadcast(bench_g), "g").select("doc_id").distinct()
-    )
-    clean = kept_nb.join(contaminated, "doc_id", "left_anti").localCheckpoint(
-        eager=False
-    )  # 3 consumers: DSIR tokens, the mix aggregate, the ranked join
+    clean = decontaminate_selected(dedup_kept, bench_gram_index(base))
 
-    # stage 4: DSIR importance ranks within each source, mix-rate quotas
-    doc_w = dsir_doc_logw(clean)
-    per_source = clean.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("n_tokens"),
-    )
-    _, rate = mix_rate_cols(F.col("n_tokens"))
-    quota = per_source.select(
-        "source",
-        F.floor(F.round(rate, 6) * F.col("n_docs") + F.lit(0.5))
-        .cast("long")
-        .alias("n_sel"),
-    )
-    ranked = clean.join(
-        doc_w.select("doc_id", F.round("logw", 6).alias("logw")), "doc_id"
-    ).select(
-        "doc_id",
-        "source",
-        "lang",
-        "text",
-        "n_tokens",
-        "logw",
-        F.row_number()
-        .over(Window.partitionBy("source").orderBy(F.desc("logw"), F.asc("doc_id")))
-        .cast("long")
-        .alias("src_rank"),
-    )
-    sel = ranked.join(F.broadcast(quota), "source").where(
-        F.col("src_rank") <= F.col("n_sel")
-    )
-
-    # stage 5+6: pack into context bins, address into training shards
-    w_pack = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    binned = sel.withColumn(
-        "bin",
-        F.floor(
-            (F.sum("n_tokens").over(w_pack) - F.col("n_tokens")) / PACK_BIN_TOKENS
-        ).cast("int"),
-    )
-    shard = _md5_bucket("text", MANIFEST_SHARDS).cast("int")
-    pos = F.row_number().over(
-        Window.partitionBy(shard).orderBy(F.md5("text"), F.col("doc_id"))
-    )
-    return binned.select(
-        "doc_id",
-        "source",
-        "lang",
-        "n_tokens",
-        "logw",
-        "src_rank",
-        "bin",
-        shard.alias("shard"),
-        pos.cast("long").alias("pos"),
-    )
+    # stages 4-6: the periodic batch manifest job (one spelling with the
+    # continuous-factory composition; checkpoints `clean` itself)
+    return manifest_build(clean)

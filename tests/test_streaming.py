@@ -1001,6 +1001,199 @@ def test_streaming_growing_ingest_restart_recovery(spark, growing_split):
     assert got == want
 
 
+def test_continuous_factory_equals_batch_factory(spark):
+    """THE CONTINUOUS FACTORY, end to end (r10 verdict ask #3): streamed
+    stages 1-3 (quality gate -> growing dedup admission -> benchmark
+    decontamination, per micro-batch) + the periodic batch manifest job
+    (manifest_build, stages 4-6) over the stream-admitted corpus must
+    reproduce x9_data_factory EXACTLY on the same documents table —
+    including a mid-stream restart whose index is REBUILT from the
+    admitted sink (the fold-invariant recovery recipe).
+
+    Admission keeps the FIRST arrival of a dup group; the batch factory
+    keeps the BEST (longest, then lowest id) per exact/near-dup cluster.
+    The two coincide exactly when (a) arrivals are replayed in keeper
+    order — every cluster's keeper in an earlier batch than its other
+    members (the SEEDING/BACKFILL scenario: bootstrapping a continuous
+    factory from an existing corpus replays it best-first) — and (b)
+    every non-keeper has a DIRECT verified near-dup edge to its keeper
+    (admission holds state only for ADMITTED docs, so a chain cluster
+    A-B-C with no A-C edge admits C after B was rejected; the batch
+    factory's transitive closure drops it). Both are asserted as
+    PRECONDITIONS below, computed from the factory's own spellings — if
+    future testdata breaks them, this fails loudly at the precondition,
+    not with a silent diff. Under live arbitrary arrival order the
+    divergence is exactly keep-first vs keep-best; periodic compaction
+    (re-running the batch factory) reconciles."""
+    import glob
+    import hashlib
+    import shutil
+    import time
+
+    from iii_aibigdata_capstone_spark.operators.curation import (
+        bench_gram_index,
+        decontaminate_selected,
+        factory_base,
+        manifest_build,
+    )
+    from iii_aibigdata_capstone_spark.operators.dedup import (
+        _minhash_verified_pairs,
+        ingest_admit_fold,
+        minhash_ingest_index,
+        shingles_of,
+    )
+    from iii_aibigdata_capstone_spark.operators.textual import score_documents
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    docs = table(spark, TEST_SF_DIR, "documents")
+    base = factory_base(docs).localCheckpoint(eager=False)
+
+    # --- replay schedule from the factory's own stage-1/2 spellings ----
+    info = {
+        r.doc_id: r
+        for r in base.select("doc_id", "text", "n_chars", "logit_milli").collect()
+    }
+    good = {d for d, r in info.items() if r.logit_milli >= 0}
+    canon: dict[str, int] = {}
+    for d in sorted(good):
+        canon.setdefault(hashlib.md5(info[d].text.encode()).hexdigest(), d)
+    survivor_ids = set(canon.values())
+    surv = base.join(
+        spark.createDataFrame([(d,) for d in survivor_ids], "doc_id long"),
+        "doc_id",
+        "left_semi",
+    )
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in _minhash_verified_pairs(shingles_of(surv)).collect()
+    ]
+    parent = {d: d for d in survivor_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    clusters: dict[int, list] = {}
+    for d in survivor_ids:
+        clusters.setdefault(find(d), []).append(d)
+    edge = {frozenset(p) for p in pairs}
+    keepers = set()
+    for members in clusters.values():
+        best = min(members, key=lambda d: (-info[d].n_chars, d))
+        keepers.add(best)
+        # PRECONDITION (b): direct edge keeper<->every other member
+        for m in members:
+            assert m == best or frozenset((m, best)) in edge, (
+                "chain cluster without a direct keeper edge — the "
+                "admission==keep-best equivalence does not hold on this "
+                f"corpus (cluster {sorted(members)})"
+            )
+    dropped = sorted((good - keepers) | (good - survivor_ids))
+    assert len(dropped) >= 2, "need dropped dups to split across batches"
+    batch1 = sorted(set(info) - set(dropped))  # keepers + gate-failers
+    batch2, batch3 = dropped[0::2], dropped[1::2]
+
+    # --- the streamed front-end: 3 arrival files, restart after file 1 --
+    def ids_frame(ids):
+        return docs.select("doc_id", "lang", "text", "n_chars").join(
+            spark.createDataFrame([(d,) for d in ids], "doc_id long"),
+            "doc_id",
+            "left_semi",
+        )
+
+    src = tempfile.mkdtemp(prefix="contfact_src_")
+    now = time.time()
+    staging = tempfile.mkdtemp(prefix="contfact_stage_")
+    for i, ids in enumerate((batch1, batch2, batch3)):
+        _write_arrival_file(
+            ids_frame(ids), staging, f"batch{i + 1}.parquet", now - 400 + 100 * i
+        )
+    files = sorted(glob.glob(os.path.join(staging, "batch*.parquet")))
+    shutil.copy2(files[0], src)
+
+    bench_g = bench_gram_index(base).localCheckpoint(eager=False)
+    admitted_ids: list[int] = []
+    clean_ids: list[int] = []
+    n_batches = [0]
+
+    def front_end(state):
+        def _run(df, bid):
+            # stages 1-3, per micro-batch: gate -> admit+fold -> decontaminate
+            gated = score_documents(df, keep=("text", "n_chars")).where(
+                "quality_pass"
+            ).select("doc_id", "lang", "text", "n_chars")
+            admitted, state[0] = ingest_admit_fold(state[0], gated)
+            adm = [r.doc_id for r in admitted.collect()]
+            admitted_ids.extend(adm)
+            clean_ids.extend(
+                r.doc_id
+                for r in decontaminate_selected(
+                    df.join(
+                        spark.createDataFrame([(d,) for d in adm], "doc_id long"),
+                        "doc_id",
+                        "left_semi",
+                    ),
+                    bench_g,
+                ).select("doc_id").collect()
+            )
+            n_batches[0] += 1
+
+        return _run
+
+    empty_index = minhash_ingest_index(
+        docs.where(F.lit(False)).select("doc_id", "lang", "text", "n_chars")
+    )
+    ck = tempfile.mkdtemp(prefix="contfact_ck_")
+    q = (
+        _arrival_stream(spark, src)
+        .writeStream.foreachBatch(front_end([empty_index]))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "first run did not finish"
+    q.stop()
+    assert n_batches[0] == 1 and admitted_ids, "batch 1 should admit the keepers"
+
+    # restart: remaining arrivals land; index REBUILT from the admitted
+    # sink (every member is a pure per-doc function of the admitted docs)
+    for f in files[1:]:
+        shutil.copy2(f, src)
+    rebuilt = minhash_ingest_index(ids_frame(admitted_ids))
+    q2 = (
+        _arrival_stream(spark, src)
+        .writeStream.foreachBatch(front_end([rebuilt]))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(300), "resumed run did not finish"
+    q2.stop()
+    assert n_batches[0] == 3, "resume should process exactly batches 2 and 3"
+
+    # stage-2 pin: the stream admitted exactly the factory's dedup keepers
+    assert sorted(admitted_ids) == sorted(keepers)
+
+    # --- the periodic batch job over the admitted corpus ---------------
+    manifest = manifest_build(
+        base.join(
+            spark.createDataFrame([(d,) for d in clean_ids], "doc_id long"),
+            "doc_id",
+            "left_semi",
+        )
+    )
+    got = sorted(map(tuple, manifest.collect()))
+    want = sorted(
+        tuple(r)
+        for r in registry()["x9_data_factory"].builder(spark, TEST_SF_DIR).collect()
+    )
+    assert got and got == want
+
+
 def test_streaming_gated_ingest_composition(spark, ingest_split):
     """The factory front-end as a stream, UPGRADED to the growing index
     (r10 verdict ask #2): the stateless quality gate (score_documents)
