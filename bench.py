@@ -130,6 +130,7 @@ HEADLINE = [
     "x2_dedup_eval",
     "m8_calibration",
     "x1_ingest_growing",
+    "x9_rag_eval",
 ]
 
 # The two non-registry entries, timed by the last chunk.

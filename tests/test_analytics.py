@@ -1097,6 +1097,108 @@ def test_ann_eval_matches_lane_intersection(spark):
         assert r.mrr_micro == (1_000_000 // first if first else 0), r.query_id
 
 
+def test_rag_eval_matches_python_grading(spark):
+    """x9_rag_eval pinned against a transparent python grading: the
+    production list is the registered x9_rag_pipeline output (same
+    _rrf_fuse_topk spelling); the ground-truth fusion is rebuilt in
+    python from the shared BM25 lane (collected once — it is exact and
+    shared verbatim between the two fusions) + an exhaustive cosine pass
+    over the collected embeddings (same LEFT-FOLD accumulation order and
+    HALF_UP rounding as the engine's dot/l2_norm/round, so the floats
+    are bit-identical); hits, recall@5 and nDCG@5 are integer arithmetic
+    on those lists with the precomputed _NDCG_DISC_MICRO discounts."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from iii_aibigdata_capstone_spark.operators.curation import (
+        _NDCG_DISC_MICRO,
+        RAG_LANE_K,
+        RAG_PROBES,
+        RAG_TOPK,
+        RRF_K,
+        RRF_SCALE,
+        _bm25_doc_ranks,
+        rag_index,
+    )
+
+    index = rag_index(spark, TEST_SF_DIR)
+    qterms = (
+        index.tf.where(F.col("doc_id") < RAG_PROBES)
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .distinct()
+    )
+    b: dict[int, dict[int, int]] = {}
+    for r in _bm25_doc_ranks(index, qterms).collect():
+        b.setdefault(r.query_id, {})[r.doc_id] = r.br
+
+    embs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in table(spark, TEST_SF_DIR, "embeddings").collect()
+    }
+
+    def fold_dot(u, v):
+        acc = 0.0
+        for x, y in zip(u, v):
+            acc = acc + x * y
+        return acc
+
+    def fold_norm(u):
+        acc = 0.0
+        for x in u:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    def rnd6(x):
+        return float(Decimal(x).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    norm = {i: fold_norm(v) for i, v in embs.items()}
+    truth: dict[int, dict[int, int]] = {}
+    for q in range(RAG_PROBES):
+        scored = sorted(
+            (
+                (rnd6(fold_dot(embs[q], embs[d]) / (norm[q] * norm[d])), d)
+                for d in embs
+                if d != q
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:RAG_LANE_K]
+        cr = {d: i + 1 for i, (_c, d) in enumerate(scored)}
+        bq = b.get(q, {})
+        fused = sorted(
+            (
+                (
+                    (RRF_SCALE // (RRF_K + bq[d]) if d in bq else 0)
+                    + (RRF_SCALE // (RRF_K + cr[d]) if d in cr else 0),
+                    d,
+                )
+                for d in set(cr) | set(bq)
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:RAG_TOPK]
+        truth[q] = {d: RAG_TOPK - i for i, (_s, d) in enumerate(fused)}
+
+    prod: dict[int, dict[int, int]] = {}
+    for r in registry()["x9_rag_pipeline"].builder(spark, TEST_SF_DIR).collect():
+        prod.setdefault(r.query_id, {})[r.rank] = r.doc_id
+
+    rows = registry()["x9_rag_eval"].builder(spark, TEST_SF_DIR).collect()
+    assert {r.query_id for r in rows} == set(range(RAG_PROBES))
+    for r in rows:
+        rel = truth[r.query_id]
+        plist = [prod[r.query_id][k] for k in sorted(prod[r.query_id])]
+        hits = sum(1 for d in plist if d in rel)
+        dcg = sum(
+            rel.get(d, 0) * _NDCG_DISC_MICRO[i] for i, d in enumerate(plist)
+        )
+        idcg = sum(
+            v * _NDCG_DISC_MICRO[i]
+            for i, v in enumerate(sorted(rel.values(), reverse=True))
+        )
+        assert r.n_hits == hits, r.query_id
+        assert r.recall_micro == 1_000_000 * hits // RAG_TOPK
+        assert r.ndcg_micro == (1_000_000 * dcg // idcg if idcg else None)
+
+
 def test_data_factory_stage_gates_replay(spark):
     """Replay every python-checkable gate of the x9_data_factory manifest
     at sf0.001: quality logit, exact-dup canonicality, benchmark holdout +

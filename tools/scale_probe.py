@@ -126,6 +126,7 @@ DEFAULT = [
     "x2_dedup_eval",
     "m8_calibration",
     "x1_ingest_growing",
+    "x9_rag_eval",
 ]
 
 
