@@ -4,7 +4,11 @@ claims and exit non-zero if any artifact disagrees with the live registry.
 
     python tools/round_close.py
 
-Checks (all pure-python, no SparkSession):
+Checks 1-6 are read-only (all pure-python, no SparkSession); step 7 WRITES
+one repo file (BENCH_CANONICAL_r{N}.json — the round-stamped snapshot of a
+canonical BENCH_FULL.json, so the driver's post-round in-place overwrite
+cannot shadow the committed run).
+
   1. README.md Status block quotes the live registry counts
      (N registered queries / M hash-checked oracles).
   2. PARITY.md contains a row for every registered query (and its trailing
@@ -134,18 +138,50 @@ def main() -> int:
     # BENCH_FULL.json in place, which would shadow the committed canonical
     # run. Snapshotting here pins the run round_close certified; the
     # round number is the current (in-progress) round = 1 + the newest
-    # CORRECTNESS_r* the driver has recorded.
-    if os.path.exists(bench_full):
+    # CORRECTNESS_r* the driver has recorded. Guards (review r11): only a
+    # CANONICAL-shaped artifact is snapshotted (sf0.1, full HEADLINE
+    # coverage — the README-documented sf0.01 run and BENCH_ONLY smoke
+    # subsets also overwrite BENCH_FULL.json in place and must never
+    # masquerade as the canonical run), and a BENCH_FULL identical to the
+    # PREVIOUS round's snapshot is skipped (an early-next-round
+    # round_close run before any fresh bench would otherwise mislabel
+    # last round's run as this round's canonical).
+    if not os.path.exists(bench_full):
+        print(
+            "round_close: WARNING — no BENCH_FULL.json; nothing snapshotted "
+            "(run `python bench.py` before the round-close sequence)"
+        )
+    else:
         rounds = [
             int(m.group(1))
             for f in os.listdir(REPO)
             if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", f))
         ]
         rnd = (max(rounds) + 1) if rounds else 1
-        snap = os.path.join(REPO, f"BENCH_CANONICAL_r{rnd:02d}.json")
-        with open(bench_full) as src, open(snap, "w") as dst:
-            dst.write(src.read())
-        print(f"round_close: snapshotted BENCH_FULL.json -> {os.path.basename(snap)}")
+        full = json.load(open(bench_full))
+        content = open(bench_full).read()
+        prev = os.path.join(REPO, f"BENCH_CANONICAL_r{rnd - 1:02d}.json")
+        covered = set(full.get("queries", {}))
+        if full.get("sf") != 0.1 or not set(bench.HEADLINE) <= covered:
+            print(
+                "round_close: WARNING — BENCH_FULL.json is not a canonical "
+                f"run (sf={full.get('sf')}, {len(covered)} queries vs "
+                f"{len(bench.HEADLINE)} HEADLINE); snapshot skipped — rerun "
+                "the full sf0.1 bench before closing the round"
+            )
+        elif os.path.exists(prev) and open(prev).read() == content:
+            print(
+                "round_close: BENCH_FULL.json is byte-identical to "
+                f"{os.path.basename(prev)}; no fresh bench this round yet — "
+                "snapshot skipped"
+            )
+        else:
+            snap = os.path.join(REPO, f"BENCH_CANONICAL_r{rnd:02d}.json")
+            with open(snap, "w") as dst:
+                dst.write(content)
+            print(
+                f"round_close: snapshotted BENCH_FULL.json -> {os.path.basename(snap)}"
+            )
 
     print(
         f"round_close: OK — {n_queries} queries / {n_oracles} oracles; "
