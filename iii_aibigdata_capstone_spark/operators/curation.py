@@ -1118,13 +1118,7 @@ def x9_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, and the per-(query, chunk) score aggregation — everything
     downstream is bounded by the query batch."""
     index = rag_index(spark, sf_dir)
-    qids = spark.range(RAG_PROBES).select(F.col("id").alias("query_id"))
-    qterms = (
-        index.tf.where(F.col("doc_id") < RAG_PROBES)
-        .select(F.col("doc_id").alias("query_id"), "term")
-        .distinct()
-    )
-    return rag_serve(index, qids, qterms)
+    return rag_serve(index, *_resident_probe_queries(spark, index))
 
 
 # nDCG@RAG_TOPK position discounts, micro-scaled: floor(1e6 / log2(i+1)).
@@ -1134,6 +1128,31 @@ def x9_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NDCG_DISC_MICRO = [
     int(1_000_000 / __import__("math").log2(i + 1)) for i in range(1, RAG_TOPK + 1)
 ]
+# IDCG is a COMPILE-TIME constant (review r11): the truth list always has
+# exactly RAG_TOPK rows per query (the exhaustive dense lane alone fuses
+# RAG_LANE_K >= RAG_TOPK docs for every probe on any corpus with more than
+# RAG_LANE_K vectors) with rel = RAG_TOPK+1-rank, so the ideal DCG is the
+# same literal for every query — no engine-side aggregation/join needed.
+_NDCG_IDCG_MICRO = sum(
+    (RAG_TOPK + 1 - i) * _NDCG_DISC_MICRO[i - 1] for i in range(1, RAG_TOPK + 1)
+)
+
+
+def _resident_probe_queries(
+    spark: SparkSession, index: RagIndex
+) -> tuple[DataFrame, DataFrame]:
+    """The resident probe set ``(qids, qterms)`` — query ids 0..RAG_PROBES
+    and their term sets derived from the corpus tf table. ONE spelling
+    shared by x9_rag_pipeline and x9_rag_eval (review r11: a drifting
+    copy would silently make detect and evaluate grade different query
+    sets)."""
+    qids = spark.range(RAG_PROBES).select(F.col("id").alias("query_id"))
+    qterms = (
+        index.tf.where(F.col("doc_id") < RAG_PROBES)
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .distinct()
+    )
+    return qids, qterms
 
 
 def _rag_eval_oracle() -> str:
@@ -1189,17 +1208,11 @@ def _rag_eval_oracle() -> str:
                        AS n_hits,
                    CAST(SUM(rel * ([{disc}])[rank]) AS BIGINT) AS dcg_micro
             FROM pos GROUP BY 1
-        ),
-        idcg AS (
-            SELECT query_id,
-                   CAST(SUM(rel * ([{disc}])[rank]) AS BIGINT) AS idcg_micro
-            FROM truth GROUP BY 1
         )
-        SELECT p.query_id, p.n_hits,
-               1000000 * p.n_hits // {RAG_TOPK} AS recall_micro,
-               CASE WHEN i.idcg_micro > 0
-                    THEN 1000000 * p.dcg_micro // i.idcg_micro END AS ndcg_micro
-        FROM per_q p JOIN idcg i ON i.query_id = p.query_id
+        SELECT query_id, n_hits,
+               1000000 * n_hits // {RAG_TOPK} AS recall_micro,
+               1000000 * dcg_micro // {_NDCG_IDCG_MICRO} AS ndcg_micro
+        FROM per_q
         """
     )
 
@@ -1228,9 +1241,10 @@ def x9_rag_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (floor(1e6/log2(i+1)) — the same Python-computed literals in both
     engines, so no transcendental is evaluated engine-side); dcg/idcg
     are exact integer sums and recall_micro / ndcg_micro integer
-    division — no float reaches the hash. The truth list is sorted by
-    its own rrf, so its rank order IS the ideal order for its rel
-    grades and idcg needs no extra sort.
+    division — no float reaches the hash. IDCG is the compile-time
+    constant _NDCG_IDCG_MICRO (the truth list always carries exactly
+    RAG_TOPK rows with rel = RAG_TOPK+1-rank, so the ideal DCG never
+    varies — review r11 removed the redundant engine-side aggregation).
 
     Scale shape: the ground-truth dense lane is ONE pass of the
     broadcast probe set over the checkpointed vector table (no
@@ -1245,12 +1259,7 @@ def x9_rag_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import dot
 
     index = rag_index(spark, sf_dir)
-    qids = spark.range(RAG_PROBES).select(F.col("id").alias("query_id"))
-    qterms = (
-        index.tf.where(F.col("doc_id") < RAG_PROBES)
-        .select(F.col("doc_id").alias("query_id"), "term")
-        .distinct()
-    )
+    qids, qterms = _resident_probe_queries(spark, index)
     # the sparse lane is EXACT already — one spelling, one checkpoint,
     # consumed by both the production and the ground-truth fusion
     b = _bm25_doc_ranks(index, qterms).localCheckpoint(eager=False)
@@ -1275,15 +1284,14 @@ def x9_rag_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cr") <= RAG_LANE_K)
         .select("query_id", "doc_id", "cr")
     )
-    truth = (
-        _rrf_fuse_topk(b, d_exact)
-        .select(
-            "query_id",
-            "doc_id",
-            "rank",
-            (F.lit(RAG_TOPK + 1) - F.col("rank")).cast("long").alias("rel"),
-        )
-        .localCheckpoint(eager=False)  # consumed twice: the hit join + idcg
+    # single consumer (the hit join — IDCG is the compile-time constant
+    # _NDCG_IDCG_MICRO), so no checkpoint: the exact lane's bounded BNLJ
+    # rides the emit plan (asserted, the x3_ann_eval precedent)
+    truth = _rrf_fuse_topk(b, d_exact).select(
+        "query_id",
+        "doc_id",
+        "rank",
+        (F.lit(RAG_TOPK + 1) - F.col("rank")).cast("long").alias("rel"),
     )
     disc = F.array(*[F.lit(d) for d in _NDCG_DISC_MICRO])
     p, t = prod.alias("p"), truth.alias("t")
@@ -1303,19 +1311,11 @@ def x9_rag_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dcg_micro"
         ),
     )
-    idcg = truth.groupBy("query_id").agg(
-        F.sum(F.col("rel") * F.element_at(disc, F.col("rank").cast("int"))).alias(
-            "idcg_micro"
-        )
-    )
-    return per_q.join(idcg, "query_id").select(
+    return per_q.select(
         "query_id",
         "n_hits",
         F.expr(f"1000000 * n_hits DIV {RAG_TOPK}").alias("recall_micro"),
-        F.expr(
-            "CASE WHEN idcg_micro > 0"
-            " THEN 1000000 * dcg_micro DIV idcg_micro END"
-        ).alias("ndcg_micro"),
+        F.expr(f"1000000 * dcg_micro DIV {_NDCG_IDCG_MICRO}").alias("ndcg_micro"),
     )
 
 

@@ -560,7 +560,8 @@ def x2_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins — the sized_shingles lesson, 8-byte shuffle keys where the
     join grades the detection spelling) feeds every consumer; per-doc sizes
     are ONE checkpointed aggregation shared by the ground-truth frame
-    (joined back onto the hashed shingles) and the verify (passed as its
+    (joined back onto the raw-gram shingle projection) and the verify
+    (passed as its
     precomputed ``sizes``); the verify itself IS ``exact_jaccard_verify``
     — the spelling every detection lane runs — with ``emit_lang`` for
     the breakdown; every join is an equi join; the aggregates are
@@ -928,13 +929,36 @@ def ingest_admit(index: IngestIndex, batch: DataFrame) -> DataFrame:
     intersections. An external ingest source must allocate fresh ids (or
     dedupe redeliveries) upstream; the registered x1_minhash_ingest
     split (doc_id % 5) satisfies this by construction."""
+    return _admit_parts(index, batch)[0]
+
+
+def _admit_parts(
+    index: IngestIndex, batch: DataFrame, keep: bool = False
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The admission dataflow with its batch-side artifacts exposed:
+    ``(admitted, bsh, bbands, bsizes)``. ``ingest_admit`` consumes only
+    the admitted frame; ``ingest_admit_fold`` passes ``keep=True`` and
+    also semi-joins the batch shingles / band keys / sizes down to the
+    admitted ids to build its index delta — REUSING the work admission
+    already paid instead of re-shingling and re-minhashing the admitted
+    docs (review r11: the recompute roughly doubled the per-batch
+    shingling CPU on the hot ingest path). ``keep`` adds checkpoints on
+    bbands/bsizes (they gain a second consumer under the fold; a plain
+    admission keeps them single-consumer and un-materialized). All three
+    artifacts are pure per-document functions, so the semi-joined slices
+    are row-identical to what ``minhash_ingest_index`` would build over
+    the admitted docs — the fold invariant is unchanged."""
     fresh = batch.alias("b").join(
         index.hashes, F.md5(F.col("b.text")) == F.col("h"), "left_anti"
     )
-    bsh = shingles_of(batch).localCheckpoint(eager=False)  # bands + verify
+    bsh = shingles_of(batch).localCheckpoint(
+        eager=False
+    )  # bands + verify (+ the fold's delta slice)
+    bbands = _minhash_band_table(bsh)  # probe side (+ fold delta when keep)
+    if keep:
+        bbands = bbands.localCheckpoint(eager=False)
     cand = (
-        _minhash_band_table(bsh)
-        .alias("sb")
+        bbands.alias("sb")
         .join(
             index.bands.alias("si"),
             (F.col("sb.lang") == F.col("si.lang"))
@@ -962,6 +986,8 @@ def ingest_admit(index: IngestIndex, batch: DataFrame) -> DataFrame:
         "left_semi",
     )
     bsizes = bsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    if keep:
+        bsizes = bsizes.localCheckpoint(eager=False)  # + the fold's delta slice
     flagged = (
         exact_jaccard_verify(
             cand,
@@ -971,27 +997,42 @@ def ingest_admit(index: IngestIndex, batch: DataFrame) -> DataFrame:
         .select("doc_a")
         .distinct()
     )
-    return fresh.join(
+    admitted = fresh.join(
         flagged, fresh["doc_id"] == flagged["doc_a"], "left_anti"
     ).select("doc_id", "lang", "n_chars")
+    return admitted, bsh, bbands, bsizes
 
 
 def ingest_admit_fold(
-    index: IngestIndex, batch: DataFrame
+    index: IngestIndex, batch: DataFrame, eager: bool = False
 ) -> tuple[DataFrame, IngestIndex]:
-    """Admit the batch through the shared ``ingest_admit`` spelling, then
-    FOLD the admitted documents back into the index — the GROWING ingest
-    the r10 verdict asked for: arrivals now dedup against every earlier
+    """Admit the batch through the shared admission dataflow, then FOLD
+    the admitted documents back into the index — the GROWING ingest the
+    r10 verdict asked for: arrivals now dedup against every earlier
     arrival, not just the original residents (the semantics a 100 TB
     ingest actually needs). Returns ``(admitted, grown_index)``.
 
-    Fold = member-wise union with a DELTA built by ``minhash_ingest_index``
-    over exactly the admitted docs. Because every index member is a pure
-    per-document function (md5, shingles, band keys, shingle counts), the
-    grown index is row-identical to ``minhash_ingest_index(resident UNION
-    admitted-so-far)`` — the invariant the sequential-prefix batch fold
-    and the streaming twin's restart recovery both rest on (same-text
-    admitted docs collapse to one hash row in either construction).
+    Fold = member-wise union with a DELTA sliced from the batch-side
+    artifacts admission already computed (``_admit_parts``: shingles,
+    band keys, sizes — semi-joined down to the admitted ids; md5 hashes
+    recomputed only over the admitted rows, one cheap expression).
+    Because every index member is a pure per-document function, the
+    grown index is row-identical to ``minhash_ingest_index(resident
+    UNION admitted-so-far)`` — the invariant the sequential-prefix batch
+    fold and the streaming twin's restart recovery both rest on
+    (same-text admitted docs collapse to one hash row in either
+    construction; the slices cost NO re-shingling, review r11).
+
+    ``eager`` controls WHEN the admitted frame and delta slices
+    materialize. The batch lane leaves them lazy (one action pulls the
+    whole fold chain). A STREAMING caller must pass ``eager=True``: the
+    delta's lineage roots in the micro-batch DataFrame, and a lazy
+    checkpoint would first materialize during the NEXT batch's admission
+    — re-reading the PREVIOUS batch's source outside its micro-batch,
+    which breaks on non-replayable sources (cleaned/archived files,
+    Kafka past retention) and silently re-pays the prior batch's scan
+    one batch late (review r11; pinned by
+    tests/test_streaming.py::test_growing_fold_eager_survives_source_loss).
 
     Scale shape (the LSM pattern): per batch, the only NEW materialization
     is the delta — O(admitted) rows per member — while the union is
@@ -1010,10 +1051,21 @@ def ingest_admit_fold(
     (streaming/neardup.py) or the next compaction's. The ID-NAMESPACE
     contract of ``ingest_admit`` extends across batches: arrival ids must
     be disjoint from residents AND every earlier arrival."""
+    admitted, bsh, bbands, bsizes = _admit_parts(index, batch, keep=True)
     # consumed twice: returned to the caller AND the fold's semi-join key
-    admitted = ingest_admit(index, batch).localCheckpoint(eager=False)
-    adocs = batch.join(admitted.select("doc_id"), "doc_id", "left_semi")
-    delta = minhash_ingest_index(adocs)
+    admitted = admitted.localCheckpoint(eager=eager)
+    aid = admitted.select("doc_id")
+    delta_hashes = (
+        batch.join(aid, "doc_id", "left_semi")
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    delta = IngestIndex(
+        hashes=delta_hashes.localCheckpoint(eager=eager),
+        bands=bbands.join(aid, "doc_id", "left_semi").localCheckpoint(eager=eager),
+        sh=bsh.join(aid, "doc_id", "left_semi").localCheckpoint(eager=eager),
+        sizes=bsizes.join(aid, "doc_id", "left_semi").localCheckpoint(eager=eager),
+    )
     return admitted, IngestIndex(
         hashes=index.hashes.unionByName(delta.hashes),
         bands=index.bands.unionByName(delta.bands),

@@ -95,7 +95,11 @@ def streaming_minhash_ingest_growing(
     state = [index]
 
     def _admit_and_fold(df: DataFrame, bid: int) -> None:
-        admitted, state[0] = ingest_admit_fold(state[0], df)
+        # eager=True: the delta's lineage roots in THIS micro-batch's
+        # DataFrame — it must materialize inside the batch, or the next
+        # batch's admission would replay this batch's source (broken on
+        # cleaned/archived files or Kafka past retention; review r11)
+        admitted, state[0] = ingest_admit_fold(state[0], df, eager=True)
         emit(admitted, bid)
 
     return (

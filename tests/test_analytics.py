@@ -1149,7 +1149,12 @@ def test_rag_eval_matches_python_grading(spark):
         return math.sqrt(acc)
 
     def rnd6(x):
-        return float(Decimal(x).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+        # Decimal(repr(x)), NOT Decimal(x): Spark's Round on doubles goes
+        # through BigDecimal.valueOf = the SHORTEST decimal repr (what
+        # Double.toString / python repr both produce), while Decimal(x)
+        # expands the exact binary value — the two can HALF_UP a
+        # boundary-adjacent cosine differently (review r11)
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
 
     norm = {i: fold_norm(v) for i, v in embs.items()}
     truth: dict[int, dict[int, int]] = {}

@@ -799,12 +799,13 @@ GALLERY = [
         "rag_serve lane helpers — shared BM25 checkpoint + IVF dense) "
         "graded against the exact composite truth (same BM25 fused with "
         "EXHAUSTIVE cosine over the checkpointed vector table). "
-        "Everything downstream of rag_index reads checkpoints; the exact "
-        "lane's one nested-loop broadcast (the bounded RAG_PROBES-row "
-        "probe self-exclusion, the x3_ann_eval precedent) sits BEHIND "
-        "the truth checkpoint, so the emit plan itself is pure equi "
-        "joins; metrics are integer sums with precomputed "
-        "_NDCG_DISC_MICRO literals — no transcendental engine-side.",
+        "Everything downstream of rag_index reads checkpoints; the only "
+        "nested-loop broadcast is the bounded RAG_PROBES-row probe "
+        "frame's self-exclusion in the exhaustive truth lane (the "
+        "x3_ann_eval precedent); IDCG is the compile-time constant "
+        "_NDCG_IDCG_MICRO and the discounts are precomputed "
+        "_NDCG_DISC_MICRO literals — no transcendental engine-side, no "
+        "per-query idcg aggregation at all.",
         [
             ("no CartesianProduct", lambda a: "CartesianProduct" not in a.text),
             (
@@ -812,11 +813,8 @@ GALLERY = [
                 lambda a: ".parquet" not in a.text,
             ),
             (
-                # the exact lane's bounded BNLJ is truncated behind the
-                # truth localCheckpoint — the emit plan is equi-only
-                "emit plan is pure equi joins (the bounded exact-lane "
-                "BNLJ sits behind the truth checkpoint)",
-                lambda a: bnlj_count(a) == 0,
+                "only the bounded probe self-exclusion reaches by nested loop",
+                lambda a: bnlj_count(a) == 1,
             ),
             ("no Python operators", lambda a: a.python_map_operators == 0),
         ],

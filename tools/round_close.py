@@ -139,40 +139,54 @@ def main() -> int:
     # run. Snapshotting here pins the run round_close certified; the
     # round number is the current (in-progress) round = 1 + the newest
     # CORRECTNESS_r* the driver has recorded. Guards (review r11): only a
-    # CANONICAL-shaped artifact is snapshotted (sf0.1, full HEADLINE
-    # coverage — the README-documented sf0.01 run and BENCH_ONLY smoke
-    # subsets also overwrite BENCH_FULL.json in place and must never
-    # masquerade as the canonical run), and a BENCH_FULL identical to the
-    # PREVIOUS round's snapshot is skipped (an early-next-round
-    # round_close run before any fresh bench would otherwise mislabel
-    # last round's run as this round's canonical).
+    # CANONICAL-shaped artifact is snapshotted (sf0.1, covering the full
+    # HEADLINE + SPECIALS — the README-documented sf0.01 run and
+    # BENCH_ONLY smoke subsets also overwrite BENCH_FULL.json in place
+    # and must never masquerade as the canonical run), and a BENCH_FULL
+    # OLDER than the newest CORRECTNESS artifact is skipped (an
+    # early-next-round round_close run before any fresh bench would
+    # otherwise mislabel last round's run — possibly the driver's
+    # post-round overwrite — as this round's canonical).
     if not os.path.exists(bench_full):
         print(
             "round_close: WARNING — no BENCH_FULL.json; nothing snapshotted "
             "(run `python bench.py` before the round-close sequence)"
         )
     else:
-        rounds = [
-            int(m.group(1))
+        correctness = [
+            f
             for f in os.listdir(REPO)
-            if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", f))
+            if re.match(r"CORRECTNESS_r(\d+)\.json$", f)
+        ]
+        rounds = [
+            int(re.match(r"CORRECTNESS_r(\d+)\.json$", f).group(1))
+            for f in correctness
         ]
         rnd = (max(rounds) + 1) if rounds else 1
         full = json.load(open(bench_full))
         content = open(bench_full).read()
-        prev = os.path.join(REPO, f"BENCH_CANONICAL_r{rnd - 1:02d}.json")
         covered = set(full.get("queries", {}))
-        if full.get("sf") != 0.1 or not set(bench.HEADLINE) <= covered:
+        want = set(bench.HEADLINE) | set(bench.SPECIALS)
+        newest_corr = max(
+            (os.path.getmtime(os.path.join(REPO, f)) for f in correctness),
+            default=0.0,
+        )
+        if full.get("sf") != 0.1 or not want <= covered:
             print(
                 "round_close: WARNING — BENCH_FULL.json is not a canonical "
                 f"run (sf={full.get('sf')}, {len(covered)} queries vs "
-                f"{len(bench.HEADLINE)} HEADLINE); snapshot skipped — rerun "
+                f"{len(want)} HEADLINE+SPECIALS); snapshot skipped — rerun "
                 "the full sf0.1 bench before closing the round"
             )
-        elif os.path.exists(prev) and open(prev).read() == content:
+        elif os.path.getmtime(bench_full) <= newest_corr:
+            # the file predates (or is) the close of the PREVIOUS round —
+            # either this round has not benched yet, or the driver's
+            # post-round overwrite landed before CORRECTNESS_r{rnd-1} was
+            # recorded; byte-comparing against the previous snapshot
+            # cannot catch the overwrite case (review r11), mtime can
             print(
-                "round_close: BENCH_FULL.json is byte-identical to "
-                f"{os.path.basename(prev)}; no fresh bench this round yet — "
+                "round_close: BENCH_FULL.json predates the newest "
+                "CORRECTNESS artifact — no fresh bench this round yet; "
                 "snapshot skipped"
             )
         else:
