@@ -21,6 +21,7 @@ survivors; the report is a single aggregation over tagged rows.
 
 from __future__ import annotations
 
+import math
 from textwrap import dedent
 from typing import NamedTuple
 
@@ -1126,7 +1127,7 @@ def x9_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark expression and the DuckDB oracle — no transcendental is ever
 # evaluated engine-side, so the metric stays exact-integer cross-engine.
 _NDCG_DISC_MICRO = [
-    int(1_000_000 / __import__("math").log2(i + 1)) for i in range(1, RAG_TOPK + 1)
+    int(1_000_000 / math.log2(i + 1)) for i in range(1, RAG_TOPK + 1)
 ]
 # IDCG is a COMPILE-TIME constant (review r11): the truth list always has
 # exactly RAG_TOPK rows per query (the exhaustive dense lane alone fuses

@@ -3,6 +3,8 @@ HLL sketch accuracy, and determinism of the content-hash sampling ops."""
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 
 from iii_aibigdata_capstone_spark.catalog import table
@@ -1199,9 +1201,52 @@ def test_rag_eval_matches_python_grading(spark):
             v * _NDCG_DISC_MICRO[i]
             for i, v in enumerate(sorted(rel.values(), reverse=True))
         )
+        # the compile-time IDCG constant's precondition, ENFORCED (review
+        # r11): the truth list must carry exactly RAG_TOPK graded docs —
+        # a shorter list would over-score nDCG identically in both
+        # engines, invisible to the cross-engine hash
+        assert len(rel) == RAG_TOPK, (r.query_id, rel)
         assert r.n_hits == hits, r.query_id
         assert r.recall_micro == 1_000_000 * hits // RAG_TOPK
         assert r.ndcg_micro == (1_000_000 * dcg // idcg if idcg else None)
+
+
+def test_rag_eval_truth_list_full_at_all_sfs():
+    """The _NDCG_IDCG_MICRO constant assumes EVERY probe's ground-truth
+    fused list has exactly RAG_TOPK rows at every SF the driver grades —
+    enforced here over the oracle's own truth CTE (duckdb-only, the
+    calibration boundary-margin pattern), so a corpus that breaks the
+    precondition fails loudly here instead of silently over-scoring
+    nDCG in both engines at once."""
+    import duckdb
+
+    from iii_aibigdata_capstone_spark.operators.curation import (
+        RAG_PROBES,
+        RAG_TOPK,
+        _rag_eval_oracle,
+    )
+
+    # run the eval oracle with the final select swapped for a truth count
+    sql = _rag_eval_oracle()
+    head, sep, _tail = sql.rpartition("SELECT query_id, n_hits,")
+    assert sep, "oracle shape changed — update this test's select swap"
+    probe_sql = head + "SELECT query_id, COUNT(*) AS n FROM truth GROUP BY 1"
+    root = os.path.dirname(TEST_SF_DIR.rstrip("/"))
+    checked = 0
+    for sf in ("0.001", "0.01", "0.1"):
+        d = os.path.join(root, f"sf{sf}")
+        if not os.path.exists(os.path.join(d, "documents.parquet")):
+            continue
+        con = duckdb.connect()
+        for t in ("documents", "embeddings"):
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{d}/{t}.parquet')"
+            )
+        counts = dict(con.sql(probe_sql).fetchall())
+        assert counts == {q: RAG_TOPK for q in range(RAG_PROBES)}, (sf, counts)
+        checked += 1
+    assert checked, f"no testdata SFs under {root}"
 
 
 def test_data_factory_stage_gates_replay(spark):

@@ -163,14 +163,36 @@ def main() -> int:
             for f in correctness
         ]
         rnd = (max(rounds) + 1) if rounds else 1
-        full = json.load(open(bench_full))
-        content = open(bench_full).read()
+        # ONE read: validate and snapshot the SAME bytes (review r11 — a
+        # concurrent overwrite between a re-read would let the validated
+        # state differ from the snapshotted state)
+        with open(bench_full) as fh:
+            content = fh.read()
+        full = json.loads(content)
         covered = set(full.get("queries", {}))
         want = set(bench.HEADLINE) | set(bench.SPECIALS)
         newest_corr = max(
             (os.path.getmtime(os.path.join(REPO, f)) for f in correctness),
             default=0.0,
         )
+        # is this byte-for-byte the previous round's committed canonical
+        # (fresh-clone case: git does NOT preserve mtimes, so the mtime
+        # guard alone cannot see that nothing ran this round)?
+        prev = os.path.join(REPO, f"BENCH_CANONICAL_r{rnd - 1:02d}.json")
+        is_prev = os.path.exists(prev) and open(prev).read() == content
+        # is this the DRIVER's own post-round run? The driver records its
+        # run's stdout as BENCH_r{rnd-1}.json — an exact total match
+        # fingerprints the overwrite even though it is canonical-shaped
+        # and mtime-fresh (review r11).
+        drv = os.path.join(REPO, f"BENCH_r{rnd - 1:02d}.json")
+        is_driver = False
+        if os.path.exists(drv):
+            try:
+                is_driver = json.load(open(drv)).get("parsed", {}).get(
+                    "value"
+                ) == full.get("value")
+            except (json.JSONDecodeError, AttributeError):
+                pass
         if full.get("sf") != 0.1 or not want <= covered:
             print(
                 "round_close: WARNING — BENCH_FULL.json is not a canonical "
@@ -178,16 +200,14 @@ def main() -> int:
                 f"{len(want)} HEADLINE+SPECIALS); snapshot skipped — rerun "
                 "the full sf0.1 bench before closing the round"
             )
-        elif os.path.getmtime(bench_full) <= newest_corr:
-            # the file predates (or is) the close of the PREVIOUS round —
-            # either this round has not benched yet, or the driver's
-            # post-round overwrite landed before CORRECTNESS_r{rnd-1} was
-            # recorded; byte-comparing against the previous snapshot
-            # cannot catch the overwrite case (review r11), mtime can
+        elif is_prev or is_driver or os.path.getmtime(bench_full) <= newest_corr:
             print(
-                "round_close: BENCH_FULL.json predates the newest "
-                "CORRECTNESS artifact — no fresh bench this round yet; "
-                "snapshot skipped"
+                "round_close: BENCH_FULL.json is not a fresh this-round run "
+                f"(prev-snapshot={is_prev}, driver-total={is_driver}, "
+                "mtime<=newest CORRECTNESS="
+                f"{os.path.getmtime(bench_full) <= newest_corr}); "
+                "snapshot skipped — run `python bench.py` on this round's "
+                "code first"
             )
         else:
             snap = os.path.join(REPO, f"BENCH_CANONICAL_r{rnd:02d}.json")
