@@ -131,6 +131,9 @@ HEADLINE = [
     "m8_calibration",
     "x1_ingest_growing",
     "x9_rag_eval",
+    "x3_ivf_pq_topk",
+    "x3_truncation_eval",
+    "x4_decontam_eval",
 ]
 
 # The two non-registry entries, timed by the last chunk.

@@ -1093,12 +1093,13 @@ def x3_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_DET_SHORTLIST = 200  # ADC prune size before exact re-ranking
 
 
-def _pq_adc_oracle() -> str:
-    return dedent(
-        "WITH "
-        + _pq_det_cb_ctes()
-        + f""",
-        codes AS MATERIALIZED (
+def _pq_codes_ptab_ctes() -> str:
+    """Encode + query-distance-table CTEs shared by every ADC consumer:
+    ``codes`` (every vector's per-subspace nearest trained centroid) and
+    ``ptab`` (each probe's (subspace, centroid) integer distance table).
+    ONE spelling — the global-ADC and IVF-restricted-ADC lanes must
+    encode and build lookup tables identically."""
+    return f"""codes AS MATERIALIZED (
             SELECT vec_id, m, j FROM (
                 SELECT s.vec_id, s.m, c.j,
                        ROW_NUMBER() OVER (
@@ -1114,7 +1115,16 @@ def _pq_adc_oracle() -> str:
             FROM subf s JOIN cb{PQ_DET_ITERS} c ON c.m = s.m AND c.d = s.d
             WHERE s.vec_id < {N_QUERIES}
             GROUP BY 1, 2, 3
-        ),
+        )"""
+
+
+def _pq_adc_oracle() -> str:
+    return dedent(
+        "WITH "
+        + _pq_det_cb_ctes()
+        + ",\n        "
+        + _pq_codes_ptab_ctes()
+        + f""",
         adc AS MATERIALIZED (
             SELECT p.query_id, b.vec_id AS neighbor_id,
                    SUM(p.pdist) AS adc_dist
@@ -1714,6 +1724,264 @@ def x3_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("ap.query_id").alias("query_id"),
         "rnk",
+        F.when(F.col("ex.neighbor_id").isNull(), 0).otherwise(1).alias("hit"),
+    )
+    return hitjoin.groupBy("query_id").agg(
+        F.sum("hit").cast("long").alias("hits"),
+        F.expr(f"CAST((1000000 * SUM(hit)) DIV {ANN_EVAL_K} AS BIGINT)").alias(
+            "recall_micro"
+        ),
+        F.coalesce(
+            F.expr("CAST(1000000 DIV MIN(CASE WHEN hit = 1 THEN rnk END) AS BIGINT)"),
+            F.lit(0).cast("long"),
+        ).alias("mrr_micro"),
+    )
+
+
+# --- X3: IVF-PQ — cell-restricted ADC search (the billion-scale shape) ------
+
+IVFPQ_SHORTLIST = 50  # ADC prune depth per probe; < the nprobe=2 candidate
+# set at every test SF (125 of 500 / 500 of 2000 per query), so the ADC
+# stage genuinely prunes before the exact re-rank at all scales we check.
+
+
+def _ivf_pq_oracle() -> str:
+    """IVF cell CTEs (the x3_ivf_topk assignment spelling, renamed to
+    avoid colliding with the rerank tail's ``e``) + the shared PQ
+    codes/ptab CTEs + cell-restricted ADC + shortlist + exact rerank."""
+    return dedent(
+        "WITH "
+        + _pq_det_cb_ctes()
+        + ",\n        "
+        + _pq_codes_ptab_ctes()
+        + f""",
+        ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        icents AS (SELECT vec_id AS cid, v AS cv FROM ev
+                   WHERE vec_id < {N_CENTROIDS}),
+        irank AS MATERIALIZED (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY LIST_DISTANCE(e.v, c.cv), c.cid) AS rn
+            FROM ev e CROSS JOIN icents c
+        ),
+        iasg AS (SELECT vec_id, cid FROM irank WHERE rn = 1),
+        iprobes AS (SELECT vec_id, cid FROM irank
+                    WHERE rn <= 2 AND vec_id < {N_QUERIES}),
+        ivfadc AS MATERIALIZED (
+            SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   SUM(t.pdist) AS adc_dist
+            FROM iprobes p
+            JOIN iasg b ON b.cid = p.cid AND b.vec_id <> p.vec_id
+            JOIN codes c ON c.vec_id = b.vec_id
+            JOIN ptab t ON t.query_id = p.vec_id AND t.m = c.m AND t.j = c.j
+            GROUP BY 1, 2
+        ),
+        short AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY adc_dist, neighbor_id) AS rn
+                FROM ivfadc
+            ) WHERE rn <= {IVFPQ_SHORTLIST}
+        ),
+        {_rerank_top3_sql("short")}
+        """
+    )
+
+
+@query("x3_ivf_pq_topk", oracle=_ivf_pq_oracle(), tags=("X3", "pq", "ivf", "adc"))
+def x3_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composed billion-scale index (FAISS's IVFADC layout,
+    non-residual variant: codes quantize the raw vectors, not the
+    cell-relative residuals, keeping every stage the already-oracled
+    spelling), closing the X3 cascade family: x3_ivf_multiprobe restricts
+    WHERE to look (nprobe=2 coarse cells), x3_pq_adc_topk compresses WHAT
+    is scored (8-byte codes, exact-integer asymmetric distances) — this
+    lane does both, which is how a real 100 TB vector index is actually
+    laid out (inverted lists whose entries ARE the PQ codes).
+
+    Stages: (1) INDEX BUILD — every vector's nearest coarse cell
+    (ivf_ranked_cells, the x3_ivf spelling) joined to its PQ codes
+    (_pq_assign under the x3_pq_codebooks-trained codebook) and
+    checkpointed once: the static cell-bucketed code lists, reusable
+    across query batches. (2) PROBE — each query's two nearest cells
+    broadcast against the inverted lists, so ADC work scales with the
+    PROBED fraction of the corpus (2/{N_CENTROIDS} here), never all of
+    it — the win over x3_pq_adc_topk's global ADC scan. (3) ADC — the
+    probe's broadcast (subspace, centroid) integer distance table joins
+    the candidate codes on (m, j) and SUMs exactly (int64; no float in
+    the prune). (4) SHORTLIST top {IVFPQ_SHORTLIST} by (adc_dist,
+    neighbor_id); (5) exact rounded-cosine re-rank, the shared
+    _cosine_rerank_top3 tail. At 100 TB: the codebook and distance
+    tables are KB-sized broadcasts, the inverted-list scan touches 8
+    small integers per candidate in 2/{N_CENTROIDS} of the cells, and
+    full float vectors are read only for shortlist survivors."""
+    cb = _pq_det_codebook(spark, sf_dir, use_cache=True)
+    e_all = table(spark, sf_dir, "embeddings")
+    subf = _pq_quantized_sub(e_all).localCheckpoint(eager=False)
+
+    codes = _pq_assign(subf, cb).select("vec_id", "m", "j")
+    ranked = ivf_ranked_cells(spark, sf_dir)
+    # the static index: (vec_id, cid, m, j) — cell-bucketed PQ code lists
+    invl = (
+        ranked.where(F.col("rn") == 1)
+        .select("vec_id", "cid")
+        .join(codes, "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    probes = ranked.where(
+        (F.col("rn") <= 2) & (F.col("vec_id") < N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), "cid")
+    ptab = (
+        subf.where(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cb), ["m", "d"])
+        .groupBy(F.col("vec_id").alias("query_id"), F.col("m"), F.col("j"))
+        .agg(
+            F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias(
+                "pdist"
+            )
+        )
+    )
+    adc = (
+        invl.join(F.broadcast(probes), "cid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(ptab), ["query_id", "m", "j"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pdist").alias("adc_dist"))
+    )
+    w_short = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    short = (
+        adc.withColumn("rn", F.row_number().over(w_short))
+        .where(F.col("rn") <= IVFPQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    return _cosine_rerank_top3(short, e_all)
+
+
+# --- X3: Matryoshka truncation evaluation (dim-compression recall) ----------
+
+TRUNC_DIM = 32  # retained prefix dims (of 64) — the 2x storage/compute knob
+
+
+def _brute_ranked_topk(ev: DataFrame, k: int) -> DataFrame:
+    """Exact rounded-cosine top-``k`` per probe over a ``(vec_id, v,
+    norm)`` frame, as ``(query_id, neighbor_id, rnk)`` — the x3_ann_eval
+    exact-lane spelling factored out so the full-dim truth and the
+    truncated-dim detector of x3_truncation_eval rank identically
+    (broadcast probes, one corpus pass)."""
+    a, b = ev.where(F.col("vec_id") < N_QUERIES).alias("a"), ev.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(a)
+        .join(b, F.col("b.vec_id") != F.col("a.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk")
+    )
+
+
+def _trunc_eval_oracle() -> str:
+    return dedent(
+        f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        et AS (SELECT vec_id, v[1:{TRUNC_DIM}] AS v FROM e),
+        exact_scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROUND({_COS}, 6) AS cosine
+            FROM e a JOIN e b ON b.vec_id <> a.vec_id
+            WHERE a.vec_id < {N_QUERIES}
+        ),
+        exact_top AS MATERIALIZED (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rn
+                FROM exact_scored
+            ) WHERE rn <= {ANN_EVAL_K}
+        ),
+        trunc_scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROUND({_COS}, 6) AS cosine
+            FROM et a JOIN et b ON b.vec_id <> a.vec_id
+            WHERE a.vec_id < {N_QUERIES}
+        ),
+        trunc_top AS MATERIALIZED (
+            SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rnk FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rn
+                FROM trunc_scored
+            ) WHERE rn <= {ANN_EVAL_K}
+        ),
+        hitjoin AS (
+            SELECT a.query_id, a.rnk,
+                   CASE WHEN x.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+            FROM trunc_top a
+            LEFT JOIN exact_top x
+              ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+        )
+        SELECT query_id,
+               CAST(SUM(hit) AS BIGINT) AS hits,
+               CAST((1000000 * SUM(hit)) // {ANN_EVAL_K} AS BIGINT)
+                   AS recall_micro,
+               CAST(COALESCE(1000000 // MIN(CASE WHEN hit = 1 THEN rnk END),
+                             0) AS BIGINT) AS mrr_micro
+        FROM hitjoin GROUP BY query_id
+        """
+    )
+
+
+@query(
+    "x3_truncation_eval",
+    oracle=_trunc_eval_oracle(),
+    tags=("X3", "evaluation", "matryoshka"),
+)
+def x3_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimensionality-truncation evaluation — per probe,
+    recall@{ANN_EVAL_K} and MRR of cosine search over the FIRST
+    {TRUNC_DIM} of 64 dims against the full-dim exact top-{ANN_EVAL_K}
+    (the x3_ann_eval harness pointed at the other big ANN cost lever:
+    where IVF/PQ trade recall for fewer candidates / smaller codes,
+    truncation halves every vector up front, and this lane is the
+    measurement that says whether the halved index still retrieves what
+    the full index would).
+
+    Both rank lists are the ONE _brute_ranked_topk spelling (broadcast
+    probes, one corpus pass each — the truncated pass moves half the
+    bytes, which is the point); metrics are the ann_eval integer
+    discipline (hits from an equi left-join, recall/MRR by integer
+    division on integer ranks — no float reaches the hash).
+
+    Scale shape: two x3_cosine_topk-shaped passes over the corpus (the
+    truth pass is the evaluation's cost, not the detector's); the eval
+    join touches two <= probes x {ANN_EVAL_K} rank lists — bounded by
+    the query batch at any corpus size."""
+    ev = with_norm(table(spark, sf_dir, "embeddings")).select("vec_id", "v", "norm")
+    evt = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_array(F.col("embedding")).alias("v0"))
+        .select("vec_id", F.slice(F.col("v0"), 1, TRUNC_DIM).alias("v"))
+        .withColumn(
+            "norm",
+            F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)),
+        )
+    )
+    exact_top = _brute_ranked_topk(ev, ANN_EVAL_K).select("query_id", "neighbor_id")
+    trunc_top = _brute_ranked_topk(evt, ANN_EVAL_K)
+    ap, ex = trunc_top.alias("ap"), exact_top.alias("ex")
+    hitjoin = ap.join(
+        ex,
+        (F.col("ex.query_id") == F.col("ap.query_id"))
+        & (F.col("ex.neighbor_id") == F.col("ap.neighbor_id")),
+        "left",
+    ).select(
+        F.col("ap.query_id").alias("query_id"),
+        F.col("rnk"),
         F.when(F.col("ex.neighbor_id").isNull(), 0).otherwise(1).alias("hit"),
     )
     return hitjoin.groupBy("query_id").agg(

@@ -1334,3 +1334,115 @@ def x4_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape, and stateless, so the identical transform also runs on a
     readStream ingest."""
     return scrub_documents(table(spark, sf_dir, "documents"))
+
+
+# --- X4: decontamination evaluation (sampled-index recall vs full truth) ----
+
+DECON_SAMPLE_MOD = 4  # keep 1/4 of bench grams in the memory-bounded index
+
+
+def _decontam_eval_oracle() -> str:
+    return dedent(
+        f"""
+        WITH toks AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+            {gram5_cte_sql('toks')}
+        ),
+        bench AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 = 0),
+        corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0),
+        benchg AS (SELECT DISTINCT g FROM bench),
+        truth AS (
+            SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_shared
+            FROM corpus c JOIN benchg b ON b.g = c.g
+            GROUP BY 1
+        ),
+        sampled AS (
+            SELECT g FROM benchg
+            WHERE CAST('0x' || SUBSTR(MD5(g), 1, 8) AS BIGINT)
+                  % {DECON_SAMPLE_MOD} = 0
+        ),
+        det AS (
+            SELECT DISTINCT c.doc_id FROM corpus c JOIN sampled s ON s.g = c.g
+        )
+        SELECT CASE WHEN t.n_shared >= 4 THEN 4 ELSE t.n_shared END
+                   AS sev_bucket,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_detected,
+               CAST((1000000 * SUM(CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1
+                                   END)) // COUNT(*) AS BIGINT) AS recall_micro
+        FROM truth t LEFT JOIN det d ON d.doc_id = t.doc_id
+        GROUP BY 1
+        """
+    )
+
+
+@query(
+    "x4_decontam_eval",
+    oracle=_decontam_eval_oracle(),
+    tags=("X4", "X2", "decontamination", "evaluation"),
+)
+def x4_decontam_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination-detector evaluation — the detect -> evaluate pair
+    for the contamination family (dedup has x2_dedup_eval, ANN has
+    x3_ann_eval, retrieval has x9_rag_eval): recall, per contamination
+    severity, of a MEMORY-BOUNDED sampled-gram index against the full
+    5-gram ground truth. The production knob this grades: at 100 TB the
+    broadcast bench index is what must fit on every executor, and keeping
+    only the grams whose md5 bucket is 0 mod {DECON_SAMPLE_MOD} cuts it
+    {DECON_SAMPLE_MOD}x — at the cost of missing lightly-contaminated
+    docs (a doc sharing g grams is missed with probability ~(1-1/{
+    DECON_SAMPLE_MOD})^g, so the recall-vs-severity curve is exactly the
+    decision surface for choosing the sampling rate). md5 (not xxhash64)
+    keys the sample so both engines draw the identical subset — the PQ
+    seed-hash discipline.
+
+    Truth and detector share ONE gram geometry (five_gram_rows /
+    gram5_cte_sql — the x4_decontaminate spelling); the truth join is the
+    eval's own cost, not the detector's. Output per severity bucket
+    (n_shared grams, capped at 4+): doc count, detected count, integer
+    recall_micro — all BIGINTs, nothing float reaches the hash.
+
+    Scale shape: both detector and truth are broadcast-bench semi-joins
+    streaming the corpus grams once each (the x4_decontaminate plan); the
+    per-doc DISTINCT-gram aggregate and the final <= 4-row severity
+    rollup are the only exchanges."""
+    grams = five_gram_rows(table(spark, sf_dir, "documents"))
+    bench_g = (
+        grams.where(F.col("doc_id") % 97 == 0).select("g").distinct()
+        # consumed twice (truth join + sampled slice): one distinct pass
+        .localCheckpoint(eager=False)
+    )
+    corpus = grams.where(F.col("doc_id") % 97 != 0)
+    truth = (
+        corpus.join(F.broadcast(bench_g), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct(F.col("g")).alias("n_shared"))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("long")
+        % DECON_SAMPLE_MOD
+    )
+    sampled = bench_g.where(bucket == 0)
+    det = (
+        corpus.join(F.broadcast(sampled), "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    sev = F.when(F.col("n_shared") >= 4, F.lit(4)).otherwise(F.col("n_shared"))
+    return (
+        truth.join(det, "doc_id", "left")
+        .groupBy(sev.alias("sev_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias(
+                "n_detected"
+            ),
+            F.expr(
+                "CAST((1000000 * SUM(COALESCE(hit, 0))) DIV COUNT(*) AS BIGINT)"
+            ).alias("recall_micro"),
+        )
+    )

@@ -819,6 +819,72 @@ GALLERY = [
             ("no Python operators", lambda a: a.python_map_operators == 0),
         ],
     ),
+    (
+        "x3_ivf_pq_topk",
+        "x3_ivf_pq_topk",
+        "IVF-PQ composed index (inverted lists whose entries ARE the PQ "
+        "codes): the cell-bucketed code lists are checkpointed once, the "
+        "probe side (2 cells x queries) and the per-probe (subspace, "
+        "centroid) integer distance tables broadcast into them, and the "
+        "ADC prune is one map-side-combinable integer SUM — full float "
+        "vectors are read only by the shortlist re-rank. Every join is "
+        "either a broadcast of bounded probe/codebook state or the one "
+        "index-build equi join; no nested-loop broadcast anywhere.",
+        [
+            ("no CartesianProduct", lambda a: "CartesianProduct" not in a.text),
+            (
+                "every join is an equi join (zero nested-loop broadcasts)",
+                lambda a: bnlj_count(a) == 0,
+            ),
+            (
+                "probe/ptab/codebook state broadcasts (>= 4 BHJ)",
+                lambda a: a.broadcast_joins >= 4,
+            ),
+            ("no Python operators", lambda a: a.python_map_operators == 0),
+        ],
+    ),
+    (
+        "x3_truncation_eval",
+        "x3_truncation_eval",
+        "Matryoshka truncation evaluation: full-dim truth and half-dim "
+        "detector are the SAME _brute_ranked_topk spelling — each lane is "
+        "one corpus pass with the bounded probe frame broadcast, so the "
+        "only nested-loop joins are the two bounded probe self-exclusions "
+        "(the x3_cosine_topk shape, twice); the hit detection is an equi "
+        "LEFT join of two <= probes x k rank lists and the metrics are "
+        "integer arithmetic on integer ranks.",
+        [
+            ("no CartesianProduct", lambda a: "CartesianProduct" not in a.text),
+            (
+                "exactly two BNLJ: the two bounded probe self-exclusions",
+                lambda a: bnlj_count(a) == 2,
+            ),
+            ("no Python operators", lambda a: a.python_map_operators == 0),
+        ],
+    ),
+    (
+        "x4_decontam_eval",
+        "x4_decontam_eval",
+        "Sampled-index decontamination recall vs the full 5-gram truth: "
+        "the distinct bench-gram table is checkpointed once and BOTH the "
+        "truth join and the md5-sampled detector join broadcast it into "
+        "one streaming pass each over the corpus grams (the "
+        "x4_decontaminate shape); the per-doc distinct-gram aggregate and "
+        "the <= 4-row severity rollup are the only exchanges, and the "
+        "truth-vs-detected alignment is a doc_id equi join.",
+        [
+            ("no CartesianProduct", lambda a: "CartesianProduct" not in a.text),
+            (
+                "bench-gram index broadcasts into both passes (>= 2 BHJ)",
+                lambda a: a.broadcast_joins >= 2,
+            ),
+            (
+                "every join is an equi join (zero nested-loop broadcasts)",
+                lambda a: bnlj_count(a) == 0,
+            ),
+            ("no Python operators", lambda a: a.python_map_operators == 0),
+        ],
+    ),
 ]
 
 

@@ -127,6 +127,9 @@ DEFAULT = [
     "m8_calibration",
     "x1_ingest_growing",
     "x9_rag_eval",
+    "x3_ivf_pq_topk",
+    "x3_truncation_eval",
+    "x4_decontam_eval",
 ]
 
 
