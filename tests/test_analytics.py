@@ -1428,3 +1428,167 @@ def test_dedup_eval_replays_band_arithmetic(spark):
         for r in registry()["x2_dedup_eval"].builder(spark, TEST_SF_DIR).collect()
     }
     assert got == want
+
+
+def test_ivf_pq_respects_cells_and_holds_recall(spark):
+    """x3_ivf_pq_topk structural + quality pins: (a) every emitted
+    neighbor must live in one of the query's two probed IVF cells (the
+    inverted-list restriction is real, not decorative); (b) per query,
+    exactly 3 rows ranked by (cosine desc, neighbor_id) — the shared
+    rerank contract; (c) recall@3 vs the exact lane >= 0.6 overall
+    (measured 0.8 at sf0.001 / 0.73 at sf0.01 — the ADC@50 prune gives
+    up 2-3 hits vs plain IVF's 0.9, the honest compression cost)."""
+    from iii_aibigdata_capstone_spark.operators.similarity import (
+        N_QUERIES,
+        ivf_ranked_cells,
+    )
+
+    ranked = ivf_ranked_cells(spark, TEST_SF_DIR).collect()
+    assigned = {r.vec_id: r.cid for r in ranked if r.rn == 1}
+    probed = {}
+    for r in ranked:
+        if r.vec_id < N_QUERIES and r.rn <= 2:
+            probed.setdefault(r.vec_id, set()).add(r.cid)
+
+    exact = {}
+    for r in registry()["x3_cosine_topk"].builder(spark, TEST_SF_DIR).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    rows = registry()["x3_ivf_pq_topk"].builder(spark, TEST_SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        assert assigned[r.neighbor_id] in probed[r.query_id], (
+            r.query_id,
+            r.neighbor_id,
+        )
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append((r.cosine, r.neighbor_id))
+    assert set(by_q) == set(range(N_QUERIES))
+    hits = tot = 0
+    for q, lst in by_q.items():
+        assert len(lst) == 3, q
+        assert lst == sorted(lst, key=lambda t: (-t[0], t[1])), q
+        hits += len({n for _c, n in lst} & exact[q])
+        tot += 3
+    assert hits / tot >= 0.6, (hits, tot)
+
+
+def test_truncation_eval_matches_python_replay(spark):
+    """x3_truncation_eval pinned against a transparent python grading:
+    both rank lists rebuilt from the collected embeddings with
+    bit-identical float semantics (left-fold dot/norm accumulation in
+    index order — the engine's F.aggregate order — and HALF_UP rounding
+    of the shortest double repr, BigDecimal.valueOf semantics), then
+    hits/recall/MRR as integer arithmetic on those lists."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from iii_aibigdata_capstone_spark.operators.similarity import (
+        ANN_EVAL_K,
+        N_QUERIES,
+        TRUNC_DIM,
+    )
+
+    import math
+
+    def rnd6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in table(spark, TEST_SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+
+    def topk(dims):
+        sliced = {i: v[:dims] for i, v in vecs.items()}
+        norms = {
+            i: math.sqrt(fold_dot(v, v)) for i, v in sliced.items()
+        }
+        out = {}
+        for q in range(N_QUERIES):
+            scored = [
+                (rnd6(fold_dot(sliced[q], v) / (norms[q] * norms[i])), i)
+                for i, v in sliced.items()
+                if i != q
+            ]
+            scored.sort(key=lambda t: (-t[0], t[1]))
+            out[q] = [i for _c, i in scored[:ANN_EVAL_K]]
+        return out
+
+    full, trunc = topk(len(next(iter(vecs.values())))), topk(TRUNC_DIM)
+    rows = registry()["x3_truncation_eval"].builder(spark, TEST_SF_DIR).collect()
+    assert {r.query_id for r in rows} == set(range(N_QUERIES))
+    for r in rows:
+        want_hits = len(set(trunc[r.query_id]) & set(full[r.query_id]))
+        assert r.hits == want_hits, r.query_id
+        assert r.recall_micro == (1_000_000 * want_hits) // ANN_EVAL_K
+        first = next(
+            (
+                i + 1
+                for i, n in enumerate(trunc[r.query_id])
+                if n in set(full[r.query_id])
+            ),
+            0,
+        )
+        assert r.mrr_micro == (1_000_000 // first if first else 0), r.query_id
+
+
+def test_decontam_eval_matches_python_replay(spark):
+    """x4_decontam_eval pinned against a transparent python replay of
+    the whole eval: 5-gram geometry (distinct, docs with >= 5 tokens),
+    the %97 bench/corpus split, the md5-bucket sample (first 8 hex chars
+    mod DECON_SAMPLE_MOD — hashlib draws the same subset as both
+    engines), truth severity buckets, and integer recall."""
+    import hashlib
+
+    from iii_aibigdata_capstone_spark.operators.textual import (
+        DECON_SAMPLE_MOD,
+    )
+
+    docs = {
+        r.doc_id: r.text
+        for r in table(spark, TEST_SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    grams = {}
+    for d, text in docs.items():
+        t = text.split(" ")
+        if len(t) >= 5:
+            grams[d] = {
+                " ".join(t[i : i + 5]) for i in range(len(t) - 4)
+            }
+    bench_g = set().union(
+        *(g for d, g in grams.items() if d % 97 == 0)
+    ) if any(d % 97 == 0 for d in grams) else set()
+    sampled = {
+        g
+        for g in bench_g
+        if int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % DECON_SAMPLE_MOD
+        == 0
+    }
+    buckets = {}
+    for d, g in grams.items():
+        if d % 97 == 0:
+            continue
+        n_shared = len(g & bench_g)
+        if n_shared == 0:
+            continue
+        sev = min(n_shared, 4)
+        n_docs, n_det = buckets.get(sev, (0, 0))
+        buckets[sev] = (n_docs + 1, n_det + (1 if g & sampled else 0))
+
+    rows = registry()["x4_decontam_eval"].builder(spark, TEST_SF_DIR).collect()
+    got = {r.sev_bucket: (r.n_docs, r.n_detected, r.recall_micro) for r in rows}
+    assert set(got) == set(buckets)
+    for sev, (n_docs, n_det) in buckets.items():
+        assert got[sev] == (n_docs, n_det, (1_000_000 * n_det) // n_docs), sev
