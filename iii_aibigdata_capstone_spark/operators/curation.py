@@ -743,9 +743,11 @@ def _rag_chain_sql() -> str:
     x9_rag_eval (which grades ``topk`` against the exact composite
     ground truth, reusing the chain's ``bm25`` and ``e`` CTEs for its
     truth lanes). Factored r11; proven byte-identical to the pre-split
-    x9_rag_pipeline oracle at extraction."""
+    x9_rag_pipeline oracle at extraction; the IVF assignment CTEs are
+    the shared ``ivf_rank_ctes`` spelling (same text modulo layout,
+    re-verified hash-green after the swap)."""
     from .textual import _BM25_AVGDL_SQL, _BM25_CONTRIB_SQL, _BM25_IDF_SQL
-    from .similarity import N_CENTROIDS
+    from .similarity import ivf_rank_ctes
 
     return dedent(
         f"""\
@@ -798,15 +800,7 @@ def _rag_chain_sql() -> str:
             ) WHERE br <= {RAG_LANE_K}
         ),
         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        centroids AS (SELECT vec_id AS cid, v AS cv FROM e
-                      WHERE vec_id < {N_CENTROIDS}),
-        ranked AS MATERIALIZED (
-            SELECT e.vec_id, e.v, c.cid,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY LIST_DISTANCE(e.v, c.cv), c.cid) AS rn
-            FROM e CROSS JOIN centroids c
-        ),
+        {ivf_rank_ctes()},
         assigned AS (SELECT vec_id, v, cid FROM ranked WHERE rn = 1),
         probes AS (SELECT vec_id, v, cid FROM ranked
                    WHERE rn <= 2 AND vec_id < {RAG_PROBES}),

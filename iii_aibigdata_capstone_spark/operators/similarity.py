@@ -20,7 +20,14 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import table
-from ..functions.vectors import as_double_array, dot, int_dot, l2_dist_sq, with_norm
+from ..functions.vectors import (
+    as_double_array,
+    dot,
+    int_dot,
+    l2_dist_sq,
+    l2_norm,
+    with_norm,
+)
 from ..registry import QuerySpec, make_registrar
 
 SPECS: list[QuerySpec] = []
@@ -33,6 +40,24 @@ _COS = (
     "LIST_DOT_PRODUCT(a.v, b.v) / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * "
     "SQRT(LIST_DOT_PRODUCT(b.v, b.v)))"
 )
+
+
+def ivf_rank_ctes(e_cte: str = "e", p: str = "") -> str:
+    """``{p}centroids`` + ``{p}ranked`` CTEs: every vector's coarse cells
+    ranked by (LIST_DISTANCE(v, cv), cid) over an embeddings CTE
+    ``e_cte`` carrying (vec_id, v) — THE oracle spelling of the IVF
+    coarse assignment, shared by x3_ivf_topk, x3_ivf_multiprobe,
+    x3_ann_eval, x3_ivf_pq_topk and the RAG chain (a change to the
+    assignment rule must move every consumer at once)."""
+    return f"""{p}centroids AS (SELECT vec_id AS cid, v AS cv FROM {e_cte}
+                      WHERE vec_id < {N_CENTROIDS}),
+        {p}ranked AS MATERIALIZED (
+            SELECT e.vec_id, e.v, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY LIST_DISTANCE(e.v, c.cv), c.cid) AS rn
+            FROM {e_cte} e CROSS JOIN {p}centroids c
+        )"""
 
 
 def _rerank_top3_sql(cand_cte: str) -> str:
@@ -130,16 +155,8 @@ def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=dedent(
         f"""
         WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-        centroids AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {N_CENTROIDS}),
-        assigned AS (
-            SELECT vec_id, v, cid FROM (
-                SELECT e.vec_id, e.v, c.cid,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY e.vec_id
-                           ORDER BY LIST_DISTANCE(e.v, c.cv), c.cid) AS rn
-                FROM e CROSS JOIN centroids c
-            ) WHERE rn = 1
-        ),
+        {ivf_rank_ctes()},
+        assigned AS (SELECT vec_id, v, cid FROM ranked WHERE rn = 1),
         scored AS (
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                    ROUND({_COS}, 6) AS cosine
@@ -310,14 +327,7 @@ def x3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=dedent(
         f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        centroids AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {N_CENTROIDS}),
-        ranked AS (
-            SELECT e.vec_id, e.v, c.cid,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY LIST_DISTANCE(e.v, c.cv), c.cid) AS rn
-            FROM e CROSS JOIN centroids c
-        ),
+        {ivf_rank_ctes()},
         assigned AS (SELECT vec_id, v, cid FROM ranked WHERE rn = 1),
         probes AS (SELECT vec_id, v, cid FROM ranked
                    WHERE rn <= 2 AND vec_id < {N_QUERIES}),
@@ -1145,6 +1155,28 @@ def _pq_adc_oracle() -> str:
     )
 
 
+def _pq_encode_parts(
+    subf: DataFrame, cb: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(codes, ptab) — every vector's per-subspace nearest-centroid code
+    and each probe's (subspace, centroid) integer distance table: the
+    Spark twin of ``_pq_codes_ptab_ctes``, ONE spelling shared by the
+    global-ADC (x3_pq_adc_topk) and IVF-restricted-ADC (x3_ivf_pq_topk)
+    lanes so the two cascades encode and look up identically."""
+    codes = _pq_assign(subf, cb).select("vec_id", "m", "j")
+    ptab = (
+        subf.where(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cb), ["m", "d"])
+        .groupBy(F.col("vec_id").alias("query_id"), F.col("m"), F.col("j"))
+        .agg(
+            F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias(
+                "pdist"
+            )
+        )
+    )
+    return codes, ptab
+
+
 @query("x3_pq_adc_topk", oracle=_pq_adc_oracle(), tags=("X3", "pq", "adc"))
 def x3_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL PQ search cascade with a FULL oracle — encode with the
@@ -1172,13 +1204,7 @@ def x3_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e_all = table(spark, sf_dir, "embeddings")
     subf = _pq_quantized_sub(e_all).localCheckpoint(eager=False)
 
-    codes = _pq_assign(subf, cb).select("vec_id", "m", "j")
-    ptab = (
-        subf.where(F.col("vec_id") < N_QUERIES)
-        .join(F.broadcast(cb), ["m", "d"])
-        .groupBy(F.col("vec_id").alias("query_id"), F.col("m"), F.col("j"))
-        .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("pdist"))
-    )
+    codes, ptab = _pq_encode_parts(subf, cb)
     adc = (
         codes.join(F.broadcast(ptab), ["m", "j"])
         .where(F.col("vec_id") != F.col("query_id"))
@@ -1604,6 +1630,103 @@ def x3_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_EVAL_K = 3  # both lanes' top-k depth (the x3 family's standard k)
 
 
+def _brute_ranked_topk(ev: DataFrame, k: int) -> DataFrame:
+    """Exact rounded-cosine top-``k`` per probe over a ``(vec_id, v,
+    norm)`` frame, as ``(query_id, neighbor_id, rnk)`` — ONE Spark
+    spelling of the exact brute lane, shared by x3_ann_eval's truth and
+    both sides of x3_truncation_eval (broadcast probes, one corpus
+    pass)."""
+    a, b = ev.where(F.col("vec_id") < N_QUERIES).alias("a"), ev.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(a)
+        .join(b, F.col("b.vec_id") != F.col("a.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk")
+    )
+
+
+def _eval_hit_metrics(
+    approx_top: DataFrame, exact_top: DataFrame, k: int
+) -> DataFrame:
+    """Per-query hits / recall_micro / mrr_micro from an approx rank list
+    ``(query_id, neighbor_id, rnk)`` vs a truth set ``(query_id,
+    neighbor_id)`` — the integer-metric tail shared by x3_ann_eval and
+    x3_truncation_eval (hits from an equi LEFT join, recall/MRR by
+    integer division on integer ranks; no float reaches the hash)."""
+    ap, ex = approx_top.alias("ap"), exact_top.alias("ex")
+    hitjoin = ap.join(
+        ex,
+        (F.col("ex.query_id") == F.col("ap.query_id"))
+        & (F.col("ex.neighbor_id") == F.col("ap.neighbor_id")),
+        "left",
+    ).select(
+        F.col("ap.query_id").alias("query_id"),
+        F.col("ap.rnk").alias("rnk"),
+        F.when(F.col("ex.neighbor_id").isNull(), 0).otherwise(1).alias("hit"),
+    )
+    return hitjoin.groupBy("query_id").agg(
+        F.sum("hit").cast("long").alias("hits"),
+        F.expr(f"CAST((1000000 * SUM(hit)) DIV {k} AS BIGINT)").alias(
+            "recall_micro"
+        ),
+        F.coalesce(
+            F.expr("CAST(1000000 DIV MIN(CASE WHEN hit = 1 THEN rnk END) AS BIGINT)"),
+            F.lit(0).cast("long"),
+        ).alias("mrr_micro"),
+    )
+
+
+def _brute_scored_sql(src: str) -> str:
+    """Exact rounded-cosine all-pairs probe scoring over a ``(vec_id,
+    v)`` CTE ``src`` — the oracle twin of ``_brute_ranked_topk``'s scored
+    projection, shared by the eval oracles."""
+    return f"""SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROUND({_COS}, 6) AS cosine
+            FROM {src} a JOIN {src} b ON b.vec_id <> a.vec_id
+            WHERE a.vec_id < {N_QUERIES}"""
+
+
+def _topk_cte_sql(scored_cte: str, k: int, with_rnk: bool) -> str:
+    """Top-``k`` per query by (cosine DESC, neighbor_id) over a scored
+    CTE — one rank-list spelling for every eval oracle; ``with_rnk``
+    keeps the BIGINT rank for the approx side's MRR."""
+    cols = "query_id, neighbor_id" + (
+        ", CAST(rn AS BIGINT) AS rnk" if with_rnk else ""
+    )
+    return f"""SELECT {cols} FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rn
+                FROM {scored_cte}
+            ) WHERE rn <= {k}"""
+
+
+def _eval_tail_sql(approx_cte: str, exact_cte: str, k: int) -> str:
+    """hitjoin CTE + final integer hits/recall/MRR SELECT — the oracle
+    twin of ``_eval_hit_metrics``, shared by the eval oracles."""
+    return f"""hitjoin AS (
+            SELECT a.query_id, a.rnk,
+                   CASE WHEN x.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+            FROM {approx_cte} a
+            LEFT JOIN {exact_cte} x
+              ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+        )
+        SELECT query_id,
+               CAST(SUM(hit) AS BIGINT) AS hits,
+               CAST((1000000 * SUM(hit)) // {k} AS BIGINT)
+                   AS recall_micro,
+               CAST(COALESCE(1000000 // MIN(CASE WHEN hit = 1 THEN rnk END),
+                             0) AS BIGINT) AS mrr_micro
+        FROM hitjoin GROUP BY query_id"""
+
+
 def _ann_eval_oracle() -> str:
     """Exact and IVF lanes as the same CTE chains their standalone
     oracles use, joined into per-query recall@{ANN_EVAL_K} / MRR."""
@@ -1611,27 +1734,12 @@ def _ann_eval_oracle() -> str:
         f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         exact_scored AS (
-            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-                   ROUND({_COS}, 6) AS cosine
-            FROM e a JOIN e b ON b.vec_id <> a.vec_id
-            WHERE a.vec_id < {N_QUERIES}
+            {_brute_scored_sql('e')}
         ),
         exact_top AS MATERIALIZED (
-            SELECT query_id, neighbor_id FROM (
-                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                          ORDER BY cosine DESC, neighbor_id) AS rn
-                FROM exact_scored
-            ) WHERE rn <= {ANN_EVAL_K}
+            {_topk_cte_sql('exact_scored', ANN_EVAL_K, with_rnk=False)}
         ),
-        centroids AS (SELECT vec_id AS cid, v AS cv FROM e
-                      WHERE vec_id < {N_CENTROIDS}),
-        ranked AS MATERIALIZED (
-            SELECT e.vec_id, e.v, c.cid,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY LIST_DISTANCE(e.v, c.cv), c.cid) AS rn
-            FROM e CROSS JOIN centroids c
-        ),
+        {ivf_rank_ctes()},
         assigned AS (SELECT vec_id, v, cid FROM ranked WHERE rn = 1),
         probes AS (SELECT vec_id, v, cid FROM ranked
                    WHERE rn <= 2 AND vec_id < {N_QUERIES}),
@@ -1644,26 +1752,9 @@ def _ann_eval_oracle() -> str:
               ON p.cid = b.cid AND b.vec_id <> p.vec_id
         ),
         approx_top AS MATERIALIZED (
-            SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rnk FROM (
-                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                          ORDER BY cosine DESC, neighbor_id) AS rn
-                FROM approx_scored
-            ) WHERE rn <= {ANN_EVAL_K}
+            {_topk_cte_sql('approx_scored', ANN_EVAL_K, with_rnk=True)}
         ),
-        hitjoin AS (
-            SELECT a.query_id, a.rnk,
-                   CASE WHEN x.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
-            FROM approx_top a
-            LEFT JOIN exact_top x
-              ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
-        )
-        SELECT query_id,
-               CAST(SUM(hit) AS BIGINT) AS hits,
-               CAST((1000000 * SUM(hit)) // {ANN_EVAL_K} AS BIGINT)
-                   AS recall_micro,
-               CAST(COALESCE(1000000 // MIN(CASE WHEN hit = 1 THEN rnk END),
-                             0) AS BIGINT) AS mrr_micro
-        FROM hitjoin GROUP BY query_id
+        {_eval_tail_sql('approx_top', 'exact_top', ANN_EVAL_K)}
         """
     )
 
@@ -1693,49 +1784,14 @@ def x3_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the IVF lane reuses the checkpointed two-nearest-cells index; the
     eval itself joins two <= probes x {ANN_EVAL_K} rank lists — bounded
     by the query batch, free at any corpus size."""
-    e = with_norm(table(spark, sf_dir, "embeddings")).select("vec_id", "v", "norm")
-    q = e.where(F.col("vec_id") < N_QUERIES)
-    a, b = q.alias("a"), e.alias("b")
-    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    exact_top = (
-        F.broadcast(a)
-        .join(b, F.col("b.vec_id") != F.col("a.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("query_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-            F.round(cos, 6).alias("cosine"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= ANN_EVAL_K)
-        .select("query_id", "neighbor_id")
-    )
+    ev = with_norm(table(spark, sf_dir, "embeddings")).select("vec_id", "v", "norm")
+    exact_top = _brute_ranked_topk(ev, ANN_EVAL_K).select("query_id", "neighbor_id")
     approx_top = ivf_multiprobe_ranks(spark, sf_dir, N_QUERIES, ANN_EVAL_K).select(
         "query_id",
         "neighbor_id",
         F.col("rank").cast("long").alias("rnk"),
     )
-    ap, ex = approx_top.alias("ap"), exact_top.alias("ex")
-    hitjoin = ap.join(
-        ex,
-        (F.col("ex.query_id") == F.col("ap.query_id"))
-        & (F.col("ex.neighbor_id") == F.col("ap.neighbor_id")),
-        "left",
-    ).select(
-        F.col("ap.query_id").alias("query_id"),
-        "rnk",
-        F.when(F.col("ex.neighbor_id").isNull(), 0).otherwise(1).alias("hit"),
-    )
-    return hitjoin.groupBy("query_id").agg(
-        F.sum("hit").cast("long").alias("hits"),
-        F.expr(f"CAST((1000000 * SUM(hit)) DIV {ANN_EVAL_K} AS BIGINT)").alias(
-            "recall_micro"
-        ),
-        F.coalesce(
-            F.expr("CAST(1000000 DIV MIN(CASE WHEN hit = 1 THEN rnk END) AS BIGINT)"),
-            F.lit(0).cast("long"),
-        ).alias("mrr_micro"),
-    )
+    return _eval_hit_metrics(approx_top, exact_top, ANN_EVAL_K)
 
 
 # --- X3: IVF-PQ — cell-restricted ADC search (the billion-scale shape) ------
@@ -1756,17 +1812,9 @@ def _ivf_pq_oracle() -> str:
         + _pq_codes_ptab_ctes()
         + f""",
         ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        icents AS (SELECT vec_id AS cid, v AS cv FROM ev
-                   WHERE vec_id < {N_CENTROIDS}),
-        irank AS MATERIALIZED (
-            SELECT e.vec_id, c.cid,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY LIST_DISTANCE(e.v, c.cv), c.cid) AS rn
-            FROM ev e CROSS JOIN icents c
-        ),
-        iasg AS (SELECT vec_id, cid FROM irank WHERE rn = 1),
-        iprobes AS (SELECT vec_id, cid FROM irank
+        {ivf_rank_ctes(e_cte="ev", p="i")},
+        iasg AS (SELECT vec_id, cid FROM iranked WHERE rn = 1),
+        iprobes AS (SELECT vec_id, cid FROM iranked
                     WHERE rn <= 2 AND vec_id < {N_QUERIES}),
         ivfadc AS MATERIALIZED (
             SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -1821,7 +1869,7 @@ def x3_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e_all = table(spark, sf_dir, "embeddings")
     subf = _pq_quantized_sub(e_all).localCheckpoint(eager=False)
 
-    codes = _pq_assign(subf, cb).select("vec_id", "m", "j")
+    codes, ptab = _pq_encode_parts(subf, cb)
     ranked = ivf_ranked_cells(spark, sf_dir)
     # the static index: (vec_id, cid, m, j) — cell-bucketed PQ code lists
     invl = (
@@ -1833,16 +1881,6 @@ def x3_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = ranked.where(
         (F.col("rn") <= 2) & (F.col("vec_id") < N_QUERIES)
     ).select(F.col("vec_id").alias("query_id"), "cid")
-    ptab = (
-        subf.where(F.col("vec_id") < N_QUERIES)
-        .join(F.broadcast(cb), ["m", "d"])
-        .groupBy(F.col("vec_id").alias("query_id"), F.col("m"), F.col("j"))
-        .agg(
-            F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias(
-                "pdist"
-            )
-        )
-    )
     adc = (
         invl.join(F.broadcast(probes), "cid")
         .where(F.col("vec_id") != F.col("query_id"))
@@ -1864,74 +1902,24 @@ def x3_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRUNC_DIM = 32  # retained prefix dims (of 64) — the 2x storage/compute knob
 
 
-def _brute_ranked_topk(ev: DataFrame, k: int) -> DataFrame:
-    """Exact rounded-cosine top-``k`` per probe over a ``(vec_id, v,
-    norm)`` frame, as ``(query_id, neighbor_id, rnk)`` — the x3_ann_eval
-    exact-lane spelling factored out so the full-dim truth and the
-    truncated-dim detector of x3_truncation_eval rank identically
-    (broadcast probes, one corpus pass)."""
-    a, b = ev.where(F.col("vec_id") < N_QUERIES).alias("a"), ev.alias("b")
-    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        F.broadcast(a)
-        .join(b, F.col("b.vec_id") != F.col("a.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("query_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-            F.round(cos, 6).alias("cosine"),
-        )
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "rnk")
-    )
-
-
 def _trunc_eval_oracle() -> str:
     return dedent(
         f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         et AS (SELECT vec_id, v[1:{TRUNC_DIM}] AS v FROM e),
         exact_scored AS (
-            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-                   ROUND({_COS}, 6) AS cosine
-            FROM e a JOIN e b ON b.vec_id <> a.vec_id
-            WHERE a.vec_id < {N_QUERIES}
+            {_brute_scored_sql('e')}
         ),
         exact_top AS MATERIALIZED (
-            SELECT query_id, neighbor_id FROM (
-                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                          ORDER BY cosine DESC, neighbor_id) AS rn
-                FROM exact_scored
-            ) WHERE rn <= {ANN_EVAL_K}
+            {_topk_cte_sql('exact_scored', ANN_EVAL_K, with_rnk=False)}
         ),
         trunc_scored AS (
-            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-                   ROUND({_COS}, 6) AS cosine
-            FROM et a JOIN et b ON b.vec_id <> a.vec_id
-            WHERE a.vec_id < {N_QUERIES}
+            {_brute_scored_sql('et')}
         ),
         trunc_top AS MATERIALIZED (
-            SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rnk FROM (
-                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                          ORDER BY cosine DESC, neighbor_id) AS rn
-                FROM trunc_scored
-            ) WHERE rn <= {ANN_EVAL_K}
+            {_topk_cte_sql('trunc_scored', ANN_EVAL_K, with_rnk=True)}
         ),
-        hitjoin AS (
-            SELECT a.query_id, a.rnk,
-                   CASE WHEN x.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
-            FROM trunc_top a
-            LEFT JOIN exact_top x
-              ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
-        )
-        SELECT query_id,
-               CAST(SUM(hit) AS BIGINT) AS hits,
-               CAST((1000000 * SUM(hit)) // {ANN_EVAL_K} AS BIGINT)
-                   AS recall_micro,
-               CAST(COALESCE(1000000 // MIN(CASE WHEN hit = 1 THEN rnk END),
-                             0) AS BIGINT) AS mrr_micro
-        FROM hitjoin GROUP BY query_id
+        {_eval_tail_sql('trunc_top', 'exact_top', ANN_EVAL_K)}
         """
     )
 
@@ -1953,8 +1941,8 @@ def x3_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both rank lists are the ONE _brute_ranked_topk spelling (broadcast
     probes, one corpus pass each — the truncated pass moves half the
-    bytes, which is the point); metrics are the ann_eval integer
-    discipline (hits from an equi left-join, recall/MRR by integer
+    bytes, which is the point); metrics are the shared _eval_hit_metrics
+    integer tail (hits from an equi left-join, recall/MRR by integer
     division on integer ranks — no float reaches the hash).
 
     Scale shape: two x3_cosine_topk-shaped passes over the corpus (the
@@ -1962,35 +1950,9 @@ def x3_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     join touches two <= probes x {ANN_EVAL_K} rank lists — bounded by
     the query batch at any corpus size."""
     ev = with_norm(table(spark, sf_dir, "embeddings")).select("vec_id", "v", "norm")
-    evt = (
-        table(spark, sf_dir, "embeddings")
-        .select("vec_id", as_double_array(F.col("embedding")).alias("v0"))
-        .select("vec_id", F.slice(F.col("v0"), 1, TRUNC_DIM).alias("v"))
-        .withColumn(
-            "norm",
-            F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)),
-        )
-    )
+    evt = ev.select(
+        "vec_id", F.slice(F.col("v"), 1, TRUNC_DIM).alias("v")
+    ).withColumn("norm", l2_norm(F.col("v")))
     exact_top = _brute_ranked_topk(ev, ANN_EVAL_K).select("query_id", "neighbor_id")
     trunc_top = _brute_ranked_topk(evt, ANN_EVAL_K)
-    ap, ex = trunc_top.alias("ap"), exact_top.alias("ex")
-    hitjoin = ap.join(
-        ex,
-        (F.col("ex.query_id") == F.col("ap.query_id"))
-        & (F.col("ex.neighbor_id") == F.col("ap.neighbor_id")),
-        "left",
-    ).select(
-        F.col("ap.query_id").alias("query_id"),
-        F.col("rnk"),
-        F.when(F.col("ex.neighbor_id").isNull(), 0).otherwise(1).alias("hit"),
-    )
-    return hitjoin.groupBy("query_id").agg(
-        F.sum("hit").cast("long").alias("hits"),
-        F.expr(f"CAST((1000000 * SUM(hit)) DIV {ANN_EVAL_K} AS BIGINT)").alias(
-            "recall_micro"
-        ),
-        F.coalesce(
-            F.expr("CAST(1000000 DIV MIN(CASE WHEN hit = 1 THEN rnk END) AS BIGINT)"),
-            F.lit(0).cast("long"),
-        ).alias("mrr_micro"),
-    )
+    return _eval_hit_metrics(trunc_top, exact_top, ANN_EVAL_K)

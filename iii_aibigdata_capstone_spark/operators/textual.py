@@ -469,8 +469,10 @@ def five_gram_rows(docs: DataFrame) -> DataFrame:
         grams AS (
             {gram5_cte_sql('toks')}
         ),
-        bench AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 = 0),
-        corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+        bench AS (SELECT doc_id, g FROM grams
+                  WHERE doc_id % {BENCH_HOLDOUT_MOD} = 0),
+        corpus AS (SELECT doc_id, g FROM grams
+                   WHERE doc_id % {BENCH_HOLDOUT_MOD} <> 0)
         SELECT c.doc_id,
                COUNT(DISTINCT c.g) AS n_shared_grams,
                COUNT(DISTINCT b.doc_id) AS n_bench_docs
@@ -482,8 +484,8 @@ def five_gram_rows(docs: DataFrame) -> DataFrame:
 )
 def x4_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (the pretraining-hygiene op): find corpus
-    documents sharing any 5-gram with a held-out benchmark set (here: every
-    97th document), reporting how many distinct 5-grams leak and how many
+    documents sharing any 5-gram with a held-out benchmark set (doc_id %
+    BENCH_HOLDOUT_MOD == 0), reporting how many distinct 5-grams leak and how many
     benchmark documents each one touches.
 
     Scale shape: the benchmark side is tiny by construction, so its
@@ -493,10 +495,10 @@ def x4_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange, keyed on doc_id.
     """
     grams = five_gram_rows(table(spark, sf_dir, "documents"))
-    bench = grams.where(F.col("doc_id") % 97 == 0).select(
+    bench = grams.where(F.col("doc_id") % BENCH_HOLDOUT_MOD == 0).select(
         F.col("doc_id").alias("bench_doc"), "g"
     )
-    corpus = grams.where(F.col("doc_id") % 97 != 0)
+    corpus = grams.where(F.col("doc_id") % BENCH_HOLDOUT_MOD != 0)
     return (
         corpus.join(F.broadcast(bench), "g")
         .groupBy("doc_id")
@@ -1350,8 +1352,10 @@ def _decontam_eval_oracle() -> str:
         grams AS (
             {gram5_cte_sql('toks')}
         ),
-        bench AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 = 0),
-        corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0),
+        bench AS (SELECT doc_id, g FROM grams
+                  WHERE doc_id % {BENCH_HOLDOUT_MOD} = 0),
+        corpus AS (SELECT doc_id, g FROM grams
+                   WHERE doc_id % {BENCH_HOLDOUT_MOD} <> 0),
         benchg AS (SELECT DISTINCT g FROM bench),
         truth AS (
             SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_shared
@@ -1411,11 +1415,13 @@ def x4_decontam_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup are the only exchanges."""
     grams = five_gram_rows(table(spark, sf_dir, "documents"))
     bench_g = (
-        grams.where(F.col("doc_id") % 97 == 0).select("g").distinct()
+        grams.where(F.col("doc_id") % BENCH_HOLDOUT_MOD == 0)
+        .select("g")
+        .distinct()
         # consumed twice (truth join + sampled slice): one distinct pass
         .localCheckpoint(eager=False)
     )
-    corpus = grams.where(F.col("doc_id") % 97 != 0)
+    corpus = grams.where(F.col("doc_id") % BENCH_HOLDOUT_MOD != 0)
     truth = (
         corpus.join(F.broadcast(bench_g), "g")
         .groupBy("doc_id")

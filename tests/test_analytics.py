@@ -1545,12 +1545,13 @@ def test_truncation_eval_matches_python_replay(spark):
 def test_decontam_eval_matches_python_replay(spark):
     """x4_decontam_eval pinned against a transparent python replay of
     the whole eval: 5-gram geometry (distinct, docs with >= 5 tokens),
-    the %97 bench/corpus split, the md5-bucket sample (first 8 hex chars
+    the BENCH_HOLDOUT_MOD bench/corpus split, the md5-bucket sample (first 8 hex chars
     mod DECON_SAMPLE_MOD — hashlib draws the same subset as both
     engines), truth severity buckets, and integer recall."""
     import hashlib
 
     from iii_aibigdata_capstone_spark.operators.textual import (
+        BENCH_HOLDOUT_MOD,
         DECON_SAMPLE_MOD,
     )
 
@@ -1568,8 +1569,8 @@ def test_decontam_eval_matches_python_replay(spark):
                 " ".join(t[i : i + 5]) for i in range(len(t) - 4)
             }
     bench_g = set().union(
-        *(g for d, g in grams.items() if d % 97 == 0)
-    ) if any(d % 97 == 0 for d in grams) else set()
+        *(g for d, g in grams.items() if d % BENCH_HOLDOUT_MOD == 0)
+    ) if any(d % BENCH_HOLDOUT_MOD == 0 for d in grams) else set()
     sampled = {
         g
         for g in bench_g
@@ -1578,7 +1579,7 @@ def test_decontam_eval_matches_python_replay(spark):
     }
     buckets = {}
     for d, g in grams.items():
-        if d % 97 == 0:
+        if d % BENCH_HOLDOUT_MOD == 0:
             continue
         n_shared = len(g & bench_g)
         if n_shared == 0:
