@@ -15,6 +15,7 @@ Three tiers, trading recall for scale:
 from __future__ import annotations
 
 from textwrap import dedent
+from typing import NamedTuple
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1155,18 +1156,26 @@ def _pq_adc_oracle() -> str:
     )
 
 
-def _pq_encode_parts(
-    subf: DataFrame, cb: DataFrame
-) -> tuple[DataFrame, DataFrame]:
-    """(codes, ptab) — every vector's per-subspace nearest-centroid code
-    and each probe's (subspace, centroid) integer distance table: the
-    Spark twin of ``_pq_codes_ptab_ctes``, ONE spelling shared by the
-    global-ADC (x3_pq_adc_topk) and IVF-restricted-ADC (x3_ivf_pq_topk)
-    lanes so the two cascades encode and look up identically."""
-    codes = _pq_assign(subf, cb).select("vec_id", "m", "j")
-    ptab = (
-        subf.where(F.col("vec_id") < N_QUERIES)
-        .join(F.broadcast(cb), ["m", "d"])
+def _resident_probe_ids(spark: SparkSession) -> DataFrame:
+    """The x3 family's standard probe set (vec_id < {N_QUERIES}) as a
+    broadcastable one-column ``query_id`` frame — what the batch ANN
+    lanes serve; the streaming twin passes each micro-batch's ids
+    through the same spellings instead."""
+    return spark.range(N_QUERIES).select(F.col("id").alias("query_id"))
+
+
+def _pq_probe_ptab(subf: DataFrame, cb: DataFrame, qids: DataFrame) -> DataFrame:
+    """(query_id, m, j, pdist) — each probe's (subspace, centroid)
+    integer distance table for the ids in ``qids`` (one broadcastable
+    ``query_id`` column): ONE ptab spelling for the batch lanes (resident
+    probe range) and the serving twin (per-micro-batch ids). The probe
+    slice is a broadcast semi-join so a hash-partitioned persisted
+    ``subf`` prunes instead of scanning."""
+    probe_sub = subf.join(
+        F.broadcast(qids), subf["vec_id"] == qids["query_id"], "left_semi"
+    )
+    return (
+        probe_sub.join(F.broadcast(cb), ["m", "d"])
         .groupBy(F.col("vec_id").alias("query_id"), F.col("m"), F.col("j"))
         .agg(
             F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias(
@@ -1174,7 +1183,19 @@ def _pq_encode_parts(
             )
         )
     )
-    return codes, ptab
+
+
+def _pq_encode_parts(
+    subf: DataFrame, cb: DataFrame, qids: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(codes, ptab) — every vector's per-subspace nearest-centroid code
+    and each probe's (subspace, centroid) integer distance table: the
+    Spark twin of ``_pq_codes_ptab_ctes``, ONE spelling shared by the
+    global-ADC (x3_pq_adc_topk) and IVF-restricted-ADC (x3_ivf_pq_topk)
+    lanes so the two cascades encode and look up identically."""
+    return _pq_assign(subf, cb).select("vec_id", "m", "j"), _pq_probe_ptab(
+        subf, cb, qids
+    )
 
 
 @query("x3_pq_adc_topk", oracle=_pq_adc_oracle(), tags=("X3", "pq", "adc"))
@@ -1204,7 +1225,7 @@ def x3_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e_all = table(spark, sf_dir, "embeddings")
     subf = _pq_quantized_sub(e_all).localCheckpoint(eager=False)
 
-    codes, ptab = _pq_encode_parts(subf, cb)
+    codes, ptab = _pq_encode_parts(subf, cb, _resident_probe_ids(spark))
     adc = (
         codes.join(F.broadcast(ptab), ["m", "j"])
         .where(F.col("vec_id") != F.col("query_id"))
@@ -1860,29 +1881,72 @@ def x3_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe's broadcast (subspace, centroid) integer distance table joins
     the candidate codes on (m, j) and SUMs exactly (int64; no float in
     the prune). (4) SHORTLIST top {IVFPQ_SHORTLIST} by (adc_dist,
-    neighbor_id); (5) exact rounded-cosine re-rank, the shared
-    _cosine_rerank_top3 tail. At 100 TB: the codebook and distance
+    neighbor_id); (5) exact rounded-cosine re-rank reading the index's
+    checkpointed vector table (_cosine_rerank_top3_from — value-identical
+    to the parquet-reading _cosine_rerank_top3, pinned by the oracle
+    hash). At 100 TB: the codebook and distance
     tables are KB-sized broadcasts, the inverted-list scan touches 8
     small integers per candidate in 2/{N_CENTROIDS} of the cells, and
-    full float vectors are read only for shortlist survivors."""
-    cb = _pq_det_codebook(spark, sf_dir, use_cache=True)
-    e_all = table(spark, sf_dir, "embeddings")
-    subf = _pq_quantized_sub(e_all).localCheckpoint(eager=False)
+    full float vectors are read only for shortlist survivors.
 
-    codes, ptab = _pq_encode_parts(subf, cb)
+    Build/serve split: the lane IS ivf_pq_serve(ivf_pq_index(...)) over
+    the resident probe set — the same spelling the streaming ANN serving
+    twin (streaming/serving.py) runs per micro-batch of external query
+    ids (one retrieval DAG, two arrival modes, the rag_serve pattern)."""
+    return ivf_pq_serve(ivf_pq_index(spark, sf_dir), _resident_probe_ids(spark))
+
+
+class IvfPqIndex(NamedTuple):
+    """The static IVF-PQ index — EVERY member checkpointed, so serving N
+    query batches re-reads these N times but re-scans parquet ZERO times
+    (the RagIndex contract applied to the ANN product)."""
+
+    ranked: DataFrame  # (vec_id, v, norm, cid, rn<=2): two nearest cells
+    cb: DataFrame  # (m, j, d, c): the trained PQ codebook
+    subf: DataFrame  # (vec_id, m, d, q): fixed-point subvector rows
+    invl: DataFrame  # (vec_id, cid, m, j): cell-bucketed PQ code lists
+
+
+def ivf_pq_index(spark: SparkSession, sf_dir: str) -> IvfPqIndex:
+    """Build the IVF-PQ index once per corpus: coarse cell ranking
+    (ivf_ranked_cells), trained codebook (x3_pq_codebooks spelling),
+    quantized subvectors, and the inverted lists — the rn=1 cell
+    assignment joined to the PQ codes, the one corpus-sized equi join of
+    the build."""
+    cb = _pq_det_codebook(spark, sf_dir, use_cache=True)
+    subf = _pq_quantized_sub(
+        table(spark, sf_dir, "embeddings")
+    ).localCheckpoint(eager=False)
+    codes = _pq_assign(subf, cb).select("vec_id", "m", "j")
     ranked = ivf_ranked_cells(spark, sf_dir)
-    # the static index: (vec_id, cid, m, j) — cell-bucketed PQ code lists
     invl = (
         ranked.where(F.col("rn") == 1)
         .select("vec_id", "cid")
         .join(codes, "vec_id")
         .localCheckpoint(eager=False)
     )
-    probes = ranked.where(
-        (F.col("rn") <= 2) & (F.col("vec_id") < N_QUERIES)
-    ).select(F.col("vec_id").alias("query_id"), "cid")
+    return IvfPqIndex(ranked=ranked, cb=cb, subf=subf, invl=invl)
+
+
+def ivf_pq_serve(index: IvfPqIndex, qids: DataFrame) -> DataFrame:
+    """Serve one frame of probe ids (one distinct ``query_id`` column,
+    broadcastable) against the prebuilt index: probe cells and distance
+    tables resolve from the index's checkpointed members (the encoder
+    seam — ids resolve vectors exactly like the RAG twin), ADC runs only
+    over the probed cells' inverted lists, and the exact re-rank reads
+    the index's vector table, never parquet."""
+    probes = (
+        index.ranked.join(
+            F.broadcast(qids),
+            index.ranked["vec_id"] == qids["query_id"],
+            "left_semi",
+        )
+        .where(F.col("rn") <= 2)
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    ptab = _pq_probe_ptab(index.subf, index.cb, qids)
     adc = (
-        invl.join(F.broadcast(probes), "cid")
+        index.invl.join(F.broadcast(probes), "cid")
         .where(F.col("vec_id") != F.col("query_id"))
         .join(F.broadcast(ptab), ["query_id", "m", "j"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
@@ -1894,7 +1958,47 @@ def x3_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= IVFPQ_SHORTLIST)
         .select("query_id", "neighbor_id")
     )
-    return _cosine_rerank_top3(short, e_all)
+    vecs = index.ranked.where(F.col("rn") == 1).select("vec_id", "v", "norm")
+    return _cosine_rerank_top3_from(vecs, short, qids)
+
+
+def _cosine_rerank_top3_from(
+    vecs: DataFrame, cand: DataFrame, qids: DataFrame
+) -> DataFrame:
+    """Exact rounded-cosine top-3 per probe over ``(query_id,
+    neighbor_id)`` candidate pairs, BOTH sides resolved from a
+    ``(vec_id, v, norm)`` frame — the serving variant of
+    ``_cosine_rerank_top3`` (reads the index's checkpointed vectors,
+    never parquet; identical values by construction since both carry the
+    with_norm v/norm spellings). The probe side is semi-joined to the
+    bounded ``qids`` batch and broadcast."""
+    qv = (
+        vecs.join(F.broadcast(qids), vecs["vec_id"] == qids["query_id"], "left_semi")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qn"),
+        )
+    )
+    nv = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("norm").alias("nn"),
+    )
+    cos = dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
+    rerank = (
+        cand.join(nv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rerank.withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "cosine")
+    )
 
 
 # --- X3: Matryoshka truncation evaluation (dim-compression recall) ----------

@@ -30,8 +30,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 
 from ..operators.curation import RagIndex, rag_query_terms, rag_serve
+from ..operators.similarity import IvfPqIndex, ivf_pq_serve
 
-__all__ = ["serve_query_batch", "streaming_rag_serving"]
+__all__ = [
+    "serve_ann_batch",
+    "serve_query_batch",
+    "streaming_ann_serving",
+    "streaming_rag_serving",
+]
 
 
 def serve_query_batch(index: RagIndex, queries: DataFrame) -> DataFrame:
@@ -66,6 +72,38 @@ def streaming_rag_serving(
     return (
         queries_stream.writeStream.foreachBatch(
             lambda df, bid: emit(serve_query_batch(index, df), bid)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def serve_ann_batch(index: IvfPqIndex, qids: DataFrame) -> DataFrame:
+    """Serve one ``(query_id)`` frame of probe ids against the prebuilt
+    IVF-PQ index — the body foreachBatch runs per micro-batch, and
+    exactly what the batch ``x3_ivf_pq_topk`` lane runs for resident
+    probes (``ivf_pq_serve``: probe cells, distance tables and the
+    re-rank vectors all resolve from the index's checkpointed members —
+    the id-resolution encoder seam the RAG twin documents). A probe id
+    absent from the index (no vector to resolve) is ABSENT from the
+    output, the serve_query_batch served-empty contract."""
+    return ivf_pq_serve(index, qids.select("query_id").distinct())
+
+
+def streaming_ann_serving(
+    index: IvfPqIndex,
+    qids_stream: DataFrame,
+    emit: Callable[[DataFrame, int], None],
+    checkpoint: str,
+):
+    """Start an availableNow ANN serving query: each micro-batch of
+    ``(query_id)`` rows is served via ``serve_ann_batch`` and the result
+    frame handed to ``emit(result_df, batch_id)``. Returns the
+    StreamingQuery (caller awaits/stops)."""
+    return (
+        qids_stream.writeStream.foreachBatch(
+            lambda df, bid: emit(serve_ann_batch(index, df), bid)
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

@@ -627,3 +627,21 @@ def test_streaming_growing_ingest_micro_batch_plan_rescans_no_parquet(spark):
     assert ".parquet" not in a.text, "grown micro-batch plan re-scans parquet"
     assert "CartesianProduct" not in a.text
     assert a.python_map_operators == 0
+
+
+def test_streaming_ann_micro_batch_plan_rescans_no_parquet(spark):
+    """The ANN serving twin's per-micro-batch plan (serve_ann_batch over
+    a static probe-id frame — exactly what foreachBatch executes) must
+    read ONLY the checkpointed IvfPqIndex members (cells, codebook,
+    subvectors, inverted lists, re-rank vectors): zero parquet scans per
+    batch, no CartesianProduct, no Python operators — the serving-plan
+    discipline applied to the ANN product."""
+    from iii_aibigdata_capstone_spark.operators.similarity import ivf_pq_index
+    from iii_aibigdata_capstone_spark.streaming.serving import serve_ann_batch
+
+    index = ivf_pq_index(spark, TEST_SF_DIR)
+    qids = spark.createDataFrame([(1,), (3,), (7,)], "query_id long")
+    a = audit(serve_ann_batch(index, qids))
+    assert ".parquet" not in a.text, "micro-batch plan re-scans parquet"
+    assert "CartesianProduct" not in a.text
+    assert a.python_map_operators == 0

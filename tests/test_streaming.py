@@ -1322,3 +1322,56 @@ def test_streaming_gated_ingest_composition(spark, ingest_split):
     }
     assert 0 < len(passing) < arrivals.count()
     assert got and {t[0] for t in got} <= passing
+
+
+def test_streaming_ann_serving_equals_batch(spark):
+    """streaming/serving.py ANN twin: probe ids arriving in TWO
+    micro-batches, served against ONE prebuilt IvfPqIndex through the
+    shared ivf_pq_serve dataflow, must emit exactly the batch
+    x3_ivf_pq_topk rows (each probe's full top-3 in the micro-batch that
+    carried it) — the rag-serving proof applied to the ANN product:
+    (a) the index is query-batch independent, (b) stream and batch
+    cannot drift (one spelling of the search DAG)."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from iii_aibigdata_capstone_spark.operators.similarity import (
+        N_QUERIES,
+        ivf_pq_index,
+    )
+    from iii_aibigdata_capstone_spark.queries import registry
+    from iii_aibigdata_capstone_spark.streaming.serving import (
+        streaming_ann_serving,
+    )
+
+    index = ivf_pq_index(spark, TEST_SF_DIR)
+    probes = spark.range(N_QUERIES).select(F.col("id").alias("query_id"))
+    src = tempfile.mkdtemp(prefix="ann_q_src_")
+    # two files -> two micro-batches (probes 0-3, then 4-9)
+    for pred in (F.col("query_id") < 4, F.col("query_id") >= 4):
+        probes.where(pred).coalesce(1).write.mode("append").parquet(src)
+
+    per_batch: dict[int, list] = {}
+    q = streaming_ann_serving(
+        index,
+        spark.readStream.schema("query_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        emit=lambda df, bid: per_batch.setdefault(bid, []).extend(df.collect()),
+        checkpoint=tempfile.mkdtemp(prefix="ann_q_ck_"),
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+    q.stop()
+
+    data_batches = [rows for rows in per_batch.values() if rows]
+    assert len(data_batches) == 2  # served per arrival batch
+    seen_q = [sorted({r.query_id for r in rows}) for rows in data_batches]
+    assert sorted(qq for qs in seen_q for qq in qs) == list(range(N_QUERIES))
+
+    got = sorted(tuple(r) for rows in data_batches for r in rows)
+    want = sorted(
+        tuple(r)
+        for r in registry()["x3_ivf_pq_topk"].builder(spark, TEST_SF_DIR).collect()
+    )
+    assert got == want
