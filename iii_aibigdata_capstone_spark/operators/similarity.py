@@ -83,24 +83,14 @@ def _rerank_top3_sql(cand_cte: str) -> str:
 def _cosine_rerank_top3(cand: DataFrame, e_all: DataFrame) -> DataFrame:
     """Exact rounded-cosine top-3 per probe over ``(query_id,
     neighbor_id)`` candidate pairs — the Spark twin of
-    ``_rerank_top3_sql``, shared by the ADC and sign-LSH cascades.
-    Broadcasts only the probe vectors; the corpus stays on the shuffle
-    side."""
-    ev = with_norm(e_all).select("vec_id", "v", "norm")
-    a, b = ev.where(F.col("vec_id") < N_QUERIES).alias("a"), ev.alias("b")
-    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
-    rerank = (
-        cand.join(F.broadcast(a), F.col("a.vec_id") == F.col("query_id"))
-        .join(b, F.col("b.vec_id") == F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
-    )
-    w_top = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        rerank.withColumn("rn", F.row_number().over(w_top))
-        .where(F.col("rn") <= 3)
-        .select("query_id", "neighbor_id", "cosine")
+    ``_rerank_top3_sql``, shared by the ADC and sign-LSH cascades:
+    delegates to ``_cosine_rerank_top3_from`` (ONE spelling of the
+    determinism-critical tail) with the with_norm vector projection and
+    the resident probe set (a semi-join to range({N_QUERIES}) — the same
+    rows as the historical vec_id < {N_QUERIES} filter)."""
+    vecs = with_norm(e_all).select("vec_id", "v", "norm")
+    return _cosine_rerank_top3_from(
+        vecs, cand, _resident_probe_ids(e_all.sparkSession)
     )
 
 
@@ -1164,16 +1154,14 @@ def _resident_probe_ids(spark: SparkSession) -> DataFrame:
     return spark.range(N_QUERIES).select(F.col("id").alias("query_id"))
 
 
-def _pq_probe_ptab(subf: DataFrame, cb: DataFrame, qids: DataFrame) -> DataFrame:
+def _pq_probe_ptab(probe_sub: DataFrame, cb: DataFrame) -> DataFrame:
     """(query_id, m, j, pdist) — each probe's (subspace, centroid)
-    integer distance table for the ids in ``qids`` (one broadcastable
-    ``query_id`` column): ONE ptab spelling for the batch lanes (resident
-    probe range) and the serving twin (per-micro-batch ids). The probe
-    slice is a broadcast semi-join so a hash-partitioned persisted
-    ``subf`` prunes instead of scanning."""
-    probe_sub = subf.join(
-        F.broadcast(qids), subf["vec_id"] == qids["query_id"], "left_semi"
-    )
+    integer distance table from an already-probe-restricted ``(vec_id,
+    m, d, q)`` subvector frame: ONE ptab spelling for the batch lanes
+    (resident-range slice of the corpus subvectors) and the serving twin
+    (per-micro-batch ids re-quantized from the index's vector table).
+    The encode-identically invariant with the oracle's ``ptab`` CTE
+    (_pq_codes_ptab_ctes) lives here and in ``_pq_assign``."""
     return (
         probe_sub.join(F.broadcast(cb), ["m", "d"])
         .groupBy(F.col("vec_id").alias("query_id"), F.col("m"), F.col("j"))
@@ -1182,19 +1170,6 @@ def _pq_probe_ptab(subf: DataFrame, cb: DataFrame, qids: DataFrame) -> DataFrame
                 "pdist"
             )
         )
-    )
-
-
-def _pq_encode_parts(
-    subf: DataFrame, cb: DataFrame, qids: DataFrame
-) -> tuple[DataFrame, DataFrame]:
-    """(codes, ptab) — every vector's per-subspace nearest-centroid code
-    and each probe's (subspace, centroid) integer distance table: the
-    Spark twin of ``_pq_codes_ptab_ctes``, ONE spelling shared by the
-    global-ADC (x3_pq_adc_topk) and IVF-restricted-ADC (x3_ivf_pq_topk)
-    lanes so the two cascades encode and look up identically."""
-    return _pq_assign(subf, cb).select("vec_id", "m", "j"), _pq_probe_ptab(
-        subf, cb, qids
     )
 
 
@@ -1223,9 +1198,15 @@ def x3_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained fresh otherwise."""
     cb = _pq_det_codebook(spark, sf_dir, use_cache=True)
     e_all = table(spark, sf_dir, "embeddings")
+    # consumed twice: the corpus encode and the probe slice
     subf = _pq_quantized_sub(e_all).localCheckpoint(eager=False)
 
-    codes, ptab = _pq_encode_parts(subf, cb, _resident_probe_ids(spark))
+    qids = _resident_probe_ids(spark)
+    codes = _pq_assign(subf, cb).select("vec_id", "m", "j")
+    ptab = _pq_probe_ptab(
+        subf.join(F.broadcast(qids), subf["vec_id"] == qids["query_id"], "left_semi"),
+        cb,
+    )
     adc = (
         codes.join(F.broadcast(ptab), ["m", "j"])
         .where(F.col("vec_id") != F.col("query_id"))
@@ -1899,24 +1880,27 @@ def x3_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 class IvfPqIndex(NamedTuple):
     """The static IVF-PQ index — EVERY member checkpointed, so serving N
     query batches re-reads these N times but re-scans parquet ZERO times
-    (the RagIndex contract applied to the ANN product)."""
+    (the RagIndex contract applied to the ANN product). The resident
+    state is the cell ranking (2 vector rows per id — also the re-rank
+    and probe-quantization source) plus 8 small integers per id in the
+    inverted lists; probe subvectors are re-derived per batch from the
+    vector table rather than pinning the 64-rows-per-vector exploded
+    frame for the index's whole lifetime."""
 
     ranked: DataFrame  # (vec_id, v, norm, cid, rn<=2): two nearest cells
     cb: DataFrame  # (m, j, d, c): the trained PQ codebook
-    subf: DataFrame  # (vec_id, m, d, q): fixed-point subvector rows
     invl: DataFrame  # (vec_id, cid, m, j): cell-bucketed PQ code lists
 
 
 def ivf_pq_index(spark: SparkSession, sf_dir: str) -> IvfPqIndex:
     """Build the IVF-PQ index once per corpus: coarse cell ranking
-    (ivf_ranked_cells), trained codebook (x3_pq_codebooks spelling),
-    quantized subvectors, and the inverted lists — the rn=1 cell
-    assignment joined to the PQ codes, the one corpus-sized equi join of
-    the build."""
+    (ivf_ranked_cells), trained codebook (x3_pq_codebooks spelling), and
+    the inverted lists — the rn=1 cell assignment joined to the PQ
+    codes, the one corpus-sized equi join of the build (the exploded
+    subvector frame is build-transient: consumed into the code lists,
+    never pinned)."""
     cb = _pq_det_codebook(spark, sf_dir, use_cache=True)
-    subf = _pq_quantized_sub(
-        table(spark, sf_dir, "embeddings")
-    ).localCheckpoint(eager=False)
+    subf = _pq_quantized_sub(table(spark, sf_dir, "embeddings"))
     codes = _pq_assign(subf, cb).select("vec_id", "m", "j")
     ranked = ivf_ranked_cells(spark, sf_dir)
     invl = (
@@ -1925,7 +1909,7 @@ def ivf_pq_index(spark: SparkSession, sf_dir: str) -> IvfPqIndex:
         .join(codes, "vec_id")
         .localCheckpoint(eager=False)
     )
-    return IvfPqIndex(ranked=ranked, cb=cb, subf=subf, invl=invl)
+    return IvfPqIndex(ranked=ranked, cb=cb, invl=invl)
 
 
 def ivf_pq_serve(index: IvfPqIndex, qids: DataFrame) -> DataFrame:
@@ -1934,17 +1918,26 @@ def ivf_pq_serve(index: IvfPqIndex, qids: DataFrame) -> DataFrame:
     tables resolve from the index's checkpointed members (the encoder
     seam — ids resolve vectors exactly like the RAG twin), ADC runs only
     over the probed cells' inverted lists, and the exact re-rank reads
-    the index's vector table, never parquet."""
-    probes = (
-        index.ranked.join(
+    the index's vector table, never parquet. Probe subvectors are
+    quantized per batch from that same vector table (``_pq_quantized_sub``
+    over the semi-joined rn=1 vectors — the identical floor spelling the
+    build ran, on the identical upcast doubles)."""
+    # index.ranked carries exactly the rn <= 2 cells — both probe rows
+    probes = index.ranked.join(
+        F.broadcast(qids),
+        index.ranked["vec_id"] == qids["query_id"],
+        "left_semi",
+    ).select(F.col("vec_id").alias("query_id"), "cid")
+    probe_vecs = (
+        index.ranked.where(F.col("rn") == 1)
+        .join(
             F.broadcast(qids),
             index.ranked["vec_id"] == qids["query_id"],
             "left_semi",
         )
-        .where(F.col("rn") <= 2)
-        .select(F.col("vec_id").alias("query_id"), "cid")
+        .select("vec_id", F.col("v").alias("embedding"))
     )
-    ptab = _pq_probe_ptab(index.subf, index.cb, qids)
+    ptab = _pq_probe_ptab(_pq_quantized_sub(probe_vecs), index.cb)
     adc = (
         index.invl.join(F.broadcast(probes), "cid")
         .where(F.col("vec_id") != F.col("query_id"))
