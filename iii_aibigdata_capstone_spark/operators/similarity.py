@@ -2045,8 +2045,15 @@ def x3_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two x3_cosine_topk-shaped passes over the corpus (the
     truth pass is the evaluation's cost, not the detector's); the eval
     join touches two <= probes x {ANN_EVAL_K} rank lists — bounded by
-    the query batch at any corpus size."""
-    ev = with_norm(table(spark, sf_dir, "embeddings")).select("vec_id", "v", "norm")
+    the query batch at any corpus size. The normed projection is
+    checkpointed ONCE: four consumers read it (each lane's probe and
+    corpus sides) — without the boundary the parquet scan runs four
+    times."""
+    ev = (
+        with_norm(table(spark, sf_dir, "embeddings"))
+        .select("vec_id", "v", "norm")
+        .localCheckpoint(eager=False)
+    )
     evt = ev.select(
         "vec_id", F.slice(F.col("v"), 1, TRUNC_DIM).alias("v")
     ).withColumn("norm", l2_norm(F.col("v")))
