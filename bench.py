@@ -449,12 +449,34 @@ def main() -> None:
                     pass
 
     total = round(sum(timings.values()), 3)
+    # Provenance stamp (review r11): a fresh per-run id rides BOTH the
+    # sidecar and the stdout line, so round_close can detect the driver's
+    # post-round overwrite EXACTLY (BENCH_r{N}.json's parsed.run_id ==
+    # BENCH_FULL.json's run_id — no scalar-total collision), and the
+    # git sha makes any artifact's code provenance auditable.
+    import uuid
+
+    run_id = uuid.uuid4().hex
+    try:
+        git_sha = (
+            subprocess.run(
+                ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+                capture_output=True,
+                text=True,
+                timeout=10,
+            ).stdout.strip()
+            or None
+        )
+    except Exception:
+        git_sha = None
     out = {
         "metric": "headline_queries_total_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "run_id": run_id,
+        "git_sha": git_sha,
     }
     if errors:
         out["errors"] = errors
@@ -485,6 +507,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_errors": len(errors),
                 "queries_file": "BENCH_FULL.json",
+                "run_id": run_id,
             }
         )
     sys.stderr.flush()

@@ -13,6 +13,36 @@ from iii_aibigdata_capstone_spark.queries import registry
 from .conftest import TEST_SF_DIR
 
 
+def replay_fold_dot(u, v):
+    """Left-fold dot product in index order — bit-identical to the
+    engine's F.aggregate accumulation. ONE spelling for every
+    float-replay test (rag_eval, truncation_eval): the bit-identity
+    discipline must not fork per test."""
+    acc = 0.0
+    for x, y in zip(u, v):
+        acc = acc + x * y
+    return acc
+
+
+def replay_fold_norm(u):
+    """sqrt of the left-fold self-dot — the engine's l2_norm spelling."""
+    import math
+
+    return math.sqrt(replay_fold_dot(u, u))
+
+
+def replay_rnd6(x):
+    """HALF_UP at 6 decimals over the SHORTEST decimal repr.
+    Decimal(repr(x)), NOT Decimal(x): Spark's Round on doubles goes
+    through BigDecimal.valueOf = the shortest repr (what
+    Double.toString / python repr both produce), while Decimal(x)
+    expands the exact binary value — the two can HALF_UP a
+    boundary-adjacent cosine differently (review r11)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
 def test_hll_rollup_within_error_bound(spark):
     """HLL estimates (default lgConfigK=12 → ~1.6% rse) must land within
     5% of exact distinct counts, per group and for the sketch-union row."""
@@ -1109,9 +1139,6 @@ def test_rag_eval_matches_python_grading(spark):
     HALF_UP rounding as the engine's dot/l2_norm/round, so the floats
     are bit-identical); hits, recall@5 and nDCG@5 are integer arithmetic
     on those lists with the precomputed _NDCG_DISC_MICRO discounts."""
-    import math
-    from decimal import ROUND_HALF_UP, Decimal
-
     from iii_aibigdata_capstone_spark.operators.curation import (
         _NDCG_DISC_MICRO,
         RAG_LANE_K,
@@ -1120,15 +1147,12 @@ def test_rag_eval_matches_python_grading(spark):
         RRF_K,
         RRF_SCALE,
         _bm25_doc_ranks,
+        _resident_probe_queries,
         rag_index,
     )
 
     index = rag_index(spark, TEST_SF_DIR)
-    qterms = (
-        index.tf.where(F.col("doc_id") < RAG_PROBES)
-        .select(F.col("doc_id").alias("query_id"), "term")
-        .distinct()
-    )
+    _qids, qterms = _resident_probe_queries(spark, index)
     b: dict[int, dict[int, int]] = {}
     for r in _bm25_doc_ranks(index, qterms).collect():
         b.setdefault(r.query_id, {})[r.doc_id] = r.br
@@ -1138,26 +1162,7 @@ def test_rag_eval_matches_python_grading(spark):
         for r in table(spark, TEST_SF_DIR, "embeddings").collect()
     }
 
-    def fold_dot(u, v):
-        acc = 0.0
-        for x, y in zip(u, v):
-            acc = acc + x * y
-        return acc
-
-    def fold_norm(u):
-        acc = 0.0
-        for x in u:
-            acc = acc + x * x
-        return math.sqrt(acc)
-
-    def rnd6(x):
-        # Decimal(repr(x)), NOT Decimal(x): Spark's Round on doubles goes
-        # through BigDecimal.valueOf = the SHORTEST decimal repr (what
-        # Double.toString / python repr both produce), while Decimal(x)
-        # expands the exact binary value — the two can HALF_UP a
-        # boundary-adjacent cosine differently (review r11)
-        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
-
+    fold_dot, fold_norm, rnd6 = replay_fold_dot, replay_fold_norm, replay_rnd6
     norm = {i: fold_norm(v) for i, v in embs.items()}
     truth: dict[int, dict[int, int]] = {}
     for q in range(RAG_PROBES):
@@ -1480,27 +1485,13 @@ def test_truncation_eval_matches_python_replay(spark):
     index order — the engine's F.aggregate order — and HALF_UP rounding
     of the shortest double repr, BigDecimal.valueOf semantics), then
     hits/recall/MRR as integer arithmetic on those lists."""
-    from decimal import ROUND_HALF_UP, Decimal
-
     from iii_aibigdata_capstone_spark.operators.similarity import (
         ANN_EVAL_K,
         N_QUERIES,
         TRUNC_DIM,
     )
 
-    import math
-
-    def rnd6(x: float) -> float:
-        return float(
-            Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
-        )
-
-    def fold_dot(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + x * y
-        return acc
-
+    fold_dot, rnd6 = replay_fold_dot, replay_rnd6
     vecs = {
         r.vec_id: [float(x) for x in r.embedding]
         for r in table(spark, TEST_SF_DIR, "embeddings")
@@ -1510,9 +1501,7 @@ def test_truncation_eval_matches_python_replay(spark):
 
     def topk(dims):
         sliced = {i: v[:dims] for i, v in vecs.items()}
-        norms = {
-            i: math.sqrt(fold_dot(v, v)) for i, v in sliced.items()
-        }
+        norms = {i: replay_fold_norm(v) for i, v in sliced.items()}
         out = {}
         for q in range(N_QUERIES):
             scored = [

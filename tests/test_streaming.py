@@ -1157,7 +1157,10 @@ def test_continuous_factory_equals_batch_factory(spark):
                 "admission==keep-best equivalence does not hold on this "
                 f"corpus (cluster {sorted(members)})"
             )
-    dropped = sorted((good - keepers) | (good - survivor_ids))
+    # keepers <= survivor_ids <= good, so good - keepers IS the union of
+    # both drop reasons (review r11: the redundant second term implied
+    # the sets could differ)
+    dropped = sorted(good - keepers)
     assert len(dropped) >= 2, "need dropped dups to split across batches"
     batch1 = sorted(set(info) - set(dropped))  # keepers + gate-failers
     batch2, batch3 = dropped[0::2], dropped[1::2]

@@ -181,16 +181,26 @@ def main() -> int:
         prev = os.path.join(REPO, f"BENCH_CANONICAL_r{rnd - 1:02d}.json")
         is_prev = os.path.exists(prev) and open(prev).read() == content
         # is this the DRIVER's own post-round run? The driver records its
-        # run's stdout as BENCH_r{rnd-1}.json — an exact total match
-        # fingerprints the overwrite even though it is canonical-shaped
-        # and mtime-fresh (review r11).
+        # run's stdout as BENCH_r{rnd-1}.json. Since review r11 bench.py
+        # stamps a per-run run_id into BOTH the stdout line and the
+        # sidecar, so the overwrite is detected EXACTLY when both carry
+        # one; the scalar-total fingerprint remains only as the fallback
+        # for pre-stamp artifacts, guarded against the None == None hole
+        # (two value-less files must not fingerprint as the same run).
         drv = os.path.join(REPO, f"BENCH_r{rnd - 1:02d}.json")
         is_driver = False
         if os.path.exists(drv):
             try:
-                is_driver = json.load(open(drv)).get("parsed", {}).get(
-                    "value"
-                ) == full.get("value")
+                parsed = json.load(open(drv)).get("parsed") or {}
+                if parsed.get("run_id") is not None or full.get("run_id") is not None:
+                    is_driver = parsed.get("run_id") == full.get("run_id") and (
+                        full.get("run_id") is not None
+                    )
+                else:
+                    is_driver = (
+                        full.get("value") is not None
+                        and parsed.get("value") == full.get("value")
+                    )
             except (json.JSONDecodeError, AttributeError):
                 pass
         if full.get("sf") != 0.1 or not want <= covered:
