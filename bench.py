@@ -134,6 +134,7 @@ HEADLINE = [
     "x3_ivf_pq_topk",
     "x3_truncation_eval",
     "x4_decontam_eval",
+    "x3_ivf_pq_eval",
 ]
 
 # The two non-registry entries, timed by the last chunk.
@@ -238,9 +239,17 @@ BENCH_NOTES = (
     " untouched movers pin the shift as environment, not code:"
     " x3_power_iteration steady 2.00 (r10 bench 2.05 — UNCHANGED, though"
     " the worst run read it 3.33) and q2_min_cost_supplier steady 1.39"
-    " (matches the canonical run's 1.42 reading). The committed artifact"
-    " is the best-of-three; today's machine runs ~1.13x r10's day on"
-    " identical code."
+    " (matches the canonical run's 1.42 reading). Today's machine runs"
+    " ~1.13x r10's day on identical code."
+    " Final r11 canonical (98 entries, after x3_ivf_pq_eval landed):"
+    " 181.3s / 98 / 0 errors — common-97 vs the 168.6s run at 1.056x"
+    " (in-band); its two >1.5x single-lane readings decay-cleared same"
+    " day: x2_dedup_eval benched 5.9 but steady 2.60/min 2.29 (its"
+    " r10-adjudicated band), x1_ingest_growing benched 15.9 but steady"
+    " 9.28/min 8.98 (one 35.6s outlier inside the 12-run decay itself"
+    " confirms the intermittent host stalls behind today's band)."
+    " x3_ivf_pq_eval costs 2.7-3.2s steady (probe alphas 0.01 / 0.50"
+    " top decade)."
 )
 
 

@@ -61,17 +61,25 @@ def ivf_rank_ctes(e_cte: str = "e", p: str = "") -> str:
         )"""
 
 
+def _rerank_scored_sql(cand_cte: str, e_cte: str = "e") -> str:
+    """Exact rounded-cosine scoring of ``(query_id, neighbor_id)``
+    candidate pairs against a ``(vec_id, v)`` CTE — the ONE oracle
+    spelling of the rerank scoring, shared by the top-3 tail and the
+    IVF-PQ evaluation lane."""
+    return f"""SELECT s.query_id, s.neighbor_id,
+                   ROUND({_COS}, 6) AS cosine
+            FROM {cand_cte} s
+            JOIN {e_cte} a ON a.vec_id = s.query_id
+            JOIN {e_cte} b ON b.vec_id = s.neighbor_id"""
+
+
 def _rerank_top3_sql(cand_cte: str) -> str:
     """Shared oracle tail of the ANN cascades: exact rounded-cosine top-3
     per probe over a ``(query_id, neighbor_id)`` candidate CTE. ONE
     definition — the ADC and sign-LSH lanes must rerank identically."""
     return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         rerank AS (
-            SELECT s.query_id, s.neighbor_id,
-                   ROUND({_COS}, 6) AS cosine
-            FROM {cand_cte} s
-            JOIN e a ON a.vec_id = s.query_id
-            JOIN e b ON b.vec_id = s.neighbor_id
+            {_rerank_scored_sql(cand_cte)}
         )
         SELECT query_id, neighbor_id, cosine FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1809,7 +1817,21 @@ def _ivf_pq_oracle() -> str:
     codes/ptab CTEs + cell-restricted ADC + shortlist + exact rerank."""
     return dedent(
         "WITH "
-        + _pq_det_cb_ctes()
+        + _ivf_pq_short_ctes()
+        + f""",
+        {_rerank_top3_sql("short")}
+        """
+    )
+
+
+def _ivf_pq_short_ctes() -> str:
+    """WITH-body: the ENTIRE IVF-PQ cascade up to the ``short`` shortlist
+    (trained codebook + codes/ptab + IVF assignment + cell-restricted
+    ADC) — ONE spelling shared by the x3_ivf_pq_topk oracle (which
+    reranks it to top-3) and the x3_ivf_pq_eval oracle (which grades the
+    reranked list against the exact baseline)."""
+    return (
+        _pq_det_cb_ctes()
         + ",\n        "
         + _pq_codes_ptab_ctes()
         + f""",
@@ -1834,9 +1856,7 @@ def _ivf_pq_oracle() -> str:
                                           ORDER BY adc_dist, neighbor_id) AS rn
                 FROM ivfadc
             ) WHERE rn <= {IVFPQ_SHORTLIST}
-        ),
-        {_rerank_top3_sql("short")}
-        """
+        )"""
     )
 
 
@@ -2060,3 +2080,74 @@ def x3_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_top = _brute_ranked_topk(ev, ANN_EVAL_K).select("query_id", "neighbor_id")
     trunc_top = _brute_ranked_topk(evt, ANN_EVAL_K)
     return _eval_hit_metrics(trunc_top, exact_top, ANN_EVAL_K)
+
+
+# --- X3: IVF-PQ quality evaluation (the composed cascade's recall) ----------
+
+
+def _ivf_pq_eval_oracle() -> str:
+    return dedent(
+        "WITH "
+        + _ivf_pq_short_ctes()
+        + f""",
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        rerank AS (
+            {_rerank_scored_sql('short')}
+        ),
+        approx_top AS MATERIALIZED (
+            {_topk_cte_sql('rerank', ANN_EVAL_K, with_rnk=True)}
+        ),
+        exact_scored AS (
+            {_brute_scored_sql('e')}
+        ),
+        exact_top AS MATERIALIZED (
+            {_topk_cte_sql('exact_scored', ANN_EVAL_K, with_rnk=False)}
+        ),
+        {_eval_tail_sql('approx_top', 'exact_top', ANN_EVAL_K)}
+        """
+    )
+
+
+@query(
+    "x3_ivf_pq_eval",
+    oracle=_ivf_pq_eval_oracle(),
+    tags=("X3", "evaluation", "pq", "ivf"),
+)
+def x3_ivf_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ quality evaluation — the detect -> evaluate pair for the
+    COMPOSED index: per probe, recall@{ANN_EVAL_K} and MRR of the full
+    IVF+PQ cascade (x3_ivf_pq_topk: nprobe=2 cells -> integer ADC ->
+    {IVFPQ_SHORTLIST}-deep shortlist -> exact rerank) against the exact
+    brute-force top-{ANN_EVAL_K}. x3_ann_eval grades the IVF restriction
+    alone (~0.9 recall at test SFs); this lane adds the PQ compression
+    and shortlist pruning on top (~0.73-0.8 measured) — the number that
+    prices the ADC shortlist knob before a corpus-sized reindex, now
+    driver-hash-checked instead of a test-only measurement.
+
+    One-spelling discipline: the cascade IS ivf_pq_serve over the
+    registered lane's own index (then re-ranked for rnk — replaying the
+    serve output's own (cosine desc, id) ordering); the truth is
+    _brute_ranked_topk; metrics are _eval_hit_metrics; the oracle chains
+    _ivf_pq_short_ctes + _rerank_scored_sql + the shared eval fragments.
+
+    Scale shape: the cascade side is the serving plan (checkpoint-fed,
+    bounded broadcasts); the truth pass is one x3_cosine_topk-shaped
+    corpus scan with the bounded probe side broadcast (the evaluation's
+    own cost); the hit join touches two <= probes x {ANN_EVAL_K} rank
+    lists."""
+    served = ivf_pq_serve(
+        ivf_pq_index(spark, sf_dir), _resident_probe_ids(spark)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    approx = served.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).select("query_id", "neighbor_id", "rnk")
+    ev = with_norm(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "v", "norm"
+    )
+    exact_top = _brute_ranked_topk(ev, ANN_EVAL_K).select(
+        "query_id", "neighbor_id"
+    )
+    return _eval_hit_metrics(approx, exact_top, ANN_EVAL_K)

@@ -1582,3 +1582,37 @@ def test_decontam_eval_matches_python_replay(spark):
     assert set(got) == set(buckets)
     for sev, (n_docs, n_det) in buckets.items():
         assert got[sev] == (n_docs, n_det, (1_000_000 * n_det) // n_docs), sev
+
+
+def test_ivf_pq_eval_matches_lane_intersection(spark):
+    """x3_ivf_pq_eval: per-query hits must equal the python intersection
+    of the two registered lanes' outputs (exact cosine top-3 vs the
+    IVF-PQ cascade top-3), recall/MRR the exact integer arithmetic of
+    those hits, every probe scored — the test_ann_eval pattern pointed
+    at the composed index."""
+    from iii_aibigdata_capstone_spark.operators.similarity import (
+        ANN_EVAL_K,
+        N_QUERIES,
+    )
+
+    exact = {}
+    for r in registry()["x3_cosine_topk"].builder(spark, TEST_SF_DIR).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in registry()["x3_ivf_pq_topk"].builder(spark, TEST_SF_DIR).collect():
+        approx.setdefault(r.query_id, []).append((r.cosine, r.neighbor_id))
+
+    rows = registry()["x3_ivf_pq_eval"].builder(spark, TEST_SF_DIR).collect()
+    assert {r.query_id for r in rows} == set(range(N_QUERIES))
+    for r in rows:
+        ranked = [
+            n
+            for _c, n in sorted(approx[r.query_id], key=lambda t: (-t[0], t[1]))
+        ]
+        want_hits = len(set(ranked) & exact[r.query_id])
+        assert r.hits == want_hits, r.query_id
+        assert r.recall_micro == (1_000_000 * want_hits) // ANN_EVAL_K
+        first = next(
+            (i + 1 for i, n in enumerate(ranked) if n in exact[r.query_id]), 0
+        )
+        assert r.mrr_micro == (1_000_000 // first if first else 0), r.query_id

@@ -863,6 +863,24 @@ GALLERY = [
         ],
     ),
     (
+        "x3_ivf_pq_eval",
+        "x3_ivf_pq_eval",
+        "IVF-PQ cascade evaluation: the cascade side is the serving plan "
+        "(checkpoint-fed inverted lists, broadcast probes/ptab/codebook), "
+        "the truth side is one bounded-probe brute pass, and the hit "
+        "detection is an equi LEFT join of two <= probes x k rank lists "
+        "with integer metrics. The only nested-loop join is the truth "
+        "lane's bounded probe self-exclusion (the x3_ann_eval precedent).",
+        [
+            ("no CartesianProduct", lambda a: "CartesianProduct" not in a.text),
+            (
+                "exactly one BNLJ: the truth lane's bounded probe self-exclusion",
+                lambda a: bnlj_count(a) == 1,
+            ),
+            ("no Python operators", lambda a: a.python_map_operators == 0),
+        ],
+    ),
+    (
         "x4_decontam_eval",
         "x4_decontam_eval",
         "Sampled-index decontamination recall vs the full 5-gram truth: "

@@ -130,6 +130,7 @@ DEFAULT = [
     "x3_ivf_pq_topk",
     "x3_truncation_eval",
     "x4_decontam_eval",
+    "x3_ivf_pq_eval",
 ]
 
 
