@@ -32,6 +32,7 @@ import subprocess
 import sys
 import tempfile
 import time
+import uuid
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
@@ -142,115 +143,18 @@ SPECIALS = ["flagship", "st_stream_drain"]
 
 
 # Round-over-round adjudications the judge asked to carry with the metric.
-BENCH_NOTES = (
-    "x2_simhash r5 drift (1.15->1.65s) adjudicated r6 as shared-JVM noise:"
-    " 12-run standalone at sf0.1 decays 12.9->1.31s (steady-state min 1.31s,"
-    " 1.14x r4) with the intended plan unchanged (banded equi-join, one"
-    " size-gated AQE broadcast, no cartesian); the bench's best-of-4 simply"
-    " sampled a still-warming JIT window."
-    " r8: two runs on near-identical code measured common-81 at 1.04x and"
-    " 1.12x r7 — the diffuse end-of-round drift sits on UNTOUCHED lanes"
-    " (m4_lloyd benched 5.70s vs its r8 12-run standalone floor of"
-    " 4.6-4.8s recorded in PLANS.md), i.e. shared-JVM load, not plan"
-    " regressions; per-query deltas inside ~12% remain noise until a"
-    " standalone decay says otherwise."
-    " r9: the three r8 watch items adjudicated by 12-run standalone decay"
-    " at sf0.1 (fresh JVM each, code untouched since r7):"
-    " x3_pq_codebooks steady 3.86s (r7 benched 3.72), x2_paragraph_dedup"
-    " steady 2.55s (r7 2.49), x1_fuzzy_dedup_pipeline steady 2.81s (r7"
-    " 2.58) — all at their r7 levels, so the r8 readings (4.82/3.17/3.21s)"
-    " were shared-JVM contamination; the structural fix is this round's"
-    " fresh-JVM chunked bench (SPARK_GRAFT_BENCH_CHUNKS, default 4)."
-    " Chunked-bench reproducibility, measured on three same-code r9 runs:"
-    " common-query total ratios 1.135 (run2/run1), 0.944 (run3/run2) —"
-    " the residual band is MACHINE-level (diffuse movers sit at identical"
-    " chunk positions across runs; intra-chunk JVM drift is bounded now),"
-    " so the ~12%-is-noise rule stands and the 12-run standalone decay"
-    " remains the adjudicator for any single-lane mover."
-    " r10: the four r9 watch items adjudicated (tools/decay.py, 12-run"
-    " fresh-JVM at sf0.1). x10_hyperball min 4.51s (r8 benched 4.63) and"
-    " x10_bfs_levels min 1.86s (r8 1.89) are AT their r8 levels — noise."
-    " x4_bm25_search (min 1.32 / steady 1.43 vs r8's 0.95) and"
-    " x3_power_iteration (min 2.60 / steady 2.93 vs r8's 1.62) are"
-    " byte-identical to their r8 code (git diff r8..r10 on textual.py is"
-    " empty; similarity.py changes touch only ivf factoring + appended"
-    " ann_eval), so no plan change exists; their r8 numbers came from the"
-    " pre-r9 IN-PROCESS bench where both ran ~60 queries deep in a fully"
-    " JIT-warmed shared JVM — a methodology retired in r9. The decay"
-    " floors agree with the r9 chunked bench (1.35 / 2.13), i.e. the"
-    " fresh-JVM chunk numbers ARE the steady state under the current"
-    " harness; r8-vs-r9 deltas on these lanes are cross-methodology, not"
-    " regressions. Canonical bench number per round = the committed"
-    " BENCH_FULL.json run (quoted once in README; no parallel totals)."
-    " r10 adjudicated-by-construction: x1_minhash_ingest 1.69 -> ~2.5s"
-    " (12-run decay steady 2.64, min 2.41) from the IngestIndex refactor"
-    " — the lane now builds the checkpointed index (hashes/bands/"
-    " shingles, 3 materializations) and probes it through the shared"
-    " ingest_admit spelling, instead of one fused shingle pass; the"
-    " extra second is index-BUILD cost that a deployment amortizes"
-    " across every subsequent micro-batch (the registered query pays"
-    " build+probe inline), accepted for the stream==batch one-spelling"
-    " contract."
-    " r10 final-bench movers adjudicated same-round by 12-run decay:"
-    " x3_mmr_rerank benched 1.62 but decays to steady 1.20 (r9 1.17) and"
-    " x10_triangle_count benched 3.19 but decays to steady 2.06 (r9"
-    " benched 2.33) — both NOISE at their r9 levels; the canonical r10"
-    " number is the committed BENCH_FULL.json run (the FINAL-code run):"
-    " 133.8s / 92 entries / 0 errors on the final code. Five r10 runs"
-    " spanned 123.1-141.5s on a machine whose band widened through the"
-    " day; the 141.5 run started straight after a 9-min pytest marathon"
-    " and shows DIFFUSE 20-80% movers on untouched lanes (m4_lloyd,"
-    " pq_codebooks, bloom_semijoin...) — machine heat, not code; the"
-    " committed artifact is the cooled-down final-code run."
-    " r10 post-bench rework (4th review pass): x2_dedup_eval ~2.1 ->"
-    " ~2.8s steady — its verify now IS exact_jaccard_verify (the one"
-    " spelling every detection lane runs, with precomputed sizes +"
-    " emit_lang) instead of an inline re-spelling; the ~0.7s is one"
-    " extra sized-frame join, accepted so the evaluation grades the"
-    " real verify. x1_minhash_ingest unchanged at ~2.5-2.7s steady"
-    " while its per-batch verify now scales with the CANDIDATE set"
-    " (IngestIndex ships precomputed sizes; resident shingles semi-join"
-    " to candidates) instead of re-aggregating the resident corpus"
-    " per micro-batch. Common-89 vs r9 spans 0.976-1.006x across the"
-    " clean runs, i.e. flat."
-    " r11: the three r10 watch items adjudicated (tools/decay.py, 12-run"
-    " fresh-JVM at sf0.1, cooled machine, round start). x10_modularity"
-    " steady 4.08 / min 3.71 — graph.py is byte-identical since r9, so"
-    " the driver's 6.84 (2.01x) reading was machine heat (that run's"
-    " diffuse movers are documented above); the r10 canonical 4.23 and"
-    " this decay agree. x1_fuzzy_dedup_pipeline steady 2.62 / min 2.61 —"
-    " BELOW its r9 adjudicated steady of 2.81; noise. x9_rag_pipeline"
-    " steady 4.42 / min 3.88 vs r9's benched 3.23: the rag path is"
-    " byte-identical since r9 (git diff r9..r10 on curation.py's rag"
-    " functions + doc_chunks + similarity/textual BM25/IVF helpers shows"
-    " docstring-only changes; the r10 refactor touched the FACTORY"
-    " fragments), and r9's own committed runs span 3.23-4.1s on this lane"
-    " (cfcdc7c recorded 4.1s same-code), so 4.42 sits at the top of the"
-    " lane's measured same-code band — no plan change exists to explain a"
-    " regression; carried as band, re-check if a future decay floor"
-    " exceeds ~4.5s."
-    " r11 canonical: 168.6s / 97 entries / 0 errors — 151.7s over the"
-    " common-92 (1.134x the r10 canonical, DIFFUSE: the >1.25x movers are"
-    " all byte-identical-code lanes incl. flagship and q2) plus 16.9s of"
-    " genuinely new lanes (x1_ingest_growing 8.1 — a 3-stage sequential"
-    " fold by construction, sf1 probe alpha 0.24; x9_rag_eval 4.3;"
-    " x3_ivf_pq_topk 2.4; x4_decontam_eval 1.2; x3_truncation_eval 0.9)."
-    " Three same-code runs spanned 168.6-218.7s; same-day decay floors on"
-    " untouched movers pin the shift as environment, not code:"
-    " x3_power_iteration steady 2.00 (r10 bench 2.05 — UNCHANGED, though"
-    " the worst run read it 3.33) and q2_min_cost_supplier steady 1.39"
-    " (matches the canonical run's 1.42 reading). Today's machine runs"
-    " ~1.13x r10's day on identical code."
-    " Final r11 canonical (98 entries, after x3_ivf_pq_eval landed):"
-    " 181.3s / 98 / 0 errors — common-97 vs the 168.6s run at 1.056x"
-    " (in-band); its two >1.5x single-lane readings decay-cleared same"
-    " day: x2_dedup_eval benched 5.9 but steady 2.60/min 2.29 (its"
-    " r10-adjudicated band), x1_ingest_growing benched 15.9 but steady"
-    " 9.28/min 8.98 (one 35.6s outlier inside the 12-run decay itself"
-    " confirms the intermittent host stalls behind today's band)."
-    " x3_ivf_pq_eval costs 2.7-3.2s steady (probe alphas 0.01 / 0.50"
-    " top decade)."
-)
+# The ledger itself is the TRACKED, APPEND-ONLY BENCH_NOTES.md (promoted
+# from this module's former inline string, VERDICT r11 item 3): history
+# survives the driver's in-place overwrite of BENCH_FULL.json, and README/
+# commit references to "BENCH_NOTES" resolve to a real file. Embedded
+# verbatim into every artifact's "notes" field so the artifact stays
+# self-contained.
+def bench_notes() -> str:
+    try:
+        with open(os.path.join(REPO, "BENCH_NOTES.md")) as fh:
+            return fh.read()
+    except OSError:
+        return "(BENCH_NOTES.md missing from repo checkout)"
 
 
 def run_to_completion(df) -> None:
@@ -314,8 +218,6 @@ def run_slice(names: list[str]) -> tuple[dict[str, float], dict[str, str]]:
     # window store), not just batch operators. Row count scales with SF so
     # the probe tracks data volume like every other entry.
     def stream_drain(spark, _sf_dir):
-        import uuid
-
         from pyspark.sql import functions as SF
 
         from iii_aibigdata_capstone_spark.sources import register
@@ -463,8 +365,6 @@ def main() -> None:
     # post-round overwrite EXACTLY (BENCH_r{N}.json's parsed.run_id ==
     # BENCH_FULL.json's run_id — no scalar-total collision), and the
     # git sha makes any artifact's code provenance auditable.
-    import uuid
-
     run_id = uuid.uuid4().hex
     try:
         git_sha = (
@@ -489,7 +389,7 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    out["notes"] = BENCH_NOTES
+    out["notes"] = bench_notes()
     # Full artifact (per-query map, errors) goes to a sidecar file: the
     # driver captures only the TAIL of stdout, and at 74 headline queries
     # the single-line JSON outgrew that window in round 5 — the captured
