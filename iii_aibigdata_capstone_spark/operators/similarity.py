@@ -94,8 +94,8 @@ def _cosine_rerank_top3(cand: DataFrame, e_all: DataFrame) -> DataFrame:
     ``_rerank_top3_sql``, shared by the ADC and sign-LSH cascades:
     delegates to ``_cosine_rerank_top3_from`` (ONE spelling of the
     determinism-critical tail) with the with_norm vector projection and
-    the resident probe set (a semi-join to range({N_QUERIES}) — the same
-    rows as the historical vec_id < {N_QUERIES} filter)."""
+    the resident probe set (a semi-join to range(N_QUERIES) — the same
+    rows as the historical vec_id < N_QUERIES filter)."""
     vecs = with_norm(e_all).select("vec_id", "v", "norm")
     return _cosine_rerank_top3_from(
         vecs, cand, _resident_probe_ids(e_all.sparkSession)
@@ -866,12 +866,12 @@ PQ_DET_SCALE = 1_000_000  # fixed-point quantization of embedding components
 PQ_DET_TRAIN = 4096  # training slice: vec_id < N (ids are dense from 0)
 
 
-def _pq_det_cb_ctes() -> str:
-    """WITH-body prefix shared by every deterministic-PQ oracle: the
-    quantized subvector rows (``subf`` = full corpus, ``sub`` = training
-    slice) and the unrolled Lloyd iterations ending at cb{ITERS}."""
-    parts = [
-        f"""
+def _pq_subf_cte() -> str:
+    """The ``subf`` CTE alone: fixed-point quantized subvector rows of
+    the whole corpus — the oracle twin of ``_pq_quantized_sub``, shared
+    by the raw-codebook prefix (``_pq_det_cb_ctes``) and the residual
+    IVF-PQ chain (which derives residual rows from it before training)."""
+    return f"""
         subf AS MATERIALIZED (
             SELECT vec_id,
                    CAST((pos - 1) // {PQ_DET_DSUB} AS BIGINT) AS m,
@@ -883,15 +883,23 @@ def _pq_det_cb_ctes() -> str:
                        UNNEST(RANGE(1, {PQ_DET_M * PQ_DET_DSUB} + 1)) AS pos
                 FROM embeddings
             )
-        ),
-        sub AS MATERIALIZED (
-            SELECT * FROM subf WHERE vec_id < {PQ_DET_TRAIN}
-        ),
-        seeds AS MATERIALIZED (
+        )"""
+
+
+def _pq_train_ctes(train: str) -> str:
+    """md5-seeded init + the unrolled Lloyd iterations ending at
+    cb{{PQ_DET_ITERS}}, over a training CTE ``train`` carrying ``(vec_id,
+    m, d, q)`` — ONE training spelling for the raw codebook (train =
+    the ``sub`` slice of ``subf``) and the residual codebook (train =
+    the residual rows of the same slice). The seed hash depends only on
+    (vec_id, m), so both codebooks pick the same seed VECTORS; cb0 takes
+    the picked vectors' ``q`` values from ``train`` itself."""
+    parts = [
+        f"""seeds AS MATERIALIZED (
             SELECT vec_id, m,
                    CAST('0x' || SUBSTR(MD5(CAST(m AS VARCHAR) || ':' ||
                         CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
-            FROM (SELECT DISTINCT vec_id, m FROM sub)
+            FROM (SELECT DISTINCT vec_id, m FROM {train})
         ),
         picked AS (
             SELECT m, j, vec_id FROM (
@@ -903,7 +911,7 @@ def _pq_det_cb_ctes() -> str:
         ),
         cb0 AS MATERIALIZED (
             SELECT s.m, p.j, s.d, s.q AS c
-            FROM picked p JOIN sub s ON s.vec_id = p.vec_id AND s.m = p.m
+            FROM picked p JOIN {train} s ON s.vec_id = p.vec_id AND s.m = p.m
         )"""
     ]
     for i in range(PQ_DET_ITERS):
@@ -912,7 +920,7 @@ def _pq_det_cb_ctes() -> str:
         dist{i} AS MATERIALIZED (
             SELECT s.vec_id, s.m, c.j,
                    SUM((s.q - c.c) * (s.q - c.c)) AS dist
-            FROM sub s JOIN cb{i} c ON c.m = s.m AND c.d = s.d
+            FROM {train} s JOIN cb{i} c ON c.m = s.m AND c.d = s.d
             GROUP BY 1, 2, 3
         ),
         asg{i} AS MATERIALIZED (
@@ -929,12 +937,28 @@ def _pq_det_cb_ctes() -> str:
             FROM cb{i} p LEFT JOIN (
                 SELECT s.m, a.j, s.d,
                        CAST(FLOOR(SUM(s.q) / COUNT(*) + 0.5) AS BIGINT) AS mean_c
-                FROM asg{i} a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+                FROM asg{i} a JOIN {train} s ON s.vec_id = a.vec_id AND s.m = a.m
                 GROUP BY 1, 2, 3
             ) n ON n.m = p.m AND n.j = p.j AND n.d = p.d
         )"""
         )
     return "".join(parts)
+
+
+def _pq_det_cb_ctes() -> str:
+    """WITH-body prefix shared by every RAW deterministic-PQ oracle: the
+    quantized subvector rows (``subf`` = full corpus, ``sub`` = training
+    slice) and the unrolled Lloyd iterations ending at cb{{PQ_DET_ITERS}}
+    (``_pq_train_ctes`` over ``sub``)."""
+    return (
+        _pq_subf_cte()
+        + f""",
+        sub AS MATERIALIZED (
+            SELECT * FROM subf WHERE vec_id < {PQ_DET_TRAIN}
+        ),
+        """
+        + _pq_train_ctes("sub")
+    )
 
 
 def _pq_det_oracle() -> str:
@@ -1011,7 +1035,7 @@ _PQ_CB_CACHE: dict = {}
 def _pq_det_codebook(
     spark: SparkSession, sf_dir: str, use_cache: bool = False
 ) -> DataFrame:
-    """The trained deterministic codebook (m, j, d, c) — see
+    """The RAW trained deterministic codebook (m, j, d, c) — see
     x3_pq_codebooks for the full story. Checkpointed; with ``use_cache``
     the most recently trained codebook for this (session, sf_dir) is
     reused (identical lineage, so downstream hashes are unchanged)."""
@@ -1019,7 +1043,20 @@ def _pq_det_codebook(
     if use_cache and key in _PQ_CB_CACHE:
         return _PQ_CB_CACHE[key]
     e = table(spark, sf_dir, "embeddings").where(F.col("vec_id") < PQ_DET_TRAIN)
-    sub = _pq_quantized_sub(e).localCheckpoint(eager=False)
+    cb = _pq_train_codebook(_pq_quantized_sub(e))
+    _PQ_CB_CACHE[key] = cb
+    return cb
+
+
+def _pq_train_codebook(sub: DataFrame) -> DataFrame:
+    """The deterministic PQ trainer core over a ``(vec_id, m, d, q)``
+    training frame: md5-seeded init + the PQ_DET_ITERS unrolled Lloyd
+    iterations, all exact integer arithmetic — ONE training spelling for the raw
+    codebook (``_pq_det_codebook``) and the residual codebook
+    (``ivf_pq_index`` trains on cell-residual rows). The Spark twin of
+    ``_pq_train_ctes``; the seed hash depends only on (vec_id, m), so
+    raw and residual training pick the same seed vectors."""
+    sub = sub.localCheckpoint(eager=False)
 
     h = (
         F.conv(
@@ -1073,7 +1110,6 @@ def _pq_det_codebook(
             )
             .localCheckpoint(eager=False)
         )
-    _PQ_CB_CACHE[key] = cb
     return cb
 
 
@@ -1102,22 +1138,32 @@ def x3_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_DET_SHORTLIST = 200  # ADC prune size before exact re-ranking
 
 
-def _pq_codes_ptab_ctes() -> str:
-    """Encode + query-distance-table CTEs shared by every ADC consumer:
-    ``codes`` (every vector's per-subspace nearest trained centroid) and
-    ``ptab`` (each probe's (subspace, centroid) integer distance table).
-    ONE spelling — the global-ADC and IVF-restricted-ADC lanes must
-    encode and build lookup tables identically."""
+def _pq_encode_cte(src: str) -> str:
+    """The ``codes`` CTE: every vector's per-subspace nearest trained
+    centroid over a ``(vec_id, m, d, q)`` CTE ``src`` — ONE encode
+    spelling for the raw global-ADC lane (src = ``subf``) and the
+    residual IVF-PQ chain (src = the residual rows). The oracle twin of
+    ``_pq_assign``'s argmin."""
     return f"""codes AS MATERIALIZED (
             SELECT vec_id, m, j FROM (
                 SELECT s.vec_id, s.m, c.j,
                        ROW_NUMBER() OVER (
                            PARTITION BY s.vec_id, s.m
                            ORDER BY SUM((s.q - c.c) * (s.q - c.c)), c.j) AS rn
-                FROM subf s JOIN cb{PQ_DET_ITERS} c ON c.m = s.m AND c.d = s.d
+                FROM {src} s JOIN cb{PQ_DET_ITERS} c ON c.m = s.m AND c.d = s.d
                 GROUP BY s.vec_id, s.m, c.j
             ) WHERE rn = 1
-        ),
+        )"""
+
+
+def _pq_codes_ptab_ctes() -> str:
+    """Encode + query-distance-table CTEs of the RAW global-ADC lane:
+    ``codes`` (``_pq_encode_cte`` over the raw subvectors) and ``ptab``
+    (each probe's (subspace, centroid) integer distance table against
+    the raw-trained codebook)."""
+    return (
+        _pq_encode_cte("subf")
+        + f""",
         ptab AS MATERIALIZED (
             SELECT s.vec_id AS query_id, s.m, c.j,
                    SUM((s.q - c.c) * (s.q - c.c)) AS pdist
@@ -1125,6 +1171,7 @@ def _pq_codes_ptab_ctes() -> str:
             WHERE s.vec_id < {N_QUERIES}
             GROUP BY 1, 2, 3
         )"""
+    )
 
 
 def _pq_adc_oracle() -> str:
@@ -1155,7 +1202,7 @@ def _pq_adc_oracle() -> str:
 
 
 def _resident_probe_ids(spark: SparkSession) -> DataFrame:
-    """The x3 family's standard probe set (vec_id < {N_QUERIES}) as a
+    """The x3 family's standard probe set (vec_id < N_QUERIES) as a
     broadcastable one-column ``query_id`` frame — what the batch ANN
     lanes serve; the streaming twin passes each micro-batch's ids
     through the same spellings instead."""
@@ -1163,16 +1210,21 @@ def _resident_probe_ids(spark: SparkSession) -> DataFrame:
 
 
 def _pq_probe_ptab(probe_sub: DataFrame, cb: DataFrame) -> DataFrame:
-    """(query_id, m, j, pdist) — each probe's (subspace, centroid)
-    integer distance table from an already-probe-restricted ``(vec_id,
-    m, d, q)`` subvector frame: ONE ptab spelling for the batch lanes
-    (resident-range slice of the corpus subvectors) and the serving twin
-    (per-micro-batch ids re-quantized from the index's vector table).
-    The encode-identically invariant with the oracle's ``ptab`` CTE
-    (_pq_codes_ptab_ctes) lives here and in ``_pq_assign``."""
+    """(query_id[, cid], m, j, pdist) — each probe's (subspace, centroid)
+    integer distance table from an already-probe-restricted ``(vec_id[,
+    cid], m, d, q)`` subvector frame: ONE ptab spelling for the batch
+    lanes (resident-range slice of the corpus subvectors), the residual
+    IVF-PQ cascade (per-PROBED-CELL residual rows — the ``cid`` column
+    rides into the group keys, one table per (query, probed cell)), and
+    the serving twin (per-micro-batch ids re-quantized from the index's
+    vector table). The encode-identically invariant with the oracle's
+    ``ptab`` CTE lives here and in ``_pq_assign``."""
+    keys = [F.col("vec_id").alias("query_id")]
+    if "cid" in probe_sub.columns:
+        keys.append(F.col("cid"))
     return (
         probe_sub.join(F.broadcast(cb), ["m", "d"])
-        .groupBy(F.col("vec_id").alias("query_id"), F.col("m"), F.col("j"))
+        .groupBy(*keys, F.col("m"), F.col("j"))
         .agg(
             F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias(
                 "pdist"
@@ -1825,28 +1877,54 @@ def _ivf_pq_oracle() -> str:
 
 
 def _ivf_pq_short_ctes() -> str:
-    """WITH-body: the ENTIRE IVF-PQ cascade up to the ``short`` shortlist
-    (trained codebook + codes/ptab + IVF assignment + cell-restricted
-    ADC) — ONE spelling shared by the x3_ivf_pq_topk oracle (which
+    """WITH-body: the ENTIRE residual IVF-PQ cascade up to the ``short``
+    shortlist — ONE spelling shared by the x3_ivf_pq_topk oracle (which
     reranks it to top-3) and the x3_ivf_pq_eval oracle (which grades the
-    reranked list against the exact baseline)."""
+    reranked list against the exact baseline). FAISS-IVFADC residual
+    layout: PQ trains on and encodes the CELL RESIDUALS ``q - q_centroid``
+    (exact integer subtraction of the shared fixed-point rows, so the
+    whole chain stays hash-exact), and each probe gets one distance table
+    PER PROBED CELL (its residual against THAT cell's centroid) —
+    ``ptab`` carries ``cid`` and the ADC join matches it, the one extra
+    join key residual encoding costs."""
     return (
-        _pq_det_cb_ctes()
-        + ",\n        "
-        + _pq_codes_ptab_ctes()
+        _pq_subf_cte()
         + f""",
         ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         {ivf_rank_ctes(e_cte="ev", p="i")},
         iasg AS (SELECT vec_id, cid FROM iranked WHERE rn = 1),
         iprobes AS (SELECT vec_id, cid FROM iranked
                     WHERE rn <= 2 AND vec_id < {N_QUERIES}),
+        csub AS (SELECT vec_id AS cid, m, d, q FROM subf
+                 WHERE vec_id < {N_CENTROIDS}),
+        rsub AS MATERIALIZED (
+            SELECT s.vec_id, s.m, s.d, s.q - cs.q AS q
+            FROM subf s
+            JOIN iasg a ON a.vec_id = s.vec_id
+            JOIN csub cs ON cs.cid = a.cid AND cs.m = s.m AND cs.d = s.d
+        ),
+        rtrain AS MATERIALIZED (
+            SELECT vec_id, m, d, q FROM rsub WHERE vec_id < {PQ_DET_TRAIN}
+        ),
+        {_pq_train_ctes("rtrain")},
+        {_pq_encode_cte("rsub")},
+        ptab AS MATERIALIZED (
+            SELECT p.vec_id AS query_id, p.cid, s.m, c.j,
+                   SUM((s.q - cs.q - c.c) * (s.q - cs.q - c.c)) AS pdist
+            FROM iprobes p
+            JOIN subf s ON s.vec_id = p.vec_id
+            JOIN csub cs ON cs.cid = p.cid AND cs.m = s.m AND cs.d = s.d
+            JOIN cb{PQ_DET_ITERS} c ON c.m = s.m AND c.d = s.d
+            GROUP BY 1, 2, 3, 4
+        ),
         ivfadc AS MATERIALIZED (
             SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
                    SUM(t.pdist) AS adc_dist
             FROM iprobes p
             JOIN iasg b ON b.cid = p.cid AND b.vec_id <> p.vec_id
             JOIN codes c ON c.vec_id = b.vec_id
-            JOIN ptab t ON t.query_id = p.vec_id AND t.m = c.m AND t.j = c.j
+            JOIN ptab t ON t.query_id = p.vec_id AND t.cid = p.cid
+                       AND t.m = c.m AND t.j = c.j
             GROUP BY 1, 2
         ),
         short AS (
@@ -1863,32 +1941,38 @@ def _ivf_pq_short_ctes() -> str:
 @query("x3_ivf_pq_topk", oracle=_ivf_pq_oracle(), tags=("X3", "pq", "ivf", "adc"))
 def x3_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ — the composed billion-scale index (FAISS's IVFADC layout,
-    non-residual variant: codes quantize the raw vectors, not the
-    cell-relative residuals, keeping every stage the already-oracled
-    spelling), closing the X3 cascade family: x3_ivf_multiprobe restricts
-    WHERE to look (nprobe=2 coarse cells), x3_pq_adc_topk compresses WHAT
-    is scored (8-byte codes, exact-integer asymmetric distances) — this
-    lane does both, which is how a real 100 TB vector index is actually
-    laid out (inverted lists whose entries ARE the PQ codes).
+    RESIDUAL encoding since r12: codes quantize the cell-relative
+    residuals, exactly like faiss IndexIVFPQ's default), closing the X3
+    cascade family: x3_ivf_multiprobe restricts WHERE to look (nprobe=2
+    coarse cells), x3_pq_adc_topk compresses WHAT is scored (8-byte
+    codes, exact-integer asymmetric distances) — this lane does both,
+    which is how a real 100 TB vector index is actually laid out
+    (inverted lists whose entries ARE the PQ codes).
 
     Stages: (1) INDEX BUILD — every vector's nearest coarse cell
-    (ivf_ranked_cells, the x3_ivf spelling) joined to its PQ codes
-    (_pq_assign under the x3_pq_codebooks-trained codebook) and
-    checkpointed once: the static cell-bucketed code lists, reusable
-    across query batches. (2) PROBE — each query's two nearest cells
-    broadcast against the inverted lists, so ADC work scales with the
-    PROBED fraction of the corpus (2/{N_CENTROIDS} here), never all of
-    it — the win over x3_pq_adc_topk's global ADC scan. (3) ADC — the
-    probe's broadcast (subspace, centroid) integer distance table joins
-    the candidate codes on (m, j) and SUMs exactly (int64; no float in
-    the prune). (4) SHORTLIST top {IVFPQ_SHORTLIST} by (adc_dist,
+    (ivf_ranked_cells, the x3_ivf spelling); the PQ codebook trains on
+    the CELL RESIDUALS (quantized subvectors minus the rn=1 centroid's —
+    exact integer subtraction, the _pq_train_codebook spelling) and each
+    vector's residual codes join the assignment into the checkpointed
+    cell-bucketed code lists, reusable across query batches. (2) PROBE —
+    each query's two nearest cells broadcast against the inverted lists,
+    so ADC work scales with the PROBED fraction of the corpus
+    (2/N_CENTROIDS here), never all of it — the win over
+    x3_pq_adc_topk's global ADC scan. (3) ADC — one broadcast (subspace,
+    centroid) integer distance table PER (query, probed cell) — the
+    query's residual against THAT cell's centroid — joins the candidate
+    codes on (cid, m, j) and SUMs exactly (int64; no float in the
+    prune). (4) SHORTLIST top IVFPQ_SHORTLIST by (adc_dist,
     neighbor_id); (5) exact rounded-cosine re-rank reading the index's
-    checkpointed vector table (_cosine_rerank_top3_from — value-identical
-    to the parquet-reading _cosine_rerank_top3, pinned by the oracle
-    hash). At 100 TB: the codebook and distance
-    tables are KB-sized broadcasts, the inverted-list scan touches 8
-    small integers per candidate in 2/{N_CENTROIDS} of the cells, and
-    full float vectors are read only for shortlist survivors.
+    checkpointed vector table (_cosine_rerank_top3_from —
+    value-identical to the parquet-reading _cosine_rerank_top3, pinned
+    by the oracle hash). At 100 TB: the codebook and distance tables are
+    KB-sized broadcasts (nprobe x queries tables of 128 ints each), the
+    inverted-list scan touches 8 small integers per candidate in
+    2/N_CENTROIDS of the cells, and full float vectors are read only for
+    shortlist survivors. Residual vs raw, measured by x3_ivf_pq_eval on
+    the same corpus: see that lane's docstring — the eval is the
+    driver-hashed number that priced this r12 upgrade.
 
     Build/serve split: the lane IS ivf_pq_serve(ivf_pq_index(...)) over
     the resident probe set — the same spelling the streaming ANN serving
@@ -1912,36 +1996,92 @@ class IvfPqIndex(NamedTuple):
     invl: DataFrame  # (vec_id, cid, m, j): cell-bucketed PQ code lists
 
 
-def ivf_pq_index(spark: SparkSession, sf_dir: str) -> IvfPqIndex:
-    """Build the IVF-PQ index once per corpus: coarse cell ranking
-    (ivf_ranked_cells), trained codebook (x3_pq_codebooks spelling), and
-    the inverted lists — the rn=1 cell assignment joined to the PQ
-    codes, the one corpus-sized equi join of the build (the exploded
-    subvector frame is build-transient: consumed into the code lists,
-    never pinned)."""
-    cb = _pq_det_codebook(spark, sf_dir, use_cache=True)
-    subf = _pq_quantized_sub(table(spark, sf_dir, "embeddings"))
-    codes = _pq_assign(subf, cb).select("vec_id", "m", "j")
+def _pq_residual_rows(
+    sub: DataFrame, asg: DataFrame, cent_sub: DataFrame
+) -> DataFrame:
+    """``(vec_id, cid, m, d, q)`` cell-residual subvector rows: the
+    quantized rows ``sub`` joined to a cell map ``asg`` (vec_id, cid —
+    rn=1 assignment on the encode side, the probed cells on the query
+    side) minus the BROADCAST centroid subvectors ``cent_sub`` ((vec_id,
+    m, d, q) of the coarse centroids). Exact integer subtraction of the
+    shared fixed-point rows — the Spark twin of the oracle's ``rsub`` /
+    ``ptab`` residual expressions, ONE spelling for build and serve."""
+    cs = cent_sub.select(
+        F.col("vec_id").alias("cid"), "m", "d", F.col("q").alias("qc")
+    )
+    return (
+        sub.join(asg, "vec_id")
+        .join(F.broadcast(cs), ["cid", "m", "d"])
+        .select(
+            "vec_id", "cid", "m", "d", (F.col("q") - F.col("qc")).alias("q")
+        )
+    )
+
+
+# Session-scoped built-index cache, keyed by (applicationId, sf_dir) — the
+# _PQ_CB_CACHE discipline applied to the whole IvfPqIndex (ADVICE r11):
+# building is build-once/serve-many in deployment, so the EVAL lane reuses
+# the index the topk lane just built (identical checkpointed lineage,
+# identical values) instead of re-running codebook training + cell ranking
+# + inverted-list builds in the same session. The topk lane always builds
+# fresh and RE-publishes, so its own cost stays the honest build+serve
+# cost; only consumers that would re-build the same artifact read the
+# cache.
+_IVFPQ_INDEX_CACHE: dict = {}
+
+
+def ivf_pq_index(
+    spark: SparkSession, sf_dir: str, use_cache: bool = False
+) -> IvfPqIndex:
+    """Build the residual IVF-PQ index once per corpus (true FAISS IVFADC
+    layout): coarse cell ranking (ivf_ranked_cells), then a PQ codebook
+    trained ON THE CELL RESIDUALS — each vector's quantized subvectors
+    minus its rn=1 cell centroid's (exact integer subtraction, so the
+    chain stays hash-exact) — and the inverted lists holding each
+    vector's residual codes. Residual encoding is what recovers the
+    recall a raw-vector PQ loses: within a cell the vectors share the
+    centroid's offset, so the 16 centroids per subspace spend their
+    resolution on the spread AROUND the cell center instead of re-coding
+    cell geography the IVF assignment already knows. The residual frame
+    is checkpointed once (trainer slice + encode pass both read it);
+    the rn=1 assignment join is the one corpus-sized equi join of the
+    build."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if use_cache and key in _IVFPQ_INDEX_CACHE:
+        return _IVFPQ_INDEX_CACHE[key]
     ranked = ivf_ranked_cells(spark, sf_dir)
-    invl = (
-        ranked.where(F.col("rn") == 1)
-        .select("vec_id", "cid")
-        .join(codes, "vec_id")
+    sub_all = _pq_quantized_sub(table(spark, sf_dir, "embeddings"))
+    cent_sub = sub_all.where(F.col("vec_id") < N_CENTROIDS)
+    asg1 = ranked.where(F.col("rn") == 1).select("vec_id", "cid")
+    rsub = (
+        _pq_residual_rows(sub_all, asg1, cent_sub)
+        .select("vec_id", "m", "d", "q")
         .localCheckpoint(eager=False)
     )
-    return IvfPqIndex(ranked=ranked, cb=cb, invl=invl)
+    cb = _pq_train_codebook(rsub.where(F.col("vec_id") < PQ_DET_TRAIN))
+    codes = _pq_assign(rsub, cb).select("vec_id", "m", "j")
+    invl = asg1.join(codes, "vec_id").localCheckpoint(eager=False)
+    index = IvfPqIndex(ranked=ranked, cb=cb, invl=invl)
+    _IVFPQ_INDEX_CACHE[key] = index
+    return index
 
 
 def ivf_pq_serve(index: IvfPqIndex, qids: DataFrame) -> DataFrame:
     """Serve one frame of probe ids (one distinct ``query_id`` column,
-    broadcastable) against the prebuilt index: probe cells and distance
-    tables resolve from the index's checkpointed members (the encoder
-    seam — ids resolve vectors exactly like the RAG twin), ADC runs only
-    over the probed cells' inverted lists, and the exact re-rank reads
-    the index's vector table, never parquet. Probe subvectors are
-    quantized per batch from that same vector table (``_pq_quantized_sub``
-    over the semi-joined rn=1 vectors — the identical floor spelling the
-    build ran, on the identical upcast doubles)."""
+    broadcastable) against the prebuilt residual index: probe cells and
+    distance tables resolve from the index's checkpointed members (the
+    encoder seam — ids resolve vectors exactly like the RAG twin), ADC
+    runs only over the probed cells' inverted lists, and the exact
+    re-rank reads the index's vector table, never parquet. Probe
+    subvectors are quantized per batch from that same vector table
+    (``_pq_quantized_sub`` over the semi-joined rn=1 vectors — the
+    identical floor spelling the build ran, on the identical upcast
+    doubles), then RESIDUALIZED per probed cell — each (query, cell)
+    pair gets its own distance table against that cell's centroid
+    (``_pq_residual_rows`` over the probed-cells map, the centroid
+    subvectors re-derived from the index's own vector table: 8 rows,
+    KB-sized) — and the ADC join carries ``cid``, so a candidate's
+    residual codes always meet the table built for ITS cell."""
     # index.ranked carries exactly the rn <= 2 cells — both probe rows
     probes = index.ranked.join(
         F.broadcast(qids),
@@ -1957,11 +2097,21 @@ def ivf_pq_serve(index: IvfPqIndex, qids: DataFrame) -> DataFrame:
         )
         .select("vec_id", F.col("v").alias("embedding"))
     )
-    ptab = _pq_probe_ptab(_pq_quantized_sub(probe_vecs), index.cb)
+    cent_sub = _pq_quantized_sub(
+        index.ranked.where(
+            (F.col("rn") == 1) & (F.col("vec_id") < N_CENTROIDS)
+        ).select("vec_id", F.col("v").alias("embedding"))
+    )
+    probe_res = _pq_residual_rows(
+        _pq_quantized_sub(probe_vecs),
+        probes.select(F.col("query_id").alias("vec_id"), "cid"),
+        cent_sub,
+    )
+    ptab = _pq_probe_ptab(probe_res, index.cb)
     adc = (
         index.invl.join(F.broadcast(probes), "cid")
         .where(F.col("vec_id") != F.col("query_id"))
-        .join(F.broadcast(ptab), ["query_id", "m", "j"])
+        .join(F.broadcast(ptab), ["query_id", "cid", "m", "j"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("pdist").alias("adc_dist"))
     )
@@ -2136,7 +2286,7 @@ def x3_ivf_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     own cost); the hit join touches two <= probes x {ANN_EVAL_K} rank
     lists."""
     served = ivf_pq_serve(
-        ivf_pq_index(spark, sf_dir), _resident_probe_ids(spark)
+        ivf_pq_index(spark, sf_dir, use_cache=True), _resident_probe_ids(spark)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")

@@ -1440,9 +1440,13 @@ def test_ivf_pq_respects_cells_and_holds_recall(spark):
     neighbor must live in one of the query's two probed IVF cells (the
     inverted-list restriction is real, not decorative); (b) per query,
     exactly 3 rows ranked by (cosine desc, neighbor_id) — the shared
-    rerank contract; (c) recall@3 vs the exact lane >= 0.6 overall
-    (measured 0.8 at sf0.001 / 0.73 at sf0.01 — the ADC@50 prune gives
-    up 2-3 hits vs plain IVF's 0.9, the honest compression cost)."""
+    rerank contract; (c) recall@3 vs the exact lane >= 0.6 overall.
+    Residual encoding (r12) lifted the measured recall to plain IVF's
+    own ceiling — 0.9 at sf0.001 / 0.833 at sf0.01, vs 0.8 / 0.73 for
+    the former raw-vector codes: the PQ+shortlist cascade now gives up
+    ZERO hits vs the uncompressed IVF restriction at test SFs (the
+    x3_ivf_pq_eval lane is the driver-hashed record of the same
+    number)."""
     from iii_aibigdata_capstone_spark.operators.similarity import (
         N_QUERIES,
         ivf_ranked_cells,
@@ -1616,3 +1620,61 @@ def test_ivf_pq_eval_matches_lane_intersection(spark):
             (i + 1 for i, n in enumerate(ranked) if n in exact[r.query_id]), 0
         )
         assert r.mrr_micro == (1_000_000 // first if first else 0), r.query_id
+
+
+def test_ingest_compaction_fate_map(spark):
+    """x1_ingest_compaction pins, on top of the oracle hash: (a) the map
+    is TOTAL over retained — batch 1-3 rows are exactly the growing
+    lane's admitted sets and batch 0 is every resident; (b) the keep
+    rule holds: within each keep_id group the keeper is the longest doc
+    (tie: lowest id) and the ONLY kept row, and every exact dup group
+    (same md5 text, recomputed transparently here) collapses into one
+    keep_id group; (c) non-vacuous: compaction drops rows (kept=0
+    exists) — the within-segment pairs admission's GRANULARITY CONTRACT
+    deliberately leaves behind; (d) every dropped doc's keep_id is a
+    kept retained doc."""
+    import hashlib
+
+    rows = registry()["x1_ingest_compaction"].builder(spark, TEST_SF_DIR).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert len(by_id) == len(rows), "fate map must be one row per retained doc"
+
+    # (a) totality vs the growing lane + residents
+    grown = registry()["x1_ingest_growing"].builder(spark, TEST_SF_DIR).collect()
+    want_admitted = {(r.batch_no, r.doc_id) for r in grown}
+    got_admitted = {(r.batch_no, r.doc_id) for r in rows if r.batch_no != 0}
+    assert got_admitted == want_admitted
+    docs = {
+        r.doc_id: (r.text, r.n_chars)
+        for r in table(spark, TEST_SF_DIR, "documents")
+        .select("doc_id", "text", "n_chars")
+        .collect()
+    }
+    assert {r.doc_id for r in rows if r.batch_no == 0} == {
+        d for d in docs if d % 4 == 0
+    }
+
+    # (b) keep rule per keep_id group + exact-dup collapse
+    groups: dict[int, list] = {}
+    for r in rows:
+        groups.setdefault(r.keep_id, []).append(r)
+    for keeper, members in groups.items():
+        assert by_id[keeper].kept == 1
+        best = min(members, key=lambda r: (-docs[r.doc_id][1], r.doc_id))
+        # keeper must be best-by-rule among the EXACT SURVIVORS of the
+        # group; exact-dropped members can be longer only if their canon
+        # text ties (same text => same length), so best-overall is safe
+        assert best.doc_id == keeper, (keeper, [m.doc_id for m in members])
+        assert sum(m.kept for m in members) == 1
+    canon_of: dict[str, int] = {}
+    for d in sorted(by_id):
+        canon_of.setdefault(hashlib.md5(docs[d][0].encode()).hexdigest(), d)
+    for r in rows:
+        canon = canon_of[hashlib.md5(docs[r.doc_id][0].encode()).hexdigest()]
+        assert r.keep_id == by_id[canon].keep_id, (r.doc_id, canon)
+
+    # (c) non-vacuous + (d) drops point at kept rows
+    dropped = [r for r in rows if r.kept == 0]
+    assert len(dropped) >= 2, "compaction must actually drop rows at sf0.001"
+    for r in dropped:
+        assert by_id[r.keep_id].kept == 1
