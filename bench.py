@@ -136,6 +136,7 @@ HEADLINE = [
     "x3_truncation_eval",
     "x4_decontam_eval",
     "x3_ivf_pq_eval",
+    "x1_ingest_compaction",
 ]
 
 # The two non-registry entries, timed by the last chunk.

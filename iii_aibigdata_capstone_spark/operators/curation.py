@@ -1588,12 +1588,25 @@ def x9_data_factory(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget). No Python anywhere — the whole factory is Catalyst
     expressions over exact integers, so the manifest is reproducible
     cross-engine (full DuckDB oracle at sf0.01 and sf0.1)."""
-    from .dedup import _min_label_propagation, _minhash_verified_pairs, shingles_of
-
     docs = table(spark, sf_dir, "documents")
     base = factory_base(docs).localCheckpoint(
         eager=False
     )  # THE one documents scan (2 consumers)
+    return manifest_build(factory_clean(base))
+
+
+def factory_clean(base: DataFrame) -> DataFrame:
+    """Factory stages 1-3 over a ``factory_base`` frame: quality gate ->
+    exact dedup -> keep-best near-dup clusters -> benchmark
+    decontamination, emitting the ``clean`` selected corpus
+    ``manifest_build`` consumes. ONE spelling shared by the registered
+    ``x9_data_factory`` (base = the parquet table's projection) and the
+    compaction-reconciliation pin (base = the STREAM-FILLED corpus store
+    — tests/test_streaming.py::test_compaction_reconciles_arbitrary_order
+    rebuilds the gold corpus from what the stream retained, arrival order
+    free). The keep-best stage is the shared ``keep_best_map`` (also the
+    x1_ingest_compaction rule — detect and compact cannot drift)."""
+    from .dedup import keep_best_map
 
     # stage 1+2a: quality gate, then exact dedup among the survivors
     good = base.where(F.col("logit_milli") >= 0)
@@ -1605,28 +1618,16 @@ def x9_data_factory(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # 3 consumers: shingles, labels, keep
     )
 
-    # stage 2b: near-dup clusters over the survivors, keep-best per cluster
-    sh = shingles_of(survivors).localCheckpoint(eager=False)
-    pairs = _minhash_verified_pairs(sh).select("doc_a", "doc_b")
-    labels = _min_label_propagation(pairs)
-    labeled = survivors.join(labels, survivors.doc_id == labels.node, "left").select(
-        survivors.doc_id,
-        "n_chars",
-        F.coalesce(F.col("label"), survivors.doc_id).alias("cluster"),
-    )
-    rk = F.row_number().over(
-        Window.partitionBy("cluster").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
-    )
+    # stage 2b: near-dup clusters over the survivors, keep-best per
+    # cluster (the shared keep_best_map; keep_id == doc_id are keepers)
     keep_ids = (
-        labeled.select("doc_id", rk.alias("rk")).where(F.col("rk") == 1).select("doc_id")
+        keep_best_map(survivors)
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id")
     )
     dedup_kept = survivors.join(keep_ids, "doc_id", "left_semi").localCheckpoint(
         eager=False
     )  # 2 consumers: corpus grams + the clean anti-join base
 
     # stage 3: decontamination against the held-out benchmark set
-    clean = decontaminate_selected(dedup_kept, bench_gram_index(base))
-
-    # stages 4-6: the periodic batch manifest job (one spelling with the
-    # continuous-factory composition; checkpoints `clean` itself)
-    return manifest_build(clean)
+    return decontaminate_selected(dedup_kept, bench_gram_index(base))

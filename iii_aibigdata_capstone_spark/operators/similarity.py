@@ -2167,12 +2167,41 @@ def _cosine_rerank_top3_from(
 # --- X3: Matryoshka truncation evaluation (dim-compression recall) ----------
 
 TRUNC_DIM = 32  # retained prefix dims (of 64) — the 2x storage/compute knob
+TRUNC_DECAY = 0.95  # per-dim importance decay of the simulated MR corpus
+# The simulated-Matryoshka reweighting: dim k scaled by round(DECAY^k, 6),
+# 64 shared DECIMAL LITERALS (repr-exact in both engines; the one float op
+# added per component is an IEEE multiply, bit-identical cross-engine).
+# The synthetic embeddings are dimension-exchangeable — every dim carries
+# equal energy — so raw-prefix truncation graded NOISE (recall 0-1/3, the
+# r11 verdict's vacuity finding); MRL training is precisely what makes
+# real embeddings front-loaded, and this fixed decay gives the corpus that
+# property deterministically, making the lane measure the truncation knob.
+TRUNC_WEIGHTS = [round(TRUNC_DECAY**k, 6) for k in range(64)]
+
+
+def _mr_weighted(e: DataFrame) -> DataFrame:
+    """``(vec_id, v, norm)`` of the simulated-Matryoshka embedding:
+    component k of the raw vector times the shared TRUNC_WEIGHTS[k]
+    literal, then the standard left-fold norm — the Spark twin of the
+    oracle's literal product array."""
+    wv = F.array(
+        *[F.col("v")[k] * F.lit(TRUNC_WEIGHTS[k]) for k in range(64)]
+    )
+    return (
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .select("vec_id", wv.alias("v"))
+        .withColumn("norm", l2_norm(F.col("v")))
+    )
 
 
 def _trunc_eval_oracle() -> str:
+    v_terms = ", ".join(
+        f"v[{k + 1}] * {TRUNC_WEIGHTS[k]!r}" for k in range(64)
+    )
     return dedent(
         f"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        e AS (SELECT vec_id, [{v_terms}] AS v FROM e0),
         et AS (SELECT vec_id, v[1:{TRUNC_DIM}] AS v FROM e),
         exact_scored AS (
             {_brute_scored_sql('e')}
@@ -2198,31 +2227,36 @@ def _trunc_eval_oracle() -> str:
 )
 def x3_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-style dimensionality-truncation evaluation — per probe,
-    recall@{ANN_EVAL_K} and MRR of cosine search over the FIRST
-    {TRUNC_DIM} of 64 dims against the full-dim exact top-{ANN_EVAL_K}
-    (the x3_ann_eval harness pointed at the other big ANN cost lever:
-    where IVF/PQ trade recall for fewer candidates / smaller codes,
-    truncation halves every vector up front, and this lane is the
-    measurement that says whether the halved index still retrieves what
-    the full index would).
+    recall@ANN_EVAL_K and MRR of cosine search over the FIRST TRUNC_DIM
+    of 64 dims against the full-dim exact top list, BOTH over the
+    simulated-MR corpus (the TRUNC_WEIGHTS decay — see the constant's
+    comment: the r11 lane graded raw-prefix truncation of
+    dimension-exchangeable synthetic embeddings and measured only noise;
+    reweighting gives the corpus the front-loaded energy distribution MRL
+    training gives real embeddings, so the number now responds to the
+    TRUNC_DIM/TRUNC_DECAY knobs instead of documenting vacuity — r11
+    verdict ask #7). This is the x3_ann_eval harness pointed at the
+    other big ANN cost lever: where IVF/PQ trade recall for fewer
+    candidates / smaller codes, truncation halves every vector up front,
+    and this lane says whether the halved index still retrieves what the
+    full index would.
 
     Both rank lists are the ONE _brute_ranked_topk spelling (broadcast
     probes, one corpus pass each — the truncated pass moves half the
     bytes, which is the point); metrics are the shared _eval_hit_metrics
     integer tail (hits from an equi left-join, recall/MRR by integer
-    division on integer ranks — no float reaches the hash).
+    division on integer ranks — no float reaches the hash beyond the
+    shared rounded-cosine ranking).
 
     Scale shape: two x3_cosine_topk-shaped passes over the corpus (the
     truth pass is the evaluation's cost, not the detector's); the eval
-    join touches two <= probes x {ANN_EVAL_K} rank lists — bounded by
-    the query batch at any corpus size. The normed projection is
+    join touches two <= probes x ANN_EVAL_K rank lists — bounded by the
+    query batch at any corpus size. The weighted normed projection is
     checkpointed ONCE: four consumers read it (each lane's probe and
     corpus sides) — without the boundary the parquet scan runs four
     times."""
-    ev = (
-        with_norm(table(spark, sf_dir, "embeddings"))
-        .select("vec_id", "v", "norm")
-        .localCheckpoint(eager=False)
+    ev = _mr_weighted(table(spark, sf_dir, "embeddings")).localCheckpoint(
+        eager=False
     )
     evt = ev.select(
         "vec_id", F.slice(F.col("v"), 1, TRUNC_DIM).alias("v")

@@ -1493,11 +1493,14 @@ def test_truncation_eval_matches_python_replay(spark):
         ANN_EVAL_K,
         N_QUERIES,
         TRUNC_DIM,
+        TRUNC_WEIGHTS,
     )
 
     fold_dot, rnd6 = replay_fold_dot, replay_rnd6
+    # the simulated-MR corpus: the lane's own per-dim decay literals
+    # applied with the same one IEEE multiply per component
     vecs = {
-        r.vec_id: [float(x) for x in r.embedding]
+        r.vec_id: [float(x) * w for x, w in zip(r.embedding, TRUNC_WEIGHTS)]
         for r in table(spark, TEST_SF_DIR, "embeddings")
         .select("vec_id", "embedding")
         .collect()

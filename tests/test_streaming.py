@@ -1262,6 +1262,166 @@ def test_continuous_factory_equals_batch_factory(spark):
     assert got and got == want
 
 
+def test_compaction_reconciles_arbitrary_order(spark):
+    """THE GOLD-CORPUS REBUILD, pinned order-free (r11 verdict ask #2):
+    stream-admit in plain doc_id-order thirds — NOT keeper order, no
+    clique/keeper-order precondition anywhere — then run the periodic
+    compaction job (the batch factory's own stages via the shared
+    ``factory_clean`` + ``manifest_build`` spellings) over the CORPUS
+    STORE the stream filled, and the manifest must equal
+    ``x9_data_factory`` exactly.
+
+    Three pins, in dependency order:
+    1. DIVERGENCE IS REAL: under this schedule the stream's keep-FIRST
+       admitted set differs from the factory's keep-BEST keeper set (if
+       it didn't, reconciliation would be vacuous). This is precisely
+       the live-arrival gap the old continuous-factory test excludes by
+       precondition.
+    2. SEGMENT COMPACTION (the registered x1_ingest_compaction rule)
+       over what the stream RETAINED is also not a no-op here: keep-best
+       over the admitted corpus drops at least one admitted doc (a
+       within-batch pair or a keep-first flip) — but by construction it
+       CANNOT resurrect a best doc admission rejected, which is why…
+    3. …the GOLD REBUILD reads the STORE (every raw arrival, pre-gate —
+       what a deployment's corpus store holds), not the admitted set:
+       ``manifest_build(factory_clean(factory_base(store)))`` ==
+       x9_data_factory rows, for ANY arrival order, because every
+       factory stage is a pure function of the store's contents.
+
+    The store round-trips through real micro-batches (schema, batching,
+    file order), so the equality pins the wiring — per-batch gating
+    composes to the global gate, the store schema carries everything
+    stages 4-6 need — not just the algebra."""
+    import shutil
+    import time
+
+    from pyspark.sql import Window
+
+    from iii_aibigdata_capstone_spark.operators.curation import (
+        factory_base,
+        factory_clean,
+        manifest_build,
+    )
+    from iii_aibigdata_capstone_spark.operators.dedup import (
+        ingest_admit_fold,
+        keep_best_map,
+        minhash_ingest_index,
+    )
+    from iii_aibigdata_capstone_spark.operators.textual import score_documents
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    docs = table(spark, TEST_SF_DIR, "documents")
+    wide = docs.select("doc_id", "source", "lang", "text", "n_chars")
+    all_ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    third = (len(all_ids) + 2) // 3
+    batches = [all_ids[i * third : (i + 1) * third] for i in range(3)]
+    assert all(batches), "need three non-empty id-order batches"
+
+    src = tempfile.mkdtemp(prefix="compact_src_")
+    now = time.time()
+    wide_schema = "doc_id long, source string, lang string, text string, n_chars long"
+    for i, ids in enumerate(batches):
+        _write_arrival_file(
+            wide.join(
+                spark.createDataFrame([(d,) for d in ids], "doc_id long"),
+                "doc_id",
+                "left_semi",
+            ),
+            src,
+            f"batch{i + 1}.parquet",
+            now - 400 + 100 * i,
+        )
+
+    store_rows: list = []
+    admitted_ids: list[int] = []
+    state = [
+        minhash_ingest_index(
+            docs.where(F.lit(False)).select("doc_id", "lang", "text", "n_chars")
+        )
+    ]
+
+    def front_end(df, bid):
+        store_rows.extend(df.collect())  # the corpus store: RAW arrivals
+        gated = (
+            score_documents(df, keep=("text", "n_chars"))
+            .where("quality_pass")
+            .select("doc_id", "lang", "text", "n_chars")
+        )
+        admitted, state[0] = ingest_admit_fold(state[0], gated, eager=True)
+        admitted_ids.extend(r.doc_id for r in admitted.collect())
+
+    q = (
+        spark.readStream.schema(wide_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(front_end)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="compact_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+    q.stop()
+    assert sorted(r.doc_id for r in store_rows) == all_ids, "store must be total"
+
+    store = spark.createDataFrame(store_rows, wide_schema)
+    sbase = factory_base(store).localCheckpoint(eager=False)
+
+    # pin 1: keep-first admission diverges from keep-best under id order
+    good = sbase.where(F.col("logit_milli") >= 0)
+    w_hash = Window.partitionBy(F.md5(F.col("text")))
+    survivors = (
+        good.withColumn("canon", F.min("doc_id").over(w_hash))
+        .where(F.col("doc_id") == F.col("canon"))
+        .select("doc_id", "lang", "text", "n_chars")
+    )
+    keepers = {
+        r.doc_id
+        for r in keep_best_map(survivors)
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .collect()
+    }
+    assert sorted(admitted_ids) != sorted(keepers), (
+        "id-order arrival coincided with keeper order — pick a schedule "
+        "where keep-first and keep-best differ or the pin is vacuous"
+    )
+
+    # pin 2: segment compaction over the RETAINED corpus is not a no-op
+    adm = wide.join(
+        spark.createDataFrame([(d,) for d in admitted_ids], "doc_id long"),
+        "doc_id",
+        "left_semi",
+    )
+    w_hash_adm = Window.partitionBy(F.md5(F.col("text")))
+    adm_surv = (
+        adm.withColumn("canon", F.min("doc_id").over(w_hash_adm))
+        .where(F.col("doc_id") == F.col("canon"))
+        .select("doc_id", "lang", "text", "n_chars")
+    )
+    adm_kept = {
+        r.doc_id
+        for r in keep_best_map(adm_surv)
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .collect()
+    }
+    assert adm_kept < set(admitted_ids), (
+        "admission left nothing for segment compaction to drop — the "
+        "within-batch granularity gap did not materialize on this corpus"
+    )
+
+    # pin 3: the gold rebuild over the store == the batch factory, no
+    # precondition on arrival order or cluster shape
+    got = sorted(
+        map(tuple, manifest_build(factory_clean(sbase)).collect())
+    )
+    want = sorted(
+        tuple(r)
+        for r in registry()["x9_data_factory"].builder(spark, TEST_SF_DIR).collect()
+    )
+    assert got and got == want
+
+    shutil.rmtree(src, ignore_errors=True)
+
+
 def test_streaming_gated_ingest_composition(spark, ingest_split):
     """The factory front-end as a stream, UPGRADED to the growing index
     (r10 verdict ask #2): the stateless quality gate (score_documents)

@@ -793,6 +793,29 @@ GALLERY = [
         ],
     ),
     (
+        "x1_ingest_compaction",
+        "x1_ingest_compaction",
+        "Keep-best compaction over the growing ingest's retained corpus: "
+        "the near-dup pass runs on the index's STORED artifacts — the "
+        "band table self-joined on (lang, band, bkey) restricted to "
+        "exact survivors, verified by the shared exact_jaccard_verify "
+        "reading the index's checkpointed shingles with precomputed "
+        "sizes — so compaction re-shingles NOTHING and the only text "
+        "expression it adds is one md5 window over retained rows. "
+        "Candidates stay banded (never all-pairs), components are the "
+        "size-gated label propagation, the fate join is broadcast-sized "
+        "equi joins; the one documents scan is the ingest's own base "
+        "checkpoint.",
+        [
+            ("no CartesianProduct", lambda a: "CartesianProduct" not in a.text),
+            (
+                "every join is an equi join (zero nested-loop broadcasts)",
+                lambda a: bnlj_count(a) == 0,
+            ),
+            ("no Python operators", lambda a: a.python_map_operators == 0),
+        ],
+    ),
+    (
         "x9_rag_eval",
         "x9_rag_eval",
         "Retrieval-quality evaluation: the production fused list (the "
@@ -822,14 +845,18 @@ GALLERY = [
     (
         "x3_ivf_pq_topk",
         "x3_ivf_pq_topk",
-        "IVF-PQ composed index (inverted lists whose entries ARE the PQ "
-        "codes): the cell-bucketed code lists are checkpointed once, the "
-        "probe side (2 cells x queries) and the per-probe (subspace, "
-        "centroid) integer distance tables broadcast into them, and the "
-        "ADC prune is one map-side-combinable integer SUM — full float "
-        "vectors are read only by the shortlist re-rank. Every join is "
-        "either a broadcast of bounded probe/codebook state or the one "
-        "index-build equi join; no nested-loop broadcast anywhere.",
+        "Residual IVF-PQ composed index (inverted lists whose entries ARE "
+        "the PQ codes, encoded against the rn=1 cell centroid's quantized "
+        "subvectors — true FAISS IVFADC): the cell-bucketed residual code "
+        "lists are checkpointed once, the probe side (2 cells x queries) "
+        "and the PER-(query, probed cell) integer distance tables (each "
+        "probe's residual vs THAT cell's centroid, centroids a KB-sized "
+        "broadcast re-derived from the index's own vector table) "
+        "broadcast into them on (cid, m, j), and the ADC prune is one "
+        "map-side-combinable integer SUM — full float vectors are read "
+        "only by the shortlist re-rank. Every join is either a broadcast "
+        "of bounded probe/codebook/centroid state or an index-build equi "
+        "join; no nested-loop broadcast anywhere.",
         [
             ("no CartesianProduct", lambda a: "CartesianProduct" not in a.text),
             (

@@ -131,6 +131,7 @@ DEFAULT = [
     "x3_truncation_eval",
     "x4_decontam_eval",
     "x3_ivf_pq_eval",
+    "x1_ingest_compaction",
 ]
 
 
