@@ -1022,9 +1022,9 @@ def ingest_admit_fold(
 
     Fold = member-wise union with a DELTA sliced from the batch-side
     artifacts admission already computed (``_admit_parts``: shingles,
-    band keys, sizes — each BROADCAST-semi-joined down to the admitted
-    ids; the md5 hashes ride the admitted checkpoint itself, so the hash
-    delta is a projection, not a batch re-read).
+    band keys, sizes — each semi-joined down to the admitted ids; the
+    md5 hashes ride the admitted checkpoint itself, so the hash delta is
+    a projection, not a batch re-read).
     Because every index member is a pure per-document function, the
     grown index is row-identical to ``minhash_ingest_index(resident
     UNION admitted-so-far)`` — the invariant the sequential-prefix batch
@@ -1063,13 +1063,16 @@ def ingest_admit_fold(
     admitted_h, bsh, bbands, bsizes = _admit_parts(index, batch, keep=True)
     # THE one admitted-restricted frame (r12, verdict ask #4): checkpointed
     # once, every delta member slices it — the hash delta is a projection
-    # (admission already computed md5 per admitted row; no batch re-read),
-    # and the bounded id slice BROADCASTS into the three artifact
-    # semi-joins (zero shuffles in the fold tail; per-batch admitted is
-    # bounded by the micro-batch, broadcastable by construction).
+    # (admission already computed md5 per admitted row; no batch re-read)
+    # and the three artifact semi-joins probe the one id slice. No
+    # broadcast HINT on the slice (review r12): a micro-batch's admitted
+    # set is usually broadcast-sized and AQE converts these joins anyway,
+    # but the registered lanes fold quarter-corpus batches — a forced
+    # broadcast would hit driver broadcast limits at large SF where the
+    # un-hinted join degrades gracefully to a shuffle.
     admitted_h = admitted_h.localCheckpoint(eager=eager)
     admitted = admitted_h.select("doc_id", "lang", "n_chars")
-    aid = F.broadcast(admitted_h.select("doc_id"))
+    aid = admitted_h.select("doc_id")
     delta = IngestIndex(
         hashes=admitted_h.select("h").distinct().localCheckpoint(eager=eager),
         bands=bbands.join(aid, "doc_id", "left_semi").localCheckpoint(eager=eager),
@@ -1264,12 +1267,71 @@ def _keep_best_map_from(survivors: DataFrame, pairs: DataFrame) -> DataFrame:
     return labeled.select("doc_id", F.first("doc_id").over(w_keep).alias("keep_id"))
 
 
+def _neardup_closure_sql(
+    cand: str, shingles: str, sizes: str, src: str, p: str = ""
+) -> str:
+    """The verify -> closure -> keep-best oracle TAIL over an
+    already-generated candidate CTE: exact-Jaccard verification of
+    ``cand`` (doc_a, doc_b, lang) against ``shingles``/``sizes``,
+    RECURSIVE transitive closure, min-label clusters, and the
+    (n_chars DESC, doc_id) keep-best ranking over ``src`` (needs
+    ``doc_id, n_chars``). ONE spelling of the near-dup reconciliation
+    rule (review r12: the compaction oracle had re-spelled it under
+    c-suffixed names — a threshold or tie-break change would have
+    drifted the copies apart), composed by ``neardup_chain_sql`` (which
+    also generates the candidates) and by the x1_ingest_compaction
+    oracle (whose candidates come restricted to the retained exact
+    survivors). ``p`` prefixes every emitted CTE name so a consumer can
+    place the closure next to other same-shaped CTE chains; emits
+    ``{{p}}inter {{p}}pair {{p}}edges {{p}}nodes {{p}}reach {{p}}clusters
+    {{p}}labeled {{p}}best``."""
+    return f"""{p}inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+            FROM {cand} c
+            JOIN {shingles} x ON x.doc_id = c.doc_a AND x.lang = c.lang
+            JOIN {shingles} y ON y.doc_id = c.doc_b AND y.s = x.s AND y.lang = c.lang
+            GROUP BY 1, 2
+        ),
+        {p}pair AS (
+            SELECT i.doc_a, i.doc_b FROM {p}inter i
+            JOIN {sizes} sa ON sa.doc_id = i.doc_a
+            JOIN {sizes} sb ON sb.doc_id = i.doc_b
+            WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.5
+        ),
+        {p}edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM {p}pair
+            UNION ALL SELECT doc_b, doc_a FROM {p}pair
+        ),
+        {p}nodes AS (SELECT DISTINCT a AS node FROM {p}edges),
+        {p}reach AS (
+            SELECT node AS src, node AS dst FROM {p}nodes
+            UNION
+            SELECT r.src, e.b FROM {p}reach r JOIN {p}edges e ON e.a = r.dst
+        ),
+        {p}clusters AS (SELECT src AS doc_id, MIN(dst) AS cluster FROM {p}reach GROUP BY src),
+        {p}labeled AS (
+            SELECT s.doc_id, s.n_chars, COALESCE(c.cluster, s.doc_id) AS cluster
+            FROM {src} s LEFT JOIN {p}clusters c ON c.doc_id = s.doc_id
+        ),
+        {p}best AS (
+            SELECT doc_id, cluster,
+                   ROW_NUMBER() OVER (PARTITION BY cluster
+                                      ORDER BY n_chars DESC, doc_id) AS rk
+            FROM {p}labeled
+        )"""
+
+
+
 _COMPACTION_CTES = dedent(
-    """rx AS MATERIALIZED (
+    f"""rx AS MATERIALIZED (
             SELECT h.doc_id, MIN(h.doc_id) OVER (PARTITION BY h.h) AS canon
             FROM h JOIN m3 m ON m.doc_id = h.doc_id
         ),
         sv AS MATERIALIZED (SELECT doc_id FROM rx WHERE doc_id = canon),
+        svd AS (
+            SELECT s.doc_id, d.n_chars
+            FROM sv s JOIN documents d ON d.doc_id = s.doc_id
+        ),
         candc AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang
             FROM bk a JOIN bk b
@@ -1278,42 +1340,10 @@ _COMPACTION_CTES = dedent(
             JOIN sv sa ON sa.doc_id = a.doc_id
             JOIN sv sb ON sb.doc_id = b.doc_id
         ),
-        interc AS (
-            SELECT c.doc_a, c.doc_b, COUNT(*) AS i
-            FROM candc c
-            JOIN shingles x ON x.doc_id = c.doc_a AND x.lang = c.lang
-            JOIN shingles y ON y.doc_id = c.doc_b AND y.s = x.s AND y.lang = c.lang
-            GROUP BY 1, 2
-        ),
-        pairc AS (
-            SELECT i.doc_a, i.doc_b FROM interc i
-            JOIN sizes sa ON sa.doc_id = i.doc_a
-            JOIN sizes sb ON sb.doc_id = i.doc_b
-            WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.5
-        ),
-        edgesc AS (
-            SELECT doc_a AS a, doc_b AS b FROM pairc
-            UNION ALL SELECT doc_b, doc_a FROM pairc
-        ),
-        nodesc AS (SELECT DISTINCT a AS node FROM edgesc),
-        reachc AS (
-            SELECT node AS src, node AS dst FROM nodesc
-            UNION
-            SELECT r.src, e.b FROM reachc r JOIN edgesc e ON e.a = r.dst
-        ),
-        clustersc AS (
-            SELECT src AS doc_id, MIN(dst) AS cluster FROM reachc GROUP BY src
-        ),
-        labeledc AS (
-            SELECT s.doc_id, d.n_chars, COALESCE(c.cluster, s.doc_id) AS cluster
-            FROM sv s JOIN documents d ON d.doc_id = s.doc_id
-            LEFT JOIN clustersc c ON c.doc_id = s.doc_id
-        ),
+        {_neardup_closure_sql('candc', 'shingles', 'sizes', 'svd', p='c')},
         keepmap AS (
-            SELECT doc_id,
-                   FIRST_VALUE(doc_id) OVER (PARTITION BY cluster
-                       ORDER BY n_chars DESC, doc_id) AS keep_id
-            FROM labeledc
+            SELECT l.doc_id, b.doc_id AS keep_id
+            FROM clabeled l JOIN cbest b ON b.cluster = l.cluster AND b.rk = 1
         ),
         batched AS (
             SELECT 0 AS batch_no, doc_id FROM m0
@@ -1408,8 +1438,10 @@ def x1_ingest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # near-dup pass over the index's STORED artifacts (no re-shingling):
-    # band-key self-join restricted to exact survivors, shared verify
-    svids = F.broadcast(sv.select("doc_id"))
+    # band-key self-join restricted to exact survivors, shared verify.
+    # No broadcast hint on the survivor ids — they are corpus-sized (the
+    # forced-broadcast lesson on the fold's admitted slice, review r12)
+    svids = sv.select("doc_id")
     bandsr = index.bands.join(svids, "doc_id", "left_semi").localCheckpoint(
         eager=False
     )  # 2 consumers: both sides of the self-join
@@ -2293,7 +2325,8 @@ def neardup_chain_sql(src: str) -> str:
     ``doc_id, lang, text, n_chars``) — ONE SQL spelling of the near-dup
     stage, shared by the x1_fuzzy_dedup_pipeline oracle and the
     x9_data_factory composition (the enclosing query must be WITH
-    RECURSIVE for the ``reach`` closure). Emits CTEs ``toks shingles
+    RECURSIVE for the ``reach`` closure). Candidate generation here +
+    the shared ``_neardup_closure_sql`` tail. Emits CTEs ``toks shingles
     hashed mins bk cand sizes inter pair edges nodes reach clusters
     labeled best winners``; consumers read ``best`` (rk = 1 rows are the
     keepers) and ``winners`` (per-cluster canonical)."""
@@ -2329,40 +2362,7 @@ def neardup_chain_sql(src: str) -> str:
              AND a.doc_id < b.doc_id
         ),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
-        inter AS (
-            SELECT c.doc_a, c.doc_b, COUNT(*) AS i
-            FROM cand c
-            JOIN shingles x ON x.doc_id = c.doc_a AND x.lang = c.lang
-            JOIN shingles y ON y.doc_id = c.doc_b AND y.s = x.s AND y.lang = c.lang
-            GROUP BY 1, 2
-        ),
-        pair AS (
-            SELECT i.doc_a, i.doc_b FROM inter i
-            JOIN sizes sa ON sa.doc_id = i.doc_a
-            JOIN sizes sb ON sb.doc_id = i.doc_b
-            WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.5
-        ),
-        edges AS (
-            SELECT doc_a AS a, doc_b AS b FROM pair
-            UNION ALL SELECT doc_b, doc_a FROM pair
-        ),
-        nodes AS (SELECT DISTINCT a AS node FROM edges),
-        reach AS (
-            SELECT node AS src, node AS dst FROM nodes
-            UNION
-            SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
-        ),
-        clusters AS (SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src),
-        labeled AS (
-            SELECT s.doc_id, s.n_chars, COALESCE(c.cluster, s.doc_id) AS cluster
-            FROM {src} s LEFT JOIN clusters c ON c.doc_id = s.doc_id
-        ),
-        best AS (
-            SELECT doc_id, cluster,
-                   ROW_NUMBER() OVER (PARTITION BY cluster
-                                      ORDER BY n_chars DESC, doc_id) AS rk
-            FROM labeled
-        ),
+        {_neardup_closure_sql('cand', 'shingles', 'sizes', src)},
         winners AS (SELECT cluster, doc_id AS winner FROM best WHERE rk = 1)"""
 
 

@@ -887,8 +887,8 @@ def _pq_subf_cte() -> str:
 
 
 def _pq_train_ctes(train: str) -> str:
-    """md5-seeded init + the unrolled Lloyd iterations ending at
-    cb{{PQ_DET_ITERS}}, over a training CTE ``train`` carrying ``(vec_id,
+    """md5-seeded init + the unrolled Lloyd iterations ending at the
+    final cb CTE (cb4), over a training CTE ``train`` carrying ``(vec_id,
     m, d, q)`` — ONE training spelling for the raw codebook (train =
     the ``sub`` slice of ``subf``) and the residual codebook (train =
     the residual rows of the same slice). The seed hash depends only on
@@ -948,7 +948,7 @@ def _pq_train_ctes(train: str) -> str:
 def _pq_det_cb_ctes() -> str:
     """WITH-body prefix shared by every RAW deterministic-PQ oracle: the
     quantized subvector rows (``subf`` = full corpus, ``sub`` = training
-    slice) and the unrolled Lloyd iterations ending at cb{{PQ_DET_ITERS}}
+    slice) and the unrolled Lloyd iterations ending at the final cb CTE
     (``_pq_train_ctes`` over ``sub``)."""
     return (
         _pq_subf_cte()
@@ -1986,14 +1986,17 @@ class IvfPqIndex(NamedTuple):
     query batches re-reads these N times but re-scans parquet ZERO times
     (the RagIndex contract applied to the ANN product). The resident
     state is the cell ranking (2 vector rows per id — also the re-rank
-    and probe-quantization source) plus 8 small integers per id in the
-    inverted lists; probe subvectors are re-derived per batch from the
-    vector table rather than pinning the 64-rows-per-vector exploded
-    frame for the index's whole lifetime."""
+    and probe-quantization source), 8 small integers per id in the
+    inverted lists, and the KB-sized centroid subvector table (fixed at
+    build time — review r12: re-deriving it per serve call cost a fourth
+    full pass over ``ranked`` every micro-batch); probe subvectors are
+    re-derived per batch from the vector table rather than pinning the
+    64-rows-per-vector exploded frame for the index's whole lifetime."""
 
     ranked: DataFrame  # (vec_id, v, norm, cid, rn<=2): two nearest cells
     cb: DataFrame  # (m, j, d, c): the trained PQ codebook
     invl: DataFrame  # (vec_id, cid, m, j): cell-bucketed PQ code lists
+    csub: DataFrame  # (vec_id, m, d, q): quantized centroid subvectors
 
 
 def _pq_residual_rows(
@@ -2018,16 +2021,24 @@ def _pq_residual_rows(
     )
 
 
-# Session-scoped built-index cache, keyed by (applicationId, sf_dir) — the
-# _PQ_CB_CACHE discipline applied to the whole IvfPqIndex (ADVICE r11):
-# building is build-once/serve-many in deployment, so the EVAL lane reuses
-# the index the topk lane just built (identical checkpointed lineage,
-# identical values) instead of re-running codebook training + cell ranking
-# + inverted-list builds in the same session. The topk lane always builds
-# fresh and RE-publishes, so its own cost stays the honest build+serve
-# cost; only consumers that would re-build the same artifact read the
-# cache.
+# Session-scoped built-index cache — the _PQ_CB_CACHE discipline applied
+# to the whole IvfPqIndex (ADVICE r11): building is build-once/serve-many
+# in deployment, so the EVAL lane reuses the index the topk lane just
+# built (identical checkpointed lineage, identical values) instead of
+# re-running codebook training + cell ranking + inverted-list builds in
+# the same session. The topk lane always builds fresh and RE-publishes,
+# so its own cost stays the honest build+serve cost. SINGLE-SLOT (review
+# r12): unlike the KB-sized codebook cache, a pinned index holds
+# corpus-sized checkpointed RDDs the ContextCleaner can then never
+# unpersist — one (key, index) slot bounds that to one corpus in shared
+# JVMs (bench chunks, scale_probe across sf dirs) instead of one per
+# sf_dir forever.
 _IVFPQ_INDEX_CACHE: dict = {}
+
+
+def _ivfpq_cache_put(key: tuple, index: IvfPqIndex) -> None:
+    _IVFPQ_INDEX_CACHE.clear()
+    _IVFPQ_INDEX_CACHE[key] = index
 
 
 def ivf_pq_index(
@@ -2051,7 +2062,9 @@ def ivf_pq_index(
         return _IVFPQ_INDEX_CACHE[key]
     ranked = ivf_ranked_cells(spark, sf_dir)
     sub_all = _pq_quantized_sub(table(spark, sf_dir, "embeddings"))
-    cent_sub = sub_all.where(F.col("vec_id") < N_CENTROIDS)
+    cent_sub = sub_all.where(F.col("vec_id") < N_CENTROIDS).localCheckpoint(
+        eager=False
+    )  # KB-sized, fixed at build: the serve side's residualization table
     asg1 = ranked.where(F.col("rn") == 1).select("vec_id", "cid")
     rsub = (
         _pq_residual_rows(sub_all, asg1, cent_sub)
@@ -2061,8 +2074,8 @@ def ivf_pq_index(
     cb = _pq_train_codebook(rsub.where(F.col("vec_id") < PQ_DET_TRAIN))
     codes = _pq_assign(rsub, cb).select("vec_id", "m", "j")
     invl = asg1.join(codes, "vec_id").localCheckpoint(eager=False)
-    index = IvfPqIndex(ranked=ranked, cb=cb, invl=invl)
-    _IVFPQ_INDEX_CACHE[key] = index
+    index = IvfPqIndex(ranked=ranked, cb=cb, invl=invl, csub=cent_sub)
+    _ivfpq_cache_put(key, index)
     return index
 
 
@@ -2078,10 +2091,10 @@ def ivf_pq_serve(index: IvfPqIndex, qids: DataFrame) -> DataFrame:
     identical floor spelling the build ran, on the identical upcast
     doubles), then RESIDUALIZED per probed cell — each (query, cell)
     pair gets its own distance table against that cell's centroid
-    (``_pq_residual_rows`` over the probed-cells map, the centroid
-    subvectors re-derived from the index's own vector table: 8 rows,
-    KB-sized) — and the ADC join carries ``cid``, so a candidate's
-    residual codes always meet the table built for ITS cell."""
+    (``_pq_residual_rows`` over the probed-cells map and the index's
+    checkpointed ``csub`` member: 8 rows, KB-sized, fixed at build) —
+    and the ADC join carries ``cid``, so a candidate's residual codes
+    always meet the table built for ITS cell."""
     # index.ranked carries exactly the rn <= 2 cells — both probe rows
     probes = index.ranked.join(
         F.broadcast(qids),
@@ -2097,15 +2110,10 @@ def ivf_pq_serve(index: IvfPqIndex, qids: DataFrame) -> DataFrame:
         )
         .select("vec_id", F.col("v").alias("embedding"))
     )
-    cent_sub = _pq_quantized_sub(
-        index.ranked.where(
-            (F.col("rn") == 1) & (F.col("vec_id") < N_CENTROIDS)
-        ).select("vec_id", F.col("v").alias("embedding"))
-    )
     probe_res = _pq_residual_rows(
         _pq_quantized_sub(probe_vecs),
         probes.select(F.col("query_id").alias("vec_id"), "cid"),
-        cent_sub,
+        index.csub,
     )
     ptab = _pq_probe_ptab(probe_res, index.cb)
     adc = (
@@ -2299,14 +2307,17 @@ def _ivf_pq_eval_oracle() -> str:
 )
 def x3_ivf_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ quality evaluation — the detect -> evaluate pair for the
-    COMPOSED index: per probe, recall@{ANN_EVAL_K} and MRR of the full
+    COMPOSED index: per probe, recall@ANN_EVAL_K and MRR of the full
     IVF+PQ cascade (x3_ivf_pq_topk: nprobe=2 cells -> integer ADC ->
-    {IVFPQ_SHORTLIST}-deep shortlist -> exact rerank) against the exact
-    brute-force top-{ANN_EVAL_K}. x3_ann_eval grades the IVF restriction
-    alone (~0.9 recall at test SFs); this lane adds the PQ compression
-    and shortlist pruning on top (~0.73-0.8 measured) — the number that
-    prices the ADC shortlist knob before a corpus-sized reindex, now
-    driver-hash-checked instead of a test-only measurement.
+    IVFPQ_SHORTLIST-deep shortlist -> exact rerank) against the exact
+    brute-force top list. x3_ann_eval grades the IVF restriction
+    alone (0.9 / 0.833 recall@3 at sf0.001 / sf0.01); this lane adds the
+    PQ compression and shortlist pruning on top. With the r12 RESIDUAL
+    encoding it measures 0.9 / 0.833 — IDENTICAL to plain IVF, i.e. the
+    compression gives up zero hits at test SFs, where the former
+    raw-vector codes measured 0.8 / 0.73 — the driver-hash-checked
+    number that priced the residual upgrade and still prices the ADC
+    shortlist knob before a corpus-sized reindex.
 
     One-spelling discipline: the cascade IS ivf_pq_serve over the
     registered lane's own index (then re-ranked for rnk — replaying the
@@ -2317,8 +2328,12 @@ def x3_ivf_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the cascade side is the serving plan (checkpoint-fed,
     bounded broadcasts); the truth pass is one x3_cosine_topk-shaped
     corpus scan with the bounded probe side broadcast (the evaluation's
-    own cost); the hit join touches two <= probes x {ANN_EVAL_K} rank
-    lists."""
+    own cost); the hit join touches two <= probes x ANN_EVAL_K rank
+    lists. BENCH NOTE (review r12): with use_cache=True the lane's
+    benched cost is serve+metrics when x3_ivf_pq_topk ran earlier in the
+    same JVM (the bench chunk co-locates them) and build+serve in a
+    fresh JVM (tools/decay.py always pays the build) — a cross-
+    methodology gap recorded in BENCH_NOTES.md, not a regression."""
     served = ivf_pq_serve(
         ivf_pq_index(spark, sf_dir, use_cache=True), _resident_probe_ids(spark)
     )
