@@ -692,16 +692,17 @@ def _minhash_band_table(sh: DataFrame) -> DataFrame:
     )
 
 
-def minhash_candidates(sh: DataFrame) -> DataFrame:
-    """``(doc_a, doc_b, lang)`` banded-minhash candidate pairs (band-key
-    self-equi-join, doc_a < doc_b) over a ``(doc_id, lang, s)`` shingle
-    table — the candidate-generation half of ``_minhash_verified_pairs``,
-    exposed so the dedup-eval lane can count candidates with the SAME
-    spelling the detection lanes use. NOT deduplicated: a pair colliding
-    in k bands appears k times (``exact_jaccard_verify`` folds the
-    duplicates in its own distinct; a consumer counting DISTINCT pairs
-    applies ``.distinct()`` itself)."""
-    bk = _minhash_band_table(sh)
+def band_self_candidates(bk: DataFrame) -> DataFrame:
+    """``(doc_a, doc_b, lang)`` candidate pairs from a band table
+    ``(doc_id, lang, band, bkey)``: the (lang, band, bkey) self-equi-join
+    with the doc_a < doc_b orientation — THE one Spark spelling of the
+    banded candidate rule (review r12: the compaction lane had inlined a
+    second copy of the predicate), consumed by ``minhash_candidates``
+    (fresh band table from shingles) and ``x1_ingest_compaction`` (the
+    ingest index's STORED band checkpoints). NOT deduplicated: a pair
+    colliding in k bands appears k times (``exact_jaccard_verify`` folds
+    the duplicates in its own distinct; a consumer counting DISTINCT
+    pairs applies ``.distinct()`` itself)."""
     return (
         bk.alias("a")
         .join(
@@ -717,6 +718,15 @@ def minhash_candidates(sh: DataFrame) -> DataFrame:
             F.col("a.lang").alias("lang"),
         )
     )
+
+
+def minhash_candidates(sh: DataFrame) -> DataFrame:
+    """``(doc_a, doc_b, lang)`` banded-minhash candidate pairs over a
+    ``(doc_id, lang, s)`` shingle table — the candidate-generation half
+    of ``_minhash_verified_pairs``, exposed so the dedup-eval lane can
+    count candidates with the SAME spelling the detection lanes use:
+    ``band_self_candidates`` over a fresh ``_minhash_band_table``."""
+    return band_self_candidates(_minhash_band_table(sh))
 
 
 def _minhash_verified_pairs(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
@@ -1445,21 +1455,9 @@ def x1_ingest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     bandsr = index.bands.join(svids, "doc_id", "left_semi").localCheckpoint(
         eager=False
     )  # 2 consumers: both sides of the self-join
-    a, b = bandsr.alias("a"), bandsr.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.bkey") == F.col("b.bkey"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.lang").alias("lang"),
-    )
-    pairs = exact_jaccard_verify(cand, index.sh, sizes=index.sizes).select(
-        "doc_a", "doc_b"
-    )
+    pairs = exact_jaccard_verify(
+        band_self_candidates(bandsr), index.sh, sizes=index.sizes
+    ).select("doc_a", "doc_b")
     keepmap = _keep_best_map_from(sv, pairs).withColumnRenamed("doc_id", "canon")
 
     return with_canon.join(keepmap, "canon").select(
