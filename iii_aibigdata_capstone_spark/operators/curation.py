@@ -1606,13 +1606,14 @@ def factory_clean(base: DataFrame) -> DataFrame:
     rebuilds the gold corpus from what the stream retained, arrival order
     free). The keep-best stage is the shared ``keep_best_map`` (also the
     x1_ingest_compaction rule — detect and compact cannot drift)."""
-    from .dedup import keep_best_map
+    from .dedup import keep_best_map, with_exact_canon
 
     # stage 1+2a: quality gate, then exact dedup among the survivors
+    # (the shared with_exact_canon spelling — one exact-canon rule with
+    # the compaction lane)
     good = base.where(F.col("logit_milli") >= 0)
-    w_hash = Window.partitionBy(F.md5(F.col("text")))
     survivors = (
-        good.withColumn("canon_exact", F.min("doc_id").over(w_hash))
+        with_exact_canon(good, "canon_exact")
         .where(F.col("doc_id") == F.col("canon_exact"))
         .select("doc_id", "source", "lang", "text", "n_chars", "n_tokens")
         .localCheckpoint(eager=False)  # 3 consumers: shingles, labels, keep

@@ -1242,6 +1242,18 @@ def x1_ingest_growing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def with_exact_canon(docs: DataFrame, alias: str = "canon") -> DataFrame:
+    """Adds the exact-dedup canon column — MIN(doc_id) OVER (PARTITION BY
+    md5(text)) — to a frame carrying ``doc_id, text``: ONE spelling of
+    the exact-canon rule (review r12: the factory's stage 2a and the
+    compaction lane's exact stage were hand-copied windows; a tie-break
+    or hash change in one copy would silently diverge the compacted
+    corpus from the factory gold corpus the reconciliation pin equates).
+    ``doc_id == alias`` rows are the exact survivors."""
+    w_hash = Window.partitionBy(F.md5(F.col("text")))
+    return docs.withColumn(alias, F.min("doc_id").over(w_hash))
+
+
 def keep_best_map(survivors: DataFrame) -> DataFrame:
     """``(doc_id, keep_id)`` for every exact-dedup survivor: keep_id =
     its near-dup cluster's keeper (longest doc, tie lowest id; singletons
@@ -1434,12 +1446,10 @@ def x1_ingest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         batched = batched.unionByName(p)
 
     # exact stage among the retained docs: canon = min doc_id per content
-    # hash (the factory's exact spelling), kept TOTAL so dropped docs map
-    # to their replacement
-    w_hash = Window.partitionBy(F.md5(F.col("text")))
+    # hash (the shared with_exact_canon spelling), kept TOTAL so dropped
+    # docs map to their replacement
     with_canon = (
-        batched.join(base, "doc_id")
-        .withColumn("canon", F.min("doc_id").over(w_hash))
+        with_exact_canon(batched.join(base, "doc_id"))
         .select("batch_no", "doc_id", "n_chars", "canon")
         .localCheckpoint(eager=False)  # 2 consumers: sv + the fate join
     )

@@ -998,7 +998,10 @@ def _pq_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
     # no .otherwise(0): a centroid absent from the codebook (possible if a
     # future variant empties an init bucket) must sum to NULL, not 0 — a
     # zero would make the phantom centroid win every argmin. The NULL is
-    # then pushed past every real distance (real sums are < 2^46).
+    # then pushed past every real distance (real sums stay far below the
+    # sentinel: raw inputs bound a per-subspace sum by 8*(2e6)^2 < 2^46,
+    # RESIDUAL inputs (r12: q and c each bounded by 2*PQ_DET_SCALE) by
+    # 8*(4e6)^2 ~ 1.3e14 < 2^47 — both orders of magnitude under 1<<62).
     dists = [
         F.sum(F.when(F.col("j") == jj, sq)).alias(f"d{jj}")
         for jj in range(PQ_DET_K)
@@ -1209,18 +1212,23 @@ def _resident_probe_ids(spark: SparkSession) -> DataFrame:
     return spark.range(N_QUERIES).select(F.col("id").alias("query_id"))
 
 
-def _pq_probe_ptab(probe_sub: DataFrame, cb: DataFrame) -> DataFrame:
+def _pq_probe_ptab(
+    probe_sub: DataFrame, cb: DataFrame, per_cell: bool = False
+) -> DataFrame:
     """(query_id[, cid], m, j, pdist) — each probe's (subspace, centroid)
     integer distance table from an already-probe-restricted ``(vec_id[,
     cid], m, d, q)`` subvector frame: ONE ptab spelling for the batch
     lanes (resident-range slice of the corpus subvectors), the residual
-    IVF-PQ cascade (per-PROBED-CELL residual rows — the ``cid`` column
-    rides into the group keys, one table per (query, probed cell)), and
-    the serving twin (per-micro-batch ids re-quantized from the index's
-    vector table). The encode-identically invariant with the oracle's
-    ``ptab`` CTE lives here and in ``_pq_assign``."""
+    IVF-PQ cascade (``per_cell=True``: per-PROBED-CELL residual rows —
+    ``cid`` rides into the group keys, one table per (query, probed
+    cell)), and the serving twin (per-micro-batch ids re-quantized from
+    the index's vector table). The mode is an EXPLICIT argument (review
+    r12: sniffing an incidental cid column would silently emit per-cell
+    rows to a caller expecting the global table). The
+    encode-identically invariant with the oracle's ``ptab`` CTE lives
+    here and in ``_pq_assign``."""
     keys = [F.col("vec_id").alias("query_id")]
-    if "cid" in probe_sub.columns:
+    if per_cell:
         keys.append(F.col("cid"))
     return (
         probe_sub.join(F.broadcast(cb), ["m", "d"])
@@ -2115,7 +2123,7 @@ def ivf_pq_serve(index: IvfPqIndex, qids: DataFrame) -> DataFrame:
         probes.select(F.col("query_id").alias("vec_id"), "cid"),
         index.csub,
     )
-    ptab = _pq_probe_ptab(probe_res, index.cb)
+    ptab = _pq_probe_ptab(probe_res, index.cb, per_cell=True)
     adc = (
         index.invl.join(F.broadcast(probes), "cid")
         .where(F.col("vec_id") != F.col("query_id"))
