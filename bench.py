@@ -151,11 +151,11 @@ SPECIALS = ["flagship", "st_stream_drain"]
 # verbatim into every artifact's "notes" field so the artifact stays
 # self-contained.
 def bench_notes() -> str:
-    try:
-        with open(os.path.join(REPO, "BENCH_NOTES.md")) as fh:
-            return fh.read()
-    except OSError:
-        return "(BENCH_NOTES.md missing from repo checkout)"
+    # The file is TRACKED — absence means a broken checkout, and silently
+    # substituting the placeholder would strip the adjudication ledger
+    # from committed artifacts (ADVICE r12). Fail loudly.
+    with open(os.path.join(REPO, "BENCH_NOTES.md")) as fh:
+        return fh.read()
 
 
 def run_to_completion(df) -> None:

@@ -2031,16 +2031,22 @@ def _pq_residual_rows(
 
 # Session-scoped built-index cache — the _PQ_CB_CACHE discipline applied
 # to the whole IvfPqIndex (ADVICE r11): building is build-once/serve-many
-# in deployment, so the EVAL lane reuses the index the topk lane just
-# built (identical checkpointed lineage, identical values) instead of
-# re-running codebook training + cell ranking + inverted-list builds in
-# the same session. The topk lane always builds fresh and RE-publishes,
-# so its own cost stays the honest build+serve cost. SINGLE-SLOT (review
-# r12): unlike the KB-sized codebook cache, a pinned index holds
-# corpus-sized checkpointed RDDs the ContextCleaner can then never
-# unpersist — one (key, index) slot bounds that to one corpus in shared
-# JVMs (bench chunks, scale_probe across sf dirs) instead of one per
-# sf_dir forever.
+# in deployment, so a repeat build for the same (session, sf_dir) reuses
+# the checkpointed index (identical lineage, identical values) instead of
+# re-running codebook training + cell ranking + inverted-list builds.
+# OPTED-IN ONLY (ADVICE r12): both lookup AND publish are gated on
+# use_cache, so a use_cache=False build (the registered x3_ivf_pq_topk
+# lane — its cost stays the honest build+serve) can never replace the
+# entry a use_cache=True consumer reads, and a use_cache=True consumer's
+# benched cost never depends on which OTHER lanes ran earlier in the JVM
+# (the r12 chunk-layout coupling, gone by construction: x3_ivf_pq_eval
+# now pays its own one-time build in every layout). Cross-JOB
+# build-once/serve-many is the parquet store (ivf_pq_index_save/load).
+# SINGLE-SLOT (review r12): unlike the KB-sized codebook cache, a pinned
+# index holds corpus-sized checkpointed RDDs the ContextCleaner can then
+# never unpersist — one (key, index) slot bounds that to one corpus in
+# shared JVMs (bench chunks, scale_probe across sf dirs) instead of one
+# per sf_dir forever.
 _IVFPQ_INDEX_CACHE: dict = {}
 
 
@@ -2083,8 +2089,35 @@ def ivf_pq_index(
     codes = _pq_assign(rsub, cb).select("vec_id", "m", "j")
     invl = asg1.join(codes, "vec_id").localCheckpoint(eager=False)
     index = IvfPqIndex(ranked=ranked, cb=cb, invl=invl, csub=cent_sub)
-    _ivfpq_cache_put(key, index)
+    if use_cache:
+        _ivfpq_cache_put(key, index)
     return index
+
+
+def ivf_pq_index_save(index: IvfPqIndex, path: str) -> None:
+    """Persist the residual IVF-PQ index to ``path`` (one parquet
+    directory per member — the index_store layout): the
+    build-once/serve-MANY-JOBS half of the ANN product (r12 verdict ask
+    #1), the Spark-native analog of FAISS ``write_index``. A nightly
+    build job saves; every serving job thereafter loads and runs
+    ``ivf_pq_serve`` without paying codebook training, cell ranking or
+    list building — indexes outlive jobs. At 100 TB the store write
+    would add ``partitionBy("cid")`` on the inverted lists so probes
+    prune cells by partition; values are layout-independent."""
+    from .index_store import index_save
+
+    index_save(index, path)
+
+
+def ivf_pq_index_load(spark: SparkSession, path: str) -> IvfPqIndex:
+    """Load a persisted residual IVF-PQ index from ``path``. Members
+    come back checkpointed (store parquet scanned once, corpus parquet
+    never), and ``ivf_pq_serve`` over the loaded index is HASH-IDENTICAL
+    to serving the index it was saved from — pinned, including from a
+    FRESH JVM, by tests/test_index_store.py."""
+    from .index_store import index_load
+
+    return index_load(spark, path, IvfPqIndex)
 
 
 def ivf_pq_serve(index: IvfPqIndex, qids: DataFrame) -> DataFrame:
@@ -2337,11 +2370,14 @@ def x3_ivf_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded broadcasts); the truth pass is one x3_cosine_topk-shaped
     corpus scan with the bounded probe side broadcast (the evaluation's
     own cost); the hit join touches two <= probes x ANN_EVAL_K rank
-    lists. BENCH NOTE (review r12): with use_cache=True the lane's
-    benched cost is serve+metrics when x3_ivf_pq_topk ran earlier in the
-    same JVM (the bench chunk co-locates them) and build+serve in a
-    fresh JVM (tools/decay.py always pays the build) — a cross-
-    methodology gap recorded in BENCH_NOTES.md, not a regression."""
+    lists. BENCH NOTE (r13): the lane pays its OWN one-time index build
+    (use_cache=True publishes and reuses only within this lane's own
+    key) — since the r13 opt-in cache gating, no other lane's earlier
+    run can pre-pay it, so the benched cost is build+serve+metrics in
+    EVERY chunk layout and tools/decay.py confirms bench readings
+    directly (the r12 chunk-layout coupling, closed by construction; see
+    BENCH_NOTES.md). A deployment serves recall probes against the
+    PERSISTED index instead (ivf_pq_index_load) and pays load+serve."""
     served = ivf_pq_serve(
         ivf_pq_index(spark, sf_dir, use_cache=True), _resident_probe_ids(spark)
     )

@@ -32,13 +32,24 @@ test_streaming_ingest_micro_batch_plan_rescans_no_parquet).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
-from ..operators.dedup import IngestIndex, ingest_admit, ingest_admit_fold
+from ..operators.dedup import (
+    IngestIndex,
+    ingest_admit,
+    ingest_admit_fold,
+    ingest_index_load,
+    ingest_index_save,
+)
 
-__all__ = ["streaming_minhash_ingest", "streaming_minhash_ingest_growing"]
+__all__ = [
+    "latest_ingest_segment",
+    "streaming_minhash_ingest",
+    "streaming_minhash_ingest_growing",
+]
 
 
 def streaming_minhash_ingest(
@@ -64,11 +75,30 @@ def streaming_minhash_ingest(
     )
 
 
+def latest_ingest_segment(store: str) -> str | None:
+    """The newest ``seg_<batch_id>`` segment directory under a growing
+    stream's index ``store``, or None if no compaction has flushed yet —
+    the restart entry point: a resumed driver loads this segment
+    (``ingest_index_load``) instead of rebuilding the index from
+    residents + the admitted sink, and the source checkpoint replays
+    only the batches after the flush. Segments are complete by
+    construction: the flush runs inside foreachBatch, and the streaming
+    engine does not commit batch N (or start N+1) until the batch
+    function returns."""
+    segs = sorted(
+        d for d in (os.listdir(store) if os.path.isdir(store) else [])
+        if d.startswith("seg_")
+    )
+    return os.path.join(store, segs[-1]) if segs else None
+
+
 def streaming_minhash_ingest_growing(
     index: IngestIndex,
     docs_stream: DataFrame,
     emit: Callable[[DataFrame, int], None],
     checkpoint: str,
+    compact_every: int | None = None,
+    store: str | None = None,
 ):
     """The GROWING admission stream (r10 verdict ask #2): after each
     micro-batch is admitted through the shared ``ingest_admit`` spelling,
@@ -90,8 +120,33 @@ def streaming_minhash_ingest_growing(
     what ``emit`` delivered downstream — so recovery = rebuild the index
     from residents + the admitted sink and resume from the source
     checkpoint (pinned by the mid-stream restart test). A deployment
-    that persists deltas to the index store per batch skips even that
-    rebuild."""
+    that persists segments to the index store skips even that rebuild —
+    that is ``compact_every``:
+
+    PERIODIC IN-STREAM COMPACTION (r12 verdict ask #6, the LSM story's
+    last piece): with ``compact_every=N`` and a ``store`` directory,
+    every N micro-batches the grown index is flushed to
+    ``<store>/seg_<batch_id>`` (``ingest_index_save`` — each member's
+    base + accumulated deltas written as ONE parquet segment) and the
+    driver-held index replaced by the LOADED segment
+    (``ingest_index_load``). Values are untouched — save/load
+    round-trips every member exactly, so the post-compaction index
+    still satisfies the fold invariant (row-identical to
+    ``minhash_ingest_index(residents UNION admitted-so-far)``, pinned
+    by tests/test_streaming.py) and downstream admissions cannot drift.
+    What changes is the physical shape, which is the point at 100 TB:
+    the member lineage (and the per-batch probe's localCheckpoint
+    chain) is collapsed from one delta per elapsed batch back to one
+    segment, bounding driver-held plan depth to ``compact_every``
+    deltas forever, and RESTART becomes load-latest-segment + replay
+    only the post-flush batches (``latest_ingest_segment``) instead of
+    a rebuild over the whole admitted history. This is the segment
+    half of compaction — physical, admission-preserving; the SEMANTIC
+    keep-best reconciliation over what the ingest retained is the batch
+    ``x1_ingest_compaction`` lane, runnable over these same stored
+    segments."""
+    if compact_every and not store:
+        raise ValueError("compact_every requires a store path")
     state = [index]
 
     def _admit_and_fold(df: DataFrame, bid: int) -> None:
@@ -101,6 +156,13 @@ def streaming_minhash_ingest_growing(
         # cleaned/archived files or Kafka past retention; review r11)
         admitted, state[0] = ingest_admit_fold(state[0], df, eager=True)
         emit(admitted, bid)
+        if compact_every and (bid + 1) % compact_every == 0:
+            # flush INSIDE the batch function: the engine commits batch
+            # `bid` only after this returns, so a crash mid-flush replays
+            # the batch and re-flushes — segments are never half-trusted
+            seg = os.path.join(store, f"seg_{bid:09d}")
+            ingest_index_save(state[0], seg)
+            state[0] = ingest_index_load(df.sparkSession, seg)
 
     return (
         docs_stream.writeStream.foreachBatch(_admit_and_fold)

@@ -1,0 +1,204 @@
+"""Index persistence (r12 verdict ask #1): the IvfPqIndex / IngestIndex
+parquet store — save, load, and serve-from-loaded pins, INCLUDING the
+fresh-JVM pin that makes build-once/serve-many real across JOBS (a
+nightly build's index served by tomorrow's process, which session-scoped
+checkpoints and the in-process cache cannot express)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+import pyspark.sql.functions as F
+
+from .conftest import TEST_SF_DIR
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_ivf_pq_index_save_load_serves_identically(spark):
+    """ivf_pq_serve over a LOADED index == the registered x3_ivf_pq_topk
+    rows exactly — the save/load boundary changes physical lineage only
+    (parquet round-trips ints/doubles bit-for-bit; every member consumer
+    is order-insensitive)."""
+    from iii_aibigdata_capstone_spark.operators.similarity import (
+        _resident_probe_ids,
+        ivf_pq_index,
+        ivf_pq_index_load,
+        ivf_pq_index_save,
+        ivf_pq_serve,
+    )
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    path = tempfile.mkdtemp(prefix="ivfpq_store_")
+    try:
+        ivf_pq_index_save(ivf_pq_index(spark, TEST_SF_DIR), path)
+        loaded = ivf_pq_index_load(spark, path)
+        got = _sorted_rows(ivf_pq_serve(loaded, _resident_probe_ids(spark)))
+        want = _sorted_rows(
+            registry()["x3_ivf_pq_topk"].builder(spark, TEST_SF_DIR)
+        )
+        assert got and got == want
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_ingest_index_save_load_admits_identically(spark):
+    """ingest_admit against a LOADED index == the registered
+    x1_minhash_ingest rows — the warm-store admission path."""
+    from iii_aibigdata_capstone_spark.catalog import table
+    from iii_aibigdata_capstone_spark.operators.dedup import (
+        ingest_admit,
+        ingest_index_load,
+        ingest_index_save,
+        minhash_ingest_index,
+    )
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    docs = table(spark, TEST_SF_DIR, "documents")
+    is_batch = F.col("doc_id") % 5 == 4
+    path = tempfile.mkdtemp(prefix="ingest_store_")
+    try:
+        ingest_index_save(minhash_ingest_index(docs.where(~is_batch)), path)
+        loaded = ingest_index_load(spark, path)
+        got = _sorted_rows(ingest_admit(loaded, docs.where(is_batch)))
+        want = _sorted_rows(
+            registry()["x1_minhash_ingest"].builder(spark, TEST_SF_DIR)
+        )
+        assert got and got == want
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_streaming_ann_serving_runs_off_loaded_index(spark):
+    """The streaming ANN serving twin handed a LOADED index (the
+    deployment shape: the serving job never builds) emits exactly the
+    batch lane's rows for the same probe ids."""
+    from iii_aibigdata_capstone_spark.operators.similarity import (
+        _resident_probe_ids,
+        ivf_pq_index,
+        ivf_pq_index_load,
+        ivf_pq_index_save,
+    )
+    from iii_aibigdata_capstone_spark.queries import registry
+    from iii_aibigdata_capstone_spark.streaming.serving import (
+        streaming_ann_serving,
+    )
+
+    path = tempfile.mkdtemp(prefix="ivfpq_store_stream_")
+    src = tempfile.mkdtemp(prefix="ann_qids_src_")
+    ck = tempfile.mkdtemp(prefix="ann_qids_ck_")
+    try:
+        ivf_pq_index_save(ivf_pq_index(spark, TEST_SF_DIR), path)
+        loaded = ivf_pq_index_load(spark, path)
+        _resident_probe_ids(spark).coalesce(1).write.mode("overwrite").parquet(src)
+        qids_stream = spark.readStream.schema("query_id long").parquet(src)
+        served: list = []
+        q = streaming_ann_serving(
+            loaded,
+            qids_stream,
+            emit=lambda df, bid: served.extend(df.collect()),
+            checkpoint=ck,
+        )
+        assert q.awaitTermination(300), "serving stream did not finish"
+        q.stop()
+        got = sorted(tuple(r) for r in served)
+        want = _sorted_rows(
+            registry()["x3_ivf_pq_topk"].builder(spark, TEST_SF_DIR)
+        )
+        assert got and got == want
+    finally:
+        for d in (path, src, ck):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+_FRESH_JVM_CHILD = r"""
+import json, sys
+sys.path.insert(0, {repo!r})
+from iii_aibigdata_capstone_spark.session import get_spark
+from iii_aibigdata_capstone_spark.operators.similarity import (
+    _resident_probe_ids, ivf_pq_index_load, ivf_pq_serve)
+from iii_aibigdata_capstone_spark.operators.dedup import (
+    ingest_admit, ingest_index_load)
+from iii_aibigdata_capstone_spark.catalog import table
+import pyspark.sql.functions as F
+
+spark = get_spark(app_name="index-store-fresh", master="local[4]",
+                  shuffle_partitions=4)
+spark.sparkContext.setLogLevel("OFF")
+ann = sorted(tuple(r) for r in ivf_pq_serve(
+    ivf_pq_index_load(spark, {ivf_path!r}), _resident_probe_ids(spark)
+).collect())
+docs = table(spark, {sf_dir!r}, "documents")
+adm = sorted(tuple(r) for r in ingest_admit(
+    ingest_index_load(spark, {ingest_path!r}),
+    docs.where(F.col("doc_id") % 5 == 4),
+).collect())
+with open({out!r}, "w") as fh:
+    json.dump({{"ann": ann, "admitted": adm}}, fh)
+spark.stop()
+"""
+
+
+def test_fresh_jvm_serves_persisted_indexes_identically(spark):
+    """THE build-once/serve-many-jobs pin: a FRESH JVM (new process, new
+    SparkSession — yesterday's build served by today's job) loads both
+    persisted indexes and reproduces the registered lanes' rows exactly,
+    never touching the builders. One child process covers both index
+    families (JVM startup dominates the test's cost)."""
+    from iii_aibigdata_capstone_spark.catalog import table
+    from iii_aibigdata_capstone_spark.operators.dedup import (
+        ingest_index_save,
+        minhash_ingest_index,
+    )
+    from iii_aibigdata_capstone_spark.operators.similarity import (
+        ivf_pq_index,
+        ivf_pq_index_save,
+    )
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tmp = tempfile.mkdtemp(prefix="index_store_fresh_")
+    ivf_path = os.path.join(tmp, "ivfpq")
+    ingest_path = os.path.join(tmp, "ingest")
+    out = os.path.join(tmp, "child.json")
+    try:
+        ivf_pq_index_save(ivf_pq_index(spark, TEST_SF_DIR), ivf_path)
+        docs = table(spark, TEST_SF_DIR, "documents")
+        ingest_index_save(
+            minhash_ingest_index(docs.where(F.col("doc_id") % 5 != 4)),
+            ingest_path,
+        )
+        script = _FRESH_JVM_CHILD.format(
+            repo=repo,
+            ivf_path=ivf_path,
+            ingest_path=ingest_path,
+            sf_dir=TEST_SF_DIR,
+            out=out,
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c", script],
+            capture_output=True,
+            text=True,
+            timeout=420,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        with open(out) as fh:
+            child = json.load(fh)
+        want_ann = _sorted_rows(
+            registry()["x3_ivf_pq_topk"].builder(spark, TEST_SF_DIR)
+        )
+        want_adm = _sorted_rows(
+            registry()["x1_minhash_ingest"].builder(spark, TEST_SF_DIR)
+        )
+        assert [tuple(r) for r in child["ann"]] == want_ann
+        assert [tuple(r) for r in child["admitted"]] == want_adm
+        assert want_ann and want_adm
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
