@@ -1441,7 +1441,15 @@ def x1_ingest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The lane IS the x1_ingest_growing schedule (residents = doc_id % 4
     == 0, three folded arrival batches) followed by the compaction pass,
-    so retained = residents + every admitted doc. Output is a TOTAL fate
+    so retained = residents + every admitted doc. DECIDED r13 (the r12
+    verdict's What's-wrong #3 offered share-or-document): the lane KEEPS
+    rebuilding its own fold rather than reading a prefix another lane
+    built — a cross-lane shared prefix is exactly the session-cache
+    coupling r13 removed from the ANN lanes (a lane's benched cost must
+    not depend on chunk layout), so the composed build+fold+compact
+    price stays the honest end-to-end reading; a deployment compacts an
+    EXISTING index's stored segments (ingest_index_load -> this pass),
+    the shape the streaming compact_every trigger exercises. Output is a TOTAL fate
     map: ``(batch_no, doc_id, keep_id, kept)`` for every retained doc —
     keep_id its exact-canon's cluster keeper (keep_id == doc_id <=> the
     compacted corpus keeps it), batch_no the arrival that carried it (0
