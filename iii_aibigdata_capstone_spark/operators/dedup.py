@@ -928,6 +928,23 @@ def ingest_index_save(index: IngestIndex, path: str) -> None:
     index_save(index, path)
 
 
+def ingest_fold_admitted(index: IngestIndex, admitted_docs: DataFrame) -> IngestIndex:
+    """Fold ALREADY-ADMITTED documents into an index WITHOUT re-running
+    admission — the restart tail fold (review r13): a resumed driver
+    loads the latest store segment (which covers every batch folded
+    before the flush) and folds in the docs the admitted SINK recorded
+    for batches committed AFTER it, reconstructing exactly the
+    pre-crash index. Row-correct by the fold invariant — every member
+    is a pure per-doc function, and admitted docs are exact-gate
+    survivors, so the delta's hashes/bands/shingles/sizes are disjoint
+    slices identical to what the original per-batch folds appended
+    (same-text docs admitted within ONE batch collapse to one hash row
+    in both constructions). ``admitted_docs`` needs ``doc_id, lang,
+    text, n_chars``."""
+    delta = minhash_ingest_index(admitted_docs)
+    return IngestIndex(*(a.unionByName(b) for a, b in zip(index, delta)))
+
+
 def ingest_index_load(spark: SparkSession, path: str) -> IngestIndex:
     """Load a persisted ingest index from ``path``. Members come back
     checkpointed (store parquet scanned once, corpus parquet never), and

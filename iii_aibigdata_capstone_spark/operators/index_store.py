@@ -37,27 +37,57 @@ from pyspark.sql import SparkSession
 
 T = TypeVar("T", bound=tuple)
 
-__all__ = ["index_load", "index_save"]
+__all__ = ["INDEX_COMPLETE_MARKER", "index_is_complete", "index_load", "index_save"]
+
+# Terminal marker written AFTER every member parquet job commits — the
+# member-SET completeness protocol (review r13). Spark's committer makes
+# each member directory internally atomic (_SUCCESS / staged renames),
+# but a crash BETWEEN member jobs would otherwise leave a directory that
+# looks like an index and loads as a silently partial one. Readers must
+# treat marker-less directories as in-flight garbage
+# (``latest_ingest_segment`` skips them; ``index_load`` refuses them).
+# On an object store the same role is played by a manifest object
+# written last; the protocol is identical.
+INDEX_COMPLETE_MARKER = "_INDEX_COMPLETE"
+
+
+def index_is_complete(path: str) -> bool:
+    """True iff ``path`` holds a fully-written ``index_save`` artifact."""
+    return os.path.exists(os.path.join(path, INDEX_COMPLETE_MARKER))
 
 
 def index_save(index: tuple, path: str) -> None:
     """Write every member DataFrame of a NamedTuple index to
-    ``<path>/<member_name>`` as parquet (overwrite — saving twice to one
-    path is an idempotent republish, the mode a periodic compaction
-    trigger needs). The write is the index's one full materialization,
-    after which any number of FUTURE jobs serve from the store without
-    re-deriving anything."""
+    ``<path>/<member_name>`` as parquet, then the completeness marker
+    (overwrite — saving twice to one path is an idempotent republish, the
+    mode a periodic compaction trigger's crash-replay needs; any stale
+    marker is removed FIRST so a crash mid-overwrite can never leave an
+    old marker vouching for mixed-generation members). The write is the
+    index's one full materialization, after which any number of FUTURE
+    jobs serve from the store without re-deriving anything."""
+    marker = os.path.join(path, INDEX_COMPLETE_MARKER)
+    if os.path.exists(marker):
+        os.remove(marker)
     for name, df in zip(type(index)._fields, index):
         df.write.mode("overwrite").parquet(os.path.join(path, name))
+    with open(marker, "w") as fh:
+        fh.write("")
 
 
 def index_load(spark: SparkSession, path: str, cls: type[T]) -> T:
-    """Read a ``cls``-shaped index back from ``index_save``'s layout.
-    Every member is localCheckpoint'd lazily on load, keeping the index
-    contract both families document: serving N batches re-reads the
-    checkpointed members N times but scans the store parquet ONCE (and
-    scans corpus parquet ZERO times — the store IS the corpus-derived
-    state)."""
+    """Read a ``cls``-shaped index back from ``index_save``'s layout,
+    refusing a directory without the completeness marker (a crash
+    between member writes must fail loudly here, never load as a
+    silently partial index). Every member is localCheckpoint'd lazily on
+    load, keeping the index contract both families document: serving N
+    batches re-reads the checkpointed members N times but scans the
+    store parquet ONCE (and scans corpus parquet ZERO times — the store
+    IS the corpus-derived state)."""
+    if not index_is_complete(path):
+        raise ValueError(
+            f"{path} is not a complete index segment (missing "
+            f"{INDEX_COMPLETE_MARKER}); it was interrupted mid-write"
+        )
     return cls(
         **{
             name: spark.read.parquet(os.path.join(path, name)).localCheckpoint(

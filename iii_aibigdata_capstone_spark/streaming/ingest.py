@@ -33,6 +33,7 @@ test_streaming_ingest_micro_batch_plan_rescans_no_parquet).
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -79,15 +80,23 @@ def latest_ingest_segment(store: str) -> str | None:
     """The newest ``seg_<batch_id>`` segment directory under a growing
     stream's index ``store``, or None if no compaction has flushed yet —
     the restart entry point: a resumed driver loads this segment
-    (``ingest_index_load``) instead of rebuilding the index from
-    residents + the admitted sink, and the source checkpoint replays
-    only the batches after the flush. Segments are complete by
-    construction: the flush runs inside foreachBatch, and the streaming
-    engine does not commit batch N (or start N+1) until the batch
-    function returns."""
+    (``ingest_index_load``), folds in the admitted-sink docs of any
+    batches committed after the flush (``ingest_fold_admitted`` — the
+    tail is at most the batches since the last flush, instead of the
+    whole admitted history), and resumes from the source checkpoint.
+    ``seg_<bid>`` covers exactly the batches BEFORE ``bid`` (the flush
+    runs pre-fold at the start of batch ``bid``, when the engine has
+    committed precisely batches < bid — review r13: a post-fold flush
+    could cover a batch the engine never committed, and its replay
+    would self-reject every doc and emit the batch as empty). Only
+    segments whose completeness marker landed count; a directory
+    interrupted between member writes is skipped, never trusted."""
+    from ..operators.index_store import index_is_complete
+
     segs = sorted(
-        d for d in (os.listdir(store) if os.path.isdir(store) else [])
-        if d.startswith("seg_")
+        d
+        for d in (os.listdir(store) if os.path.isdir(store) else [])
+        if d.startswith("seg_") and index_is_complete(os.path.join(store, d))
     )
     return os.path.join(store, segs[-1]) if segs else None
 
@@ -124,45 +133,71 @@ def streaming_minhash_ingest_growing(
     that is ``compact_every``:
 
     PERIODIC IN-STREAM COMPACTION (r12 verdict ask #6, the LSM story's
-    last piece): with ``compact_every=N`` and a ``store`` directory,
-    every N micro-batches the grown index is flushed to
-    ``<store>/seg_<batch_id>`` (``ingest_index_save`` — each member's
-    base + accumulated deltas written as ONE parquet segment) and the
-    driver-held index replaced by the LOADED segment
-    (``ingest_index_load``). Values are untouched — save/load
-    round-trips every member exactly, so the post-compaction index
-    still satisfies the fold invariant (row-identical to
-    ``minhash_ingest_index(residents UNION admitted-so-far)``, pinned
-    by tests/test_streaming.py) and downstream admissions cannot drift.
+    last piece): with ``compact_every=N`` and a ``store`` directory, the
+    start of every Nth micro-batch ``bid`` flushes the PRE-FOLD index —
+    exactly the batches the engine has committed, which at that moment
+    is precisely batches < bid — to ``<store>/seg_<bid>``
+    (``ingest_index_save``: each member's base + accumulated deltas
+    written as ONE parquet segment, completeness marker last) and the
+    driver continues on the LOADED segment (``ingest_index_load``);
+    superseded segments are pruned after the new marker lands. Values
+    are untouched — save/load round-trips every member exactly, so the
+    post-compaction index still satisfies the fold invariant
+    (row-identical to ``minhash_ingest_index(residents UNION
+    admitted-so-far)``, pinned member-by-member by
+    tests/test_streaming.py) and downstream admissions cannot drift.
     What changes is the physical shape, which is the point at 100 TB:
     the member lineage (and the per-batch probe's localCheckpoint
     chain) is collapsed from one delta per elapsed batch back to one
     segment, bounding driver-held plan depth to ``compact_every``
-    deltas forever, and RESTART becomes load-latest-segment + replay
-    only the post-flush batches (``latest_ingest_segment``) instead of
-    a rebuild over the whole admitted history. This is the segment
-    half of compaction — physical, admission-preserving; the SEMANTIC
-    keep-best reconciliation over what the ingest retained is the batch
-    ``x1_ingest_compaction`` lane, runnable over these same stored
-    segments."""
-    if compact_every and not store:
-        raise ValueError("compact_every requires a store path")
+    deltas forever, and RESTART becomes load-latest-segment + fold the
+    admitted sink's post-flush tail (``latest_ingest_segment`` +
+    ``ingest_fold_admitted``) + resume — correct at EVERY crash point
+    because a segment never contains an uncommitted batch, and strictly
+    cheaper than the full rebuild the no-store path needs. COST KNOB,
+    stated honestly: each flush is a full snapshot — it rewrites
+    base+deltas (~O(corpus) member rows), which is what an LSM
+    compaction does by definition; ``compact_every`` amortizes that
+    rewrite against per-batch delta accumulation and bounded-tail
+    recovery (a deployment that wants flush cost O(delta) writes
+    delta-only segments and compacts them out-of-band instead). This is
+    the segment half of compaction — physical, admission-preserving;
+    the SEMANTIC keep-best reconciliation over what the ingest retained
+    is the batch ``x1_ingest_compaction`` lane, runnable over these
+    same stored segments."""
+    if (compact_every is None) != (store is None):
+        raise ValueError(
+            "compact_every and store come together: a store without a "
+            "trigger would silently never be populated, a trigger "
+            "without a store has nowhere to flush"
+        )
+    if compact_every is not None and compact_every < 1:
+        raise ValueError(f"compact_every must be >= 1, got {compact_every}")
     state = [index]
 
     def _admit_and_fold(df: DataFrame, bid: int) -> None:
+        if compact_every and bid > 0 and bid % compact_every == 0:
+            # flush BEFORE folding this batch: the engine has committed
+            # exactly batches < bid, so the segment never contains an
+            # uncommitted batch — a crash anywhere after this point
+            # replays only batches the segment does NOT cover, and their
+            # docs admit normally instead of self-rejecting (review
+            # r13). Idempotent under replay of batch `bid` itself: the
+            # pre-fold state is value-identical, and index_save
+            # republishes over the same path. Prune superseded segments
+            # only after the new marker lands.
+            seg = os.path.join(store, f"seg_{bid:09d}")
+            ingest_index_save(state[0], seg)
+            state[0] = ingest_index_load(df.sparkSession, seg)
+            for d in os.listdir(store):
+                if d.startswith("seg_") and d != os.path.basename(seg):
+                    shutil.rmtree(os.path.join(store, d), ignore_errors=True)
         # eager=True: the delta's lineage roots in THIS micro-batch's
         # DataFrame — it must materialize inside the batch, or the next
         # batch's admission would replay this batch's source (broken on
         # cleaned/archived files or Kafka past retention; review r11)
         admitted, state[0] = ingest_admit_fold(state[0], df, eager=True)
         emit(admitted, bid)
-        if compact_every and (bid + 1) % compact_every == 0:
-            # flush INSIDE the batch function: the engine commits batch
-            # `bid` only after this returns, so a crash mid-flush replays
-            # the batch and re-flushes — segments are never half-trusted
-            seg = os.path.join(store, f"seg_{bid:09d}")
-            ingest_index_save(state[0], seg)
-            state[0] = ingest_index_load(df.sparkSession, seg)
 
     return (
         docs_stream.writeStream.foreachBatch(_admit_and_fold)

@@ -202,3 +202,58 @@ def test_fresh_jvm_serves_persisted_indexes_identically(spark):
         assert want_ann and want_adm
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_incomplete_segment_refused_by_load_and_skipped_by_latest(spark, tmp_path):
+    """The completeness protocol (review r13): a segment directory whose
+    marker never landed (crash between member writes) must be refused by
+    ``index_load`` with a clear error and skipped by
+    ``latest_ingest_segment`` — never trusted, never silently partial."""
+    import pytest
+
+    from iii_aibigdata_capstone_spark.operators.dedup import (
+        IngestIndex,
+        ingest_index_load,
+    )
+    from iii_aibigdata_capstone_spark.operators.index_store import (
+        INDEX_COMPLETE_MARKER,
+    )
+    from iii_aibigdata_capstone_spark.streaming.ingest import (
+        latest_ingest_segment,
+    )
+
+    store = tmp_path / "store"
+    complete = store / "seg_000000001"
+    partial = store / "seg_000000002"  # newer, but interrupted mid-write
+    complete.mkdir(parents=True)
+    (complete / INDEX_COMPLETE_MARKER).write_text("")
+    partial.mkdir()
+    (partial / "hashes").mkdir()  # some members landed, marker did not
+
+    assert latest_ingest_segment(str(store)) == str(complete)
+    with pytest.raises(ValueError, match="not a complete index segment"):
+        ingest_index_load(spark, str(partial))
+    assert IngestIndex  # namedtuple import exercised
+
+
+def test_compaction_trigger_validation(spark, tmp_path):
+    """Misconfiguration fails at START (review r13): a store without a
+    trigger would silently never populate (discovered only at recovery
+    time), a trigger without a store has nowhere to flush, and a
+    non-positive interval is meaningless."""
+    import pytest
+
+    from iii_aibigdata_capstone_spark.streaming.ingest import (
+        streaming_minhash_ingest_growing,
+    )
+
+    for kwargs in (
+        {"store": str(tmp_path / "s")},
+        {"compact_every": 2},
+        {"compact_every": 0, "store": str(tmp_path / "s")},
+    ):
+        with pytest.raises(ValueError):
+            streaming_minhash_ingest_growing(
+                None, None, emit=lambda df, bid: None,
+                checkpoint=str(tmp_path / "ck"), **kwargs
+            )

@@ -1003,16 +1003,17 @@ def test_streaming_growing_ingest_restart_recovery(spark, growing_split):
 
 def test_streaming_compaction_trigger_preserves_fold_invariant(spark, growing_split, tmp_path):
     """PERIODIC IN-STREAM COMPACTION (r12 verdict ask #6): the growing
-    stream with ``compact_every=2`` flushes the grown index to a store
-    segment after batch 2 and continues on the LOADED segment. Three
-    pins: (1) admissions are byte-identical to the uncompacted batch
-    fold (compaction is physical, never semantic); (2) exactly one
-    segment exists and ``latest_ingest_segment`` finds it; (3) THE FOLD
-    INVARIANT crosses the flush: every member of the loaded segment is
-    row-identical to ``minhash_ingest_index(residents UNION
+    stream with ``compact_every=1`` flushes the PRE-FOLD index at the
+    start of batches 2 and 3 (segments cover exactly the committed
+    prefix) and continues on the LOADED segment, pruning the superseded
+    one. Three pins: (1) admissions are byte-identical to the
+    uncompacted batch fold (compaction is physical, never semantic);
+    (2) exactly ONE segment survives pruning — seg_2, covering batches
+    1-2 — and ``latest_ingest_segment`` finds it; (3) THE FOLD
+    INVARIANT holds on the store artifact: every member of the loaded
+    segment is row-identical to ``minhash_ingest_index(residents UNION
     admitted-in-batches-1-2)`` built from scratch — the rebuildability
-    contract the restart story rests on, now asserted on the store
-    artifact itself."""
+    contract the restart story rests on."""
     from iii_aibigdata_capstone_spark.operators.dedup import (
         minhash_ingest_index,
     )
@@ -1030,7 +1031,7 @@ def test_streaming_compaction_trigger_preserves_fold_invariant(spark, growing_sp
         _arrival_stream(spark, src),
         emit=lambda df, bid: per_batch.setdefault(bid, []).extend(df.collect()),
         checkpoint=str(tmp_path / "ck"),
-        compact_every=2,
+        compact_every=1,
         store=store,
     )
     assert q.awaitTermination(300), "stream did not finish"
@@ -1048,9 +1049,10 @@ def test_streaming_compaction_trigger_preserves_fold_invariant(spark, growing_sp
     )
     assert got and got == want
 
-    # pin 2: exactly one flush (batches 1..3, every 2nd)
+    # pin 2: flushes at the start of bids 1 and 2 (pre-fold, bid>0),
+    # superseded seg_1 pruned — only seg_2 (covering batches 1-2) remains
     seg = latest_ingest_segment(store)
-    assert seg is not None and seg.endswith("seg_000000001")
+    assert seg is not None and seg.endswith("seg_000000002")
     assert len(os.listdir(store)) == 1
 
     # pin 3: the segment == a from-scratch rebuild over residents +
@@ -1069,20 +1071,23 @@ def test_streaming_compaction_trigger_preserves_fold_invariant(spark, growing_sp
 
 
 def test_streaming_compaction_restart_resumes_from_segment(spark, growing_split, tmp_path):
-    """RESTART AFTER A FLUSH resumes from the stored segment, not a
-    rebuild: drain batches 1-2 with ``compact_every=2`` (one segment
-    flushed), simulate driver death, then restart the stream with
-    ``ingest_index_load(latest_ingest_segment(store))`` and the same
-    source checkpoint — only batch 3 replays, and the union of emissions
-    across both incarnations equals the uninterrupted batch fold. This
-    is the deployment recovery path the growing twin's docstring
-    promises (load-latest-segment + replay-the-tail), strictly cheaper
-    than the rebuild-from-admitted-sink path the no-store restart test
-    pins."""
+    """RESTART AFTER A FLUSH resumes from the stored segment plus the
+    admitted sink's short tail, not a full rebuild: drain batches 1-2
+    with ``compact_every=1`` (seg_1 flushed at the start of batch 2,
+    covering batch 1 only), simulate driver death, then restart with
+    ``ingest_fold_admitted(ingest_index_load(latest_ingest_segment(store)),
+    <batch-2 admissions from the sink>)`` and the same source checkpoint
+    — only batch 3 replays, and the union of emissions across both
+    incarnations equals the uninterrupted batch fold. This is the
+    deployment recovery recipe the growing twin's docstring promises
+    (segment + bounded tail fold), strictly cheaper than the
+    rebuild-over-the-whole-admitted-history path the no-store restart
+    test pins."""
     import glob
     import shutil
 
     from iii_aibigdata_capstone_spark.operators.dedup import (
+        ingest_fold_admitted,
         ingest_index_load,
         minhash_ingest_index,
     )
@@ -1108,7 +1113,7 @@ def test_streaming_compaction_restart_resumes_from_segment(spark, growing_split,
         _arrival_stream(spark, src2),
         emit=lambda df, bid: per_batch.setdefault(bid, []).extend(df.collect()),
         checkpoint=ck,
-        compact_every=2,
+        compact_every=1,
         store=store,
     )
     assert q.awaitTermination(300), "first run did not finish"
@@ -1119,18 +1124,27 @@ def test_streaming_compaction_restart_resumes_from_segment(spark, growing_split,
         for r in per_batch[bid]
     ]
     seg = latest_ingest_segment(store)
-    assert seg, "no segment flushed before the simulated crash"
+    assert seg and seg.endswith("seg_000000001"), (
+        "expected the pre-fold flush at the start of batch 2"
+    )
 
-    # driver death: the in-memory index is gone; batch 3 lands; the
-    # resumed driver LOADS the segment instead of rebuilding
+    # driver death: the in-memory index is gone; batch 3 lands. The
+    # resumed driver LOADS the segment (covers batch 1) and folds the
+    # admitted SINK's tail (batch 2's emissions — committed after the
+    # flush) — the bounded-tail recovery recipe.
     shutil.copy2(files[2], src2)
+    tail_ids = [r.doc_id for r in per_batch[sorted(per_batch)[-1]]]
+    recovered = ingest_fold_admitted(
+        ingest_index_load(spark, seg),
+        docs.where(F.col("doc_id").isin(tail_ids)),
+    )
     per_batch2: dict[int, list] = {}
     q2 = streaming_minhash_ingest_growing(
-        ingest_index_load(spark, seg),
+        recovered,
         _arrival_stream(spark, src2),
         emit=lambda df, bid: per_batch2.setdefault(bid, []).extend(df.collect()),
         checkpoint=ck,
-        compact_every=2,
+        compact_every=1,
         store=store,
     )
     assert q2.awaitTermination(300), "resumed run did not finish"
