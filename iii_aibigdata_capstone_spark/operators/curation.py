@@ -918,6 +918,31 @@ def rag_index(spark: SparkSession, sf_dir: str) -> RagIndex:
     )
 
 
+def rag_index_save(index: RagIndex, path: str) -> None:
+    """Persist the RAG index to ``path`` (one parquet directory per
+    member — the index_store layout shared with IvfPqIndex/IngestIndex):
+    the build-once/serve-MANY-JOBS half of the retrieval product. A
+    nightly corpus job saves postings, document frequencies, corpus
+    constants, the IVF cell table and the dim metadata; every serving
+    job thereafter loads and runs ``rag_serve`` without re-scanning the
+    corpus. At 100 TB the store write would add ``partitionBy("term")``
+    on tf/dfreq so probe-term joins prune postings by partition."""
+    from .index_store import index_save
+
+    index_save(index, path)
+
+
+def rag_index_load(spark: SparkSession, path: str) -> RagIndex:
+    """Load a persisted RAG index from ``path``. Members come back
+    checkpointed (store parquet scanned once, corpus parquet never), and
+    ``rag_serve`` over the loaded index is HASH-IDENTICAL to serving the
+    index it was saved from — pinned, including from a FRESH JVM, by
+    tests/test_index_store.py."""
+    from .index_store import index_load
+
+    return index_load(spark, path, RagIndex)
+
+
 def rag_query_terms(queries: DataFrame) -> DataFrame:
     """``(query_id, term)`` — a query's term set is the distinct terms
     across its chunks under the SHARED doc_chunks geometry; this is what

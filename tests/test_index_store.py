@@ -76,6 +76,35 @@ def test_ingest_index_save_load_admits_identically(spark):
         shutil.rmtree(path, ignore_errors=True)
 
 
+def test_rag_index_save_load_serves_identically(spark):
+    """rag_serve over a LOADED RagIndex == the registered x9_rag_pipeline
+    rows exactly — the third index family on the same store spelling
+    (probe ids and terms re-derived from the loaded tf member, exactly
+    what the registered lane does from the built one)."""
+    from iii_aibigdata_capstone_spark.operators.curation import (
+        _resident_probe_queries,
+        rag_index,
+        rag_index_load,
+        rag_index_save,
+        rag_serve,
+    )
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    path = tempfile.mkdtemp(prefix="rag_store_")
+    try:
+        rag_index_save(rag_index(spark, TEST_SF_DIR), path)
+        loaded = rag_index_load(spark, path)
+        got = _sorted_rows(
+            rag_serve(loaded, *_resident_probe_queries(spark, loaded))
+        )
+        want = _sorted_rows(
+            registry()["x9_rag_pipeline"].builder(spark, TEST_SF_DIR)
+        )
+        assert got and got == want
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def test_streaming_ann_serving_runs_off_loaded_index(spark):
     """The streaming ANN serving twin handed a LOADED index (the
     deployment shape: the serving job never builds) emits exactly the
@@ -126,6 +155,8 @@ from iii_aibigdata_capstone_spark.operators.similarity import (
     _resident_probe_ids, ivf_pq_index_load, ivf_pq_serve)
 from iii_aibigdata_capstone_spark.operators.dedup import (
     ingest_admit, ingest_index_load)
+from iii_aibigdata_capstone_spark.operators.curation import (
+    _resident_probe_queries, rag_index_load, rag_serve)
 from iii_aibigdata_capstone_spark.catalog import table
 import pyspark.sql.functions as F
 
@@ -140,8 +171,12 @@ adm = sorted(tuple(r) for r in ingest_admit(
     ingest_index_load(spark, {ingest_path!r}),
     docs.where(F.col("doc_id") % 5 == 4),
 ).collect())
+ragix = rag_index_load(spark, {rag_path!r})
+rag = sorted(tuple(r) for r in rag_serve(
+    ragix, *_resident_probe_queries(spark, ragix)
+).collect())
 with open({out!r}, "w") as fh:
-    json.dump({{"ann": ann, "admitted": adm}}, fh)
+    json.dump({{"ann": ann, "admitted": adm, "rag": rag}}, fh)
 spark.stop()
 """
 
@@ -150,9 +185,13 @@ def test_fresh_jvm_serves_persisted_indexes_identically(spark):
     """THE build-once/serve-many-jobs pin: a FRESH JVM (new process, new
     SparkSession — yesterday's build served by today's job) loads both
     persisted indexes and reproduces the registered lanes' rows exactly,
-    never touching the builders. One child process covers both index
+    never touching the builders. One child process covers all THREE index
     families (JVM startup dominates the test's cost)."""
     from iii_aibigdata_capstone_spark.catalog import table
+    from iii_aibigdata_capstone_spark.operators.curation import (
+        rag_index,
+        rag_index_save,
+    )
     from iii_aibigdata_capstone_spark.operators.dedup import (
         ingest_index_save,
         minhash_ingest_index,
@@ -167,6 +206,7 @@ def test_fresh_jvm_serves_persisted_indexes_identically(spark):
     tmp = tempfile.mkdtemp(prefix="index_store_fresh_")
     ivf_path = os.path.join(tmp, "ivfpq")
     ingest_path = os.path.join(tmp, "ingest")
+    rag_path = os.path.join(tmp, "rag")
     out = os.path.join(tmp, "child.json")
     try:
         ivf_pq_index_save(ivf_pq_index(spark, TEST_SF_DIR), ivf_path)
@@ -175,10 +215,12 @@ def test_fresh_jvm_serves_persisted_indexes_identically(spark):
             minhash_ingest_index(docs.where(F.col("doc_id") % 5 != 4)),
             ingest_path,
         )
+        rag_index_save(rag_index(spark, TEST_SF_DIR), rag_path)
         script = _FRESH_JVM_CHILD.format(
             repo=repo,
             ivf_path=ivf_path,
             ingest_path=ingest_path,
+            rag_path=rag_path,
             sf_dir=TEST_SF_DIR,
             out=out,
         )
@@ -197,9 +239,13 @@ def test_fresh_jvm_serves_persisted_indexes_identically(spark):
         want_adm = _sorted_rows(
             registry()["x1_minhash_ingest"].builder(spark, TEST_SF_DIR)
         )
+        want_rag = _sorted_rows(
+            registry()["x9_rag_pipeline"].builder(spark, TEST_SF_DIR)
+        )
         assert [tuple(r) for r in child["ann"]] == want_ann
         assert [tuple(r) for r in child["admitted"]] == want_adm
-        assert want_ann and want_adm
+        assert [tuple(r) for r in child["rag"]] == want_rag
+        assert want_ann and want_adm and want_rag
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
