@@ -933,14 +933,19 @@ def ingest_fold_admitted(index: IngestIndex, admitted_docs: DataFrame) -> Ingest
     admission — the restart tail fold (review r13): a resumed driver
     loads the latest store segment (which covers every batch folded
     before the flush) and folds in the docs the admitted SINK recorded
-    for batches committed AFTER it, reconstructing exactly the
-    pre-crash index. Row-correct by the fold invariant — every member
-    is a pure per-doc function, and admitted docs are exact-gate
+    for ENGINE-COMMITTED batches at or after the segment boundary
+    (streaming/ingest.py ``committed_batch_ids`` — an uncommitted sink
+    batch will replay and must not be folded), reconstructing exactly
+    the pre-crash index. Row-correct by the fold invariant — every
+    member is a pure per-doc function, and admitted docs are exact-gate
     survivors, so the delta's hashes/bands/shingles/sizes are disjoint
     slices identical to what the original per-batch folds appended
     (same-text docs admitted within ONE batch collapse to one hash row
     in both constructions). ``admitted_docs`` needs ``doc_id, lang,
-    text, n_chars``."""
+    text, n_chars`` — the sink carries the ids; ``text`` is resolved by
+    id from the raw arrival store (the corpus store every deployment of
+    this product keeps — what the streaming source may not replay, the
+    store holds)."""
     delta = minhash_ingest_index(admitted_docs)
     return IngestIndex(*(a.unionByName(b) for a, b in zip(index, delta)))
 

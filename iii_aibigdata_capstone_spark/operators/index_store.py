@@ -58,13 +58,22 @@ def index_is_complete(path: str) -> bool:
 
 def index_save(index: tuple, path: str) -> None:
     """Write every member DataFrame of a NamedTuple index to
-    ``<path>/<member_name>`` as parquet, then the completeness marker
-    (overwrite — saving twice to one path is an idempotent republish, the
-    mode a periodic compaction trigger's crash-replay needs; any stale
-    marker is removed FIRST so a crash mid-overwrite can never leave an
-    old marker vouching for mixed-generation members). The write is the
-    index's one full materialization, after which any number of FUTURE
-    jobs serve from the store without re-deriving anything."""
+    ``<path>/<member_name>`` as parquet, then the completeness marker.
+    Any stale marker is removed FIRST, so a crash mid-write can never
+    leave an old marker vouching for mixed-generation members — which
+    also means an in-place overwrite of a COMPLETE index forfeits the
+    previous generation for the duration of the write (and a crash
+    leaves NO loadable index at the path). REPUBLISH DISCIPLINE (review
+    r13): a rebuild writes to a FRESH versioned path and retires the old
+    one only after the new marker lands — the ``seg_<bid>`` +
+    prune-after-marker pattern the streaming compaction trigger
+    implements; never point a rebuild at the path serving jobs read.
+    Overwriting a path is for crash-replay over a marker-LESS partial
+    only. The write is the index's one full materialization, after which
+    any number of FUTURE jobs serve from the store without re-deriving
+    anything. NEVER save an index whose lazy-checkpointed members were
+    LOADED from this same path (self-overwrite deletes the input mid-
+    plan); the streaming trigger guards this with index_is_complete."""
     marker = os.path.join(path, INDEX_COMPLETE_MARKER)
     if os.path.exists(marker):
         os.remove(marker)

@@ -45,12 +45,31 @@ from ..operators.dedup import (
     ingest_index_load,
     ingest_index_save,
 )
+from ..operators.index_store import index_is_complete
 
 __all__ = [
+    "committed_batch_ids",
     "latest_ingest_segment",
     "streaming_minhash_ingest",
     "streaming_minhash_ingest_growing",
 ]
+
+
+def committed_batch_ids(checkpoint: str) -> set[int]:
+    """Batch ids the streaming engine has COMMITTED for the query whose
+    ``checkpointLocation`` is ``checkpoint`` — read from the engine's own
+    commits log. This is the fold boundary of the bounded-tail recovery
+    recipe (review r13): an at-least-once sink may also hold rows of the
+    batch in flight at the crash, and that batch WILL replay on restart —
+    folding its rows into the recovered index would make the replay
+    self-reject and an idempotent-by-batch-id sink would then overwrite
+    the batch with an empty frame. Only sink batches in this set (and at
+    or after the loaded segment's boundary) enter the tail fold; a sink
+    batch NOT in this set is about to be replayed and recomputed."""
+    d = os.path.join(checkpoint, "commits")
+    if not os.path.isdir(d):
+        return set()
+    return {int(f) for f in os.listdir(d) if f.isdigit()}
 
 
 def streaming_minhash_ingest(
@@ -79,10 +98,15 @@ def streaming_minhash_ingest(
 def latest_ingest_segment(store: str) -> str | None:
     """The newest ``seg_<batch_id>`` segment directory under a growing
     stream's index ``store``, or None if no compaction has flushed yet —
-    the restart entry point: a resumed driver loads this segment
-    (``ingest_index_load``), folds in the admitted-sink docs of any
-    batches committed after the flush (``ingest_fold_admitted`` — the
-    tail is at most the batches since the last flush, instead of the
+    the restart entry point. THE RECOVERY RECIPE: a resumed driver loads
+    this segment (``ingest_index_load``), selects the admitted sink's
+    batches that the engine COMMITTED at or after the segment boundary
+    (``committed_batch_ids(checkpoint)`` — never a sink batch the engine
+    will replay), resolves those admitted ids to raw docs in the corpus
+    store (the sink records ``doc_id, lang, n_chars``; ``text`` lives in
+    the raw arrival store every deployment of this product keeps — the
+    x9 factory's premise), folds them in (``ingest_fold_admitted`` —
+    the tail is at most the batches since the last flush, never the
     whole admitted history), and resumes from the source checkpoint.
     ``seg_<bid>`` covers exactly the batches BEFORE ``bid`` (the flush
     runs pre-fold at the start of batch ``bid``, when the engine has
@@ -182,12 +206,19 @@ def streaming_minhash_ingest_growing(
             # uncommitted batch — a crash anywhere after this point
             # replays only batches the segment does NOT cover, and their
             # docs admit normally instead of self-rejecting (review
-            # r13). Idempotent under replay of batch `bid` itself: the
-            # pre-fold state is value-identical, and index_save
-            # republishes over the same path. Prune superseded segments
-            # only after the new marker lands.
+            # r13). Replay of the flush batch `bid` itself: if seg_<bid>
+            # is already COMPLETE, skip the save and just (re)load —
+            # the recovered state is value-identical by the fold
+            # invariant, and saving would overwrite the very parquet the
+            # recovered index's lazy checkpoints still read from
+            # (review r13 #2: self-overwrite destroys the only complete
+            # segment). A marker-LESS seg_<bid> (crash mid-save) is
+            # re-saved safely: nothing loadable reads from it, and the
+            # superseded segment it would have replaced is still present
+            # (pruning runs only after a marker lands).
             seg = os.path.join(store, f"seg_{bid:09d}")
-            ingest_index_save(state[0], seg)
+            if not index_is_complete(seg):
+                ingest_index_save(state[0], seg)
             state[0] = ingest_index_load(df.sparkSession, seg)
             for d in os.listdir(store):
                 if d.startswith("seg_") and d != os.path.basename(seg):

@@ -257,10 +257,7 @@ def test_incomplete_segment_refused_by_load_and_skipped_by_latest(spark, tmp_pat
     ``latest_ingest_segment`` — never trusted, never silently partial."""
     import pytest
 
-    from iii_aibigdata_capstone_spark.operators.dedup import (
-        IngestIndex,
-        ingest_index_load,
-    )
+    from iii_aibigdata_capstone_spark.operators.dedup import ingest_index_load
     from iii_aibigdata_capstone_spark.operators.index_store import (
         INDEX_COMPLETE_MARKER,
     )
@@ -279,7 +276,6 @@ def test_incomplete_segment_refused_by_load_and_skipped_by_latest(spark, tmp_pat
     assert latest_ingest_segment(str(store)) == str(complete)
     with pytest.raises(ValueError, match="not a complete index segment"):
         ingest_index_load(spark, str(partial))
-    assert IngestIndex  # namedtuple import exercised
 
 
 def test_compaction_trigger_validation(spark, tmp_path):

@@ -1093,6 +1093,7 @@ def test_streaming_compaction_restart_resumes_from_segment(spark, growing_split,
     )
     from iii_aibigdata_capstone_spark.queries import registry
     from iii_aibigdata_capstone_spark.streaming.ingest import (
+        committed_batch_ids,
         latest_ingest_segment,
         streaming_minhash_ingest_growing,
     )
@@ -1130,10 +1131,15 @@ def test_streaming_compaction_restart_resumes_from_segment(spark, growing_split,
 
     # driver death: the in-memory index is gone; batch 3 lands. The
     # resumed driver LOADS the segment (covers batch 1) and folds the
-    # admitted SINK's tail (batch 2's emissions — committed after the
-    # flush) — the bounded-tail recovery recipe.
+    # admitted SINK's tail — exactly the ENGINE-COMMITTED batches at or
+    # after the segment boundary (committed_batch_ids; an uncommitted
+    # sink batch would replay and must not be folded) — the bounded-tail
+    # recovery recipe, ids resolved to raw docs in the corpus store.
     shutil.copy2(files[2], src2)
-    tail_ids = [r.doc_id for r in per_batch[sorted(per_batch)[-1]]]
+    seg_bid = int(os.path.basename(seg).rsplit("_", 1)[1])
+    tail_bids = sorted(b for b in committed_batch_ids(ck) if b >= seg_bid)
+    assert tail_bids == [1], "expected exactly batch 2 in the committed tail"
+    tail_ids = [r.doc_id for b in tail_bids for r in per_batch[b]]
     recovered = ingest_fold_admitted(
         ingest_index_load(spark, seg),
         docs.where(F.col("doc_id").isin(tail_ids)),
@@ -1165,6 +1171,104 @@ def test_streaming_compaction_restart_resumes_from_segment(spark, growing_split,
         for r in registry()["x1_ingest_growing"].builder(spark, TEST_SF_DIR).collect()
     )
     assert got == want
+
+
+def test_flush_batch_replay_skips_self_overwrite(spark, growing_split, tmp_path):
+    """REPLAYING the flush batch with a SEGMENT-LOADED index must skip
+    the save (review r13 #2): the recovered index's lazy checkpoints
+    still read the segment's parquet, so an unguarded re-save would
+    delete its own input mid-plan and destroy the only complete segment.
+    Simulated exactly as a crash leaves it: after a full run commits
+    batches 0-2, the commits-log entry for the flush batch bid=2 is
+    removed (a crash between the seg_2 flush and the engine's commit of
+    batch 2 is precisely 'offsets/2 written, commits/2 not'), the
+    recovery recipe yields load(seg_2) with an EMPTY committed tail, and
+    the restarted engine replays bid=2 — whose flush finds seg_2
+    complete, skips the save, reloads, and re-emits batch 3's admissions
+    identically (without the guard the re-save deletes the loaded
+    members' own parquet mid-plan)."""
+    from iii_aibigdata_capstone_spark.operators.dedup import (
+        ingest_index_load,
+        minhash_ingest_index,
+    )
+    from iii_aibigdata_capstone_spark.queries import registry
+    from iii_aibigdata_capstone_spark.streaming.ingest import (
+        committed_batch_ids,
+        latest_ingest_segment,
+        streaming_minhash_ingest_growing,
+    )
+
+    docs, src = growing_split
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+
+    # full run: batches 1-3, flushes seg_1 then seg_2 (pruned to seg_2)
+    per_batch: dict[int, list] = {}
+    q = streaming_minhash_ingest_growing(
+        minhash_ingest_index(docs.where(F.col("doc_id") % 4 == 0)),
+        _arrival_stream(spark, src),
+        emit=lambda df, bid: per_batch.setdefault(bid, []).extend(df.collect()),
+        checkpoint=ck,
+        compact_every=1,
+        store=store,
+    )
+    assert q.awaitTermination(300), "first incarnation did not finish"
+    q.stop()
+    want = sorted(
+        (pos + 1, r.doc_id, r.lang, r.n_chars)
+        for pos, bid in enumerate(sorted(per_batch))
+        for r in per_batch[bid]
+    )
+    assert want == sorted(
+        tuple(r)
+        for r in registry()["x1_ingest_growing"].builder(spark, TEST_SF_DIR).collect()
+    )
+    seg2 = latest_ingest_segment(store)
+    assert seg2 and seg2.endswith("seg_000000002")
+
+    # crash surgery: un-commit the flush batch (offsets/2 stays, so the
+    # engine WILL replay bid=2 on restart — the exact crash window). The
+    # surgically-edited log lives at a COPIED path: the same JVM caches
+    # per-path checkpoint state and flags an in-place external edit as
+    # concurrent use, while a genuinely restarted process (what a crash
+    # produces) sees only the on-disk files — which is what the copy is.
+    import shutil as _sh
+
+    ck2 = str(tmp_path / "ck_restarted")
+    _sh.copytree(ck, ck2)
+    os.remove(os.path.join(ck2, "commits", "2"))
+    # ...and its Hadoop checksum sidecar — a stale .crc makes the
+    # replayed commit's rename fail and read as a concurrent query
+    os.remove(os.path.join(ck2, "commits", ".2.crc"))
+    assert committed_batch_ids(ck2) == {0, 1}
+
+    # recovery recipe: committed tail at/after the seg_2 boundary is
+    # EMPTY ({0,1} are all < 2) — recovered index is the segment alone;
+    # the sink's batch-2 rows are deliberately NOT folded (they replay)
+    tail = sorted(b for b in committed_batch_ids(ck2) if b >= 2)
+    assert tail == []
+    per_batch2: dict[int, list] = {}
+    q2 = streaming_minhash_ingest_growing(
+        ingest_index_load(spark, seg2),
+        _arrival_stream(spark, src),
+        emit=lambda df, bid: per_batch2.setdefault(bid, []).extend(df.collect()),
+        checkpoint=ck2,
+        compact_every=1,
+        store=store,
+    )
+    assert q2.awaitTermination(300), (
+        "replay incarnation crashed — the flush self-overwrote its segment?"
+    )
+    q2.stop()
+    # only bid=2 replays; its flush skipped the save (seg_2 survives
+    # complete) and batch 3's admissions re-emit identically — the
+    # idempotent-by-batch-id sink overwrite reproduces the same rows
+    assert sorted(per_batch2) == [2]
+    assert sorted((r.doc_id, r.lang, r.n_chars) for r in per_batch2[2]) == sorted(
+        (r.doc_id, r.lang, r.n_chars) for r in per_batch[2]
+    )
+    assert latest_ingest_segment(store) == seg2
+    assert len(os.listdir(store)) == 1
 
 
 def test_growing_fold_eager_survives_source_loss(spark):
