@@ -308,6 +308,10 @@ def main() -> None:
         return
 
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+    # read the ledger BEFORE any lane runs (review r13): it is embedded in
+    # the artifact at the end, and failing on a broken checkout AFTER the
+    # ~220s timed run would discard every timing
+    notes = bench_notes()
     all_names = HEADLINE + SPECIALS
     # test hook: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run (smoke the
     # orchestrator without paying the full headline); never set by the driver
@@ -390,7 +394,7 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    out["notes"] = bench_notes()
+    out["notes"] = notes
     # Full artifact (per-query map, errors) goes to a sidecar file: the
     # driver captures only the TAIL of stdout, and at 74 headline queries
     # the single-line JSON outgrew that window in round 5 — the captured

@@ -37,7 +37,13 @@ from pyspark.sql import SparkSession
 
 T = TypeVar("T", bound=tuple)
 
-__all__ = ["INDEX_COMPLETE_MARKER", "index_is_complete", "index_load", "index_save"]
+__all__ = [
+    "INDEX_COMPLETE_MARKER",
+    "hadoop_fs",
+    "index_is_complete",
+    "index_load",
+    "index_save",
+]
 
 # Terminal marker written AFTER every member parquet job commits — the
 # member-SET completeness protocol (review r13). Spark's committer makes
@@ -46,14 +52,34 @@ __all__ = ["INDEX_COMPLETE_MARKER", "index_is_complete", "index_load", "index_sa
 # looks like an index and loads as a silently partial one. Readers must
 # treat marker-less directories as in-flight garbage
 # (``latest_ingest_segment`` skips them; ``index_load`` refuses them).
-# On an object store the same role is played by a manifest object
-# written last; the protocol is identical.
+# All marker/listing/prune operations go through the HADOOP FileSystem
+# resolved from the path's scheme (review r13 #3: driver-local os/open
+# would split the protocol the moment the store is hdfs:// or s3a:// —
+# members on the cluster FS, marker on the driver's disk, and every
+# reader refusing a fully-written index); on a local path Hadoop's
+# RawLocalFileSystem makes this identical to plain file IO, which is
+# what the tests exercise.
 INDEX_COMPLETE_MARKER = "_INDEX_COMPLETE"
 
 
-def index_is_complete(path: str) -> bool:
+def hadoop_fs(spark: SparkSession, path: str):
+    """``(fs, jpath)`` — the Hadoop FileSystem owning ``path`` (resolved
+    from its scheme against the session's Hadoop conf, so local, HDFS
+    and object-store paths all speak one API) and ``path`` as a
+    ``org.apache.hadoop.fs.Path``. The store protocol's one spelling of
+    filesystem access."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def index_is_complete(spark: SparkSession, path: str) -> bool:
     """True iff ``path`` holds a fully-written ``index_save`` artifact."""
-    return os.path.exists(os.path.join(path, INDEX_COMPLETE_MARKER))
+    fs, _ = hadoop_fs(spark, path)
+    return fs.exists(
+        spark._jvm.org.apache.hadoop.fs.Path(
+            os.path.join(path, INDEX_COMPLETE_MARKER)
+        )
+    )
 
 
 def index_save(index: tuple, path: str) -> None:
@@ -74,13 +100,16 @@ def index_save(index: tuple, path: str) -> None:
     anything. NEVER save an index whose lazy-checkpointed members were
     LOADED from this same path (self-overwrite deletes the input mid-
     plan); the streaming trigger guards this with index_is_complete."""
-    marker = os.path.join(path, INDEX_COMPLETE_MARKER)
-    if os.path.exists(marker):
-        os.remove(marker)
+    spark = index[0].sparkSession
+    fs, _ = hadoop_fs(spark, path)
+    marker = spark._jvm.org.apache.hadoop.fs.Path(
+        os.path.join(path, INDEX_COMPLETE_MARKER)
+    )
+    if fs.exists(marker):
+        fs.delete(marker, False)
     for name, df in zip(type(index)._fields, index):
         df.write.mode("overwrite").parquet(os.path.join(path, name))
-    with open(marker, "w") as fh:
-        fh.write("")
+    fs.create(marker, True).close()
 
 
 def index_load(spark: SparkSession, path: str, cls: type[T]) -> T:
@@ -92,7 +121,7 @@ def index_load(spark: SparkSession, path: str, cls: type[T]) -> T:
     batches re-reads the checkpointed members N times but scans the
     store parquet ONCE (and scans corpus parquet ZERO times — the store
     IS the corpus-derived state)."""
-    if not index_is_complete(path):
+    if not index_is_complete(spark, path):
         raise ValueError(
             f"{path} is not a complete index segment (missing "
             f"{INDEX_COMPLETE_MARKER}); it was interrupted mid-write"

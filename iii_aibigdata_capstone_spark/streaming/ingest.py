@@ -33,10 +33,9 @@ test_streaming_ingest_micro_batch_plan_rescans_no_parquet).
 from __future__ import annotations
 
 import os
-import shutil
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.dedup import (
     IngestIndex,
@@ -45,7 +44,7 @@ from ..operators.dedup import (
     ingest_index_load,
     ingest_index_save,
 )
-from ..operators.index_store import index_is_complete
+from ..operators.index_store import hadoop_fs, index_is_complete
 
 __all__ = [
     "committed_batch_ids",
@@ -55,21 +54,35 @@ __all__ = [
 ]
 
 
-def committed_batch_ids(checkpoint: str) -> set[int]:
+def committed_batch_ids(spark: SparkSession, checkpoint: str) -> set[int]:
     """Batch ids the streaming engine has COMMITTED for the query whose
     ``checkpointLocation`` is ``checkpoint`` — read from the engine's own
-    commits log. This is the fold boundary of the bounded-tail recovery
-    recipe (review r13): an at-least-once sink may also hold rows of the
-    batch in flight at the crash, and that batch WILL replay on restart —
-    folding its rows into the recovered index would make the replay
-    self-reject and an idempotent-by-batch-id sink would then overwrite
-    the batch with an empty frame. Only sink batches in this set (and at
-    or after the loaded segment's boundary) enter the tail fold; a sink
-    batch NOT in this set is about to be replayed and recomputed."""
+    commits log (through the checkpoint path's Hadoop filesystem, like
+    every store operation — checkpoints live on HDFS/object stores in a
+    real deployment). This is the fold boundary of the bounded-tail
+    recovery recipe (review r13): an at-least-once sink may also hold
+    rows of the batch in flight at the crash, and that batch WILL replay
+    on restart — folding its rows into the recovered index would make
+    the replay self-reject and an idempotent-by-batch-id sink would then
+    overwrite the batch with an empty frame. Only sink batches in this
+    set (and at or after the loaded segment's boundary) enter the tail
+    fold; a sink batch NOT in this set is about to be replayed and
+    recomputed. RETENTION CAVEAT (review r13): the engine keeps only the
+    newest ``spark.sql.streaming.minBatchesToRetain`` (default 100)
+    commit entries, so ids older than that are absent even though
+    committed — the growing trigger therefore validates compact_every
+    against the retention at start, which bounds the recovery tail
+    (< compact_every batches, all newer than the last flush) inside the
+    retained log."""
     d = os.path.join(checkpoint, "commits")
-    if not os.path.isdir(d):
+    fs, dpath = hadoop_fs(spark, d)
+    if not fs.exists(dpath):
         return set()
-    return {int(f) for f in os.listdir(d) if f.isdigit()}
+    return {
+        int(st.getPath().getName())
+        for st in fs.listStatus(dpath)
+        if st.getPath().getName().isdigit()
+    }
 
 
 def streaming_minhash_ingest(
@@ -95,7 +108,7 @@ def streaming_minhash_ingest(
     )
 
 
-def latest_ingest_segment(store: str) -> str | None:
+def latest_ingest_segment(spark: SparkSession, store: str) -> str | None:
     """The newest ``seg_<batch_id>`` segment directory under a growing
     stream's index ``store``, or None if no compaction has flushed yet —
     the restart entry point. THE RECOVERY RECIPE: a resumed driver loads
@@ -115,12 +128,14 @@ def latest_ingest_segment(store: str) -> str | None:
     would self-reject every doc and emit the batch as empty). Only
     segments whose completeness marker landed count; a directory
     interrupted between member writes is skipped, never trusted."""
-    from ..operators.index_store import index_is_complete
-
+    fs, spath = hadoop_fs(spark, store)
+    if not fs.exists(spath):
+        return None
     segs = sorted(
-        d
-        for d in (os.listdir(store) if os.path.isdir(store) else [])
-        if d.startswith("seg_") and index_is_complete(os.path.join(store, d))
+        name
+        for name in (st.getPath().getName() for st in fs.listStatus(spath))
+        if name.startswith("seg_")
+        and index_is_complete(spark, os.path.join(store, name))
     )
     return os.path.join(store, segs[-1]) if segs else None
 
@@ -197,6 +212,25 @@ def streaming_minhash_ingest_growing(
         )
     if compact_every is not None and compact_every < 1:
         raise ValueError(f"compact_every must be >= 1, got {compact_every}")
+    if compact_every is not None:
+        # the recovery tail is < compact_every engine-committed batches,
+        # all newer than the last flush — it must fit inside the commits
+        # log the engine RETAINS, or committed_batch_ids silently
+        # under-reports and the tail fold silently drops admitted
+        # batches (review r13)
+        retain = int(
+            docs_stream.sparkSession.conf.get(
+                "spark.sql.streaming.minBatchesToRetain", "100"
+            )
+        )
+        if compact_every > retain:
+            raise ValueError(
+                f"compact_every={compact_every} exceeds the commits-log "
+                f"retention (spark.sql.streaming.minBatchesToRetain="
+                f"{retain}); the bounded-tail recovery recipe would "
+                "silently lose admitted batches — lower compact_every "
+                "or raise the retention"
+            )
     state = [index]
 
     def _admit_and_fold(df: DataFrame, bid: int) -> None:
@@ -216,13 +250,16 @@ def streaming_minhash_ingest_growing(
             # re-saved safely: nothing loadable reads from it, and the
             # superseded segment it would have replaced is still present
             # (pruning runs only after a marker lands).
+            spk = df.sparkSession
             seg = os.path.join(store, f"seg_{bid:09d}")
-            if not index_is_complete(seg):
+            if not index_is_complete(spk, seg):
                 ingest_index_save(state[0], seg)
-            state[0] = ingest_index_load(df.sparkSession, seg)
-            for d in os.listdir(store):
-                if d.startswith("seg_") and d != os.path.basename(seg):
-                    shutil.rmtree(os.path.join(store, d), ignore_errors=True)
+            state[0] = ingest_index_load(spk, seg)
+            fs, spath = hadoop_fs(spk, store)
+            for st in fs.listStatus(spath):
+                name = st.getPath().getName()
+                if name.startswith("seg_") and name != os.path.basename(seg):
+                    fs.delete(st.getPath(), True)
         # eager=True: the delta's lineage roots in THIS micro-batch's
         # DataFrame — it must materialize inside the batch, or the next
         # batch's admission would replay this batch's source (broken on

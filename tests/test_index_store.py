@@ -273,7 +273,7 @@ def test_incomplete_segment_refused_by_load_and_skipped_by_latest(spark, tmp_pat
     partial.mkdir()
     (partial / "hashes").mkdir()  # some members landed, marker did not
 
-    assert latest_ingest_segment(str(store)) == str(complete)
+    assert latest_ingest_segment(spark, str(store)) == str(complete)
     with pytest.raises(ValueError, match="not a complete index segment"):
         ingest_index_load(spark, str(partial))
 

@@ -1051,7 +1051,7 @@ def test_streaming_compaction_trigger_preserves_fold_invariant(spark, growing_sp
 
     # pin 2: flushes at the start of bids 1 and 2 (pre-fold, bid>0),
     # superseded seg_1 pruned — only seg_2 (covering batches 1-2) remains
-    seg = latest_ingest_segment(store)
+    seg = latest_ingest_segment(spark, store)
     assert seg is not None and seg.endswith("seg_000000002")
     assert len(os.listdir(store)) == 1
 
@@ -1075,7 +1075,7 @@ def test_streaming_compaction_restart_resumes_from_segment(spark, growing_split,
     admitted sink's short tail, not a full rebuild: drain batches 1-2
     with ``compact_every=1`` (seg_1 flushed at the start of batch 2,
     covering batch 1 only), simulate driver death, then restart with
-    ``ingest_fold_admitted(ingest_index_load(latest_ingest_segment(store)),
+    ``ingest_fold_admitted(ingest_index_load(latest_ingest_segment(spark, store)),
     <batch-2 admissions from the sink>)`` and the same source checkpoint
     — only batch 3 replays, and the union of emissions across both
     incarnations equals the uninterrupted batch fold. This is the
@@ -1124,7 +1124,7 @@ def test_streaming_compaction_restart_resumes_from_segment(spark, growing_split,
         for pos, bid in enumerate(sorted(per_batch))
         for r in per_batch[bid]
     ]
-    seg = latest_ingest_segment(store)
+    seg = latest_ingest_segment(spark, store)
     assert seg and seg.endswith("seg_000000001"), (
         "expected the pre-fold flush at the start of batch 2"
     )
@@ -1137,7 +1137,7 @@ def test_streaming_compaction_restart_resumes_from_segment(spark, growing_split,
     # recovery recipe, ids resolved to raw docs in the corpus store.
     shutil.copy2(files[2], src2)
     seg_bid = int(os.path.basename(seg).rsplit("_", 1)[1])
-    tail_bids = sorted(b for b in committed_batch_ids(ck) if b >= seg_bid)
+    tail_bids = sorted(b for b in committed_batch_ids(spark, ck) if b >= seg_bid)
     assert tail_bids == [1], "expected exactly batch 2 in the committed tail"
     tail_ids = [r.doc_id for b in tail_bids for r in per_batch[b]]
     recovered = ingest_fold_admitted(
@@ -1223,7 +1223,7 @@ def test_flush_batch_replay_skips_self_overwrite(spark, growing_split, tmp_path)
         tuple(r)
         for r in registry()["x1_ingest_growing"].builder(spark, TEST_SF_DIR).collect()
     )
-    seg2 = latest_ingest_segment(store)
+    seg2 = latest_ingest_segment(spark, store)
     assert seg2 and seg2.endswith("seg_000000002")
 
     # crash surgery: un-commit the flush batch (offsets/2 stays, so the
@@ -1240,12 +1240,12 @@ def test_flush_batch_replay_skips_self_overwrite(spark, growing_split, tmp_path)
     # ...and its Hadoop checksum sidecar — a stale .crc makes the
     # replayed commit's rename fail and read as a concurrent query
     os.remove(os.path.join(ck2, "commits", ".2.crc"))
-    assert committed_batch_ids(ck2) == {0, 1}
+    assert committed_batch_ids(spark, ck2) == {0, 1}
 
     # recovery recipe: committed tail at/after the seg_2 boundary is
     # EMPTY ({0,1} are all < 2) — recovered index is the segment alone;
     # the sink's batch-2 rows are deliberately NOT folded (they replay)
-    tail = sorted(b for b in committed_batch_ids(ck2) if b >= 2)
+    tail = sorted(b for b in committed_batch_ids(spark, ck2) if b >= 2)
     assert tail == []
     per_batch2: dict[int, list] = {}
     q2 = streaming_minhash_ingest_growing(
@@ -1267,7 +1267,7 @@ def test_flush_batch_replay_skips_self_overwrite(spark, growing_split, tmp_path)
     assert sorted((r.doc_id, r.lang, r.n_chars) for r in per_batch2[2]) == sorted(
         (r.doc_id, r.lang, r.n_chars) for r in per_batch[2]
     )
-    assert latest_ingest_segment(store) == seg2
+    assert latest_ingest_segment(spark, store) == seg2
     assert len(os.listdir(store)) == 1
 
 
