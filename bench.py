@@ -162,8 +162,18 @@ def run_to_completion(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def run_slice(names: list[str]) -> tuple[dict[str, float], dict[str, str]]:
-    """Time the named entries in THIS process's (fresh) JVM."""
+def run_slice(
+    names: list[str],
+) -> tuple[dict[str, float], dict[str, float], dict[str, str]]:
+    """Time the named entries in THIS process's (fresh) JVM. Returns
+    ``(best, first, errors)``: ``best`` is the adaptive best-of-N min
+    (steady-state engine cost — the headline number), ``first`` each
+    lane's FIRST-sample wall-clock (r13 verdict ask #5: lanes that build
+    a session-cached index pay the build only in sample 1 and serve from
+    it in later samples, so the min alone under-reports the cold cost;
+    stamping the first sample makes the build cost a committed,
+    decay-auditable number instead of ledger prose). first >= best by
+    construction; a large gap marks a build-then-serve lane, not drift."""
     from iii_aibigdata_capstone_spark.queries import flagship, registry
     from iii_aibigdata_capstone_spark.session import get_spark
 
@@ -190,9 +200,10 @@ def run_slice(names: list[str]) -> tuple[dict[str, float], dict[str, str]]:
 
     specs = registry()
     timings: dict[str, float] = {}
+    firsts: dict[str, float] = {}
     errors: dict[str, str] = {}
 
-    def timed(builder) -> float:
+    def timed(builder) -> tuple[float, float]:
         # Adaptive best-of-N: single runs carry scheduler/GC jitter even in
         # a fresh JVM (JIT still ramping). Rerun until two samples agree
         # within 20% (max 4), and report the min — the steady-state engine
@@ -211,7 +222,7 @@ def run_slice(names: list[str]) -> tuple[dict[str, float], dict[str, str]]:
                 lo, lo2 = sorted(samples)[:2]
                 if lo2 - lo <= max(0.2 * lo, 0.1):
                     break
-        return round(min(samples), 3)
+        return round(min(samples), 3), round(samples[0], 3)
 
     # Streaming drain probe (§2.10): custom offset-tracked stream source ->
     # watermarked tumbling count -> memory sink, availableNow. Times the
@@ -268,14 +279,14 @@ def run_slice(names: list[str]) -> tuple[dict[str, float], dict[str, str]]:
     for name in names:
         try:
             if name == "flagship":
-                timings[name] = timed(flagship)
+                timings[name], firsts[name] = timed(flagship)
             elif name == "st_stream_drain":
-                timings[name] = timed(stream_drain)
+                timings[name], firsts[name] = timed(stream_drain)
             else:
-                timings[name] = timed(specs[name].builder)
+                timings[name], firsts[name] = timed(specs[name].builder)
         except Exception as ex:  # one broken query must not hide the rest
             errors[name] = f"{type(ex).__name__}: {ex}"[:200]
-    return timings, errors
+    return timings, firsts, errors
 
 
 def chunked(names: list[str], n_chunks: int) -> list[list[str]]:
@@ -298,8 +309,10 @@ def main() -> None:
     args = parser.parse_args()
 
     if args.slice:
-        timings, errors = run_slice(args.slice.split(","))
-        payload = json.dumps({"timings": timings, "errors": errors})
+        timings, firsts, errors = run_slice(args.slice.split(","))
+        payload = json.dumps(
+            {"timings": timings, "first_sample": firsts, "errors": errors}
+        )
         if args.out:
             with open(args.out, "w") as fh:
                 fh.write(payload + "\n")
@@ -320,9 +333,10 @@ def main() -> None:
         all_names = [n for n in all_names if n in set(only.split(","))]
     n_chunks = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNKS", "4"))
     timings: dict[str, float] = {}
+    firsts: dict[str, float] = {}
     errors: dict[str, str] = {}
     if n_chunks <= 0:
-        timings, errors = run_slice(all_names)  # legacy single-JVM mode
+        timings, firsts, errors = run_slice(all_names)  # legacy single-JVM mode
     else:
         for chunk in chunked(all_names, n_chunks):
             fd, out_path = tempfile.mkstemp(prefix="bench_chunk_", suffix=".json")
@@ -343,6 +357,9 @@ def main() -> None:
                         part = json.load(fh)
                     timings.update(
                         {k: float(v) for k, v in part["timings"].items()}
+                    )
+                    firsts.update(
+                        {k: float(v) for k, v in part.get("first_sample", {}).items()}
                     )
                     errors.update(part["errors"])
                 except subprocess.TimeoutExpired as ex:
@@ -388,6 +405,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # each lane's FIRST-sample wall-clock (cold cost incl. any
+        # session-cache build); "queries" stays the best-of-N steady min
+        "first_sample": firsts,
         "sf": sf,
         "run_id": run_id,
         "git_sha": git_sha,
@@ -410,6 +430,7 @@ def main() -> None:
     # is one complete JSON object on the last line.
     compact = dict(out)
     compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    compact.pop("first_sample", None)  # sidecar-only: stdout is tail-budgeted
     line = json.dumps(compact)
     if len(line) > 1000:
         line = json.dumps(

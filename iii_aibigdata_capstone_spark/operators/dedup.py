@@ -947,7 +947,7 @@ def ingest_fold_admitted(index: IngestIndex, admitted_docs: DataFrame) -> Ingest
     this product keeps — what the streaming source may not replay, the
     store holds)."""
     delta = minhash_ingest_index(admitted_docs)
-    return IngestIndex(*(a.unionByName(b) for a, b in zip(index, delta)))
+    return ingest_union(index, delta)
 
 
 def ingest_index_load(spark: SparkSession, path: str) -> IngestIndex:
@@ -1122,6 +1122,29 @@ def ingest_admit_fold(
     (streaming/neardup.py) or the next compaction's. The ID-NAMESPACE
     contract of ``ingest_admit`` extends across batches: arrival ids must
     be disjoint from residents AND every earlier arrival."""
+    admitted, delta = ingest_admit_fold_delta(index, batch, eager=eager)
+    return admitted, ingest_union(index, delta)
+
+
+def ingest_union(index: IngestIndex, delta: IngestIndex) -> IngestIndex:
+    """Member-wise union — THE one spelling of composing an IngestIndex
+    with a delta (or a base segment with persisted delta segments:
+    ``streaming/ingest.ingest_store_load``). Metadata-only: no resident
+    rows are rewritten, the LSM fold's defining property."""
+    return IngestIndex(*(a.unionByName(b) for a, b in zip(index, delta)))
+
+
+def ingest_admit_fold_delta(
+    index: IngestIndex, batch: DataFrame, eager: bool = False
+) -> tuple[DataFrame, IngestIndex]:
+    """The fold's two products WITHOUT the union: ``(admitted, delta)``
+    where ``delta`` is the IngestIndex-shaped member delta for exactly
+    the admitted docs. ``ingest_admit_fold`` composes it with the base;
+    the DELTA-SEGMENT streaming mode (streaming/ingest.py
+    ``segment_mode="delta"``) additionally accumulates these deltas
+    between flushes so each flush persists O(delta) member rows instead
+    of the full-snapshot O(corpus) rewrite — same spelling, one more
+    consumer of the same frames."""
     admitted_h, bsh, bbands, bsizes = _admit_parts(index, batch, keep=True)
     # THE one admitted-restricted frame (r12, verdict ask #4): checkpointed
     # once, every delta member slices it — the hash delta is a projection
@@ -1141,12 +1164,7 @@ def ingest_admit_fold(
         sh=bsh.join(aid, "doc_id", "left_semi").localCheckpoint(eager=eager),
         sizes=bsizes.join(aid, "doc_id", "left_semi").localCheckpoint(eager=eager),
     )
-    return admitted, IngestIndex(
-        hashes=index.hashes.unionByName(delta.hashes),
-        bands=index.bands.unionByName(delta.bands),
-        sh=index.sh.unionByName(delta.sh),
-        sizes=index.sizes.unionByName(delta.sizes),
-    )
+    return admitted, delta
 
 
 def _ingest_stage_sql(k: int) -> str:

@@ -39,10 +39,12 @@ T = TypeVar("T", bound=tuple)
 
 __all__ = [
     "INDEX_COMPLETE_MARKER",
+    "complete_segments",
     "hadoop_fs",
     "index_is_complete",
     "index_load",
     "index_save",
+    "latest_segment",
 ]
 
 # Terminal marker written AFTER every member parquet job commits — the
@@ -82,37 +84,70 @@ def index_is_complete(spark: SparkSession, path: str) -> bool:
     )
 
 
-def index_save(index: tuple, path: str) -> None:
+def index_save(
+    index: tuple,
+    path: str,
+    overwrite: bool = False,
+    partition_by: dict[str, list[str]] | None = None,
+) -> None:
     """Write every member DataFrame of a NamedTuple index to
     ``<path>/<member_name>`` as parquet, then the completeness marker.
-    Any stale marker is removed FIRST, so a crash mid-write can never
-    leave an old marker vouching for mixed-generation members — which
-    also means an in-place overwrite of a COMPLETE index forfeits the
-    previous generation for the duration of the write (and a crash
-    leaves NO loadable index at the path). REPUBLISH DISCIPLINE (review
-    r13): a rebuild writes to a FRESH versioned path and retires the old
-    one only after the new marker lands — the ``seg_<bid>`` +
-    prune-after-marker pattern the streaming compaction trigger
-    implements; never point a rebuild at the path serving jobs read.
-    Overwriting a path is for crash-replay over a marker-LESS partial
-    only. The write is the index's one full materialization, after which
-    any number of FUTURE jobs serve from the store without re-deriving
+    REPUBLISH DISCIPLINE (review r13): a rebuild writes to a FRESH
+    versioned path and retires the old one only after the new marker
+    lands — the ``seg_<bid>`` + prune-after-marker pattern the streaming
+    compaction trigger implements; never point a rebuild at the path
+    serving jobs read. The API now ENFORCES that discipline (ADVICE
+    r13): a path already holding a COMPLETE index is refused unless
+    ``overwrite=True``, because the in-place rewrite forfeits the
+    previous generation for the duration of the write and a crash
+    mid-write leaves NO loadable index at the path — a silent default
+    would let one misplaced save destroy the store a fleet of serving
+    jobs reads. Overwriting a marker-LESS partial (crash replay) needs
+    no flag: the stale marker, if any, is removed FIRST so a crash can
+    never leave an old marker vouching for mixed-generation members.
+    The write is the index's one full materialization, after which any
+    number of FUTURE jobs serve from the store without re-deriving
     anything. NEVER save an index whose lazy-checkpointed members were
     LOADED from this same path (self-overwrite deletes the input mid-
-    plan); the streaming trigger guards this with index_is_complete."""
+    plan); the streaming trigger guards this with index_is_complete.
+
+    ``partition_by`` maps member names to ``partitionBy`` columns — the
+    100 TB layout knob (e.g. ``{"invl": ["cid"]}`` for the IVF-PQ
+    inverted lists): a probe over a member loaded as a plain scan
+    (``index_load(..., scan_members=...)``) then prunes whole cell
+    directories instead of reading the full member, asserted by
+    tests/test_partition_pruning.py. Values are layout-independent —
+    every member consumer is order-insensitive."""
     spark = index[0].sparkSession
     fs, _ = hadoop_fs(spark, path)
     marker = spark._jvm.org.apache.hadoop.fs.Path(
         os.path.join(path, INDEX_COMPLETE_MARKER)
     )
     if fs.exists(marker):
+        if not overwrite:
+            raise ValueError(
+                f"{path} already holds a COMPLETE index; in-place "
+                "overwrite would forfeit it for the duration of the "
+                "write (and a crash would leave nothing loadable). "
+                "Republish to a fresh versioned path and retire this "
+                "one after the new marker lands, or pass "
+                "overwrite=True to accept the destructive rewrite"
+            )
         fs.delete(marker, False)
     for name, df in zip(type(index)._fields, index):
-        df.write.mode("overwrite").parquet(os.path.join(path, name))
+        writer = df.write.mode("overwrite")
+        if partition_by and name in partition_by:
+            writer = writer.partitionBy(*partition_by[name])
+        writer.parquet(os.path.join(path, name))
     fs.create(marker, True).close()
 
 
-def index_load(spark: SparkSession, path: str, cls: type[T]) -> T:
+def index_load(
+    spark: SparkSession,
+    path: str,
+    cls: type[T],
+    scan_members: tuple[str, ...] = (),
+) -> T:
     """Read a ``cls``-shaped index back from ``index_save``'s layout,
     refusing a directory without the completeness marker (a crash
     between member writes must fail loudly here, never load as a
@@ -120,17 +155,58 @@ def index_load(spark: SparkSession, path: str, cls: type[T]) -> T:
     load, keeping the index contract both families document: serving N
     batches re-reads the checkpointed members N times but scans the
     store parquet ONCE (and scans corpus parquet ZERO times — the store
-    IS the corpus-derived state)."""
+    IS the corpus-derived state).
+
+    ``scan_members`` names members to load as PLAIN parquet scans
+    instead — the 100 TB serving shape for a member that was saved
+    ``partition_by`` a probe key: a checkpoint materializes the WHOLE
+    member once (right when it fits executor memory and is re-read by
+    every batch), while a plain scan of a partitioned member lets each
+    probe's join prune to the probed partitions (dynamic partition
+    pruning on the store scan — asserted by
+    tests/test_partition_pruning.py). Per-batch cost trades one full
+    member materialization for O(probed partitions) parquet reads —
+    the right side of the trade exactly when the member is
+    corpus-sized, which is what the inverted lists are at scale."""
     if not index_is_complete(spark, path):
         raise ValueError(
             f"{path} is not a complete index segment (missing "
             f"{INDEX_COMPLETE_MARKER}); it was interrupted mid-write"
         )
-    return cls(
-        **{
-            name: spark.read.parquet(os.path.join(path, name)).localCheckpoint(
-                eager=False
-            )
-            for name in cls._fields
-        }
+
+    def _member(name: str):
+        df = spark.read.parquet(os.path.join(path, name))
+        return df if name in scan_members else df.localCheckpoint(eager=False)
+
+    return cls(**{name: _member(name) for name in cls._fields})
+
+
+def complete_segments(
+    spark: SparkSession, store: str, prefix: str = "seg_"
+) -> list[str]:
+    """Names (sorted ascending, i.e. oldest first — the zero-padded
+    ``<prefix><batch_id>`` naming makes lexicographic == numeric) of the
+    COMPLETE ``prefix``-segments under ``store``. Marker-less directories
+    (crash mid-write) are excluded — never trusted, never loadable. The
+    one listing spelling behind ``latest_segment``, the streaming
+    compaction trigger's retention pruning, and the out-of-band
+    compactor."""
+    fs, spath = hadoop_fs(spark, store)
+    if not fs.exists(spath):
+        return []
+    return sorted(
+        name
+        for name in (st.getPath().getName() for st in fs.listStatus(spath))
+        if name.startswith(prefix)
+        and index_is_complete(spark, os.path.join(store, name))
     )
+
+
+def latest_segment(
+    spark: SparkSession, store: str, prefix: str = "seg_"
+) -> str | None:
+    """Full path of the newest complete ``prefix``-segment under
+    ``store``, or None if none has landed — the serve/restart entry
+    point shared by all index families."""
+    segs = complete_segments(spark, store, prefix)
+    return os.path.join(store, segs[-1]) if segs else None

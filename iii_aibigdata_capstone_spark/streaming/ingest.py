@@ -40,14 +40,23 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.dedup import (
     IngestIndex,
     ingest_admit,
-    ingest_admit_fold,
+    ingest_admit_fold_delta,
     ingest_index_load,
     ingest_index_save,
+    ingest_union,
+    minhash_ingest_index,
 )
-from ..operators.index_store import hadoop_fs, index_is_complete
+from ..operators.index_store import (
+    complete_segments,
+    hadoop_fs,
+    index_is_complete,
+    latest_segment,
+)
 
 __all__ = [
     "committed_batch_ids",
+    "ingest_store_compact",
+    "ingest_store_load",
     "latest_ingest_segment",
     "streaming_minhash_ingest",
     "streaming_minhash_ingest_growing",
@@ -109,11 +118,12 @@ def streaming_minhash_ingest(
 
 
 def latest_ingest_segment(spark: SparkSession, store: str) -> str | None:
-    """The newest ``seg_<batch_id>`` segment directory under a growing
-    stream's index ``store``, or None if no compaction has flushed yet —
-    the restart entry point. THE RECOVERY RECIPE: a resumed driver loads
-    this segment (``ingest_index_load``), selects the admitted sink's
-    batches that the engine COMMITTED at or after the segment boundary
+    """The newest ``seg_<batch_id>`` SNAPSHOT segment directory under a
+    growing stream's index ``store``, or None if no compaction has
+    flushed yet — the restart entry point for full-snapshot stores. THE
+    RECOVERY RECIPE: a resumed driver loads this segment
+    (``ingest_index_load``), selects the admitted sink's batches that
+    the engine COMMITTED at or after the segment boundary
     (``committed_batch_ids(checkpoint)`` — never a sink batch the engine
     will replay), resolves those admitted ids to raw docs in the corpus
     store (the sink records ``doc_id, lang, n_chars``; ``text`` lives in
@@ -127,17 +137,108 @@ def latest_ingest_segment(spark: SparkSession, store: str) -> str | None:
     could cover a batch the engine never committed, and its replay
     would self-reject every doc and emit the batch as empty). Only
     segments whose completeness marker landed count; a directory
-    interrupted between member writes is skipped, never trusted."""
-    fs, spath = hadoop_fs(spark, store)
-    if not fs.exists(spath):
+    interrupted between member writes is skipped, never trusted. A
+    DELTA-segment store (``segment_mode="delta"``) composes instead:
+    use ``ingest_store_load``, which handles both layouts."""
+    return latest_segment(spark, store, "seg_")
+
+
+def _segment_bid(name: str) -> int:
+    return int(os.path.basename(name).rsplit("_", 1)[1])
+
+
+def ingest_store_load(
+    spark: SparkSession, store: str
+) -> tuple[IngestIndex, int] | None:
+    """Compose the current index from a growing stream's ``store`` —
+    ``(index, boundary_bid)`` where the index covers exactly the batches
+    BEFORE ``boundary_bid``, or None if nothing complete has landed.
+    Handles BOTH store layouts with one spelling: the newest complete
+    ``seg_<bid>`` snapshot (covers everything before its bid) unioned
+    with every complete ``delta_<bid>`` whose bid is NEWER (each covers
+    the batches between the previous flush and its own bid — the
+    delta-only flush shape, O(delta) rows per segment). The composition
+    is metadata-only (``ingest_union``); each segment's members come
+    back lazily checkpointed, so a restart reads each segment's parquet
+    once however many batches it then serves. RECOVERY RECIPE (both
+    layouts): ``index, b = ingest_store_load(...)``; fold the admitted
+    sink's docs for engine-committed batches ``>= b``
+    (``committed_batch_ids``), resume from the source checkpoint —
+    passing the tail via the growing trigger's ``tail_docs`` in delta
+    mode so the NEXT delta flush persists it (the tail lives only in
+    the driver until then; a full-mode flush re-snapshots everything so
+    it needs no such care)."""
+    segs = complete_segments(spark, store, "seg_")
+    deltas = complete_segments(spark, store, "delta_")
+    if not segs and not deltas:
         return None
-    segs = sorted(
-        name
-        for name in (st.getPath().getName() for st in fs.listStatus(spath))
-        if name.startswith("seg_")
-        and index_is_complete(spark, os.path.join(store, name))
-    )
-    return os.path.join(store, segs[-1]) if segs else None
+    if segs:
+        base_name = segs[-1]
+        boundary = _segment_bid(base_name)
+        index = ingest_index_load(spark, os.path.join(store, base_name))
+        tail = [d for d in deltas if _segment_bid(d) > boundary]
+    else:
+        # delta-only store (base snapshot never landed — a crash during
+        # the very first base write): nothing loadable below the deltas,
+        # refuse rather than silently compose a residents-less index
+        raise ValueError(
+            f"{store} holds delta segments but no complete base "
+            "snapshot (seg_*); the base write was interrupted — "
+            "rebuild from residents + the admitted sink instead"
+        )
+    for name in tail:
+        index = ingest_union(
+            index, ingest_index_load(spark, os.path.join(store, name))
+        )
+        boundary = _segment_bid(name)
+    return index, boundary
+
+
+def ingest_store_compact(
+    spark: SparkSession, store: str, keep_segments: int = 2
+) -> str:
+    """OUT-OF-BAND compaction of a delta-segment store (the second half
+    of the O(delta) flush design, r13 verdict ask #2): fold the newest
+    base snapshot + every newer delta segment into ONE new
+    ``seg_<boundary>`` snapshot, marker written last, then prune — a
+    batch maintenance job a deployment schedules nightly, completely
+    outside the ingest stream's hot path (which keeps paying only
+    O(delta) per flush). Idempotent: if the target snapshot is already
+    complete (a previous compactor run crashed after the marker), the
+    write is skipped and only pruning proceeds.
+
+    RETENTION GRACE (r13 verdict ask #1): pruning keeps the newest
+    ``keep_segments`` snapshots, and keeps every delta newer than the
+    OLDEST kept snapshot — so any concurrent reader that composed ANY
+    kept generation (snapshot + its deltas, lazy checkpoints still
+    unmaterialized) keeps all its input parquet for at least one more
+    compaction cycle. Only segments a reader of a retired generation
+    would need are deleted — the documented trade: retire-delay is one
+    compaction period, so schedule compaction no more often than the
+    longest-running reader job."""
+    if keep_segments < 1:
+        raise ValueError(f"keep_segments must be >= 1, got {keep_segments}")
+    loaded = ingest_store_load(spark, store)
+    if loaded is None:
+        raise ValueError(f"{store} holds no complete segments to compact")
+    index, boundary = loaded
+    target = os.path.join(store, f"seg_{boundary:09d}")
+    if not index_is_complete(spark, target):
+        # the composition reads ONLY base+delta parquet at other paths —
+        # never the target — so this is not a self-overwrite
+        ingest_index_save(index, target)
+    keep = set(complete_segments(spark, store, "seg_")[-keep_segments:])
+    oldest_kept = min(_segment_bid(name) for name in keep)
+    fs, spath = hadoop_fs(spark, store)
+    for st in fs.listStatus(spath):
+        name = st.getPath().getName()
+        stale_snap = name.startswith("seg_") and name not in keep
+        stale_delta = name.startswith("delta_") and (
+            _segment_bid(name) <= oldest_kept
+        )
+        if stale_snap or stale_delta:
+            fs.delete(st.getPath(), True)
+    return target
 
 
 def streaming_minhash_ingest_growing(
@@ -147,6 +248,9 @@ def streaming_minhash_ingest_growing(
     checkpoint: str,
     compact_every: int | None = None,
     store: str | None = None,
+    keep_segments: int = 2,
+    segment_mode: str = "full",
+    tail_docs: DataFrame | None = None,
 ):
     """The GROWING admission stream (r10 verdict ask #2): after each
     micro-batch is admitted through the shared ``ingest_admit`` spelling,
@@ -203,7 +307,40 @@ def streaming_minhash_ingest_growing(
     the segment half of compaction — physical, admission-preserving;
     the SEMANTIC keep-best reconciliation over what the ingest retained
     is the batch ``x1_ingest_compaction`` lane, runnable over these
-    same stored segments."""
+    same stored segments.
+
+    RETENTION GRACE (r13 verdict ask #1): a flush no longer deletes the
+    superseded segment the moment the new marker lands — it keeps the
+    newest ``keep_segments`` complete snapshots (default 2: current +
+    one previous generation). The store's whole point is OTHER jobs
+    reading it, and a serving job mid-scan on ``seg_N`` (lazy
+    checkpoints unmaterialized) must survive the ingest flushing
+    ``seg_N+k`` — with the grace window, its input parquet lives for at
+    least one more full flush cycle (pinned by
+    tests/test_streaming.py::test_concurrent_reader_survives_flush).
+    ``keep_segments=1`` restores retire-immediately for single-job
+    stores. External readers slower than one flush cycle must eagerly
+    materialize or raise the knob.
+
+    DELTA-ONLY SEGMENTS (``segment_mode="delta"``, r13 verdict ask #2 —
+    the O(delta) flush the full-snapshot COST KNOB paragraph names): the
+    initial resident index is snapshotted ONCE as ``seg_000000000`` when
+    the store is empty, and every flush then writes ONLY the deltas
+    accumulated since the previous flush to ``delta_<bid>`` — O(admitted
+    since last flush) member rows, never O(corpus) — while the
+    driver-held index collapses those per-batch delta checkpoints into
+    the one loaded segment (plan depth stays bounded by
+    ``compact_every`` deltas plus one parquet union per elapsed flush).
+    Recovery composes the base snapshot + newer deltas
+    (``ingest_store_load``) and hands the committed sink tail to
+    ``tail_docs`` — the trigger folds it as PENDING so the next delta
+    flush persists it (folding it into the base would orphan it from
+    every future segment: the one recovery-contract difference from
+    full mode, where each flush re-snapshots everything). Segment count
+    grows by one per flush until the out-of-band
+    ``ingest_store_compact`` folds base+deltas back into one snapshot —
+    the classic LSM split: cheap sequential flushes on the hot path,
+    compaction amortized off it."""
     if (compact_every is None) != (store is None):
         raise ValueError(
             "compact_every and store come together: a store without a "
@@ -212,6 +349,21 @@ def streaming_minhash_ingest_growing(
         )
     if compact_every is not None and compact_every < 1:
         raise ValueError(f"compact_every must be >= 1, got {compact_every}")
+    if segment_mode not in ("full", "delta"):
+        raise ValueError(f"segment_mode must be 'full' or 'delta', got {segment_mode!r}")
+    if segment_mode == "delta" and store is None:
+        raise ValueError(
+            "segment_mode='delta' describes the STORE's flush shape; "
+            "it needs compact_every and store"
+        )
+    if keep_segments < 1:
+        raise ValueError(f"keep_segments must be >= 1, got {keep_segments}")
+    if tail_docs is not None and (segment_mode != "delta" or store is None):
+        raise ValueError(
+            "tail_docs is the delta-mode recovery handoff (the tail must "
+            "reach the NEXT delta flush); full-mode recovery folds the "
+            "tail into the index before calling (ingest_fold_admitted)"
+        )
     if compact_every is not None:
         # the recovery tail is < compact_every engine-committed batches,
         # all newer than the last flush — it must fit inside the commits
@@ -231,40 +383,93 @@ def streaming_minhash_ingest_growing(
                 "silently lose admitted batches — lower compact_every "
                 "or raise the retention"
             )
-    state = [index]
+    if segment_mode == "delta" and store is not None:
+        # one-time base snapshot so recovery always has a floor to
+        # compose deltas onto — only on a FRESH store (a restart finds
+        # segments and must not re-snapshot its recovered composition,
+        # which would freeze tail-folded docs into a "residents" base)
+        spark0 = index[0].sparkSession
+        if not complete_segments(spark0, store, "seg_") and not (
+            complete_segments(spark0, store, "delta_")
+        ):
+            ingest_index_save(index, os.path.join(store, f"seg_{0:09d}"))
+    pending0 = None
+    if tail_docs is not None:
+        # the retained-delta form of ingest_fold_admitted: same fold
+        # invariant (pure per-doc members), but the delta stays PENDING
+        # so the next delta flush persists the recovered tail
+        pending0 = minhash_ingest_index(tail_docs)
+        index = ingest_union(index, pending0)
+    # delta-mode invariant: cur == base UNION pending (pending None =>
+    # cur is base); full mode tracks cur only
+    st = {"cur": index, "base": index, "pending": pending0}
+
+    def _flush(spk: SparkSession, bid: int) -> None:
+        # flush BEFORE folding this batch: the engine has committed
+        # exactly batches < bid, so the segment never contains an
+        # uncommitted batch — a crash anywhere after this point
+        # replays only batches the segment does NOT cover, and their
+        # docs admit normally instead of self-rejecting (review
+        # r13). Replay of the flush batch `bid` itself: if its segment
+        # is already COMPLETE, skip the save — the recovered state is
+        # value-identical by the fold invariant, and saving would
+        # overwrite the very parquet the recovered index's lazy
+        # checkpoints still read from (review r13 #2: self-overwrite
+        # destroys the only complete segment). A marker-LESS segment
+        # (crash mid-save) is re-saved safely: nothing loadable reads
+        # from it, and what it would supersede is still present
+        # (pruning runs only after a marker lands).
+        if segment_mode == "delta":
+            seg = os.path.join(store, f"delta_{bid:09d}")
+            if index_is_complete(spk, seg):
+                return  # replay: the recovered base already composed it
+            delta = st["pending"]
+            if delta is None:
+                # no admissions since the last flush — an EMPTY delta
+                # still lands so the covered boundary advances and the
+                # recovery tail stays bounded by compact_every
+                delta = IngestIndex(*(m.limit(0) for m in st["base"]))
+            ingest_index_save(delta, seg)
+            # collapse: per-batch delta checkpoints re-enter as ONE
+            # loaded segment; driver-held lineage = base + one parquet
+            # union per elapsed flush. No pruning here — delta segments
+            # COMPOSE (only ingest_store_compact retires them).
+            st["base"] = ingest_union(st["base"], ingest_index_load(spk, seg))
+            st["pending"] = None
+            st["cur"] = st["base"]
+            return
+        seg = os.path.join(store, f"seg_{bid:09d}")
+        if not index_is_complete(spk, seg):
+            ingest_index_save(st["cur"], seg)
+        st["cur"] = st["base"] = ingest_index_load(spk, seg)
+        st["pending"] = None
+        # RETENTION GRACE: keep the newest keep_segments complete
+        # snapshots (a concurrent reader of the previous generation
+        # keeps its parquet for one more flush cycle); everything else
+        # seg_-prefixed — retired generations AND marker-less partials
+        # older than the survivors — goes
+        keep = set(complete_segments(spk, store, "seg_")[-keep_segments:])
+        fs, spath = hadoop_fs(spk, store)
+        for fst in fs.listStatus(spath):
+            name = fst.getPath().getName()
+            if name.startswith("seg_") and name not in keep:
+                fs.delete(fst.getPath(), True)
 
     def _admit_and_fold(df: DataFrame, bid: int) -> None:
         if compact_every and bid > 0 and bid % compact_every == 0:
-            # flush BEFORE folding this batch: the engine has committed
-            # exactly batches < bid, so the segment never contains an
-            # uncommitted batch — a crash anywhere after this point
-            # replays only batches the segment does NOT cover, and their
-            # docs admit normally instead of self-rejecting (review
-            # r13). Replay of the flush batch `bid` itself: if seg_<bid>
-            # is already COMPLETE, skip the save and just (re)load —
-            # the recovered state is value-identical by the fold
-            # invariant, and saving would overwrite the very parquet the
-            # recovered index's lazy checkpoints still read from
-            # (review r13 #2: self-overwrite destroys the only complete
-            # segment). A marker-LESS seg_<bid> (crash mid-save) is
-            # re-saved safely: nothing loadable reads from it, and the
-            # superseded segment it would have replaced is still present
-            # (pruning runs only after a marker lands).
-            spk = df.sparkSession
-            seg = os.path.join(store, f"seg_{bid:09d}")
-            if not index_is_complete(spk, seg):
-                ingest_index_save(state[0], seg)
-            state[0] = ingest_index_load(spk, seg)
-            fs, spath = hadoop_fs(spk, store)
-            for st in fs.listStatus(spath):
-                name = st.getPath().getName()
-                if name.startswith("seg_") and name != os.path.basename(seg):
-                    fs.delete(st.getPath(), True)
+            _flush(df.sparkSession, bid)
         # eager=True: the delta's lineage roots in THIS micro-batch's
         # DataFrame — it must materialize inside the batch, or the next
         # batch's admission would replay this batch's source (broken on
         # cleaned/archived files or Kafka past retention; review r11)
-        admitted, state[0] = ingest_admit_fold(state[0], df, eager=True)
+        admitted, delta = ingest_admit_fold_delta(st["cur"], df, eager=True)
+        st["cur"] = ingest_union(st["cur"], delta)
+        if segment_mode == "delta":
+            st["pending"] = (
+                delta
+                if st["pending"] is None
+                else ingest_union(st["pending"], delta)
+            )
         emit(admitted, bid)
 
     return (

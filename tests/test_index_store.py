@@ -293,9 +293,52 @@ def test_compaction_trigger_validation(spark, tmp_path):
         {"store": str(tmp_path / "s")},
         {"compact_every": 2},
         {"compact_every": 0, "store": str(tmp_path / "s")},
+        {"compact_every": 2, "store": str(tmp_path / "s"), "keep_segments": 0},
+        {"compact_every": 2, "store": str(tmp_path / "s"), "segment_mode": "lsm"},
+        {"segment_mode": "delta"},  # delta mode needs a store to flush to
     ):
         with pytest.raises(ValueError):
             streaming_minhash_ingest_growing(
                 None, None, emit=lambda df, bid: None,
                 checkpoint=str(tmp_path / "ck"), **kwargs
             )
+    # tail_docs is the DELTA-mode recovery handoff only: in full mode the
+    # flush re-snapshots everything, so the caller folds the tail before
+    # calling (ingest_fold_admitted) and passing it here is a misuse
+    with pytest.raises(ValueError, match="tail_docs"):
+        streaming_minhash_ingest_growing(
+            None, None, emit=lambda df, bid: None,
+            checkpoint=str(tmp_path / "ck"), tail_docs=spark.range(1),
+        )
+
+
+def test_index_save_refuses_silent_overwrite_of_complete_index(spark, tmp_path):
+    """ADVICE r13: index_save on a path holding a COMPLETE index used to
+    delete the marker then rewrite members in place — a crash mid-write
+    leaves NO loadable index at the path that serving jobs read. The API
+    now enforces the republish discipline: refuse unless overwrite=True
+    (crash-replay over a marker-LESS partial still needs no flag)."""
+    import pytest
+
+    from iii_aibigdata_capstone_spark.operators.index_store import (
+        index_is_complete,
+        index_load,
+        index_save,
+    )
+    from typing import NamedTuple
+
+    class Tiny(NamedTuple):
+        a: object
+
+    path = str(tmp_path / "idx")
+    idx = Tiny(a=spark.range(5).withColumnRenamed("id", "k"))
+    index_save(idx, path)
+    assert index_is_complete(spark, path)
+    with pytest.raises(ValueError, match="fresh versioned path"):
+        index_save(Tiny(a=spark.range(3)), path)
+    # the refused save changed nothing
+    assert index_is_complete(spark, path)
+    assert index_load(spark, path, Tiny).a.count() == 5
+    # explicit opt-in performs the destructive rewrite
+    index_save(Tiny(a=spark.range(3).withColumnRenamed("id", "k")), path, overwrite=True)
+    assert index_load(spark, path, Tiny).a.count() == 3

@@ -1008,8 +1008,10 @@ def test_streaming_compaction_trigger_preserves_fold_invariant(spark, growing_sp
     prefix) and continues on the LOADED segment, pruning the superseded
     one. Three pins: (1) admissions are byte-identical to the
     uncompacted batch fold (compaction is physical, never semantic);
-    (2) exactly ONE segment survives pruning — seg_2, covering batches
-    1-2 — and ``latest_ingest_segment`` finds it; (3) THE FOLD
+    (2) pruning keeps exactly the newest ``keep_segments=2`` snapshot
+    generations — seg_2 (current, covering batches 1-2) AND seg_1 (the
+    grace generation a concurrent reader may still hold, r13 verdict
+    ask #1) — and ``latest_ingest_segment`` picks seg_2; (3) THE FOLD
     INVARIANT holds on the store artifact: every member of the loaded
     segment is row-identical to ``minhash_ingest_index(residents UNION
     admitted-in-batches-1-2)`` built from scratch — the rebuildability
@@ -1049,11 +1051,12 @@ def test_streaming_compaction_trigger_preserves_fold_invariant(spark, growing_sp
     )
     assert got and got == want
 
-    # pin 2: flushes at the start of bids 1 and 2 (pre-fold, bid>0),
-    # superseded seg_1 pruned — only seg_2 (covering batches 1-2) remains
+    # pin 2: flushes at the start of bids 1 and 2 (pre-fold, bid>0);
+    # retention keeps the newest TWO generations (seg_1 is the
+    # concurrent-reader grace window), latest picks seg_2
     seg = latest_ingest_segment(spark, store)
     assert seg is not None and seg.endswith("seg_000000002")
-    assert len(os.listdir(store)) == 1
+    assert sorted(os.listdir(store)) == ["seg_000000001", "seg_000000002"]
 
     # pin 3: the segment == a from-scratch rebuild over residents +
     # batches 1-2 admissions, member by member
@@ -1202,7 +1205,7 @@ def test_flush_batch_replay_skips_self_overwrite(spark, growing_split, tmp_path)
     store = str(tmp_path / "store")
     ck = str(tmp_path / "ck")
 
-    # full run: batches 1-3, flushes seg_1 then seg_2 (pruned to seg_2)
+    # full run: batches 1-3, flushes seg_1 then seg_2 (retention keeps both)
     per_batch: dict[int, list] = {}
     q = streaming_minhash_ingest_growing(
         minhash_ingest_index(docs.where(F.col("doc_id") % 4 == 0)),
@@ -1268,7 +1271,268 @@ def test_flush_batch_replay_skips_self_overwrite(spark, growing_split, tmp_path)
         (r.doc_id, r.lang, r.n_chars) for r in per_batch[2]
     )
     assert latest_ingest_segment(spark, store) == seg2
-    assert len(os.listdir(store)) == 1
+    # retention: seg_1 (grace generation) + seg_2 survive both incarnations
+    assert sorted(os.listdir(store)) == ["seg_000000001", "seg_000000002"]
+
+
+def test_concurrent_reader_survives_flush(spark, growing_split, tmp_path):
+    """RETENTION GRACE (r13 verdict ask #1): a SECOND consumer that
+    loaded ``seg_N`` (lazy checkpoints UNMATERIALIZED — nothing read
+    yet) must still serve correctly after the ingest stream flushes
+    ``seg_N+1``, because pruning now keeps the previous generation
+    instead of deleting on flush. Under the r13 retire-immediately
+    policy this reader dies with FileNotFound the moment its first
+    action finally scans the pruned parquet — the first thing a
+    multi-job deployment hits. The reader is taken INSIDE the stream
+    (emit of the batch right after the seg_1 flush) and only collected
+    after the final flush retired... would have retired seg_1."""
+    from iii_aibigdata_capstone_spark.operators.dedup import (
+        ingest_admit,
+        ingest_index_load,
+        minhash_ingest_index,
+    )
+    from iii_aibigdata_capstone_spark.streaming.ingest import (
+        streaming_minhash_ingest_growing,
+    )
+
+    docs, src = growing_split
+    store = str(tmp_path / "store")
+    per_batch: dict[int, list] = {}
+    reader: list = []  # the concurrent consumer's lazily-loaded index
+
+    def _emit(df, bid):
+        per_batch.setdefault(bid, []).extend(df.collect())
+        if bid == 1:  # seg_1 just flushed at the start of this batch
+            reader.append(
+                ingest_index_load(spark, os.path.join(store, "seg_000000001"))
+            )
+
+    q = streaming_minhash_ingest_growing(
+        minhash_ingest_index(docs.where(F.col("doc_id") % 4 == 0)),
+        _arrival_stream(spark, src),
+        emit=_emit,
+        checkpoint=str(tmp_path / "ck"),
+        compact_every=1,
+        store=store,
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+    q.stop()
+    assert reader, "the concurrent reader never loaded seg_1"
+    # seg_2 has since flushed; with keep_segments=2 seg_1 SURVIVES, and
+    # the reader's first-ever materialization (this admission) succeeds
+    # with exactly the values seg_1 holds: residents + batch-0 admissions
+    batch3 = docs.where(F.col("doc_id") % 4 == 3)
+    got = sorted(tuple(r) for r in ingest_admit(reader[0], batch3).collect())
+    adm0 = [r.doc_id for r in per_batch[min(per_batch)]]
+    want_index = minhash_ingest_index(
+        docs.where((F.col("doc_id") % 4 == 0) | F.col("doc_id").isin(adm0))
+    )
+    want = sorted(tuple(r) for r in ingest_admit(want_index, batch3).collect())
+    assert got and got == want
+
+
+def test_delta_segment_flush_is_o_delta_and_composes(spark, growing_split, tmp_path):
+    """DELTA-ONLY SEGMENTS (r13 verdict ask #2): with
+    ``segment_mode="delta"`` the stream snapshots the resident base ONCE
+    (seg_000000000) and each flush writes ONLY the deltas accumulated
+    since the previous flush. Pins: (1) admissions byte-identical to the
+    batch fold (flush shape is physical, never semantic); (2) the store
+    holds base + one delta per flush, and ``delta_1``'s members are
+    row-identical to ``minhash_ingest_index(batch-0 admitted docs)`` —
+    O(delta) rows, NOT an O(corpus) re-snapshot (asserted: strictly
+    fewer rows than the base snapshot's members); (3) the composed
+    ``ingest_store_load`` equals a from-scratch rebuild over residents +
+    admitted-in-covered-batches, member by member, with the right
+    boundary."""
+    from iii_aibigdata_capstone_spark.operators.dedup import (
+        ingest_index_load,
+        minhash_ingest_index,
+    )
+    from iii_aibigdata_capstone_spark.queries import registry
+    from iii_aibigdata_capstone_spark.streaming.ingest import (
+        ingest_store_load,
+        streaming_minhash_ingest_growing,
+    )
+
+    docs, src = growing_split
+    store = str(tmp_path / "store")
+    per_batch: dict[int, list] = {}
+    q = streaming_minhash_ingest_growing(
+        minhash_ingest_index(docs.where(F.col("doc_id") % 4 == 0)),
+        _arrival_stream(spark, src),
+        emit=lambda df, bid: per_batch.setdefault(bid, []).extend(df.collect()),
+        checkpoint=str(tmp_path / "ck"),
+        compact_every=1,
+        store=store,
+        segment_mode="delta",
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+    q.stop()
+
+    # pin 1: the flush shape never changes admissions
+    got = sorted(
+        (pos + 1, r.doc_id, r.lang, r.n_chars)
+        for pos, bid in enumerate(sorted(per_batch))
+        for r in per_batch[bid]
+    )
+    want = sorted(
+        tuple(r)
+        for r in registry()["x1_ingest_growing"].builder(spark, TEST_SF_DIR).collect()
+    )
+    assert got and got == want
+
+    # pin 2: base + one delta per flush; delta_1 == the batch-0 delta
+    assert sorted(os.listdir(store)) == [
+        "delta_000000001",
+        "delta_000000002",
+        "seg_000000000",
+    ]
+    adm0 = [r.doc_id for r in per_batch[min(per_batch)]]
+    d1 = ingest_index_load(spark, os.path.join(store, "delta_000000001"))
+    d1_want = minhash_ingest_index(docs.where(F.col("doc_id").isin(adm0)))
+    base = ingest_index_load(spark, os.path.join(store, "seg_000000000"))
+    for member, have, wanted, base_m in zip(d1._fields, d1, d1_want, base):
+        have_rows = sorted(map(tuple, have.collect()))
+        assert have_rows == sorted(map(tuple, wanted.collect())), (
+            f"delta member {member} is not the batch-0 admitted delta"
+        )
+        assert len(have_rows) < base_m.count(), (
+            f"delta member {member} is corpus-sized — the flush "
+            "re-snapshotted instead of writing O(delta)"
+        )
+
+    # pin 3: composition == from-scratch rebuild over covered batches
+    composed, boundary = ingest_store_load(spark, store)
+    assert boundary == 2
+    adm01 = [r.doc_id for bid in sorted(per_batch)[:2] for r in per_batch[bid]]
+    rebuilt = minhash_ingest_index(
+        docs.where((F.col("doc_id") % 4 == 0) | F.col("doc_id").isin(adm01))
+    )
+    for member, have, wanted in zip(composed._fields, composed, rebuilt):
+        assert sorted(map(tuple, have.collect())) == sorted(
+            map(tuple, wanted.collect())
+        ), f"composed member {member} diverged from the rebuild"
+
+
+def test_delta_store_restart_recovery_and_compact(spark, growing_split, tmp_path):
+    """The delta-store RECOVERY RECIPE + the out-of-band compactor:
+    drain batches 1-2 in delta mode (base snapshot + delta_1), simulate
+    driver death, then restart from ``ingest_store_load`` with the
+    committed sink tail handed to ``tail_docs`` — the trigger folds it
+    as PENDING so the next delta flush PERSISTS it (folding into the
+    base would orphan the tail from every future segment). Union of
+    emissions across incarnations == the uninterrupted batch fold, the
+    tail docs land in the post-restart delta, and
+    ``ingest_store_compact`` then folds base+deltas into one snapshot
+    equal to the full rebuild — with keep_segments=1 retiring
+    everything else."""
+    import glob
+    import shutil
+
+    from iii_aibigdata_capstone_spark.operators.dedup import (
+        ingest_index_load,
+        minhash_ingest_index,
+    )
+    from iii_aibigdata_capstone_spark.queries import registry
+    from iii_aibigdata_capstone_spark.streaming.ingest import (
+        committed_batch_ids,
+        ingest_store_compact,
+        ingest_store_load,
+        streaming_minhash_ingest_growing,
+    )
+
+    docs, src = growing_split
+    src2 = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src2)
+    files = sorted(glob.glob(os.path.join(src, "batch*.parquet")))
+    for f in files[:2]:
+        shutil.copy2(f, src2)
+
+    per_batch: dict[int, list] = {}
+    q = streaming_minhash_ingest_growing(
+        minhash_ingest_index(docs.where(F.col("doc_id") % 4 == 0)),
+        _arrival_stream(spark, src2),
+        emit=lambda df, bid: per_batch.setdefault(bid, []).extend(df.collect()),
+        checkpoint=ck,
+        compact_every=1,
+        store=store,
+        segment_mode="delta",
+    )
+    assert q.awaitTermination(300), "first run did not finish"
+    q.stop()
+    first = [
+        (pos + 1, r.doc_id, r.lang, r.n_chars)
+        for pos, bid in enumerate(sorted(per_batch))
+        for r in per_batch[bid]
+    ]
+
+    # driver death; batch 3 lands. Recovery: compose the store (base +
+    # delta_1, boundary 1), tail = committed sink batches >= 1 (batch 2)
+    shutil.copy2(files[2], src2)
+    recovered, boundary = ingest_store_load(spark, store)
+    assert boundary == 1
+    tail_bids = sorted(b for b in committed_batch_ids(spark, ck) if b >= boundary)
+    assert tail_bids == [1]
+    tail_ids = [r.doc_id for b in tail_bids for r in per_batch[b]]
+    per_batch2: dict[int, list] = {}
+    q2 = streaming_minhash_ingest_growing(
+        recovered,
+        _arrival_stream(spark, src2),
+        emit=lambda df, bid: per_batch2.setdefault(bid, []).extend(df.collect()),
+        checkpoint=ck,
+        compact_every=1,
+        store=store,
+        segment_mode="delta",
+        tail_docs=docs.where(F.col("doc_id").isin(tail_ids)),
+    )
+    assert q2.awaitTermination(300), "resumed run did not finish"
+    q2.stop()
+    resumed = {bid: rows for bid, rows in per_batch2.items() if rows}
+    assert len(resumed) == 1, "resume should process exactly batch 3"
+    got = sorted(
+        first
+        + [
+            (3, r.doc_id, r.lang, r.n_chars)
+            for rows in resumed.values()
+            for r in rows
+        ]
+    )
+    want = sorted(
+        tuple(r)
+        for r in registry()["x1_ingest_growing"].builder(spark, TEST_SF_DIR).collect()
+    )
+    assert got == want
+
+    # the tail (batch-2 admissions) was PERSISTED by the post-restart
+    # flush (delta_2, written at the start of the replayed... next flush
+    # boundary), so a SECOND recovery needs no sink older than delta_2
+    d2 = ingest_index_load(spark, os.path.join(store, "delta_000000002"))
+    d2_hashes = {r.h for r in d2.hashes.collect()}
+    tail_hashes = {
+        r.h
+        for r in docs.where(F.col("doc_id").isin(tail_ids))
+        .select(F.md5("text").alias("h"))
+        .collect()
+    }
+    assert tail_hashes <= d2_hashes, "recovered tail never reached a segment"
+
+    # out-of-band compaction: one snapshot == the full rebuild; with
+    # keep_segments=1 everything else retires
+    target = ingest_store_compact(spark, store, keep_segments=1)
+    assert os.path.basename(target) == "seg_000000002"
+    assert sorted(os.listdir(store)) == ["seg_000000002"]
+    composed, boundary2 = ingest_store_load(spark, store)
+    assert boundary2 == 2
+    all_adm = [t[1] for t in got if t[0] <= 2]
+    rebuilt = minhash_ingest_index(
+        docs.where((F.col("doc_id") % 4 == 0) | F.col("doc_id").isin(all_adm))
+    )
+    for member, have, wanted in zip(composed._fields, composed, rebuilt):
+        assert sorted(map(tuple, have.collect())) == sorted(
+            map(tuple, wanted.collect())
+        ), f"compacted member {member} diverged from the rebuild"
 
 
 def test_growing_fold_eager_survives_source_loss(spark):
