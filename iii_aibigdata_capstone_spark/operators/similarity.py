@@ -357,16 +357,14 @@ def x3_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ivf_ranked_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The IVF index: every vector's TWO nearest coarse cells as
-    ``(vec_id, v, norm, cid, rn)``, checkpointed once — the static half of
-    the multiprobe search, reusable across many query batches (the
-    streaming RAG serving twin materializes it once and serves every
-    micro-batch from it)."""
-    e = with_norm(table(spark, sf_dir, "embeddings")).select("vec_id", "v", "norm")
-    centroids = e.where(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
+def _ivf_ranked_from(e: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Rank a ``(vec_id, v, norm)`` frame against a ``(cid, cv)``
+    broadcast centroid frame: every vector's TWO nearest coarse cells as
+    ``(vec_id, v, norm, cid, rn)``, checkpointed once — THE one coarse-
+    assignment spelling, shared by the full-corpus index build
+    (``ivf_ranked_cells``) and ``ivf_pq_index_add``'s arrival ranking
+    against the FROZEN centroids (same rule, different input frame, so
+    add-after-train cannot drift from the build)."""
     dist = l2_dist_sq(F.col("v"), F.col("cv"))
     w_assign = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
     return (
@@ -382,6 +380,19 @@ def ivf_ranked_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "v", "norm", "cid", "rn")
         .localCheckpoint(eager=False)
     )
+
+
+def ivf_ranked_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index: every vector's TWO nearest coarse cells as
+    ``(vec_id, v, norm, cid, rn)``, checkpointed once — the static half of
+    the multiprobe search, reusable across many query batches (the
+    streaming RAG serving twin materializes it once and serves every
+    micro-batch from it)."""
+    e = with_norm(table(spark, sf_dir, "embeddings")).select("vec_id", "v", "norm")
+    centroids = e.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    return _ivf_ranked_from(e, centroids)
 
 
 def ivf_rank_from(ranked: DataFrame, probes: DataFrame, k: int) -> DataFrame:
@@ -1879,20 +1890,22 @@ IVFPQ_SHORTLIST = 50  # ADC prune depth per probe; < the nprobe=2 candidate
 # stage genuinely prunes before the exact re-rank at all scales we check.
 
 
-def _ivf_pq_oracle() -> str:
+def _ivf_pq_oracle(train_max: int = PQ_DET_TRAIN) -> str:
     """IVF cell CTEs (the x3_ivf_topk assignment spelling, renamed to
     avoid colliding with the rerank tail's ``e``) + the shared PQ
-    codes/ptab CTEs + cell-restricted ADC + shortlist + exact rerank."""
+    codes/ptab CTEs + cell-restricted ADC + shortlist + exact rerank.
+    ``train_max`` bounds the codebook trainer slice — the add-after-train
+    lane (x3_ivf_pq_add) trains on exactly its BASE prefix."""
     return dedent(
         "WITH "
-        + _ivf_pq_short_ctes()
+        + _ivf_pq_short_ctes(train_max)
         + f""",
         {_rerank_top3_sql("short")}
         """
     )
 
 
-def _ivf_pq_short_ctes() -> str:
+def _ivf_pq_short_ctes(train_max: int = PQ_DET_TRAIN) -> str:
     """WITH-body: the ENTIRE residual IVF-PQ cascade up to the ``short``
     shortlist — ONE spelling shared by the x3_ivf_pq_topk oracle (which
     reranks it to top-3) and the x3_ivf_pq_eval oracle (which grades the
@@ -1920,7 +1933,7 @@ def _ivf_pq_short_ctes() -> str:
             JOIN csub cs ON cs.cid = a.cid AND cs.m = s.m AND cs.d = s.d
         ),
         rtrain AS MATERIALIZED (
-            SELECT vec_id, m, d, q FROM rsub WHERE vec_id < {PQ_DET_TRAIN}
+            SELECT vec_id, m, d, q FROM rsub WHERE vec_id < {train_max}
         ),
         {_pq_train_ctes("rtrain")},
         {_pq_encode_cte("rsub")},
@@ -1995,6 +2008,50 @@ def x3_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin (streaming/serving.py) runs per micro-batch of external query
     ids (one retrieval DAG, two arrival modes, the rag_serve pattern)."""
     return ivf_pq_serve(ivf_pq_index(spark, sf_dir), _resident_probe_ids(spark))
+
+
+IVFPQ_ADD_SPLIT = 384  # base = vec_id < SPLIT (contains centroids +
+# probes + the whole trainer slice); arrivals = the rest. 384 < every
+# test corpus (500 at sf0.001/0.01) so the add path is exercised at all
+# driver-checked scales.
+
+
+@query(
+    "x3_ivf_pq_add",
+    oracle=_ivf_pq_oracle(train_max=IVFPQ_ADD_SPLIT),
+    tags=("X3", "pq", "ivf", "add"),
+)
+def x3_ivf_pq_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-after-train (FAISS ``index.add``) — the ANN index's LSM
+    delta fold, closing the build-once/GROW-many gap the ingest family
+    already has: a base residual IVF-PQ index is built (and its codebook
+    TRAINED) over the ``vec_id < IVFPQ_ADD_SPLIT`` prefix, the remaining
+    vectors then arrive and are folded in by ``ivf_pq_index_add`` —
+    ranked against the frozen centroids, residual-encoded with the
+    frozen codebook, appended to the inverted lists with NO resident row
+    rewritten and NO retraining — and the grown index serves the
+    standard resident probes. Every appended row is a pure per-vector
+    function of (vector, frozen centroids, frozen codebook), so the
+    grown index equals a rebuild whose trainer saw exactly the base
+    (member-wise pin in tests/test_index_store.py), which is what the
+    oracle expresses: the full IVF-PQ cascade with the codebook trained
+    on ``vec_id < IVFPQ_ADD_SPLIT`` only.
+
+    This is how a 100 TB vector deployment actually operates: the
+    codebook trains once on a bounded historical slice, and every
+    nightly/streaming arrival batch is encode-and-append (O(arrivals):
+    one N_CENTROIDS-broadcast argmin, one KB-broadcast residual join,
+    one broadcast-codebook encode) — never a corpus re-train; composed
+    with ivf_pq_index_save, the grown index IS the next store segment.
+    Reference parity: the reference rebuilds its whole model artifact
+    per batch (ml_k_to_ss.py's per-batch refit); this lane is the
+    incremental path Spark + the store make cheap."""
+    e = table(spark, sf_dir, "embeddings")
+    base = ivf_pq_index_from(
+        e.where(F.col("vec_id") < IVFPQ_ADD_SPLIT), train_max=IVFPQ_ADD_SPLIT
+    )
+    grown = ivf_pq_index_add(base, e.where(F.col("vec_id") >= IVFPQ_ADD_SPLIT))
+    return ivf_pq_serve(grown, _resident_probe_ids(spark))
 
 
 class IvfPqIndex(NamedTuple):
@@ -2082,8 +2139,30 @@ def ivf_pq_index(
     key = (spark.sparkContext.applicationId, sf_dir)
     if use_cache and key in _IVFPQ_INDEX_CACHE:
         return _IVFPQ_INDEX_CACHE[key]
-    ranked = ivf_ranked_cells(spark, sf_dir)
-    sub_all = _pq_quantized_sub(table(spark, sf_dir, "embeddings"))
+    index = ivf_pq_index_from(table(spark, sf_dir, "embeddings"))
+    if use_cache:
+        _ivfpq_cache_put(key, index)
+    return index
+
+
+def ivf_pq_index_from(e: DataFrame, train_max: int = PQ_DET_TRAIN) -> IvfPqIndex:
+    """Build the residual IVF-PQ index over an arbitrary ``(vec_id,
+    embedding)`` frame — the corpus-parametrized body of
+    ``ivf_pq_index`` (which passes the full embeddings table), and the
+    BASE builder of the add-after-train story (``ivf_pq_index_add``
+    grows an index built here over an id-slice). ``train_max`` bounds
+    the codebook's deterministic trainer slice (``vec_id < train_max``);
+    it exists so a grown index can be pinned member-wise against a full
+    rebuild whose trainer saw exactly the BASE vectors — FAISS's
+    train-on-yesterday's-corpus, encode-everything contract made
+    testable. Coarse centroids are the frame's ``vec_id < N_CENTROIDS``
+    rows, so a base slice must contain them (any prefix slice does)."""
+    en = with_norm(e).select("vec_id", "v", "norm")
+    centroids = en.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    ranked = _ivf_ranked_from(en, centroids)
+    sub_all = _pq_quantized_sub(e)
     cent_sub = sub_all.where(F.col("vec_id") < N_CENTROIDS).localCheckpoint(
         eager=False
     )  # KB-sized, fixed at build: the serve side's residualization table
@@ -2093,13 +2172,57 @@ def ivf_pq_index(
         .select("vec_id", "m", "d", "q")
         .localCheckpoint(eager=False)
     )
-    cb = _pq_train_codebook(rsub.where(F.col("vec_id") < PQ_DET_TRAIN))
+    cb = _pq_train_codebook(rsub.where(F.col("vec_id") < train_max))
     codes = _pq_assign(rsub, cb).select("vec_id", "m", "j")
     invl = asg1.join(codes, "vec_id").localCheckpoint(eager=False)
-    index = IvfPqIndex(ranked=ranked, cb=cb, invl=invl, csub=cent_sub)
-    if use_cache:
-        _ivfpq_cache_put(key, index)
-    return index
+    return IvfPqIndex(ranked=ranked, cb=cb, invl=invl, csub=cent_sub)
+
+
+def ivf_pq_index_add(index: IvfPqIndex, new_e: DataFrame) -> IvfPqIndex:
+    """FAISS ``index.add()`` after train — grow a built IVF-PQ index by
+    a frame of NEW ``(vec_id, embedding)`` vectors WITHOUT retraining:
+    arrivals are coarse-ranked against the FROZEN centroids (recovered
+    from the index's own vector table — the base always contains
+    ``vec_id < N_CENTROIDS``), residualized against the frozen ``csub``,
+    encoded with the frozen codebook, and appended to ``ranked``/
+    ``invl`` via unionByName. ``cb``/``csub`` are untouched — that is
+    the add-after-train contract: every new member row is a PURE
+    per-vector function of (vector, centroids, codebook), so the grown
+    index is row-identical to ``ivf_pq_index_from(base UNION arrivals,
+    train_max=<base bound>)`` member by member (pinned by
+    tests/test_index_store.py) and ``ivf_pq_serve`` over it cannot
+    drift. ID-NAMESPACE CONTRACT (the ingest_admit precedent): arrival
+    vec_ids must be disjoint from resident ids — a collision would
+    shadow a resident out of the inverted lists' dedup-free union; the
+    trainer prefix (``vec_id < train_max`` of the base build) must stay
+    in the base or the frozen codebook diverges from the
+    rebuild-equivalence above.
+
+    Scale shape: cost is O(arrivals) — one broadcast argmin over
+    N_CENTROIDS cells, one KB-broadcast residual join, one
+    broadcast-codebook encode — and the unions are metadata-only (no
+    resident rows rewritten): the ANN family's LSM delta fold, composable
+    with ``ivf_pq_index_save`` for the segment story the ingest store
+    already runs."""
+    cents = (
+        index.ranked.where(
+            (F.col("vec_id") < N_CENTROIDS) & (F.col("rn") == 1)
+        ).select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    en = with_norm(new_e).select("vec_id", "v", "norm")
+    ranked_add = _ivf_ranked_from(en, cents)
+    asg1 = ranked_add.where(F.col("rn") == 1).select("vec_id", "cid")
+    rsub_add = _pq_residual_rows(
+        _pq_quantized_sub(new_e), asg1, index.csub
+    ).select("vec_id", "m", "d", "q")
+    codes = _pq_assign(rsub_add, index.cb).select("vec_id", "m", "j")
+    invl_add = asg1.join(codes, "vec_id").localCheckpoint(eager=False)
+    return IvfPqIndex(
+        ranked=index.ranked.unionByName(ranked_add),
+        cb=index.cb,
+        invl=index.invl.unionByName(invl_add),
+        csub=index.csub,
+    )
 
 
 def ivf_pq_index_save(index: IvfPqIndex, path: str) -> None:

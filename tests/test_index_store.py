@@ -105,6 +105,57 @@ def test_rag_index_save_load_serves_identically(spark):
         shutil.rmtree(path, ignore_errors=True)
 
 
+def test_ivf_pq_index_add_equals_frozen_trainer_rebuild(spark):
+    """ADD-AFTER-TRAIN (the ANN family's LSM delta fold): growing a base
+    index by the arrival slice must be MEMBER-WISE row-identical to a
+    full rebuild whose codebook trainer saw exactly the base — FAISS's
+    add() contract, provable here because every appended row is a pure
+    per-vector function of (vector, frozen centroids, frozen codebook).
+    Composed with the store: the GROWN index saved + loaded serves
+    hash-identically to the registered x3_ivf_pq_add lane — the grown
+    index IS the next segment."""
+    import pyspark.sql.functions as SF
+
+    from iii_aibigdata_capstone_spark.catalog import table
+    from iii_aibigdata_capstone_spark.operators.similarity import (
+        IVFPQ_ADD_SPLIT,
+        _resident_probe_ids,
+        ivf_pq_index_add,
+        ivf_pq_index_from,
+        ivf_pq_index_load,
+        ivf_pq_index_save,
+        ivf_pq_serve,
+    )
+    from iii_aibigdata_capstone_spark.queries import registry
+
+    e = table(spark, TEST_SF_DIR, "embeddings")
+    base = ivf_pq_index_from(
+        e.where(SF.col("vec_id") < IVFPQ_ADD_SPLIT), train_max=IVFPQ_ADD_SPLIT
+    )
+    grown = ivf_pq_index_add(
+        base, e.where(SF.col("vec_id") >= IVFPQ_ADD_SPLIT)
+    )
+    rebuilt = ivf_pq_index_from(e, train_max=IVFPQ_ADD_SPLIT)
+    for member, have, wanted in zip(grown._fields, grown, rebuilt):
+        got_rows = sorted(map(tuple, have.collect()))
+        want_rows = sorted(map(tuple, wanted.collect()))
+        assert got_rows and got_rows == want_rows, (
+            f"grown member {member} diverged from the frozen-trainer rebuild"
+        )
+
+    path = tempfile.mkdtemp(prefix="ivfpq_add_store_")
+    try:
+        ivf_pq_index_save(grown, path)
+        loaded = ivf_pq_index_load(spark, path)
+        got = _sorted_rows(ivf_pq_serve(loaded, _resident_probe_ids(spark)))
+        want = _sorted_rows(
+            registry()["x3_ivf_pq_add"].builder(spark, TEST_SF_DIR)
+        )
+        assert got and got == want
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def test_streaming_ann_serving_runs_off_loaded_index(spark):
     """The streaming ANN serving twin handed a LOADED index (the
     deployment shape: the serving job never builds) emits exactly the

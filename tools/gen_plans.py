@@ -871,6 +871,32 @@ GALLERY = [
         ],
     ),
     (
+        "x3_ivf_pq_add",
+        "x3_ivf_pq_add",
+        "Add-after-train (FAISS index.add): base IVF-PQ built (and "
+        "trained) on the vec_id < IVFPQ_ADD_SPLIT prefix, arrivals "
+        "coarse-ranked against the FROZEN centroids (one broadcast "
+        "argmin), residualized against the frozen KB-sized csub "
+        "broadcast, encoded with the frozen broadcast codebook, and "
+        "UNIONED into ranked/invl — no resident row rewritten, no "
+        "retraining, O(arrivals) work; the serve tail is the standard "
+        "ivf_pq_serve broadcast cascade. Same plan discipline as "
+        "x3_ivf_pq_topk: every join is an equi join or a bounded "
+        "broadcast; nothing corpus-vs-corpus.",
+        [
+            ("no CartesianProduct", lambda a: "CartesianProduct" not in a.text),
+            (
+                "every join is an equi join (zero nested-loop broadcasts)",
+                lambda a: bnlj_count(a) == 0,
+            ),
+            (
+                "probe/ptab/codebook/centroid state broadcasts (>= 4 BHJ)",
+                lambda a: a.broadcast_joins >= 4,
+            ),
+            ("no Python operators", lambda a: a.python_map_operators == 0),
+        ],
+    ),
+    (
         "x3_truncation_eval",
         "x3_truncation_eval",
         "Matryoshka truncation evaluation: full-dim truth and half-dim "

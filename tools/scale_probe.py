@@ -128,6 +128,7 @@ DEFAULT = [
     "x1_ingest_growing",
     "x9_rag_eval",
     "x3_ivf_pq_topk",
+    "x3_ivf_pq_add",
     "x3_truncation_eval",
     "x4_decontam_eval",
     "x3_ivf_pq_eval",
