@@ -918,7 +918,7 @@ def rag_index(spark: SparkSession, sf_dir: str) -> RagIndex:
     )
 
 
-def rag_index_save(index: RagIndex, path: str) -> None:
+def rag_index_save(index: RagIndex, path: str, **kw) -> None:
     """Persist the RAG index to ``path`` (one parquet directory per
     member — the index_store layout shared with IvfPqIndex/IngestIndex):
     the build-once/serve-MANY-JOBS half of the retrieval product. A
@@ -929,10 +929,10 @@ def rag_index_save(index: RagIndex, path: str) -> None:
     on tf/dfreq so probe-term joins prune postings by partition."""
     from .index_store import index_save
 
-    index_save(index, path)
+    index_save(index, path, **kw)
 
 
-def rag_index_load(spark: SparkSession, path: str) -> RagIndex:
+def rag_index_load(spark: SparkSession, path: str, **kw) -> RagIndex:
     """Load a persisted RAG index from ``path``. Members come back
     checkpointed (store parquet scanned once, corpus parquet never), and
     ``rag_serve`` over the loaded index is HASH-IDENTICAL to serving the
@@ -940,7 +940,7 @@ def rag_index_load(spark: SparkSession, path: str) -> RagIndex:
     tests/test_index_store.py."""
     from .index_store import index_load
 
-    return index_load(spark, path, RagIndex)
+    return index_load(spark, path, RagIndex, **kw)
 
 
 def rag_query_terms(queries: DataFrame) -> DataFrame:

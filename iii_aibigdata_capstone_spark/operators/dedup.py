@@ -912,7 +912,7 @@ def minhash_ingest_index(docs: DataFrame) -> IngestIndex:
     return IngestIndex(hashes=hashes, bands=bands, sh=sh, sizes=sizes)
 
 
-def ingest_index_save(index: IngestIndex, path: str) -> None:
+def ingest_index_save(index: IngestIndex, path: str, **kw) -> None:
     """Persist the dedup ingest index to ``path`` (one parquet directory
     per member — the index_store layout): the warm store the IngestIndex
     docstrings have pointed at since r10 ("a deployment hash-partitions
@@ -925,7 +925,7 @@ def ingest_index_save(index: IngestIndex, path: str) -> None:
     verify's resident semi-join prunes by partition."""
     from .index_store import index_save
 
-    index_save(index, path)
+    index_save(index, path, **kw)
 
 
 def ingest_fold_admitted(index: IngestIndex, admitted_docs: DataFrame) -> IngestIndex:
@@ -950,7 +950,7 @@ def ingest_fold_admitted(index: IngestIndex, admitted_docs: DataFrame) -> Ingest
     return ingest_union(index, delta)
 
 
-def ingest_index_load(spark: SparkSession, path: str) -> IngestIndex:
+def ingest_index_load(spark: SparkSession, path: str, **kw) -> IngestIndex:
     """Load a persisted ingest index from ``path``. Members come back
     checkpointed (store parquet scanned once, corpus parquet never), and
     ``ingest_admit`` / ``ingest_admit_fold`` against the loaded index
@@ -961,7 +961,7 @@ def ingest_index_load(spark: SparkSession, path: str) -> IngestIndex:
     tests/test_index_store.py and tests/test_streaming.py)."""
     from .index_store import index_load
 
-    return index_load(spark, path, IngestIndex)
+    return index_load(spark, path, IngestIndex, **kw)
 
 
 def ingest_admit(index: IngestIndex, batch: DataFrame) -> DataFrame:

@@ -198,6 +198,66 @@ def test_streaming_ann_serving_runs_off_loaded_index(spark):
             shutil.rmtree(d, ignore_errors=True)
 
 
+def test_streaming_rag_serving_runs_off_stored_segment(spark):
+    """The streaming RAG twin started from the LATEST STORE SEGMENT (r13
+    verdict ask #7 — the same serve-from-store story the ANN twin has):
+    a build job publishes the RagIndex as a versioned segment, the
+    serving job discovers it with ``latest_segment``, loads it, and
+    serves query micro-batches emitting exactly the batch
+    x9_rag_pipeline rows. All three index families now share one
+    deployment shape: build -> segment -> latest -> load -> serve."""
+    import pyspark.sql.functions as F
+
+    from iii_aibigdata_capstone_spark.catalog import table
+    from iii_aibigdata_capstone_spark.operators.curation import (
+        RAG_PROBES,
+        rag_index,
+        rag_index_load,
+        rag_index_save,
+    )
+    from iii_aibigdata_capstone_spark.operators.index_store import (
+        latest_segment,
+    )
+    from iii_aibigdata_capstone_spark.queries import registry
+    from iii_aibigdata_capstone_spark.streaming.serving import (
+        streaming_rag_serving,
+    )
+
+    store = tempfile.mkdtemp(prefix="rag_store_segs_")
+    src = tempfile.mkdtemp(prefix="rag_store_qsrc_")
+    ck = tempfile.mkdtemp(prefix="rag_store_qck_")
+    try:
+        rag_index_save(
+            rag_index(spark, TEST_SF_DIR), os.path.join(store, "seg_000000001")
+        )
+        seg = latest_segment(spark, store)
+        assert seg and seg.endswith("seg_000000001")
+        loaded = rag_index_load(spark, seg)
+        probes = (
+            table(spark, TEST_SF_DIR, "documents")
+            .where(F.col("doc_id") < RAG_PROBES)
+            .select(F.col("doc_id").alias("query_id"), "text")
+        )
+        probes.coalesce(1).write.mode("overwrite").parquet(src)
+        served: list = []
+        q = streaming_rag_serving(
+            loaded,
+            spark.readStream.schema("query_id long, text string").parquet(src),
+            emit=lambda df, bid: served.extend(df.collect()),
+            checkpoint=ck,
+        )
+        assert q.awaitTermination(300), "serving stream did not finish"
+        q.stop()
+        got = sorted(tuple(r) for r in served)
+        want = _sorted_rows(
+            registry()["x9_rag_pipeline"].builder(spark, TEST_SF_DIR)
+        )
+        assert got and got == want
+    finally:
+        for d in (store, src, ck):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 _FRESH_JVM_CHILD = r"""
 import json, sys
 sys.path.insert(0, {repo!r})

@@ -56,3 +56,48 @@ def test_partitioned_read_matches_unpartitioned(spark, partitioned_events):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert sorted(map(tuple, part.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_partitioned_index_store_serve_prunes_cells(spark):
+    """THE STORE LAYOUT KNOB, exercised end to end (r13 verdict ask #4):
+    the IVF-PQ index saved with ``partition_by={"invl": ["cid"]}`` and
+    loaded with ``scan_members=("invl",)`` (plain scan, no checkpoint)
+    must serve a probe batch through a DYNAMICALLY PARTITION-PRUNED
+    inverted-list scan — the probed cells' broadcast join plants a
+    dynamicpruning expression on the store scan's partition filters, so
+    at 100 TB each batch reads O(probed cells) of the corpus-sized
+    member instead of all of it. Values stay hash-identical to serving
+    the in-session index (layout independence)."""
+    import os
+    import tempfile
+
+    from iii_aibigdata_capstone_spark.operators.similarity import (
+        _resident_probe_ids,
+        ivf_pq_index,
+        ivf_pq_index_load,
+        ivf_pq_index_save,
+        ivf_pq_serve,
+    )
+
+    path = tempfile.mkdtemp(prefix="ivfpq_part_store_")
+    try:
+        idx = ivf_pq_index(spark, TEST_SF_DIR)
+        ivf_pq_index_save(idx, path, partition_by={"invl": ["cid"]})
+        # hive-style cell directories on disk — the physical layout
+        assert any(
+            name.startswith("cid=") for name in os.listdir(os.path.join(path, "invl"))
+        )
+        loaded = ivf_pq_index_load(spark, path, scan_members=("invl",))
+        served = ivf_pq_serve(loaded, _resident_probe_ids(spark))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            served.explain("formatted")
+        plan = buf.getvalue()
+        assert "dynamicpruning" in plan.lower(), plan
+        got = sorted(map(tuple, served.collect()))
+        want = sorted(
+            map(tuple, ivf_pq_serve(idx, _resident_probe_ids(spark)).collect())
+        )
+        assert got and got == want
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
