@@ -24,8 +24,16 @@ by tests/test_index_store.py.
 At 100 TB the store path is cluster storage and the write gains
 ``partitionBy``/bucketing on the probe keys (cid for the inverted code
 lists, doc_id for the shingle/band tables) so per-batch probes prune by
-partition — the layout knob the IngestIndex docstrings already point at;
-the local[*] tests exercise the same save/load/serve dataflow unbucketed.
+partition — ``index_save(partition_by=...)`` + ``index_load(
+scan_members=...)``, pinned end to end (dynamic partition pruning on a
+served probe batch) by tests/test_partition_pruning.py.
+
+DEPLOYMENT NOTE (ADVICE r13): marker/listing/prune IO goes through the
+py4j Hadoop FileSystem bridge (``spark._jvm`` / ``_jsc``), which is
+classic-deployment API — it does not exist under Spark Connect. All
+JVM access is confined to :func:`hadoop_fs` (one adapter to replace
+when a Connect-compatible FS shim is needed); the parquet member reads/
+writes themselves are plain DataFrame IO and already Connect-safe.
 """
 
 from __future__ import annotations
