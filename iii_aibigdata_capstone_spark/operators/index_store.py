@@ -126,6 +126,15 @@ def index_save(
     directories instead of reading the full member, asserted by
     tests/test_partition_pruning.py. Values are layout-independent —
     every member consumer is order-insensitive."""
+    if partition_by:
+        unknown = set(partition_by) - set(type(index)._fields)
+        if unknown:
+            raise ValueError(
+                f"partition_by names non-members {sorted(unknown)} "
+                f"(members: {list(type(index)._fields)}); a typo here "
+                "would silently write the member unpartitioned and every "
+                "future probe batch would full-scan it"
+            )
     spark = index[0].sparkSession
     fs, _ = hadoop_fs(spark, path)
     marker = spark._jvm.org.apache.hadoop.fs.Path(
@@ -176,6 +185,13 @@ def index_load(
     member materialization for O(probed partitions) parquet reads —
     the right side of the trade exactly when the member is
     corpus-sized, which is what the inverted lists are at scale."""
+    unknown = set(scan_members) - set(cls._fields)
+    if unknown:
+        raise ValueError(
+            f"scan_members names non-members {sorted(unknown)} "
+            f"(members: {list(cls._fields)}); a typo here would silently "
+            "checkpoint the member and disable partition pruning"
+        )
     if not index_is_complete(spark, path):
         raise ValueError(
             f"{path} is not a complete index segment (missing "
@@ -195,10 +211,13 @@ def complete_segments(
     """Names (sorted ascending, i.e. oldest first — the zero-padded
     ``<prefix><batch_id>`` naming makes lexicographic == numeric) of the
     COMPLETE ``prefix``-segments under ``store``. Marker-less directories
-    (crash mid-write) are excluded — never trusted, never loadable. The
-    one listing spelling behind ``latest_segment``, the streaming
-    compaction trigger's retention pruning, and the out-of-band
-    compactor."""
+    (crash mid-write) are excluded — never trusted, never loadable — and
+    so are names whose suffix is not purely numeric (``seg_tmp``, a
+    manual copy like ``seg_000000003.bak``): the naming contract IS
+    ``<prefix><digits>``, and a stray entry must not crash the boundary
+    arithmetic of every consumer (review r14). The one listing spelling
+    behind ``latest_segment``, the streaming compaction trigger's
+    retention pruning, and the out-of-band compactor."""
     fs, spath = hadoop_fs(spark, store)
     if not fs.exists(spath):
         return []
@@ -206,6 +225,7 @@ def complete_segments(
         name
         for name in (st.getPath().getName() for st in fs.listStatus(spath))
         if name.startswith(prefix)
+        and name[len(prefix):].isdigit()
         and index_is_complete(spark, os.path.join(store, name))
     )
 

@@ -157,7 +157,13 @@ def ingest_store_load(
     ``seg_<bid>`` snapshot (covers everything before its bid) unioned
     with every complete ``delta_<bid>`` whose bid is NEWER (each covers
     the batches between the previous flush and its own bid — the
-    delta-only flush shape, O(delta) rows per segment). The composition
+    delta-only flush shape, O(delta) rows per segment). None means an
+    EMPTY store (nothing complete ever landed — rebuild from residents
+    + the admitted sink); a store holding complete deltas but NO base
+    snapshot raises instead of returning None, because that state is
+    not "nothing landed" but CORRUPTION (the trigger writes the base
+    before any delta can flush, so the base must have been deleted or
+    partially copied) and a silent rebuild would paper over it. The composition
     is metadata-only (``ingest_union``); each segment's members come
     back lazily checkpointed, so a restart reads each segment's parquet
     once however many batches it then serves. RECOVERY RECIPE (both
@@ -178,13 +184,14 @@ def ingest_store_load(
         index = ingest_index_load(spark, os.path.join(store, base_name))
         tail = [d for d in deltas if _segment_bid(d) > boundary]
     else:
-        # delta-only store (base snapshot never landed — a crash during
-        # the very first base write): nothing loadable below the deltas,
-        # refuse rather than silently compose a residents-less index
+        # deltas without any base snapshot: the trigger writes the base
+        # BEFORE any delta can flush, so this store lost its base
+        # (deleted, partial copy) — refuse loudly rather than compose a
+        # residents-less index or masquerade as an empty store
         raise ValueError(
             f"{store} holds delta segments but no complete base "
-            "snapshot (seg_*); the base write was interrupted — "
-            "rebuild from residents + the admitted sink instead"
+            "snapshot (seg_*) — the base was lost after flushes ran; "
+            "rebuild from residents + the admitted sink and republish"
         )
     for name in tail:
         index = ingest_union(
@@ -232,9 +239,18 @@ def ingest_store_compact(
     fs, spath = hadoop_fs(spark, store)
     for st in fs.listStatus(spath):
         name = st.getPath().getName()
-        stale_snap = name.startswith("seg_") and name not in keep
-        stale_delta = name.startswith("delta_") and (
-            _segment_bid(name) <= oldest_kept
+        # only well-formed <prefix><digits> names are ours to retire —
+        # a stray manual copy (seg_tmp, delta_000000003.bak) is neither
+        # deleted nor allowed to crash the prune (review r14)
+        stale_snap = (
+            name.startswith("seg_")
+            and name[len("seg_"):].isdigit()
+            and name not in keep
+        )
+        stale_delta = (
+            name.startswith("delta_")
+            and name[len("delta_"):].isdigit()
+            and _segment_bid(name) <= oldest_kept
         )
         if stale_snap or stale_delta:
             fs.delete(st.getPath(), True)
@@ -356,6 +372,14 @@ def streaming_minhash_ingest_growing(
             "segment_mode='delta' describes the STORE's flush shape; "
             "it needs compact_every and store"
         )
+    if segment_mode == "delta" and keep_segments != 2:
+        raise ValueError(
+            "keep_segments is the FULL-mode flush-pruning knob; delta "
+            "segments compose and are retired only by "
+            "ingest_store_compact(..., keep_segments=...) — configure "
+            "retention there (review r14: accepting the knob here and "
+            "silently never pruning misleads the operator)"
+        )
     if keep_segments < 1:
         raise ValueError(f"keep_segments must be >= 1, got {keep_segments}")
     if tail_docs is not None and (segment_mode != "delta" or store is None):
@@ -423,17 +447,25 @@ def streaming_minhash_ingest_growing(
             seg = os.path.join(store, f"delta_{bid:09d}")
             if index_is_complete(spk, seg):
                 return  # replay: the recovered base already composed it
-            delta = st["pending"]
-            if delta is None:
+            if st["pending"] is None:
                 # no admissions since the last flush — an EMPTY delta
                 # still lands so the covered boundary advances and the
-                # recovery tail stays bounded by compact_every
-                delta = IngestIndex(*(m.limit(0) for m in st["base"]))
-            ingest_index_save(delta, seg)
+                # recovery tail stays bounded by compact_every, but the
+                # driver-held index is left untouched (unioning four
+                # empty parquet scans per idle flush would grow every
+                # future batch's plan with elapsed wall-clock instead of
+                # data; review r14)
+                ingest_index_save(
+                    IngestIndex(*(m.limit(0) for m in st["base"])), seg
+                )
+                return
+            ingest_index_save(st["pending"], seg)
             # collapse: per-batch delta checkpoints re-enter as ONE
             # loaded segment; driver-held lineage = base + one parquet
             # union per elapsed flush. No pruning here — delta segments
-            # COMPOSE (only ingest_store_compact retires them).
+            # COMPOSE (only ingest_store_compact retires them; the
+            # trigger's keep_segments knob is full-mode-only, rejected
+            # below in delta mode).
             st["base"] = ingest_union(st["base"], ingest_index_load(spk, seg))
             st["pending"] = None
             st["cur"] = st["base"]
@@ -452,7 +484,13 @@ def streaming_minhash_ingest_growing(
         fs, spath = hadoop_fs(spk, store)
         for fst in fs.listStatus(spath):
             name = fst.getPath().getName()
-            if name.startswith("seg_") and name not in keep:
+            # well-formed names only: retired generations and marker-less
+            # partials go; a stray non-numeric entry is not ours to delete
+            if (
+                name.startswith("seg_")
+                and name[len("seg_"):].isdigit()
+                and name not in keep
+            ):
                 fs.delete(fst.getPath(), True)
 
     def _admit_and_fold(df: DataFrame, bid: int) -> None:

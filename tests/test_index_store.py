@@ -407,6 +407,15 @@ def test_compaction_trigger_validation(spark, tmp_path):
         {"compact_every": 2, "store": str(tmp_path / "s"), "keep_segments": 0},
         {"compact_every": 2, "store": str(tmp_path / "s"), "segment_mode": "lsm"},
         {"segment_mode": "delta"},  # delta mode needs a store to flush to
+        # keep_segments is full-mode-only; delta retention lives on
+        # ingest_store_compact (accepting it here and never pruning
+        # would mislead the operator)
+        {
+            "compact_every": 2,
+            "store": str(tmp_path / "s"),
+            "segment_mode": "delta",
+            "keep_segments": 3,
+        },
     ):
         with pytest.raises(ValueError):
             streaming_minhash_ingest_growing(
