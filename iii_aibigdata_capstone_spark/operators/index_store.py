@@ -53,7 +53,22 @@ __all__ = [
     "index_load",
     "index_save",
     "latest_segment",
+    "segment_name_bid",
 ]
+
+
+def segment_name_bid(name: str, prefix: str) -> int | None:
+    """Batch id of a well-formed ``<prefix><digits>`` segment name, or
+    None for anything else — THE one spelling of the naming contract
+    (review r14: it was hand-spelled in three places; a drifted copy in
+    a prune loop would silently delete or retain the wrong
+    directories). A stray entry (``seg_tmp``, ``delta_000000003.bak``)
+    is None: never trusted, never deleted, never allowed to crash
+    boundary arithmetic."""
+    suffix = name[len(prefix):]
+    if name.startswith(prefix) and suffix.isdigit():
+        return int(suffix)
+    return None
 
 # Terminal marker written AFTER every member parquet job commits — the
 # member-SET completeness protocol (review r13). Spark's committer makes
@@ -224,8 +239,7 @@ def complete_segments(
     return sorted(
         name
         for name in (st.getPath().getName() for st in fs.listStatus(spath))
-        if name.startswith(prefix)
-        and name[len(prefix):].isdigit()
+        if segment_name_bid(name, prefix) is not None
         and index_is_complete(spark, os.path.join(store, name))
     )
 

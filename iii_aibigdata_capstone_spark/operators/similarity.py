@@ -2178,7 +2178,9 @@ def ivf_pq_index_from(e: DataFrame, train_max: int = PQ_DET_TRAIN) -> IvfPqIndex
     return IvfPqIndex(ranked=ranked, cb=cb, invl=invl, csub=cent_sub)
 
 
-def ivf_pq_index_add(index: IvfPqIndex, new_e: DataFrame) -> IvfPqIndex:
+def ivf_pq_index_add(
+    index: IvfPqIndex, new_e: DataFrame, cents: DataFrame | None = None
+) -> IvfPqIndex:
     """FAISS ``index.add()`` after train — grow a built IVF-PQ index by
     a frame of NEW ``(vec_id, embedding)`` vectors WITHOUT retraining:
     arrivals are coarse-ranked against the FROZEN centroids (recovered
@@ -2198,17 +2200,24 @@ def ivf_pq_index_add(index: IvfPqIndex, new_e: DataFrame) -> IvfPqIndex:
     in the base or the frozen codebook diverges from the
     rebuild-equivalence above.
 
-    Scale shape: cost is O(arrivals) — one broadcast argmin over
-    N_CENTROIDS cells, one KB-broadcast residual join, one
+    Scale shape: the encode itself is O(arrivals) — one broadcast
+    argmin over N_CENTROIDS cells, one KB-broadcast residual join, one
     broadcast-codebook encode — and the unions are metadata-only (no
-    resident rows rewritten): the ANN family's LSM delta fold, composable
-    with ``ivf_pq_index_save`` for the segment story the ingest store
-    already runs."""
-    cents = (
-        index.ranked.where(
-            (F.col("vec_id") < N_CENTROIDS) & (F.col("rn") == 1)
-        ).select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
-    )
+    resident rows rewritten): the ANN family's LSM delta fold,
+    composable with ``ivf_pq_index_save`` for the segment story the
+    ingest store already runs. ONE honest caveat (review r14): when
+    ``cents`` is None the frozen centroid VECTORS are recovered by
+    filtering the ``ranked`` member — a full read of that corpus-sized
+    checkpoint (or store member) just to extract N_CENTROIDS rows. Fine
+    per nightly batch; a deployment adding frequently passes ``cents``
+    (``(cid, cv)``, KB-sized, e.g. kept next to the store or sliced
+    once after load) and skips that read entirely."""
+    if cents is None:
+        cents = (
+            index.ranked.where(
+                (F.col("vec_id") < N_CENTROIDS) & (F.col("rn") == 1)
+            ).select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        )
     en = with_norm(new_e).select("vec_id", "v", "norm")
     ranked_add = _ivf_ranked_from(en, cents)
     asg1 = ranked_add.where(F.col("rn") == 1).select("vec_id", "cid")

@@ -51,6 +51,7 @@ from ..operators.index_store import (
     hadoop_fs,
     index_is_complete,
     latest_segment,
+    segment_name_bid,
 )
 
 __all__ = [
@@ -240,21 +241,39 @@ def ingest_store_compact(
     for st in fs.listStatus(spath):
         name = st.getPath().getName()
         # only well-formed <prefix><digits> names are ours to retire —
-        # a stray manual copy (seg_tmp, delta_000000003.bak) is neither
-        # deleted nor allowed to crash the prune (review r14)
-        stale_snap = (
-            name.startswith("seg_")
-            and name[len("seg_"):].isdigit()
-            and name not in keep
-        )
-        stale_delta = (
-            name.startswith("delta_")
-            and name[len("delta_"):].isdigit()
-            and _segment_bid(name) <= oldest_kept
-        )
+        # segment_name_bid is the one spelling of that contract
+        snap_bid = segment_name_bid(name, "seg_")
+        delta_bid = segment_name_bid(name, "delta_")
+        stale_snap = snap_bid is not None and name not in keep
+        stale_delta = delta_bid is not None and delta_bid <= oldest_kept
         if stale_snap or stale_delta:
             fs.delete(st.getPath(), True)
     return target
+
+
+def _growing_state(
+    index: IngestIndex, tail_docs: DataFrame | None
+) -> dict:
+    """The growing trigger's driver-held state, with THE invariant the
+    delta mode rests on: ``cur == base UNION pending`` (pending None =>
+    cur IS base). The recovered tail becomes PENDING — folded into
+    ``cur`` for admissions but NOT into ``base``, because the first
+    delta flush persists pending and unions the LOADED segment into
+    base; a base that already contained the tail would then hold every
+    tail row TWICE (review r14 — duplicated shingle rows double the
+    Jaccard intersection count and corrupt verdicts both directions:
+    jac inflates past threshold for true partial overlaps, and a full
+    overlap's denominator ``na+nb-2*i`` hits zero). Pinned arithmetic-
+    level by tests/test_streaming.py::test_growing_state_invariant."""
+    pending0 = None
+    cur = index
+    if tail_docs is not None:
+        # the retained-delta form of ingest_fold_admitted: same fold
+        # invariant (pure per-doc members), but the delta stays PENDING
+        # so the next delta flush persists the recovered tail
+        pending0 = minhash_ingest_index(tail_docs)
+        cur = ingest_union(index, pending0)
+    return {"cur": cur, "base": index, "pending": pending0}
 
 
 def streaming_minhash_ingest_growing(
@@ -417,16 +436,7 @@ def streaming_minhash_ingest_growing(
             complete_segments(spark0, store, "delta_")
         ):
             ingest_index_save(index, os.path.join(store, f"seg_{0:09d}"))
-    pending0 = None
-    if tail_docs is not None:
-        # the retained-delta form of ingest_fold_admitted: same fold
-        # invariant (pure per-doc members), but the delta stays PENDING
-        # so the next delta flush persists the recovered tail
-        pending0 = minhash_ingest_index(tail_docs)
-        index = ingest_union(index, pending0)
-    # delta-mode invariant: cur == base UNION pending (pending None =>
-    # cur is base); full mode tracks cur only
-    st = {"cur": index, "base": index, "pending": pending0}
+    st = _growing_state(index, tail_docs)
 
     def _flush(spk: SparkSession, bid: int) -> None:
         # flush BEFORE folding this batch: the engine has committed
@@ -460,13 +470,20 @@ def streaming_minhash_ingest_growing(
                 )
                 return
             ingest_index_save(st["pending"], seg)
-            # collapse: per-batch delta checkpoints re-enter as ONE
-            # loaded segment; driver-held lineage = base + one parquet
-            # union per elapsed flush. No pruning here — delta segments
-            # COMPOSE (only ingest_store_compact retires them; the
-            # trigger's keep_segments knob is full-mode-only, rejected
-            # below in delta mode).
-            st["base"] = ingest_union(st["base"], ingest_index_load(spk, seg))
+            # REBASE onto the store composition (review r14): the
+            # per-batch delta checkpoints re-enter as loaded segments,
+            # and because ingest_store_load starts from the NEWEST
+            # complete snapshot, an out-of-band ingest_store_compact
+            # that ran since the last flush collapses the live stream's
+            # plan too — without this, driver-held lineage grew by one
+            # segment per flush FOREVER and only a restart picked the
+            # compaction up. Value-identical to the incremental union
+            # by the recovery guarantee (complete segments compose to
+            # exactly the pre-flush fold state). No pruning here —
+            # delta segments COMPOSE (only ingest_store_compact retires
+            # them; the trigger's keep_segments knob is full-mode-only,
+            # rejected in validation for delta mode).
+            st["base"] = ingest_store_load(spk, store)[0]
             st["pending"] = None
             st["cur"] = st["base"]
             return
@@ -484,13 +501,10 @@ def streaming_minhash_ingest_growing(
         fs, spath = hadoop_fs(spk, store)
         for fst in fs.listStatus(spath):
             name = fst.getPath().getName()
-            # well-formed names only: retired generations and marker-less
-            # partials go; a stray non-numeric entry is not ours to delete
-            if (
-                name.startswith("seg_")
-                and name[len("seg_"):].isdigit()
-                and name not in keep
-            ):
+            # well-formed names only (segment_name_bid, the one naming
+            # spelling): retired generations and marker-less partials
+            # go; a stray non-numeric entry is not ours to delete
+            if segment_name_bid(name, "seg_") is not None and name not in keep:
                 fs.delete(fst.getPath(), True)
 
     def _admit_and_fold(df: DataFrame, bid: int) -> None:

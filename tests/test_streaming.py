@@ -1535,6 +1535,40 @@ def test_delta_store_restart_recovery_and_compact(spark, growing_split, tmp_path
         ), f"compacted member {member} diverged from the rebuild"
 
 
+def test_growing_state_invariant(spark, growing_split):
+    """The delta-mode state invariant (review r14, the tail
+    double-count bug's pin): ``cur == base UNION pending`` AT INIT —
+    the recovered tail folds into ``cur`` (admissions see it) and into
+    ``pending`` (the next flush persists it) but NOT into ``base``,
+    because the flush unions the LOADED tail segment into base; a base
+    that already held the tail would then count every tail shingle row
+    twice and corrupt Jaccard verdicts in both directions."""
+    from iii_aibigdata_capstone_spark.operators.dedup import (
+        minhash_ingest_index,
+    )
+    from iii_aibigdata_capstone_spark.streaming.ingest import _growing_state
+
+    docs, _src = growing_split
+    index = minhash_ingest_index(docs.where(F.col("doc_id") % 4 == 0))
+    tail = docs.where(F.col("doc_id") % 4 == 1)
+
+    st = _growing_state(index, tail)
+    for member, base_m, cur_m, pend_m in zip(
+        index._fields, st["base"], st["cur"], st["pending"]
+    ):
+        nb, nc, np_ = base_m.count(), cur_m.count(), pend_m.count()
+        assert np_ > 0, f"tail delta member {member} is empty"
+        assert nc == nb + np_, (
+            f"member {member}: cur ({nc}) != base ({nb}) + pending "
+            f"({np_}) — the tail was folded into base (double-count)"
+        )
+    # and base is exactly the passed index (same frames, untouched)
+    assert st["base"] is index
+
+    st2 = _growing_state(index, None)
+    assert st2["pending"] is None and st2["cur"] is index
+
+
 def test_growing_fold_eager_survives_source_loss(spark):
     """The eager-fold contract (review r11): a streaming fold's delta
     lineage roots in the micro-batch DataFrame, so with eager=True every
