@@ -64,9 +64,13 @@ def segment_name_bid(name: str, prefix: str) -> int | None:
     a prune loop would silently delete or retain the wrong
     directories). A stray entry (``seg_tmp``, ``delta_000000003.bak``)
     is None: never trusted, never deleted, never allowed to crash
-    boundary arithmetic."""
+    boundary arithmetic. The digit test is explicit ASCII (review r14:
+    ``str.isdigit`` accepts Unicode digits like ``'²'`` that ``int``
+    then rejects — a stray name must parse or be None, never raise)."""
     suffix = name[len(prefix):]
-    if name.startswith(prefix) and suffix.isdigit():
+    if name.startswith(prefix) and suffix and all(
+        c in "0123456789" for c in suffix
+    ):
         return int(suffix)
     return None
 
@@ -223,9 +227,13 @@ def index_load(
 def complete_segments(
     spark: SparkSession, store: str, prefix: str = "seg_"
 ) -> list[str]:
-    """Names (sorted ascending, i.e. oldest first — the zero-padded
-    ``<prefix><batch_id>`` naming makes lexicographic == numeric) of the
-    COMPLETE ``prefix``-segments under ``store``. Marker-less directories
+    """Names of the COMPLETE ``prefix``-segments under ``store``, sorted
+    ascending BY BATCH ID (oldest first). Numeric sort, not name sort
+    (review r14): ``segment_name_bid`` deliberately accepts unpadded
+    names (a hand-restored ``seg_5``) and bids past the 9-digit pad,
+    where lexicographic order inverts — and a consumer taking ``[-1]``
+    or ``[-keep:]`` off a mis-sorted listing would serve a stale
+    segment or PRUNE the newest one. Marker-less directories
     (crash mid-write) are excluded — never trusted, never loadable — and
     so are names whose suffix is not purely numeric (``seg_tmp``, a
     manual copy like ``seg_000000003.bak``): the naming contract IS
@@ -237,10 +245,13 @@ def complete_segments(
     if not fs.exists(spath):
         return []
     return sorted(
-        name
-        for name in (st.getPath().getName() for st in fs.listStatus(spath))
-        if segment_name_bid(name, prefix) is not None
-        and index_is_complete(spark, os.path.join(store, name))
+        (
+            name
+            for name in (st.getPath().getName() for st in fs.listStatus(spath))
+            if segment_name_bid(name, prefix) is not None
+            and index_is_complete(spark, os.path.join(store, name))
+        ),
+        key=lambda name: segment_name_bid(name, prefix),
     )
 
 

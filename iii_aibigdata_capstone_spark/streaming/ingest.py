@@ -144,8 +144,15 @@ def latest_ingest_segment(spark: SparkSession, store: str) -> str | None:
     return latest_segment(spark, store, "seg_")
 
 
-def _segment_bid(name: str) -> int:
-    return int(os.path.basename(name).rsplit("_", 1)[1])
+def _segment_bid(name: str, prefix: str) -> int:
+    """Batch id of a KNOWN-well-formed segment name/path (one that came
+    through ``complete_segments``) — delegates to ``segment_name_bid``,
+    the one spelling of the naming contract (review r14), and raises on
+    the impossible malformed case rather than guessing."""
+    bid = segment_name_bid(os.path.basename(name), prefix)
+    if bid is None:
+        raise ValueError(f"not a well-formed {prefix}<digits> segment: {name}")
+    return bid
 
 
 def ingest_store_load(
@@ -181,9 +188,9 @@ def ingest_store_load(
         return None
     if segs:
         base_name = segs[-1]
-        boundary = _segment_bid(base_name)
+        boundary = _segment_bid(base_name, "seg_")
         index = ingest_index_load(spark, os.path.join(store, base_name))
-        tail = [d for d in deltas if _segment_bid(d) > boundary]
+        tail = [d for d in deltas if _segment_bid(d, "delta_") > boundary]
     else:
         # deltas without any base snapshot: the trigger writes the base
         # BEFORE any delta can flush, so this store lost its base
@@ -198,7 +205,7 @@ def ingest_store_load(
         index = ingest_union(
             index, ingest_index_load(spark, os.path.join(store, name))
         )
-        boundary = _segment_bid(name)
+        boundary = _segment_bid(name, "delta_")
     return index, boundary
 
 
@@ -236,7 +243,7 @@ def ingest_store_compact(
         # never the target — so this is not a self-overwrite
         ingest_index_save(index, target)
     keep = set(complete_segments(spark, store, "seg_")[-keep_segments:])
-    oldest_kept = min(_segment_bid(name) for name in keep)
+    oldest_kept = min(_segment_bid(name, "seg_") for name in keep)
     fs, spath = hadoop_fs(spark, store)
     for st in fs.listStatus(spath):
         name = st.getPath().getName()
@@ -437,6 +444,14 @@ def streaming_minhash_ingest_growing(
         ):
             ingest_index_save(index, os.path.join(store, f"seg_{0:09d}"))
     st = _growing_state(index, tail_docs)
+    if segment_mode == "delta":
+        # the snapshot generation the driver-held composition rests on —
+        # a flush compares against the CURRENT newest snapshot to detect
+        # an out-of-band compaction (full rebase) vs plain delta growth
+        # (incremental union); at start the passed index is by contract
+        # either the fresh residents (just snapshotted) or the recovery
+        # composition off the then-newest snapshot
+        st["snap"] = latest_segment(index[0].sparkSession, store)
 
     def _flush(spk: SparkSession, bid: int) -> None:
         # flush BEFORE folding this batch: the engine has committed
@@ -470,20 +485,29 @@ def streaming_minhash_ingest_growing(
                 )
                 return
             ingest_index_save(st["pending"], seg)
-            # REBASE onto the store composition (review r14): the
-            # per-batch delta checkpoints re-enter as loaded segments,
-            # and because ingest_store_load starts from the NEWEST
-            # complete snapshot, an out-of-band ingest_store_compact
-            # that ran since the last flush collapses the live stream's
-            # plan too — without this, driver-held lineage grew by one
-            # segment per flush FOREVER and only a restart picked the
-            # compaction up. Value-identical to the incremental union
-            # by the recovery guarantee (complete segments compose to
-            # exactly the pre-flush fold state). No pruning here —
-            # delta segments COMPOSE (only ingest_store_compact retires
-            # them; the trigger's keep_segments knob is full-mode-only,
-            # rejected in validation for delta mode).
-            st["base"] = ingest_store_load(spk, store)[0]
+            # collapse + compaction pickup (review r14, both passes):
+            # the per-batch delta checkpoints re-enter as ONE loaded
+            # segment. If an out-of-band ingest_store_compact landed a
+            # NEWER snapshot since the last flush, REBASE the whole
+            # composition from the store (one full re-read, collapses
+            # the live plan — previously only a restart picked a
+            # compaction up); otherwise union just the written delta
+            # (keeping every already-materialized segment checkpoint —
+            # a full rebase per flush would re-read O(corpus) parquet
+            # each cycle in a design sold on O(delta) flushes). Both
+            # are value-identical to the incremental fold by the
+            # recovery guarantee. No pruning here — delta segments
+            # COMPOSE (only ingest_store_compact retires them; the
+            # trigger's keep_segments knob is full-mode-only, rejected
+            # in validation for delta mode).
+            snap = latest_segment(spk, store)
+            if snap != st["snap"]:
+                st["snap"] = snap
+                st["base"] = ingest_store_load(spk, store)[0]
+            else:
+                st["base"] = ingest_union(
+                    st["base"], ingest_index_load(spk, seg)
+                )
             st["pending"] = None
             st["cur"] = st["base"]
             return

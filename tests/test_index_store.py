@@ -389,6 +389,39 @@ def test_incomplete_segment_refused_by_load_and_skipped_by_latest(spark, tmp_pat
         ingest_index_load(spark, str(partial))
 
 
+def test_segment_listing_numeric_sort_and_stray_names(spark, tmp_path):
+    """The naming contract's sharp edges (review r14 pass 3): (a) the
+    listing sorts by BATCH ID, not name — an unpadded or 10-digit bid
+    must not make the newest segment read as stale (lexicographic
+    'seg_1000000000' < 'seg_999999999' would prune the true newest);
+    (b) stray entries — non-ASCII digits ('seg_²' crashes int() while
+    passing str.isdigit), tool droppings, manual copies — are neither
+    trusted, nor deleted, nor allowed to crash boundary arithmetic."""
+    from iii_aibigdata_capstone_spark.operators.index_store import (
+        INDEX_COMPLETE_MARKER,
+        complete_segments,
+        latest_segment,
+        segment_name_bid,
+    )
+
+    store = tmp_path / "store"
+    for name in ("seg_5", "seg_999999999", "seg_1000000000"):
+        (store / name).mkdir(parents=True)
+        (store / name / INDEX_COMPLETE_MARKER).write_text("")
+    for stray in ("seg_²", "seg_tmp", "seg_000000003.bak", "other"):
+        (store / stray).mkdir()
+        (store / stray / INDEX_COMPLETE_MARKER).write_text("")
+
+    assert segment_name_bid("seg_²", "seg_") is None
+    assert segment_name_bid("seg_000000003.bak", "seg_") is None
+    assert complete_segments(spark, str(store)) == [
+        "seg_5",
+        "seg_999999999",
+        "seg_1000000000",
+    ]
+    assert latest_segment(spark, str(store)).endswith("seg_1000000000")
+
+
 def test_compaction_trigger_validation(spark, tmp_path):
     """Misconfiguration fails at START (review r13): a store without a
     trigger would silently never populate (discovered only at recovery
