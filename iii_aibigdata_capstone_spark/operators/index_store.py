@@ -102,13 +102,13 @@ def hadoop_fs(spark: SparkSession, path: str):
 
 
 def index_is_complete(spark: SparkSession, path: str) -> bool:
-    """True iff ``path`` holds a fully-written ``index_save`` artifact."""
-    fs, _ = hadoop_fs(spark, path)
-    return fs.exists(
-        spark._jvm.org.apache.hadoop.fs.Path(
-            os.path.join(path, INDEX_COMPLETE_MARKER)
-        )
-    )
+    """True iff ``path`` holds a fully-written ``index_save`` artifact.
+    All JVM Path minting goes through ``hadoop_fs`` (review r14: the
+    module docstring's 'one adapter' claim must be literally true —
+    a Connect shim that replaces only ``hadoop_fs`` replaces ALL of the
+    protocol's JVM access)."""
+    fs, marker = hadoop_fs(spark, os.path.join(path, INDEX_COMPLETE_MARKER))
+    return fs.exists(marker)
 
 
 def index_save(
@@ -155,10 +155,7 @@ def index_save(
                 "future probe batch would full-scan it"
             )
     spark = index[0].sparkSession
-    fs, _ = hadoop_fs(spark, path)
-    marker = spark._jvm.org.apache.hadoop.fs.Path(
-        os.path.join(path, INDEX_COMPLETE_MARKER)
-    )
+    fs, marker = hadoop_fs(spark, os.path.join(path, INDEX_COMPLETE_MARKER))
     if fs.exists(marker):
         if not overwrite:
             raise ValueError(
@@ -244,7 +241,7 @@ def complete_segments(
     fs, spath = hadoop_fs(spark, store)
     if not fs.exists(spath):
         return []
-    return sorted(
+    out = sorted(
         (
             name
             for name in (st.getPath().getName() for st in fs.listStatus(spath))
@@ -253,6 +250,18 @@ def complete_segments(
         ),
         key=lambda name: segment_name_bid(name, prefix),
     )
+    for a, b in zip(out, out[1:]):
+        if segment_name_bid(a, prefix) == segment_name_bid(b, prefix):
+            # two complete directories claiming the SAME coverage (a
+            # hand-restored unpadded copy next to the padded original,
+            # review r14): silently picking one could serve the wrong
+            # content and pruning would count both toward retention —
+            # ambiguity is the operator's to resolve, loudly
+            raise ValueError(
+                f"{store} holds two complete segments with the same "
+                f"batch id: {a!r} and {b!r} — remove one before serving"
+            )
+    return out
 
 
 def latest_segment(

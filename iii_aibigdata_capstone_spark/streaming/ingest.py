@@ -156,7 +156,7 @@ def _segment_bid(name: str, prefix: str) -> int:
 
 
 def ingest_store_load(
-    spark: SparkSession, store: str
+    spark: SparkSession, store: str, scan: bool = False
 ) -> tuple[IngestIndex, int] | None:
     """Compose the current index from a growing stream's ``store`` —
     ``(index, boundary_bid)`` where the index covers exactly the batches
@@ -181,15 +181,26 @@ def ingest_store_load(
     passing the tail via the growing trigger's ``tail_docs`` in delta
     mode so the NEXT delta flush persists it (the tail lives only in
     the driver until then; a full-mode flush re-snapshots everything so
-    it needs no such care)."""
+    it needs no such care).
+
+    ``scan=True`` loads every member as a PLAIN parquet scan instead of
+    a lazy checkpoint — the READ-ONCE shape (review r14): the compactor
+    writes the composition exactly once, and checkpointed members would
+    pin O(corpus) RDD blocks in executor storage as a side effect of
+    that single write. A scan-composed index must NOT be served per
+    batch (each serve would re-scan the store); serving callers keep
+    the default."""
     segs = complete_segments(spark, store, "seg_")
     deltas = complete_segments(spark, store, "delta_")
     if not segs and not deltas:
         return None
+    members = IngestIndex._fields if scan else ()
     if segs:
         base_name = segs[-1]
         boundary = _segment_bid(base_name, "seg_")
-        index = ingest_index_load(spark, os.path.join(store, base_name))
+        index = ingest_index_load(
+            spark, os.path.join(store, base_name), scan_members=members
+        )
         tail = [d for d in deltas if _segment_bid(d, "delta_") > boundary]
     else:
         # deltas without any base snapshot: the trigger writes the base
@@ -203,7 +214,10 @@ def ingest_store_load(
         )
     for name in tail:
         index = ingest_union(
-            index, ingest_index_load(spark, os.path.join(store, name))
+            index,
+            ingest_index_load(
+                spark, os.path.join(store, name), scan_members=members
+            ),
         )
         boundary = _segment_bid(name, "delta_")
     return index, boundary
@@ -233,7 +247,10 @@ def ingest_store_compact(
     longest-running reader job."""
     if keep_segments < 1:
         raise ValueError(f"keep_segments must be >= 1, got {keep_segments}")
-    loaded = ingest_store_load(spark, store)
+    # scan=True: the composition is written exactly once — plain scans
+    # stream it through; checkpointed members would pin every segment's
+    # rows in executor storage as a side effect of one write (review r14)
+    loaded = ingest_store_load(spark, store, scan=True)
     if loaded is None:
         raise ValueError(f"{store} holds no complete segments to compact")
     index, boundary = loaded
@@ -470,41 +487,40 @@ def streaming_minhash_ingest_growing(
         # (pruning runs only after a marker lands).
         if segment_mode == "delta":
             seg = os.path.join(store, f"delta_{bid:09d}")
-            if index_is_complete(spk, seg):
-                return  # replay: the recovered base already composed it
-            if st["pending"] is None:
-                # no admissions since the last flush — an EMPTY delta
-                # still lands so the covered boundary advances and the
-                # recovery tail stays bounded by compact_every, but the
-                # driver-held index is left untouched (unioning four
-                # empty parquet scans per idle flush would grow every
-                # future batch's plan with elapsed wall-clock instead of
-                # data; review r14)
-                ingest_index_save(
-                    IngestIndex(*(m.limit(0) for m in st["base"])), seg
-                )
-                return
-            ingest_index_save(st["pending"], seg)
-            # collapse + compaction pickup (review r14, both passes):
-            # the per-batch delta checkpoints re-enter as ONE loaded
-            # segment. If an out-of-band ingest_store_compact landed a
-            # NEWER snapshot since the last flush, REBASE the whole
+            replay = index_is_complete(spk, seg)
+            if not replay:
+                if st["pending"] is None:
+                    # nothing folded since the last flush (reachable
+                    # only when the first post-restart batch IS a flush
+                    # boundary) — an EMPTY delta still lands so the
+                    # covered boundary advances and the recovery tail
+                    # stays bounded by compact_every
+                    ingest_index_save(
+                        IngestIndex(*(m.limit(0) for m in st["base"])), seg
+                    )
+                else:
+                    ingest_index_save(st["pending"], seg)
+            # collapse + compaction pickup, on EVERY path (review r14
+            # passes 2-4): if an out-of-band ingest_store_compact landed
+            # a NEWER snapshot since the last flush, REBASE the whole
             # composition from the store (one full re-read, collapses
-            # the live plan — previously only a restart picked a
-            # compaction up); otherwise union just the written delta
-            # (keeping every already-materialized segment checkpoint —
-            # a full rebase per flush would re-read O(corpus) parquet
-            # each cycle in a design sold on O(delta) flushes). Both
-            # are value-identical to the incremental fold by the
-            # recovery guarantee. No pruning here — delta segments
-            # COMPOSE (only ingest_store_compact retires them; the
-            # trigger's keep_segments knob is full-mode-only, rejected
-            # in validation for delta mode).
+            # the live plan; skipping this on the empty/replay paths
+            # would leave the driver pinned to segments the compactor's
+            # NEXT cycle prunes). Otherwise union just the written
+            # delta (keeping every already-materialized segment
+            # checkpoint — a full rebase per flush would re-read
+            # O(corpus) parquet each cycle in a design sold on O(delta)
+            # flushes); on replay the recovered base composed the
+            # segment already, and an empty delta adds nothing — both
+            # no-ops. No pruning here — delta segments COMPOSE (only
+            # ingest_store_compact retires them; the trigger's
+            # keep_segments knob is full-mode-only, rejected in
+            # validation for delta mode).
             snap = latest_segment(spk, store)
             if snap != st["snap"]:
                 st["snap"] = snap
                 st["base"] = ingest_store_load(spk, store)[0]
-            else:
+            elif st["pending"] is not None and not replay:
                 st["base"] = ingest_union(
                     st["base"], ingest_index_load(spk, seg)
                 )
