@@ -35,6 +35,17 @@ RUNTIME_CONFS: dict[str, str] = {
     # regressing — map-side fan-out repartitions are user-specified and
     # never coalesced).
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # Let the planner pick shuffled-hash over sort-merge when the build
+    # side fits (guide §3.1 / §9: hash beats sort when one side is
+    # moderately small per partition), and let AQE rewrite SMJ->SHJ at
+    # runtime when every post-shuffle partition is under the 64 MB
+    # advisory size (the docs' suggested pairing; default 0 disables the
+    # rewrite). Bounded risk: the local map is capped at the advisory
+    # partition size AQE already targets. Measured 10-30% on the
+    # join-dense lanes (walks, admission chain, RAG eval) at sf0.1;
+    # explicitly MERGE-hinted fact joins (flagship) are unaffected.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "67108864",
     # Arrow for every pandas interchange (pandas_udf / applyInPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Arrow batch size bounds Python-kernel memory (SURVEY.md §7 risk).
