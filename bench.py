@@ -207,10 +207,11 @@ def run_slice(
     def timed(builder) -> tuple[float, float]:
         # Adaptive best-of-N: single runs carry scheduler/GC jitter even in
         # a fresh JVM (JIT still ramping). Rerun until two samples agree
-        # within 20% (max 4), and report the min — the steady-state engine
-        # cost the number is meant to track.
+        # within 20% (max 4; r14: up to 6 while still DESCENDING), and
+        # report the min — the steady-state engine cost the number is
+        # meant to track.
         samples: list[float] = []
-        for _ in range(4):
+        for _ in range(6):
             spark._jvm.System.gc()  # drain prior queries' garbage off the clock
             t0 = time.time()
             run_to_completion(builder(spark, SF_DIR))
@@ -219,9 +220,22 @@ def run_slice(
             # the r5 x2_simhash "drift" was two correlated still-warming
             # samples agreeing at 1.65s while steady state was 1.31s.
             need = 3 if min(samples) < 3.0 else 2
+            # r14 measurement fix (documented in OPTIMIZATION_r14.md and
+            # the BENCH_NOTES r14 entry): if the LAST sample improved the
+            # running min by >15%, the lane is still on its JIT/codegen
+            # ramp (x3_pq_codebooks decays 19 -> 12 -> 6 -> 5 -> 4.3 in a
+            # fresh JVM) — two adjacent warming samples can "agree" within
+            # 20% while steady state is far lower, exactly the r5 trap at
+            # a longer ramp. Keep sampling while descending, up to 6.
+            # Metric semantics unchanged: still the best-of-N min; steady
+            # lanes still stop after 2-3 samples. The old 4-sample numbers
+            # remain committed in BENCH_r14 "before" artifacts.
             if len(samples) >= need:
                 lo, lo2 = sorted(samples)[:2]
-                if lo2 - lo <= max(0.2 * lo, 0.1):
+                descending = len(samples) >= 2 and samples[-1] <= 0.85 * min(
+                    samples[:-1]
+                )
+                if lo2 - lo <= max(0.2 * lo, 0.1) and not descending:
                     break
         return round(min(samples), 3), round(samples[0], 3)
 
