@@ -525,26 +525,26 @@ def dsir_doc_logw(docs: DataFrame) -> DataFrame:
     tgt_model = tok.where(F.col("lang") == DSIR_TARGET_LANG).groupBy("b").agg(
         F.count(F.lit(1)).alias("n_tgt")
     )
-    totals = tok.agg(
+    # r14: the 1-row exact-count totals are collected once and attached
+    # as long literals — same values into the identical log-ratio IEEE
+    # tree, minus a BroadcastNestedLoopJoin + broadcast sub-job (the agg
+    # over the checkpointed token table still runs exactly once)
+    trow = tok.agg(
         F.count(F.lit(1)).alias("t_raw"),
         F.sum((F.col("lang") == DSIR_TARGET_LANG).cast("long")).alias("t_tgt"),
-    )
-    lr = (
-        raw_model.join(tgt_model, "b", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "b",
-            (
-                F.log(
-                    (F.coalesce(F.col("n_tgt"), F.lit(0)) + 1)
-                    / (F.col("t_tgt") + DSIR_BUCKETS).cast("double")
-                )
-                - F.log(
-                    (F.col("n_raw") + 1)
-                    / (F.col("t_raw") + DSIR_BUCKETS).cast("double")
-                )
-            ).alias("logratio"),
-        )
+    ).collect()[0]
+    lr = raw_model.join(tgt_model, "b", "left").select(
+        "b",
+        (
+            F.log(
+                (F.coalesce(F.col("n_tgt"), F.lit(0)) + 1)
+                / (F.lit(trow["t_tgt"]) + DSIR_BUCKETS).cast("double")
+            )
+            - F.log(
+                (F.col("n_raw") + 1)
+                / (F.lit(trow["t_raw"]) + DSIR_BUCKETS).cast("double")
+            )
+        ).alias("logratio"),
     )
     return (
         tok.join(F.broadcast(lr), "b")
@@ -970,9 +970,15 @@ def _bm25_doc_ranks(index: RagIndex, qterms: DataFrame) -> DataFrame:
     production and ground truth share it verbatim."""
     from .textual import _BM25_AVGDL_SQL, _BM25_CONTRIB_SQL, _BM25_IDF_SQL
 
+    # r14: the 1-row corpus-constants member (exact longs, checkpointed
+    # at build) is collected and attached as literals — identical
+    # idf/avgdl IEEE trees, minus a BroadcastNestedLoopJoin + broadcast
+    # sub-job per serve call
+    grow = index.g.collect()[0]
     pterm = (
         qterms.join(index.dfreq, "term")
-        .crossJoin(F.broadcast(index.g))
+        .withColumn("n_docs", F.lit(grow["n_docs"]))
+        .withColumn("total", F.lit(grow["total"]))
         .select(
             "query_id",
             "term",

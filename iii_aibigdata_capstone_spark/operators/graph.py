@@ -1223,17 +1223,25 @@ def x10_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.node").alias("center"),
         F.col("b.node").alias("context"),
     ).localCheckpoint(eager=False)  # consumed by emit + negative draws
-    negs = F.broadcast(
-        spark.range(WP_NEG).select(F.col("id").cast("int").alias("r"))
-    )
-    draws = (
-        pos.crossJoin(negs)
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "center",
-            (F.expr(_h60_sql(_wp_draw_key_sql("r"), "spark")) % F.col("t"))
-            .alias("d"),
-        )
+    # r14 OPTIMIZATION: the negative-slot fan-out is a row-local
+    # explode(sequence(0, WP_NEG-1)) instead of a broadcast cross join
+    # (same rows, no BroadcastNestedLoopJoin breaking codegen), and the
+    # 1-row weight total — bounded by construction — is collected once
+    # and attached as a literal (removes the second BNLJ + its broadcast
+    # sub-job; the agg job itself was already paid by the broadcast).
+    # d = hash % t is the identical expression over the identical long.
+    t_total = tot.collect()[0]["t"]
+    draws = pos.select(
+        "center",
+        F.explode(F.sequence(F.lit(0), F.lit(WP_NEG - 1))).alias("r"),
+        "start",
+        "walk",
+        "ci",
+        "cj",
+    ).select(
+        "center",
+        (F.expr(_h60_sql(_wp_draw_key_sql("r"), "spark")) % F.lit(t_total))
+        .alias("d"),
     )
     neg = draws.join(
         ivb,
