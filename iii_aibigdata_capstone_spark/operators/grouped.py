@@ -60,7 +60,16 @@ def _grouped_blocks(
     sort within partitions (``sort_cols`` must lead with ``key`` ascending so
     groups are contiguous), stream Arrow batches through Python carrying the
     trailing (possibly incomplete) group over to the next batch."""
-    part = df.repartition(F.col(key)).sortWithinPartitions(*sort_cols)
+    # Explicit partition count (r14): a count-less repartition is
+    # AQE-coalescible, and with byte-size-first coalescing (the r14
+    # session policy) a small-bytes input collapses to ONE partition —
+    # serializing the CPU-heavy Python kernel behind it (measured 2-3x
+    # on t4/m8/w2 at sf0.1). The kernel's cost is per ROW, not per
+    # byte, so its parallelism is deliberate: pin it to the cluster
+    # core count (scale-parameterized — defaultParallelism is the
+    # executor-core total on a real deployment, not a local constant).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    part = df.repartition(par, F.col(key)).sortWithinPartitions(*sort_cols)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
