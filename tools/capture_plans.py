@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Capture `.explain("formatted")` output for named queries into
-plans/r14/<query>_<tag>.txt — the optimization round's before/after
-evidence files (the judge checks plan claims against these).
+plans/<round>/<query>_<tag>.txt (round via $SPARK_GRAFT_PLAN_ROUND,
+default r15) — the optimization round's before/after evidence files
+(the judge checks plan claims against these).
 
     python tools/capture_plans.py before q1_pricing_summary x10_walk_pairs ...
     python tools/capture_plans.py after  q1_pricing_summary ...
@@ -22,7 +23,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(REPO, "plans", "r14")
+OUT_DIR = os.path.join(
+    REPO, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r15")
+)
 
 
 def main() -> None:
