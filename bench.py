@@ -434,10 +434,21 @@ def main() -> None:
     # driver captures only the TAIL of stdout, and at 74 headline queries
     # the single-line JSON outgrew that window in round 5 — the captured
     # text began mid-object and json.loads failed ("parsed": null).
+    # r15 (VERDICT r14 "what's wrong" #2): the driver's post-round 8-core
+    # scaling probe overwrote the 32-core run's per-query data, so the
+    # round's per-lane ground truth was lost and PERF's scaling table came
+    # up empty. The artifact is therefore ALSO written to a core-count-
+    # keyed sidecar (BENCH_FULL_c{cpus}.json) so runs at different
+    # $SPARK_GRAFT_CPUS never collide; BENCH_FULL.json stays as the
+    # un-keyed latest-run pointer every existing tool reads, and the
+    # stdout one-line JSON contract is unchanged (additive key only).
     full_path = os.path.join(REPO, "BENCH_FULL.json")
-    with open(full_path, "w") as fh:
-        json.dump(out, fh, indent=1, sort_keys=True)
-        fh.write("\n")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 0))
+    keyed_path = os.path.join(REPO, f"BENCH_FULL_c{cpus}.json")
+    for path in (full_path, keyed_path):
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+            fh.write("\n")
     # The FINAL stdout line is the driver-parsed metric and must survive
     # front-truncation, so it carries the per-query map only while the
     # serialized line stays comfortably inside a 1 KiB tail window;
@@ -456,7 +467,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "n_errors": len(errors),
-                "queries_file": "BENCH_FULL.json",
+                "queries_file": os.path.basename(keyed_path),
                 "run_id": run_id,
             }
         )

@@ -109,6 +109,76 @@ _DRIVER_VERIFIED: frozenset[str] = _DRIVER_HASH_VERIFIED | _DRIVER_ROWS_ONLY
 _DRIVER_LAST_GREEN = _driver_last_green_round()
 
 
+def _git_last_commit_times() -> dict[str, int]:
+    """repo-relative path -> unix time of the last commit touching it,
+    from ONE ``git log --name-only`` walk (newest-first; the first time a
+    path appears is its last-modified commit). Empty dict when git is
+    unavailable — callers must degrade gracefully."""
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        out = subprocess.run(
+            ["git", "-C", root, "log", "--format=%x01%ct", "--name-only"],
+            capture_output=True,
+            text=True,
+            timeout=30,
+        ).stdout
+    except Exception:
+        return {}
+    times: dict[str, int] = {}
+    cur: int | None = None
+    for line in out.splitlines():
+        if line.startswith("\x01"):
+            try:
+                cur = int(line[1:])
+            except ValueError:
+                cur = None
+        elif line.strip() and cur is not None:
+            times.setdefault(line.strip(), cur)
+    return times
+
+
+def _touched_since_green(specs: list[QuerySpec]) -> frozenset[str]:
+    """Names whose BUILDER MODULE was committed AFTER the CORRECTNESS
+    artifact of the query's last driver-green round — i.e. lanes whose
+    code changed since the driver last hash-checked them. VERDICT r14
+    item 3: the stale-first rotation sent lanes *changed this round* to
+    the back of the driver's ~50-query budget precisely because they
+    were green last round; "code-touched since last green" must outrank
+    "stalest green", so a round's optimization targets get driver hash
+    checks the round they change. Conservative on missing data: no git,
+    no module file, or no artifact timestamp -> not touched (pure
+    staleness rotation, the r14 behavior)."""
+    import sys as _sys
+
+    file_ct = _git_last_commit_times()
+    if not file_ct:
+        return frozenset()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green_ct: dict[int, int] = {}
+    for rnd in set(_DRIVER_LAST_GREEN.values()):
+        for fname in (f"CORRECTNESS_r{rnd:02d}.json", f"CORRECTNESS_r{rnd}.json"):
+            if fname in file_ct:
+                green_ct[rnd] = file_ct[fname]
+                break
+    touched: set[str] = set()
+    mod_ct_cache: dict[str, int | None] = {}
+    for spec in specs:
+        rnd = _DRIVER_LAST_GREEN.get(spec.name)
+        if rnd is None or rnd not in green_ct:
+            continue
+        mod = getattr(spec.builder, "__module__", None)
+        if mod not in mod_ct_cache:
+            path = getattr(_sys.modules.get(mod), "__file__", None)
+            rel = os.path.relpath(path, root) if path else None
+            mod_ct_cache[mod] = file_ct.get(rel) if rel else None
+        mct = mod_ct_cache[mod]
+        if mct is not None and mct > green_ct[rnd]:
+            touched.add(spec.name)
+    return frozenset(touched)
+
+
 def _collect_specs() -> list[QuerySpec]:
     from .operators import relational
 
@@ -166,7 +236,13 @@ def _collect_specs() -> list[QuerySpec]:
     # (hash-green evidence first while coverage is incomplete); inside
     # the verified group staleness alone decides, otherwise rows-only
     # lanes verified in r1/r2 would wait behind every hash lane forever
-    # (VERDICT r7 item 10). Module order breaks remaining ties stably.
+    # (VERDICT r7 item 10). r15 (VERDICT r14 item 3): WITHIN the verified
+    # group, lanes whose builder-module code was committed AFTER their
+    # last green CORRECTNESS artifact rank FIRST — a changed lane's green
+    # row is evidence about code that no longer exists, which is strictly
+    # weaker than any unchanged lane's staleness. Module order breaks
+    # remaining ties stably.
+    touched = _touched_since_green(specs)
     specs.sort(
         key=lambda spec: (
             spec.name in _DRIVER_HASH_VERIFIED
@@ -176,6 +252,7 @@ def _collect_specs() -> list[QuerySpec]:
                 spec.name in _DRIVER_HASH_VERIFIED
                 or spec.name in _DRIVER_ROWS_ONLY
             ),
+            spec.name not in touched,
             _DRIVER_LAST_GREEN.get(spec.name, 0),
         )
     )

@@ -30,6 +30,36 @@ def test_bogus_sf_dir_raises(spark):
         qs["q1_pricing_summary"](spark, "/root/testdata/sf_does_not_exist").collect()
 
 
+def test_rotation_touched_lanes_outrank_stale_greens():
+    """r15 rotation contract (VERDICT r14 item 3): within the
+    driver-verified group, every lane whose builder module was committed
+    AFTER the lane's last green CORRECTNESS artifact must register ahead
+    of every unchanged lane — changed code's old green row is weaker
+    evidence than any unchanged lane's staleness. Skips cleanly when git
+    metadata is unavailable (the documented fallback is pure staleness)."""
+    import pytest
+
+    from iii_aibigdata_capstone_spark import queries as Q
+
+    touched = Q._touched_since_green(Q.ALL_SPECS)
+    if not touched:
+        pytest.skip("no git metadata or nothing touched since last green")
+    verified_order = [
+        s.name
+        for s in Q.ALL_SPECS
+        if s.name in Q._DRIVER_HASH_VERIFIED
+        or (s.oracle is None and s.name in Q._DRIVER_ROWS_ONLY)
+    ]
+    untouched_idx = [
+        i for i, n in enumerate(verified_order) if n not in touched
+    ]
+    touched_idx = [i for i, n in enumerate(verified_order) if n in touched]
+    if touched_idx and untouched_idx:
+        assert max(touched_idx) < min(untouched_idx), (
+            "a touched-since-green lane registers behind an unchanged lane"
+        )
+
+
 def test_all_queries_have_unique_sorted_columns():
     """The driver sorts columns by name before hashing — duplicate column
     names in any query output would make the comparison ambiguous."""
